@@ -1,0 +1,704 @@
+"""The driver-facing query suite: every operator category from
+SURVEY.md §2 as a (Spark query, ANSI-SQL oracle) pair.
+
+Each Spark query is a callable ``(spark, sf_dir) -> DataFrame``; the
+matching oracle is a DuckDB-runnable SQL string over the same parquet
+tables. The driver compares row-count + schema + order-insensitive
+value hash (CORRECTNESS_r{N}.json), so:
+
+* every computed column is aliased identically on both sides;
+* aggregates over floating-point columns use the decimal-sum pattern
+  ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`` — decimal addition is
+  exact and associative, so Spark's parallel partial/final aggregation
+  and DuckDB's single-node aggregation produce bit-identical doubles
+  regardless of summation order;
+* per-row double arithmetic (``x * (1 - d)``) is IEEE-deterministic and
+  needs no such guard;
+* rankings / LIMIT cuts always carry a unique tiebreaker column.
+
+Scale notes are attached per query — these run at sf0.01/sf0.1 locally
+but are written for a 1000-executor cluster over 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ome_arrow_spark.operators.asof import asof_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with a proper timestamp ``ts``.
+
+    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; read nanos as long (legacy conf)
+    and floor-convert to microseconds — the same truncation Python
+    datetimes (and hence the DuckDB oracle results) apply.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # integer division: epoch-nanos overflow double's 53-bit mantissa,
+    # so `/ 1000` (double) would corrupt the low microseconds.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col, alias: str, prec: int = 30, scale: int = 6):
+    """Deterministic double sum: exact decimal accumulation, double result."""
+    return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1-style pricing summary (scan → filter → hash agg).
+# Scale: partial aggregation map-side (Catalyst automatic), 6 groups — the
+# shuffle moves only #groups × #partitions rows. Filter pushes to parquet.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(30,6)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join + top-k: TPC-H Q3-style shipping priority.
+# Scale: lineitem⋈orders is the big join (shuffle on orderkey); customer
+# filter applied before the join (Catalyst pushes it); top-10 executes as
+# TakeOrderedAndProject — no global sort materialization.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join through the dimension chain, small dims broadcast.
+# Scale: nation/region are tiny → explicit broadcast() removes two shuffles;
+# the remaining shuffles are lineitem⋈orders⋈customer/supplier on keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter operator battery: IN / BETWEEN / LIKE / RLIKE / IS NOT NULL.
+# Scale: all predicates push down to the parquet scan (PushedFilters) except
+# rlike, which evaluates post-scan inside codegen; no shuffle at all.
+# ---------------------------------------------------------------------------
+@register(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 10000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND regexp_matches(o_orderpriority, '^[12]-')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_totalprice").between(10000, 200000))
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .filter(F.col("o_orderpriority").rlike("^[12]-"))
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins.
+# Scale: left-semi/anti shuffle only the join keys of the right side;
+# at 100 TB prefer these over IN-subquery + distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left outer join + aggregate with null handling (COALESCE).
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation.
+# Scale: COUNT(DISTINCT) expands to a two-phase aggregate in Spark
+# (partial distinct per partition, then merge) — no driver collection.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE grouping sets.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, numerically deterministic: moments from exact
+# decimal sums (portable across engines, unlike engine-native stddev),
+# exact interpolated median.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = F.col("l_quantity")
+    s1 = F.sum(q.cast("decimal(30,6)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(30,6)")).cast("double")
+    n = F.count("*")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.min(q).alias("min_qty"),
+            F.max(q).alias("max_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking (top-N per group).
+# Scale: single shuffle on the partition key; rank filter evaluates
+# streaming per partition — no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: analytic (lag/lead) + running frame sum.
+# The running sum uses the decimal pattern inside the frame so segment-tree
+# vs incremental evaluation order cannot change the result.
+# ---------------------------------------------------------------------------
+@register(
+    "window_analytic",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-k (TakeOrderedAndProject — per-partition top-k then merge on
+# driver; never a full global sort).
+# ---------------------------------------------------------------------------
+@register(
+    "sort_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION (distinct), INTERSECT, EXCEPT in one result,
+# tagged by operation.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops",
+    """
+    SELECT 'union' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "k")  # noqa: E731
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar string functions.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                          AS brand_u,
+           LOWER(p_type)                           AS type_l,
+           SUBSTRING(p_name, 1, 6)                 AS name_pre,
+           LENGTH(p_name)                          AS name_len,
+           CONCAT_WS('|', p_brand, p_type)         AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
+           LEN(string_split(p_name, ' '))          AS name_words,
+           REPLACE(p_name, ' ', '_')               AS name_snake,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0')   AS size_pad,
+           TRIM('  ' || p_brand || ' ')            AS brand_trim
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower("p_type").alias("type_l"),
+            F.substring("p_name", 1, 6).alias("name_pre"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar date/time functions.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_date",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           EXTRACT(year FROM o_orderdate)   AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS month_revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "month_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar math functions (only IEEE-deterministic ones: sqrt is correctly
+# rounded, abs/floor/ceil/mod exact; transcendentals like ln/exp differ
+# across libm implementations and are excluded from oracle checks).
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)            AS disc_dev,
+           FLOOR(l_quantity)                 AS q_floor,
+           CEIL(l_quantity)                  AS q_ceil,
+           SQRT(l_extendedprice)             AS price_sqrt,
+           l_orderkey % 97                   AS key_mod,
+           GREATEST(l_tax, l_discount)       AS max_rate,
+           LEAST(l_tax, l_discount)          AS min_rate,
+           ROUND(l_extendedprice, 1)         AS price_r1
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0 AND l_linenumber = 1
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 11 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_quantity").alias("q_floor"),
+            F.ceil("l_quantity").alias("q_ceil"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            (F.col("l_orderkey") % 97).alias("key_mod"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+            F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (get_json_object ↔ json_extract).
+# ---------------------------------------------------------------------------
+@register(
+    "json_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (nearest order at-or-before each event) — the union+window
+# implementation from operators/asof.py; oracle is the naive
+# join+row_number formulation.
+# Scale: exactly one shuffle on user_id; no row blowup (contrast the
+# oracle's range-join intermediate, which explodes at 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_events_orders",
+    """
+    SELECT event_id, ts, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        value_aliases=["asof_orderkey", "asof_orderdate"],
+        keep=["event_id", "ts", "user_id"],
+    )
