@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from ome_arrow_spark import suite
+from ome_arrow_spark import suite_ome  # noqa: F401  (registers OME queries)
 from ome_arrow_spark.session import tune_session
 
 

@@ -1,0 +1,181 @@
+"""OME format-half queries for the driver gate.
+
+The fixture dirs carry no image tables, so these queries synthesize the
+golden images (synth.py — deterministic formula from FIXTURES.md) and
+the oracles either re-derive the expected values arithmetically in
+DuckDB (generate_series over the same pixel formula — a genuinely
+independent computation of the crop/reindex semantics) or assert the
+reference's golden literals as VALUES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import synth
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.operators.slice_op import slice_images
+from ome_arrow_spark.operators.views import channels_df, plane_stats
+from ome_arrow_spark.suite import register
+
+
+def _classify(t: int, z: int) -> str:
+    if t == 1 and z == 1:
+        return "2D image"
+    if t == 1 and z > 1:
+        return "3D image (z-stack)"
+    if t > 1 and z == 1:
+        return "movie / timelapse"
+    return "4D timelapse-volume"
+
+
+def _describe_values() -> str:
+    rows = []
+    shapes = list(synth.GOLDEN_SHAPES) + [("img-0001", 1, 2, 1, 3, 4)]
+    for image_id, t, c, z, y, x in shapes:
+        kind = _classify(t, z)
+        chinfo = f"multi-channel ({c} channels)" if c > 1 else "single-channel"
+        summary = f"{kind}, {chinfo} - shape (T={t}, C={c}, Z={z}, Y={y}, X={x})"
+        rows.append(
+            f"('{image_id}', {t}, {c}, {z}, {y}, {x}, '{kind}', "
+            f"CAST({c} AS BIGINT), {str(c > 1).upper()}, '{summary}')"
+        )
+    return ",\n       ".join(rows)
+
+
+@register(
+    "ome_describe",
+    f"""
+    SELECT * FROM (VALUES
+       {_describe_values()})
+    AS t(image_id, size_t, size_c, size_z, size_y, size_x,
+         type, channels, is_multichannel, summary)
+    """,
+)
+def ome_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 catalog query over the golden images (metadata-only scan —
+    nested-schema pruning keeps `planes` unread)."""
+    return describe(synth.golden_images_df(spark, with_pixels=False))
+
+
+@register(
+    "ome_channels",
+    """
+    SELECT * FROM (VALUES
+       ('img-0001', 0, 'C0', 'DNA',  CAST(0.46 AS REAL), CAST(0.40 AS REAL),
+        'Epifluorescence', CAST(65535 AS BIGINT)),
+       ('img-0001', 1, 'C1', 'Mito', CAST(0.59 AS REAL), CAST(0.54 AS REAL),
+        'Epifluorescence', CAST(4278190335 AS BIGINT)))
+    AS t(image_id, channel_idx, channel_id, name, emission_um, excitation_um,
+         illumination, color_rgba)
+    """,
+)
+def ome_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel metadata explode (posexplode) on the conftest-exact
+    record (reference tests/conftest.py:36-54 values)."""
+    imgs = synth.golden_images_df(spark, ids=["img-0001"], with_pixels=False)
+    return channels_df(imgs)
+
+
+# Crop + keep-list slice whose plane sums DuckDB re-derives purely
+# arithmetically: pixel(t,c,z,y,x) = (t*31+c*17+z*7+y*439+x) % 65536 on
+# image multi-channel-z (T=1,C=3,Z=5,Y=167,X=439), crop x[100,150)
+# y[30,90), keep c={0,2} z={1,3,4} — exercising crop, membership filter,
+# dense reindex, and array aggregation in one query.
+@register(
+    "ome_slice_crop",
+    """
+    WITH kc(old_c, c) AS (VALUES (0, 0), (2, 1)),
+         kz(old_z, z) AS (VALUES (1, 0), (3, 1), (4, 2)),
+         yy AS (SELECT unnest(generate_series(30, 89)) AS y),
+         xx AS (SELECT unnest(generate_series(100, 149)) AS x),
+         px AS (
+           SELECT 0 AS t, kc.c, kz.z,
+                  (0*31 + kc.old_c*17 + kz.old_z*7 + yy.y*439 + xx.x) % 65536 AS v
+           FROM kc, kz, yy, xx)
+    SELECT t, c, z,
+           CAST(MIN(v) AS INT)    AS px_min,
+           CAST(MAX(v) AS INT)    AS px_max,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(COUNT(*) AS INT)  AS px_count
+    FROM px GROUP BY t, c, z
+    """,
+)
+def ome_slice_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synth.golden_images_df(spark, ids=["multi-channel-z"], include_conftest=False)
+    sliced = slice_images(
+        imgs, 100, 150, 30, 90, t_indices=None, c_indices=[0, 2], z_indices=[1, 3, 4]
+    )
+    st = plane_stats(sliced)
+    return st.select(
+        F.col("t").cast("int"),
+        F.col("c").cast("int"),
+        F.col("z").cast("int"),
+        "px_min",
+        "px_max",
+        "px_sum",
+        "px_count",
+    )
+
+
+@register(
+    "ome_slice_conftest",
+    """
+    SELECT * FROM (VALUES
+       (0, 0, 0, '1,2,11,12'),
+       (0, 1, 0, '101,102,111,112'))
+    AS t(t, c, z, pixels_csv)
+    """,
+)
+def ome_slice_conftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-pixel crop: the conftest record's 4×3 planes cropped to
+    x[1,3) y[0,2) — expected values computable by hand (pixels 0..23 /
+    100..123, reference tests/conftest.py:56-70)."""
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    sliced = slice_images(imgs, 1, 3, 0, 2)
+    return sliced.select(F.explode("ome_arrow.planes").alias("p")).select(
+        F.col("p.t").cast("int").alias("t"),
+        F.col("p.c").cast("int").alias("c"),
+        F.col("p.z").cast("int").alias("z"),
+        F.array_join("p.pixels", ",").alias("pixels_csv"),
+    )
+
+
+# Pure-SQL plane construction: Spark builds the dense plane set with
+# sequence/transform higher-order functions (no Python data at all) and
+# aggregates; DuckDB re-derives with generate_series. Validates the
+# zero-fill/dims-frame machinery used by ingest (SURVEY.md §2A S6).
+@register(
+    "ome_planes_sql",
+    """
+    WITH tt AS (SELECT unnest(generate_series(0, 6)) AS t),
+         cc AS (SELECT unnest(generate_series(0, 2)) AS c),
+         ii AS (SELECT unnest(generate_series(0, 167*439 - 1)) AS i)
+    SELECT tt.t, cc.c,
+           CAST(SUM((tt.t*31 + cc.c*17 + ii.i) % 65536) AS BIGINT) AS px_sum
+    FROM tt, cc, ii
+    GROUP BY tt.t, cc.c
+    """,
+)
+def ome_planes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-channel-time (7,3,1,167,439) built entirely JVM-side."""
+    n = 167 * 439
+    df = spark.range(1).select(
+        F.expr(
+            "explode(flatten(transform(sequence(0, 6), t -> "
+            "transform(sequence(0, 2), c -> named_struct('t', t, 'c', c)))))"
+        ).alias("k")
+    )
+    return (
+        df.select(F.col("k.t").alias("t"), F.col("k.c").alias("c"))
+        .repartition(8)
+        .select(
+            "t",
+            "c",
+            F.expr(
+                f"aggregate(sequence(0, {n - 1}), cast(0 as bigint), "
+                "(acc, i) -> acc + (t*31 + c*17 + i) % 65536)"
+            ).alias("px_sum"),
+        )
+    )
