@@ -1,0 +1,361 @@
+"""Training-data / LLM-ops queries for the driver gate: text analysis,
+dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search.
+
+Hash choices are md5-based so DuckDB oracles recompute them exactly
+(see operators/dedup.py scale notes on swapping to xxhash64 in a
+pure-Spark deployment). Near-dup queries synthesize mutated copies of
+real documents (drop-first-token) inside the query on BOTH sides, so
+the LSH machinery demonstrably finds pairs instead of returning an
+empty (trivially matching) result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.functions import text as TX
+from ome_arrow_spark.operators import dedup as DD
+from ome_arrow_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from ome_arrow_spark.suite import _t, register
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
+# Text statistics per (lang, source) — exact integer aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT lang, source, n_chars,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+      FROM documents)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_punct) AS BIGINT) AS sum_punct
+    FROM t GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            TX.token_count(t).alias("n_tokens"),
+            TX.punct_count(t).alias("n_punct"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.sum("n_tokens") / F.count("*")).alias("avg_tokens"),
+            F.sum("n_punct").alias("sum_punct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality metrics (type-token ratio, token lengths).
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) AS ttr,
+           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)
+             / CAST(len(toks) AS BIGINT) AS mean_tok_len,
+           (len(toks) BETWEEN 10 AND 1000)
+             AND (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) > 0.3)
+             AS is_quality
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        TX.total_token_chars(toks).alias("tok_chars"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        ttr.alias("ttr"),
+        (F.col("tok_chars") / F.col("n_tokens")).alias("mean_tok_len"),
+        (F.col("n_tokens").between(10, 1000) & (ttr > 0.3)).alias("is_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword vote with fixed tie order.
+# ---------------------------------------------------------------------------
+def _hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+                 {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
+                 {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select("doc_id", "lang", TX.lang_predict(toks).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Token frequency top-k (the classic wordcount, deterministic cut).
+# ---------------------------------------------------------------------------
+@register(
+    "token_topk",
+    f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup on normalized-content fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fp,
+           MIN(doc_id) AS rep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup corpus: documents ∪ mutated copies (first token dropped,
+# doc_id offset by 100000) — built identically on both sides so the
+# MinHash/LSH pipeline has real positives to find.
+# ---------------------------------------------------------------------------
+_MUTATED_SQL = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(list_transform(range(1, len({_TOKS_SQL})),
+                                          i -> ({_TOKS_SQL})[i + 1]), ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _mutated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = TX.tokens(F.col("text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+_MH_AGGS_SQL = ",\n           ".join(
+    f"MIN(md5('{s}:' || sh)) AS mh{s}" for s in range(4)
+)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s)
+    SELECT doc_id,
+           {_MH_AGGS_SQL}
+    FROM e GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_mutated_docs(spark, sf_dir))
+
+
+@register(
+    "neardup_lsh",
+    f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM b a JOIN b b2
+      ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+    """,
+)
+def neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DD.minhash_signatures(_mutated_docs(spark, sf_dir))
+    return DD.lsh_candidates(sig)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(2 * (ascii(substr(md5(tok), {j + 1}, 1)) % 2) - 1) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+               FROM documents WHERE doc_id % 25 = 0),
+    v AS (SELECT doc_id,
+             {votes}
+          FROM t GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("simhash", _simhash_oracle())
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return DD.simhash(docs)
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len({_TOKS_SQL}) - 2),
+                     i -> ({_TOKS_SQL})[i+1] || ' ' || ({_TOKS_SQL})[i+2] || ' ' || ({_TOKS_SQL})[i+3])) AS shs
+          FROM corpus),
+    e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM t),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, inter, inter / (na + nb - inter) AS jaccard
+    FROM p WHERE inter / (na + nb - inter) >= 0.5
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_mutated_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-3 (oracle-checked)
+# and the LSH-bucketed scale path (approximate → rows-only check).
+# ---------------------------------------------------------------------------
+_DOT = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+
+
+@register(
+    "knn_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
+    return cosine_topk(q, c, k=3)
+
+
+@register("knn_cosine_lsh", None)  # approximate — rows-only check
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
+    return cosine_topk_lsh(q, c, k=3)
+
+
+@register(
+    "embedding_stats",
+    f"""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS avg_norm,
+           ROUND(MIN(sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS min_norm,
+           ROUND(MAX(sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
