@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ome_arrow_spark import suite
 from ome_arrow_spark import suite_ome  # noqa: F401  (registers OME queries)
 from ome_arrow_spark import suite_llm  # noqa: F401  (registers LLM-ops queries)
+from ome_arrow_spark import suite_streaming  # noqa: F401  (registers streaming queries)
 from ome_arrow_spark.session import tune_session
 
 

@@ -1,0 +1,139 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2C —
+the reference has no streaming at all; README's "query" promise plus
+BASELINE north-star asks for it).
+
+Batch-testable design: every query runs with ``Trigger.AvailableNow``
+into a memory sink and returns the materialized DataFrame, so the
+DuckDB rows-only/oracle checks still apply. In production the same
+plans run against a live file/Kafka source with the watermark bounding
+state.
+
+The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS) — the
+streaming reader gets an explicit schema with ``ts: long`` (plus the
+``nanosAsLong`` conf) and converts, mirroring suite._events.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COUNTER = itertools.count()
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: scan sf_dir with a
+    # glob filter selecting only the events file(s).
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion on the files present
+    now; return the materialized result."""
+    spark = df.sparkSession
+    # Streaming exchanges don't benefit from AQE coalescing; a vanilla
+    # session's 200 shuffle partitions is 6× task overhead for the
+    # local fixture scale. State-store partitioning is per-checkpoint,
+    # and we use a fresh checkpoint per run, so this is safe to lower.
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+    name = f"stream_result_{next(_COUNTER)}_{os.getpid()}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts per event type, watermarked."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are within ``gap``."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream ⋈ static dimension (broadcast — the static side is a dim
+    table; no state needed)."""
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )

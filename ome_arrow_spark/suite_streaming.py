@@ -1,0 +1,97 @@
+"""Structured Streaming queries for the driver gate: each runs with
+Trigger.AvailableNow into a memory sink (streaming/events.py) so the
+result is a plain DataFrame the DuckDB oracle can check — the oracle
+re-derives windowing semantics with batch SQL (date_trunc arithmetic,
+lag/cumsum sessionization)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ome_arrow_spark.streaming import events as EV
+from ome_arrow_spark.suite import _t, register
+
+
+@register(
+    "stream_tumbling",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS we,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV.read_events_stream(spark, sf_dir)
+    return EV.run_available_now(EV.tumbling_counts(ev))
+
+
+@register(
+    "stream_sliding",
+    """
+    WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h FROM events),
+         w AS (SELECT h - to_hours(o) AS ws FROM e, (VALUES (0), (1)) AS t(o))
+    SELECT ws, ws + INTERVAL 2 HOUR AS we, COUNT(*) AS n
+    FROM w GROUP BY ws
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV.read_events_stream(spark, sf_dir)
+    return EV.run_available_now(EV.sliding_counts(ev))
+
+
+@register(
+    "stream_session",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    m AS (SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT MIN(ts) AS ws,
+           MAX(ts) + INTERVAL 30 MINUTE AS we,
+           user_id,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV.read_events_stream(spark, sf_dir)
+    return EV.run_available_now(EV.session_counts(ev))
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV.read_events_stream(spark, sf_dir)
+    return EV.run_available_now(EV.dedup_events(ev), output_mode="complete")
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = EV.read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    return EV.run_available_now(EV.stream_static_join(ev, cust))
