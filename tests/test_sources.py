@@ -1,0 +1,156 @@
+"""Source/sink round-trips: OME-Parquet (reference-compat single-record
+and distributed table tiers), NumPy ingest, FTIF binaryFile ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import synth
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.operators.densify import record_to_numpy
+from ome_arrow_spark.operators.views import plane_stats
+from ome_arrow_spark.sources import ome_parquet as OP
+from ome_arrow_spark.sources import tiff as TF
+from ome_arrow_spark.sources.numpy_ingest import from_numpy, normalize_axes, to_ome_arrow
+
+
+def test_record_compat_roundtrip(spark, tmp_path):
+    """reference-format single-row file → Spark table read → same
+    metadata and pixels."""
+    rec = synth.conftest_record()
+    rec["planes"] = [
+        {**p, "pixels": np.asarray(p["pixels"]).tolist()} for p in rec["planes"]
+    ]
+    path = str(tmp_path / "one.parquet")
+    OP.write_ome_record_compat(rec, path, file_metadata={"who": "test"})
+
+    # file-level tags written like export.py:405-414
+    tags = OP.read_file_tags(path)
+    assert tags["ome.arrow.type"] == "ome.arrow"
+
+    # driver-side record read (forgiving column detect: column is "image")
+    back = OP.read_ome_record(path)
+    assert back["id"] == "img-0001"
+    assert back["planes"][1]["pixels"][:3] == [100, 101, 102]
+
+    # Spark table read of the same file
+    df = OP.read_ome_parquet(spark, path)
+    d = describe(df).first()
+    assert d["summary"].startswith("2D image, multi-channel (2 channels)")
+    st = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(df).collect()}
+    assert st[(0, 0, 0)] == sum(range(4)) + sum(range(10, 14)) + sum(range(20, 24))
+
+
+def test_row_index_and_errors(tmp_path):
+    rec = synth.conftest_record()
+    path = str(tmp_path / "one.parquet")
+    OP.write_ome_record_compat(rec, path)
+    with pytest.raises(IndexError):
+        OP.read_ome_record(path, row_index=5)
+    # a wrong column_name falls back to auto-detect (forgiving read,
+    # reference ingest.py:894-912)
+    assert OP.read_ome_record(path, column_name="nope")["id"] == "img-0001"
+
+
+def test_table_roundtrip_distributed(spark, tmp_path):
+    ids = ["z-series", "nviz-2ch-single", "img-0001"]
+    imgs = synth.golden_images_df(spark, ids=ids)
+    out = str(tmp_path / "imgs")
+    OP.write_ome_parquet(imgs, out, mode="overwrite", target_rows_per_file=2)
+    back = OP.read_ome_parquet(spark, out)
+    assert back.count() == 3
+    a = {r["image_id"]: r["summary"] for r in describe(imgs).collect()}
+    b = {r["image_id"]: r["summary"] for r in describe(back).collect()}
+    assert a == b
+    sa = {(r["image_id"], r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
+    sb = {(r["image_id"], r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(back).collect()}
+    assert sa == sb
+
+
+def test_numpy_axis_normalization():
+    a = np.arange(12).reshape(3, 4)  # YX
+    v = normalize_axes(a, "YX")
+    assert v.shape == (1, 1, 1, 3, 4)
+    zyx = np.arange(24).reshape(2, 3, 4)
+    assert normalize_axes(zyx, "ZYX").shape == (1, 1, 2, 3, 4)
+    # permuted input order
+    xyc = np.arange(24).reshape(4, 3, 2)  # X,Y,C
+    v = normalize_axes(xyc, "XYC")
+    assert v.shape == (1, 2, 1, 3, 4)
+    assert v[0, 1, 0, 2, 3] == xyc[3, 2, 1]
+    with pytest.raises(ValueError):
+        normalize_axes(a, "TC")
+
+
+def test_from_numpy_clamp_and_planes():
+    a = np.array([[-5, 70000], [1, 2]], dtype=np.int64)
+    rec = from_numpy(a, dim_order="YX", image_id="clampy")
+    px = np.asarray(rec["planes"][0]["pixels"])
+    assert px.tolist() == [0, 65535, 1, 2]
+    assert rec["pixels_meta"]["dimension_order"] == "XYCT"
+    rec2 = from_numpy(np.zeros((2, 1, 3, 4, 5)), dim_order="TCZYX", image_id="d5")
+    assert rec2["pixels_meta"]["dimension_order"] == "XYZCT"
+    assert len(rec2["planes"]) == 2 * 1 * 3
+
+
+def test_to_ome_arrow_defaults():
+    rec = to_ome_arrow(image_id=123, size_x=2, size_y=2)
+    assert rec["id"] == "123"
+    assert rec["pixels_meta"]["channels"][0]["name"] == "C0"
+    assert list(rec["planes"][0]["pixels"]) == [0, 0, 0, 0]
+
+
+def test_densify_matches_reference_model():
+    rec = synth.golden_record("d", 2, 1, 3, 4, 5)
+    vol = record_to_numpy(rec)
+    assert vol.shape == (2, 1, 3, 4, 5)
+    assert vol[1, 0, 2].ravel().tolist() == synth.pixel_plane(1, 0, 2, 4, 5).tolist()
+    # strict length check
+    rec["planes"][0]["pixels"] = rec["planes"][0]["pixels"][:-1]
+    with pytest.raises(ValueError):
+        record_to_numpy(rec, strict=True)
+    out = record_to_numpy(rec, strict=False)  # pad path
+    assert out[0, 0, 0, 3, 4] == 0
+
+
+def test_ftif_binaryfile_ingest(spark, tmp_path):
+    d = tmp_path / "tiffs"
+    d.mkdir()
+    shapes = {"imgA": (1, 2, 1, 6, 7), "imgB": (2, 1, 3, 4, 5)}
+    for iid, shp in shapes.items():
+        vol = np.arange(np.prod(shp)).reshape(shp) % 65536
+        (d / f"{iid}.ftif").write_bytes(
+            TF.encode_ftif(vol, image_id=iid, channel_names=["DAPI", "GFP"])
+        )
+    imgs = TF.from_tiff_dir(spark, str(d), glob="*.ftif")
+    got = {r["image_id"]: r for r in describe(imgs).collect()}
+    assert got["imgA"]["size_c"] == 2 and got["imgB"]["size_z"] == 3
+    # channel names survive
+    ch = imgs.filter(F.col("ome_arrow.id") == "imgA").select(
+        F.col("ome_arrow.pixels_meta.channels.name").alias("names")
+    ).first()["names"]
+    assert ch == ["DAPI", "GFP"]
+    # pixel fidelity
+    st = {(r["image_id"], r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
+    volB = np.arange(np.prod(shapes["imgB"])).reshape(shapes["imgB"]) % 65536
+    assert st[("imgB", 1, 0, 2)] == int(volB[1, 0, 2].sum())
+
+
+def test_tiff_sink_roundtrip(spark, tmp_path):
+    imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single"], include_conftest=False)
+    out = str(tmp_path / "sink")
+    paths = TF.to_tiff_dir(imgs, out)
+    assert len(paths) == 1
+    back = TF.from_tiff_dir(spark, out, glob="*.ftif")
+    sa = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
+    sb = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(back).collect()}
+    assert sa == sb
+
+
+def test_real_tiff_decode_is_gated():
+    if TF.HAVE_TIFFFILE:
+        pytest.skip("tifffile present; gate not active")
+    with pytest.raises(NotImplementedError):
+        TF.decode_image_bytes("x.tif", b"II*\x00garbage")
