@@ -1,0 +1,123 @@
+"""Viewer-equivalent query operators (reference V1 ``view_matplotlib``
+view.py:16-63, V2 ``view_pyvista`` view.py:66-286, V3 ``_repr_html_``).
+
+The reference linear-scans the planes list in Python per view; here
+plane lookup, autoscale, stride downsampling, and contrast percentiles
+are Catalyst expressions — rendering stays a driver-side concern and is
+gated on matplotlib/pyvista availability (absent in this container)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def plane_lookup(
+    images: DataFrame,
+    t: int = 0,
+    c: int = 0,
+    z: int = 0,
+    column: str = "ome_arrow",
+    autoscale: bool = True,
+) -> DataFrame:
+    """Exact (t,c,z) plane per image + display range (V1 semantics:
+    lookup view.py:32-41, autoscale from min/max view.py:49-54)."""
+    p = F.element_at(
+        F.filter(
+            F.col(f"{column}.planes"),
+            lambda q: (q["t"] == t) & (q["c"] == c) & (q["z"] == z),
+        ),
+        1,
+    )
+    out = images.select(
+        F.col(f"{column}.id").alias("image_id"),
+        F.col(f"{column}.pixels_meta.size_x").alias("size_x"),
+        F.col(f"{column}.pixels_meta.size_y").alias("size_y"),
+        p["pixels"].alias("pixels"),
+    ).filter(F.col("pixels").isNotNull())
+    if autoscale:
+        out = out.select(
+            "*",
+            F.array_min("pixels").alias("vmin"),
+            F.array_max("pixels").alias("vmax"),
+        )
+    return out
+
+
+def stride_downsample(pixels, size_x, stride: int):
+    """Every ``stride``-th pixel in both axes (V2 view.py:123-125)."""
+    new_w = ((size_x - 1) / stride + 1).cast("int")
+    new_h = ((F.size(pixels) / size_x - 1) / stride + 1).cast("int")
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), new_h - 1),
+            lambda y: F.transform(
+                F.sequence(F.lit(0), new_w - 1),
+                lambda x: F.element_at(pixels, (y * stride * size_x + x * stride + 1).cast("int")),
+            ),
+        )
+    )
+
+
+def volume_contrast(
+    images: DataFrame,
+    c: int = 0,
+    lo: float = 0.01,
+    hi: float = 0.999,
+    column: str = "ome_arrow",
+    exact: bool = True,
+) -> DataFrame:
+    """Robust contrast limits for the (t=0, channel c) volume (V2
+    view.py:132-136: percentiles 1.0/99.9). ``exact=False`` switches to
+    percentile_approx for 100 TB-scale interactive use."""
+    px = images.select(
+        F.col(f"{column}.id").alias("image_id"),
+        F.explode(
+            F.filter(
+                F.col(f"{column}.planes"),
+                lambda q: (q["t"] == 0) & (q["c"] == c),
+            )
+        ).alias("p"),
+    ).select("image_id", F.explode("p.pixels").alias("v"))
+    fn = "percentile" if exact else "percentile_approx"
+    return px.groupBy("image_id").agg(
+        F.expr(f"{fn}(v, {lo})").alias("clim_lo"),
+        F.expr(f"{fn}(v, {hi})").alias("clim_hi"),
+        F.count("*").alias("n_voxels"),
+    )
+
+
+def render_plane_matplotlib(record: dict[str, Any], tcz=(0, 0, 0), **kw):
+    """Driver-side render (V1). Gated: matplotlib is not installed in
+    this container."""
+    try:  # pragma: no cover
+        import matplotlib.pyplot as plt  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "matplotlib is not installed; plane data is available via "
+            "plane_lookup() — rendering requires matplotlib"
+        ) from e
+    import numpy as np  # pragma: no cover
+
+    t, c, z = tcz  # pragma: no cover
+    pm = record["pixels_meta"]  # pragma: no cover
+    for p in record["planes"]:  # pragma: no cover
+        if (p["t"], p["c"], p["z"]) == (t, c, z):
+            img = np.asarray(p["pixels"]).reshape(pm["size_y"], pm["size_x"])
+            fig, ax = plt.subplots()
+            im = ax.imshow(img, cmap=kw.get("cmap", "gray"))
+            return fig, ax, im
+    raise KeyError(f"plane {tcz} not found")  # pragma: no cover
+
+
+def render_volume_pyvista(record: dict[str, Any], c: int = 0, **kw):
+    """Driver-side volume render (V2). Gated on pyvista."""
+    try:  # pragma: no cover
+        import pyvista  # type: ignore  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pyvista is not installed; volume data is available via "
+            "planes_df()/volume_contrast() — rendering requires pyvista"
+        ) from e

@@ -218,3 +218,93 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plane_stats(imgs).select(
         F.col("c").cast("int"), F.col("z").cast("int"), "px_sum"
     )
+
+
+# Multiscale LOD: mean-pool (factor 2, integer floor) of nviz-2ch-single,
+# checked cell-exactly by DuckDB re-deriving the pooled sum from the
+# pixel formula pixel(c,y,x) = (c*17 + y*128 + x) % 65536.
+@register(
+    "ome_multiscale",
+    """
+    WITH cc AS (SELECT unnest(generate_series(0, 1)) AS c),
+         ny AS (SELECT unnest(generate_series(0, 63)) AS ny),
+         nx AS (SELECT unnest(generate_series(0, 63)) AS nx),
+         dd AS (SELECT a.dy, b.dx FROM (SELECT unnest([0,1]) dy) a,
+                                       (SELECT unnest([0,1]) dx) b),
+         cell AS (
+           SELECT cc.c, ny.ny, nx.nx,
+                  SUM((cc.c*17 + (ny.ny*2 + dd.dy)*128 + (nx.nx*2 + dd.dx)) % 65536)
+                    // 4 AS pooled
+           FROM cc, ny, nx, dd
+           GROUP BY cc.c, ny.ny, nx.nx)
+    SELECT c, CAST(SUM(pooled) AS BIGINT) AS px_sum,
+           CAST(MIN(pooled) AS INT) AS px_min,
+           CAST(MAX(pooled) AS INT) AS px_max
+    FROM cell GROUP BY c
+    """,
+)
+def ome_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.multiscale import downsample_planes
+    from ome_arrow_spark.operators.views import planes_df
+
+    imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single"], include_conftest=False)
+    lod1 = downsample_planes(planes_df(imgs), 2)
+    return lod1.select(
+        F.col("c").cast("int"),
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, v: a + v).alias("px_sum"),
+        F.array_min("pixels").alias("px_min"),
+        F.array_max("pixels").alias("px_max"),
+    )
+
+
+# V1 plane lookup + autoscale: exact (t,c,z) plane of multi-channel-z.
+@register(
+    "ome_view_plane",
+    """
+    WITH px AS (
+      SELECT (17 + 2*7 + y.y*439 + x.x) % 65536 AS v
+      FROM (SELECT unnest(generate_series(0, 166)) AS y) y,
+           (SELECT unnest(generate_series(0, 438)) AS x) x)
+    SELECT 'multi-channel-z' AS image_id,
+           CAST(MIN(v) AS INT) AS vmin,
+           CAST(MAX(v) AS INT) AS vmax,
+           CAST(COUNT(*) AS INT) AS n_px
+    FROM px
+    """,
+)
+def ome_view_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import plane_lookup
+
+    imgs = synth.golden_images_df(spark, ids=["multi-channel-z"], include_conftest=False)
+    return plane_lookup(imgs, t=0, c=1, z=2).select(
+        "image_id", "vmin", "vmax", F.size("pixels").alias("n_px")
+    )
+
+
+# V2 volume contrast: exact percentiles (1.0, 99.9) over the 1-channel
+# z-stack volume; DuckDB quantile_cont is the oracle.
+@register(
+    "ome_volume_contrast",
+    """
+    WITH vx AS (
+      SELECT (z.z*7 + i.i) % 65536 AS v
+      FROM (SELECT unnest(generate_series(0, 21)) AS z) z,
+           (SELECT unnest(generate_series(0, 128*128 - 1)) AS i) i)
+    SELECT 'nviz-1ch-stack' AS image_id,
+           ROUND(quantile_cont(v, 0.01), 6) AS clim_lo,
+           ROUND(quantile_cont(v, 0.999), 6) AS clim_hi,
+           COUNT(*) AS n_voxels
+    FROM vx
+    """,
+)
+def ome_volume_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import volume_contrast
+
+    imgs = synth.golden_images_df(spark, ids=["nviz-1ch-stack"], include_conftest=False)
+    vc = volume_contrast(imgs, c=0, lo=0.01, hi=0.999)
+    return vc.select(
+        "image_id",
+        F.round("clim_lo", 6).alias("clim_lo"),
+        F.round("clim_hi", 6).alias("clim_hi"),
+        "n_voxels",
+    )

@@ -1,0 +1,109 @@
+"""Zarr manifest ingest, multiscale LOD pooling, viewer-equivalent ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import synth
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.operators.multiscale import downsample_planes, multiscale_levels
+from ome_arrow_spark.operators.view_ops import (
+    plane_lookup,
+    render_plane_matplotlib,
+    stride_downsample,
+    volume_contrast,
+)
+from ome_arrow_spark.operators.views import plane_stats, planes_df
+from ome_arrow_spark.sources import zarr as ZR
+
+
+def test_fzarr_roundtrip_with_pyramid(spark, tmp_path):
+    imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single"], include_conftest=False)
+    out = str(tmp_path / "stores")
+    stores = ZR.to_zarr_dir(imgs, out, multiscale_levels=3)
+    assert len(stores) == 1
+
+    back0 = ZR.from_zarr_manifest(spark, stores, level=0)
+    sa = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
+    sb = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(back0).collect()}
+    assert sa == sb
+
+    back1 = ZR.from_zarr_manifest(spark, stores, level=1)
+    d = describe(back1).first()
+    assert (d["size_y"], d["size_x"]) == (64, 64)
+
+    # level-1 pooling matches the numpy model
+    vol = np.stack([synth.pixel_plane(0, c, 0, 128, 128).reshape(128, 128) for c in range(2)])
+    pooled = vol.astype(np.int64).reshape(2, 64, 2, 64, 2).sum(axis=(2, 4)) // 4
+    st1 = {(r["c"]): r["px_sum"] for r in plane_stats(back1).collect()}
+    assert st1[0] == int(pooled[0].sum()) and st1[1] == int(pooled[1].sum())
+
+
+def test_zarr_real_decode_gated(tmp_path):
+    if ZR.HAVE_ZARR:
+        pytest.skip("zarr installed")
+    d = tmp_path / "notastore"
+    d.mkdir()
+    with pytest.raises(NotImplementedError):
+        ZR.decode_store(str(d))
+
+
+def test_downsample_planes_matches_numpy(spark):
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    pl = planes_df(imgs)
+    ds = downsample_planes(pl, 2)  # 4×3 → 2×1
+    rows = {(r["t"], r["c"], r["z"]): r["pixels"] for r in ds.collect()}
+    # plane c0: [[0,1,2,3],[10,11,12,13],[20,21,22,23]] → 2x? h=floor(3/2)=1, w=2
+    # cells: floor((0+1+10+11)/4)=5, floor((2+3+12+13)/4)=7
+    assert rows[(0, 0, 0)] == [5, 7]
+    assert rows[(0, 1, 0)] == [105, 107]
+
+
+def test_multiscale_levels_union(spark):
+    imgs = synth.golden_images_df(spark, ids=["nviz-1ch-stack"], include_conftest=False)
+    pyr = multiscale_levels(planes_df(imgs), levels=3)
+    sizes = {
+        r["level"]: (r["size_y"], r["size_x"])
+        for r in pyr.select("level", "size_y", "size_x").distinct().collect()
+    }
+    assert sizes == {0: (128, 128), 1: (64, 64), 2: (32, 32)}
+    assert pyr.filter(F.col("level") == 2).count() == 22
+
+
+def test_plane_lookup_autoscale(spark):
+    imgs = synth.golden_images_df(spark, ids=["multi-channel-z"], include_conftest=False)
+    row = plane_lookup(imgs, t=0, c=1, z=2).first()
+    arr = synth.pixel_plane(0, 1, 2, 167, 439)
+    assert row["vmin"] == int(arr.min()) and row["vmax"] == int(arr.max())
+    assert len(row["pixels"]) == 167 * 439
+    # missing plane → filtered out
+    assert plane_lookup(imgs, t=5, c=0, z=0).count() == 0
+
+
+def test_stride_downsample(spark):
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    pl = planes_df(imgs).filter(F.col("c") == 0)
+    out = pl.select(
+        stride_downsample(F.col("pixels"), F.col("size_x"), 2).alias("px")
+    ).first()["px"]
+    # rows 0,2 cols 0,2 of [[0,1,2,3],[10..13],[20..23]] → [0,2,20,22]
+    assert out == [0, 2, 20, 22]
+
+
+def test_volume_contrast_percentiles(spark):
+    imgs = synth.golden_images_df(spark, ids=["nviz-1ch-stack"], include_conftest=False)
+    row = volume_contrast(imgs, c=0).first()
+    voxels = np.concatenate(
+        [synth.pixel_plane(0, 0, z, 128, 128) for z in range(22)]
+    ).astype(float)
+    lo, hi = np.percentile(voxels, [1.0, 99.9])
+    assert row["n_voxels"] == 22 * 128 * 128
+    assert abs(row["clim_lo"] - lo) < 1e-6
+    assert abs(row["clim_hi"] - hi) < 1e-6
+
+
+def test_render_gated():
+    with pytest.raises(NotImplementedError):
+        render_plane_matplotlib({"pixels_meta": {}, "planes": []})
