@@ -359,3 +359,62 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns: decode + feature-extract via mapInPandas
+# over the deterministic media table; the oracle recomputes every
+# feature arithmetically from the generator formulas
+# (operators/multimodal.py synth_media_df):
+#   image i (id i, k=i+1, h=8+i, w=10+i): value[j] = (j*k) % 256,
+#     channel c = j % 3 → mean_c
+#   audio i (id 4+i): samples t<1600*(i+1): (t*37*(i+1)) % 20000 - 10000
+#   video i (id 7+i): 6×4×5×3 values (j+i) % 256 → mean luma in rms
+# ---------------------------------------------------------------------------
+_MEDIA_ORACLE = """
+    WITH img AS (
+      SELECT i.i AS media_id, 'image' AS kind,
+             ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (j.j*(i.i+1)) % 256 END), 6) AS mean_r,
+             ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*(i.i+1)) % 256 END), 6) AS mean_g,
+             ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*(i.i+1)) % 256 END), 6) AS mean_b,
+             CAST(NULL AS DOUBLE) AS duration_s,
+             CAST(NULL AS DOUBLE) AS rms,
+             CAST(NULL AS INT) AS n_frames
+      FROM (SELECT unnest(generate_series(0, 3)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, (8+i.i)*(10+i.i)*3 - 1)) AS j) j
+      GROUP BY i.i),
+    aud AS (
+      SELECT 4 + i.i AS media_id, 'audio' AS kind,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             ROUND(1600*(i.i+1) / 16000.0, 6) AS duration_s,
+             ROUND(SQRT(AVG(CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE)
+                            * CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE))), 6) AS rms,
+             CAST(NULL AS INT)
+      FROM (SELECT unnest(generate_series(0, 2)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, 1600*(i.i+1) - 1)) AS t) t
+      GROUP BY i.i),
+    vid AS (
+      SELECT 7 + i.i AS media_id, 'video' AS kind,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             CAST(NULL AS DOUBLE),
+             ROUND(AVG(CAST((j.j + i.i) % 256 AS DOUBLE)), 6) AS rms,
+             6 AS n_frames
+      FROM (SELECT unnest(generate_series(0, 1)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, 6*4*5*3 - 1)) AS j) j
+      GROUP BY i.i)
+    SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+"""
+
+
+@register("media_features", _MEDIA_ORACLE)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark)
+    f = MM.media_features(media)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return f.select(
+        "media_id", "kind",
+        r6("mean_r"), r6("mean_g"), r6("mean_b"),
+        r6("duration_s"), r6("rms"), "n_frames",
+    )

@@ -1,0 +1,104 @@
+"""Facade dispatch (S1/K5 parity) and multimodal binary-column ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import synth
+from ome_arrow_spark.core import OmeImages
+from ome_arrow_spark.operators import multimodal as MM
+
+
+def test_load_ndarray_and_info(spark):
+    a = np.arange(24).reshape(2, 3, 4)  # ZYX
+    oi = OmeImages.load(spark, a, dim_order="ZYX", image_id="vol")
+    info = oi.info()
+    assert info[0]["shape"] == (1, 1, 2, 3, 4)
+    assert info[0]["type"] == "3D image (z-stack)"
+
+
+def test_load_dict_and_slice_chain(spark):
+    oi = OmeImages.load(spark, synth.conftest_record())
+    sliced = oi.slice(1, 3, 0, 2, c_indices=[1])
+    recs = sliced.export("dict")
+    assert recs[0]["planes"][0]["pixels"] == [101, 102, 111, 112]
+    assert recs[0]["pixels_meta"]["size_c"] == 1
+
+
+def test_export_numpy_and_parquet_roundtrip(spark, tmp_path):
+    oi = OmeImages.load(spark, synth.conftest_record())
+    vols = oi.export("numpy")
+    assert vols[0].shape == (1, 2, 1, 3, 4)
+    assert vols[0][0, 1, 0, 0, 0] == 100
+    out = str(tmp_path / "t")
+    oi.export("parquet", out=out, mode="overwrite")
+    back = OmeImages.load(spark, out)
+    assert back.count() == 1
+    assert back.info()[0]["shape"] == (1, 2, 1, 3, 4)
+
+
+def test_export_tiff_zarr_dispatch(spark, tmp_path):
+    oi = OmeImages.load(spark, synth.conftest_record())
+    p1 = oi.export("ometiff", out=str(tmp_path / "tf"))
+    assert p1 and p1[0].endswith(".ftif")
+    p2 = oi.export("zarr", out=str(tmp_path / "zr"))
+    assert p2 and p2[0].endswith(".zarr")
+    back = OmeImages.load(spark, p2[0])
+    assert back.info()[0]["shape"] == (1, 2, 1, 3, 4)
+
+
+def test_export_unknown_mode(spark):
+    oi = OmeImages.load(spark, synth.conftest_record())
+    with pytest.raises(ValueError, match="Unknown export mode"):
+        oi.export("avif")
+    with pytest.raises(ValueError, match="requires out="):
+        oi.export("parquet")
+
+
+def test_load_pattern_dispatch(spark, tmp_path):
+    from ome_arrow_spark.sources.tiff import encode_ftif
+
+    d = tmp_path / "pat"
+    d.mkdir()
+    for z in range(2):
+        (d / f"p_Z{z}.tif").write_bytes(
+            encode_ftif(np.full((1, 1, 1, 2, 2), z, dtype=np.int32), image_id=f"z{z}")
+        )
+    oi = OmeImages.load(spark, str(d / "p_Z<0-1>.tif"))
+    assert oi.info()[0]["shape"] == (1, 1, 2, 2, 2)
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_media_features(spark):
+    media = MM.synth_media_df(spark)
+    feats = {r["media_id"]: r for r in MM.media_features(media).collect()}
+    assert len(feats) == 9
+    img0 = feats[0]
+    rgb = (np.arange(8 * 10 * 3).reshape(8, 10, 3) * 1) % 256
+    assert abs(img0["mean_r"] - rgb.reshape(-1, 3)[:, 0].mean()) < 1e-9
+    aud = feats[4]
+    assert aud["kind"] == "audio" and abs(aud["duration_s"] - 0.1) < 1e-9
+    vid = feats[7]
+    assert vid["kind"] == "video" and vid["n_frames"] == 6
+
+
+def test_resize_and_frame_sample(spark):
+    media = MM.synth_media_df(spark)
+    small = MM.resize_images(media, 5, 4)
+    rows = small.collect()
+    assert len(rows) == 4
+    kind, arr, meta = MM.decode_media(bytes(rows[0]["content"]))
+    assert arr.shape == (4, 5, 3)
+
+    frames = MM.sample_frames(media, every=2)
+    got = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 3 for r in got)  # 6 frames / every-2
+
+
+def test_real_codec_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG\r\n....")
