@@ -16,9 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ome_arrow_spark.session import get_spark
 from ome_arrow_spark import suite
+from ome_arrow_spark import suite_llm, suite_ome, suite_streaming  # noqa: F401  (register queries)
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 BENCH_QUERIES = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
@@ -30,6 +32,17 @@ BENCH_QUERIES = [
     "sort_topk",
     "json_events",
     "asof_events_orders",
+    # LLM / training-data ops
+    "text_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "neardup_lsh",
+    "knn_cosine",
+    # OME format half (synthesized images; exercises HOF pixel exprs)
+    "ome_slice_crop",
+    "ome_multiscale",
+    # streaming (AvailableNow micro-batch end-to-end)
+    "stream_tumbling",
 ]
 
 
