@@ -702,3 +702,106 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_aliases=["asof_orderkey", "asof_orderdate"],
         keep=["event_id", "ts", "user_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta/range join: fact rows against interval buckets. The bucket dim
+# is tiny → Spark picks BroadcastNestedLoopJoin; at scale, bucketize
+# instead (width_bucket-style precompute) to make it an equi-join.
+# ---------------------------------------------------------------------------
+@register(
+    "join_range",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+        ('small',  0.0,      50000.0),
+        ('medium', 50000.0,  150000.0),
+        ('large',  150000.0, 1e18))
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS band_total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "band_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON → typed map: from_json + map functions (vs. string-level
+# get_json_object in json_events).
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_map",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE event_id % 13 = 0
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 13 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping() indicator columns.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL) — engine-specific sketch, no value oracle;
+# the driver records a rows-only check. Exact twin lives in
+# agg_distinct.
+# ---------------------------------------------------------------------------
+@register("agg_approx_distinct", None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )

@@ -308,3 +308,53 @@ def ome_volume_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("clim_hi", 6).alias("clim_hi"),
         "n_voxels",
     )
+
+
+# U1 verify as a driver query: invariant checks over golden images
+# (dense planes, plane lengths, channel counts) — all true by
+# construction, asserted as literal oracle VALUES.
+def _verify_values() -> str:
+    ids = [s[0] for s in synth.GOLDEN_SHAPES] + ["img-0001"]
+    return ",\n       ".join(f"('{i}', TRUE, TRUE, TRUE, TRUE, TRUE)" for i in ids)
+
+
+@register(
+    "ome_verify",
+    f"""
+    SELECT * FROM (VALUES
+       {_verify_values()})
+    AS t(image_id, type_ok, planes_dense, plane_lengths_ok, channels_ok, valid)
+    """,
+)
+def ome_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.describe import verify
+
+    return verify(synth.golden_images_df(spark))
+
+
+# RGBA channel-color repack (reference K3 export.py:182-187):
+# 0xRRGGBBAA → r/g/b/alpha on the conftest channels.
+@register(
+    "ome_rgba_repack",
+    """
+    SELECT * FROM (VALUES
+       ('img-0001', 'DNA',  0,   0,   255, 255),
+       ('img-0001', 'Mito', 255, 0,   0,   255))
+    AS t(image_id, name, r, g, b, alpha)
+    """,
+)
+def ome_rgba_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.functions.pixels import rgba_alpha, rgba_to_rgb
+    from ome_arrow_spark.operators.views import channels_df
+
+    imgs = synth.golden_images_df(spark, ids=["img-0001"], with_pixels=False)
+    ch = channels_df(imgs)
+    rgb = rgba_to_rgb(F.col("color_rgba"))
+    return ch.select(
+        "image_id",
+        "name",
+        rgb["r"].cast("int").alias("r"),
+        rgb["g"].cast("int").alias("g"),
+        rgb["b"].cast("int").alias("b"),
+        rgba_alpha(F.col("color_rgba")).cast("int").alias("alpha"),
+    )

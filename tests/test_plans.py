@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the scale-relevant properties (pushdown,
+nested-column pruning, broadcast selection) must hold, not just the
+results. These are the checks that catch a silent 100×-at-scale
+regression while results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import suite, synth
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.plans.tuning import (
+    estimate_image_row_bytes,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    repartition_images,
+)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = suite.q1_pricing_summary(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    rs = " ".join(read_schema_columns(df))
+    # pruned scan: no keys/comments, just the 7 needed columns
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = suite.q5_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "ASIA" in pf, "region filter should push into the region scan"
+
+
+def test_filter_predicates_pushdown(spark, sf_dir):
+    df = suite.filter_predicates(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pf and "In(o_orderstatus" in pf
+
+
+def test_describe_prunes_pixel_payload(spark):
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    d = describe(imgs)
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    assert "planes" not in plan, "describe must not touch the pixel payload"
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = suite.join_semi(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_repartition_images_partition_count(spark):
+    imgs = synth.golden_images_df(spark, with_pixels=False)
+    out = repartition_images(imgs)
+    # 14 golden images ≈ 65 MB of pixels → a handful of partitions, not 32+
+    assert 1 <= out.rdd.getNumPartitions() <= 4
+
+
+def test_estimate_row_bytes():
+    assert estimate_image_row_bytes(2048, 2048, 1, 1, 1) > 16 * 1024 * 1024
