@@ -90,3 +90,28 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side into
+    ``salt_buckets`` sub-keys and explode the (smaller) right side
+    across all buckets. Use when one key dominates (AQE skew-join
+    handles sort-merge skew automatically, but salting also fixes
+    skewed aggregations and broadcast-ineligible cases).
+
+    Cost model: right side replicates ×salt_buckets — keep it the
+    smaller input."""
+    l2 = left.withColumn(
+        "__salt", (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % salt_buckets)
+    )
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l2.join(r2, [key, "__salt"], how)
+    return out.drop("__salt")

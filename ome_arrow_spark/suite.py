@@ -805,3 +805,148 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape): Catalyst decorrelates to a
+# left-semi join — verify with test_plans; never a per-row subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM __q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM __q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (TPC-H Q14-style promo ratio): CASE inside
+# SUM, ratio of two deterministic decimal sums.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_conditional_agg",
+    """
+    SELECT CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+             AS economy_revenue_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+    """,
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(promo.cast("decimal(30,6)")).cast("double")
+                / F.sum(rev.cast("decimal(30,6)")).cast("double")
+            ).alias("economy_revenue_share"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): per-part average as the
+# predicate. Catalyst decorrelates into an aggregate + join.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_li")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n
+        FROM __q17_li
+        WHERE l_partkey IN (SELECT p_partkey FROM __q17_part WHERE p_brand = 'Brand#1')
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM __q17_li l2 WHERE l2.l_partkey = l_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT EXISTS + uncorrelated scalar subquery (TPC-H Q22 shape):
+# high-balance customers with no orders.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    # uncorrelated scalar: computed as a broadcastable 1-row aggregate;
+    # deterministic via decimal mean (sum/count)
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+        .first()
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_row["avg_bal"])
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )

@@ -95,3 +95,28 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = EV.read_events_stream(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer")
     return EV.run_available_now(EV.stream_static_join(ev, cust))
+
+
+@register(
+    "stream_stateful",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running stats; AvailableNow single-batch output equals the batch
+    group-by the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.streaming.stateful import user_running_stats
+
+    ev = EV.read_events_stream(spark, sf_dir)
+    out = EV.run_available_now(user_running_stats(ev), output_mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 6).alias("sum_value"), "last_ts"
+    )
