@@ -950,3 +950,205 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array-function battery: collect_list with deterministic ordering,
+# then transform / filter / slice / zip_with / array_* over it.
+# Scale: collect_list per small group (order lines ≤ 7) — bounded
+# arrays, not whole-partition collects.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_array",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qtys,
+             list(l_extendedprice ORDER BY l_linenumber, l_quantity, l_extendedprice) AS prices
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(qtys) AS n_lines,
+           list_sort(qtys)[1] AS min_qty,
+           list_sort(qtys)[len(qtys)] AS max_qty,
+           list_transform(qtys, q -> q * 2.0) AS qtys_doubled,
+           len(list_filter(qtys, q -> q > 25)) AS n_big,
+           qtys[1:2] AS first_two,
+           list_contains(qtys, 1.0) AS has_one,
+           ROUND(list_sum(list_transform(list_zip(qtys, prices),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 2)
+             AS dot_qp,
+           list_reverse(qtys) AS qtys_rev,
+           array_to_string(list_transform(qtys, q -> CAST(CAST(q AS INT) AS VARCHAR)), ',')
+             AS qty_csv
+    FROM per_order
+    WHERE l_orderkey % 101 = 0
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("lines")
+    ).select(
+        "l_orderkey",
+        F.transform("lines", lambda s: s["l_quantity"]).alias("qtys"),
+        F.transform("lines", lambda s: s["l_extendedprice"]).alias("prices"),
+    )
+    qtys = F.col("qtys")
+    return per_order.select(
+        "l_orderkey",
+        F.size(qtys).cast("long").alias("n_lines"),
+        F.array_min(qtys).alias("min_qty"),
+        F.array_max(qtys).alias("max_qty"),
+        F.transform(qtys, lambda q: q * 2.0).alias("qtys_doubled"),
+        F.size(F.filter(qtys, lambda q: q > 25)).cast("long").alias("n_big"),
+        F.slice(qtys, 1, 2).alias("first_two"),
+        F.array_contains(qtys, 1.0).alias("has_one"),
+        F.round(
+            F.aggregate(
+                F.zip_with(qtys, F.col("prices"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            2,
+        ).alias("dot_qp"),
+        F.reverse(qtys).alias("qtys_rev"),
+        F.array_join(
+            F.transform(qtys, lambda q: q.cast("int").cast("string")), ","
+        ).alias("qty_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames with RANGE BETWEEN on a numeric ordering key: sliding
+# value-range aggregation (vs the ROWS frame in window_analytic).
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, price_i,
+           CAST(SUM(CAST(price_i AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY price_i
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_price_sum,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+             AS near_price_count
+    FROM (SELECT o_custkey, o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS price_i
+          FROM orders WHERE o_custkey % 50 = 0)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_i"),
+        )
+    )
+    w1 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("price_i")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("price_i").rangeBetween(-10000, 10000)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "price_i",
+        F.sum(F.col("price_i").cast("decimal(30,6)")).over(w1).cast("double").alias("near_price_sum"),
+        F.count("*").over(w2).alias("near_price_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling battery: COALESCE / NULLIF / null-safe equality /
+# CASE over NULL-producing expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_nulls",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_is_null_safe,
+           NULLIF(CAST(TRUNC(c_acctbal) AS INT) % 100, 0) AS bal_mod_nullif,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 0) END AS bal_pos,
+           IFNULL(NULLIF(c_name, c_name), 'same') AS name_ifnull
+    FROM customer WHERE c_custkey % 17 = 0
+    """,
+)
+def scalar_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 17 == 0)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null_safe"),
+        F.nullif(F.col("c_acctbal").cast("int") % 100, F.lit(0)).alias("bal_mod_nullif"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+            F.round("c_acctbal", 0)
+        ).alias("bal_pos"),
+        F.ifnull(F.nullif("c_name", F.col("c_name")), F.lit("same")).alias("name_ifnull"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL over projections
+# with duplicates (the distinct variants live in set_ops).
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_all",
+    """
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier) GROUP BY k
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    tag = lambda df, op: df.groupBy("k").agg(F.count("*").alias("n")).select(  # noqa: E731
+        F.lit(op).alias("op"), "k", "n"
+    )
+    return tag(c.exceptAll(s), "except_all").unionByName(
+        tag(c.intersectAll(s), "intersect_all")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic battery: add/diff/truncate/extract/last_day.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           EXTRACT(quarter FROM o_orderdate) AS q,
+           EXTRACT(dow FROM o_orderdate) + 1 AS dow1
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("bigint").alias("days_since_epoch_95"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow1"),
+    )
