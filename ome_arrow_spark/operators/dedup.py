@@ -93,35 +93,43 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any full band signature.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard —
-    see module scale notes)."""
-    pairs = None
-    for bi, cols in enumerate(bands):
-        b = sig.select(
-            F.col(id_col),
-            F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key"),
-        ).withColumn("band", F.lit(bi))
-        counts = b.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
-        b = b.join(
-            counts.filter(F.col("__n") <= max_bucket).drop("__n"),
-            ["band", "band_key"],
-            "inner",
-        )
-        left = b.alias("a")
-        right = b.alias("b")
-        p = (
-            left.join(
-                right,
-                (F.col(f"a.band_key") == F.col(f"b.band_key"))
-                & (F.col(f"a.band") == F.col(f"b.band"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    see module scale notes).
+
+    All bands materialize from ONE pass over ``sig`` (explode of the
+    per-band keys) — a per-band loop would re-run the whole upstream
+    signature pipeline once per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key"),
             )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
+            for bi, cols in enumerate(bands)
+        ]
+    )
+    b = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    counts = b.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
+    b = b.join(
+        counts.filter(F.col("__n") <= max_bucket).drop("__n"),
+        ["band", "band_key"],
+        "inner",
+    )
+    left, right = b.alias("a"), b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def simhash(

@@ -53,12 +53,13 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
     """Execute a streaming DataFrame to completion on the files present
     now; return the materialized result."""
     spark = df.sparkSession
-    # Streaming exchanges don't benefit from AQE coalescing; a vanilla
-    # session's 200 shuffle partitions is 6× task overhead for the
-    # local fixture scale. State-store partitioning is per-checkpoint,
-    # and we use a fresh checkpoint per run, so this is safe to lower.
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
-        spark.conf.set("spark.sql.shuffle.partitions", "64")
+    # Streaming exchanges don't benefit from AQE coalescing, and every
+    # shuffle partition becomes a state-store instance — a vanilla
+    # session's 200 partitions is pure task/state overhead at fixture
+    # scale. Fresh checkpoint per run → safe to lower; restored after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if int(prev_parts) > 16:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
     name = f"stream_result_{next(_COUNTER)}_{os.getpid()}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
@@ -69,7 +70,10 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
