@@ -46,6 +46,33 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_tiff_ingest(spark, n_images: int = 100, side: int = 512) -> tuple[float, float]:
+    """Distributed image-ingest throughput (BASELINE target:
+    ≥50 images/s for 512² uint16): write n FTIFs once, time the
+    binaryFile + mapInPandas decode to materialized plane stats."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.operators.views import plane_stats
+    from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_dir
+
+    d = tempfile.mkdtemp(prefix="bench_tiff_")
+    try:
+        base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(1, 1, 1, side, side)
+        for i in range(n_images):
+            with open(os.path.join(d, f"img{i:04d}.ftif"), "wb") as f:
+                f.write(encode_ftif((base + i) % 65536, image_id=f"img{i:04d}"))
+        t0 = time.perf_counter()
+        n = plane_stats(from_tiff_dir(spark, d, glob="*.ftif")).count()
+        dt = time.perf_counter() - t0
+        assert n == n_images
+        return dt, n_images / dt
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -70,6 +97,11 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    ingest_s, ingest_rate = bench_tiff_ingest(spark)
+    times["tiff_ingest_100x512"] = round(ingest_s, 4)
+    total += ingest_s
+    print(f"# tiff_ingest_100x512: {ingest_s:.3f}s ({ingest_rate:.1f} img/s)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -78,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "tiff_ingest_images_per_sec": round(ingest_rate, 2),
             }
         )
     )

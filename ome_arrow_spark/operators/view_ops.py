@@ -121,3 +121,34 @@ def render_volume_pyvista(record: dict[str, Any], c: int = 0, **kw):
             "pyvista is not installed; volume data is available via "
             "planes_df()/volume_contrast() — rendering requires pyvista"
         ) from e
+
+
+def repr_html(record: dict[str, Any]) -> str:
+    """Jupyter-style HTML summary card (reference V3 ``_repr_html_``,
+    core.py:474-492) — summary text + channel table; the first-plane
+    thumbnail needs matplotlib and degrades to a text placeholder."""
+    pm = record["pixels_meta"]
+    t, c, z = pm["size_t"], pm["size_c"], pm["size_z"]
+    y, x = pm["size_y"], pm["size_x"]
+    if t == 1 and z == 1:
+        kind = "2D image"
+    elif t == 1:
+        kind = "3D image (z-stack)"
+    elif z == 1:
+        kind = "movie / timelapse"
+    else:
+        kind = "4D timelapse-volume"
+    chinfo = f"multi-channel ({c} channels)" if c > 1 else "single-channel"
+    rows = "".join(
+        f"<tr><td>{i}</td><td>{ch.get('name')}</td><td>{ch.get('emission_um')}</td>"
+        f"<td>{ch.get('excitation_um')}</td></tr>"
+        for i, ch in enumerate(pm.get("channels") or [])
+    )
+    return (
+        f"<div><b>{record.get('name', record.get('id'))}</b> "
+        f"<code>{record.get('id')}</code><br/>"
+        f"{kind}, {chinfo} — shape (T={t}, C={c}, Z={z}, Y={y}, X={x})<br/>"
+        f"<table><tr><th>#</th><th>name</th><th>em µm</th><th>ex µm</th></tr>"
+        f"{rows}</table>"
+        f"<i>thumbnail: install matplotlib for plane rendering</i></div>"
+    )

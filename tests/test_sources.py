@@ -154,3 +154,40 @@ def test_real_tiff_decode_is_gated():
         pytest.skip("tifffile present; gate not active")
     with pytest.raises(NotImplementedError):
         TF.decode_image_bytes("x.tif", b"II*\x00garbage")
+
+
+def test_partitioned_table_write(spark, tmp_path):
+    """Partitioned images sink: partition column derived from metadata
+    (classification), pruned on read."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.describe import describe
+
+    ids = ["z-series", "time-series", "img-0001"]
+    imgs = synth.golden_images_df(spark, ids=ids)
+    with_kind = imgs.withColumn(
+        "img_kind",
+        F.when(
+            (F.col("ome_arrow.pixels_meta.size_t") > 1), "timelapse"
+        ).otherwise("static"),
+    )
+    out = str(tmp_path / "parted")
+    OP.write_ome_parquet(with_kind, out, mode="overwrite", partition_cols=["img_kind"])
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("img_kind=")) == [
+        "img_kind=static",
+        "img_kind=timelapse",
+    ]
+    back = spark.read.parquet(out).filter(F.col("img_kind") == "timelapse")
+    # partition pruning: only the timelapse directory is scanned
+    assert back.count() == 1
+    assert describe(back.select("ome_arrow")).first()["image_id"] == "time-series"
+
+
+def test_repr_html(spark):
+    from ome_arrow_spark.operators.view_ops import repr_html
+
+    html = repr_html(synth.conftest_record())
+    assert "img-0001" in html and "multi-channel (2 channels)" in html
+    assert "DNA" in html and "Mito" in html
