@@ -425,8 +425,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_totalprice, rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         FROM orders
     )
     WHERE rn <= 3
@@ -540,7 +540,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(p_brand)                          AS brand_u,
            LOWER(p_type)                           AS type_l,
            SUBSTRING(p_name, 1, 6)                 AS name_pre,
-           LENGTH(p_name)                          AS name_len,
+           CAST(LENGTH(p_name) AS INT)             AS name_len,
            CONCAT_WS('|', p_brand, p_type)         AS brand_type,
            regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
            LEN(string_split(p_name, ' '))          AS name_words,
@@ -611,8 +611,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05)            AS disc_dev,
-           FLOOR(l_quantity)                 AS q_floor,
-           CEIL(l_quantity)                  AS q_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS q_floor,
+           CAST(CEIL(l_quantity) AS BIGINT)  AS q_ceil,
            SQRT(l_extendedprice)             AS price_sqrt,
            l_orderkey % 97                   AS key_mod,
            GREATEST(l_tax, l_discount)       AS max_rate,

@@ -152,7 +152,7 @@ def ome_slice_conftest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tt AS (SELECT unnest(generate_series(0, 6)) AS t),
          cc AS (SELECT unnest(generate_series(0, 2)) AS c),
          ii AS (SELECT unnest(generate_series(0, 167*439 - 1)) AS i)
-    SELECT tt.t, cc.c,
+    SELECT CAST(tt.t AS INT) AS t, CAST(cc.c AS INT) AS c,
            CAST(SUM((tt.t*31 + cc.c*17 + ii.i) % 65536) AS BIGINT) AS px_sum
     FROM tt, cc, ii
     GROUP BY tt.t, cc.c
@@ -191,7 +191,7 @@ def ome_planes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cc AS (SELECT unnest(generate_series(0, 1)) AS c),
          zz AS (SELECT unnest(generate_series(0, 3)) AS z)
-    SELECT cc.c, zz.z,
+    SELECT CAST(cc.c AS INT) AS c, CAST(zz.z AS INT) AS z,
            CAST(CASE WHEN cc.c = 1 AND zz.z = 2 THEN 0
                      ELSE (cc.c * 100 + zz.z) * 256 END AS BIGINT) AS px_sum
     FROM cc, zz
@@ -237,7 +237,7 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // 4 AS pooled
            FROM cc, ny, nx, dd
            GROUP BY cc.c, ny.ny, nx.nx)
-    SELECT c, CAST(SUM(pooled) AS BIGINT) AS px_sum,
+    SELECT CAST(c AS INT) AS c, CAST(SUM(pooled) AS BIGINT) AS px_sum,
            CAST(MIN(pooled) AS INT) AS px_min,
            CAST(MAX(pooled) AS INT) AS px_max
     FROM cell GROUP BY c

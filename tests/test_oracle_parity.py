@@ -70,6 +70,36 @@ def _duck(sf_dir: str):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
+def _spark_type_family(t: str) -> str:
+    t = t.lower()
+    if t.startswith("array"):
+        return "list"
+    if t.startswith("decimal"):
+        return "decimal"
+    return {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "string": "string", "boolean": "bool", "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp", "date": "date", "binary": "binary",
+    }.get(t, "?")
+
+
+def _duck_type_family(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("STRUCT"):
+        return "list"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return {
+        "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+        "BIGINT": "int64", "HUGEINT": "int128", "FLOAT": "float32",
+        "REAL": "float32", "DOUBLE": "float64", "VARCHAR": "string",
+        "BOOLEAN": "bool", "TIMESTAMP": "timestamp",
+        "TIMESTAMP_NS": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "DATE": "date", "BLOB": "binary", "NULL": "?",
+    }.get(t, "?")
+
+
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
@@ -86,12 +116,24 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
 
     con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(ORACLES[name])
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_type_strs = [str(t) for t in rel.types]
+    duck_rows = rel.fetchall()
     con.close()
 
     assert spark_cols == duck_cols, f"{name}: columns {spark_cols} != {duck_cols}"
+
+    # type-family comparison (the driver also compares schemas; catch
+    # width mismatches like Spark int vs DuckDB BIGINT early)
+    duck_types = [_duck_type_family(t) for t in duck_type_strs]
+    spark_types = [_spark_type_family(f.dataType.simpleString()) for f in sdf.schema.fields]
+    mismatched_types = [
+        (c, s, d)
+        for c, s, d in zip(spark_cols, spark_types, duck_types)
+        if s != d and "?" not in (s, d)
+    ]
+    assert not mismatched_types, f"{name}: type mismatches {mismatched_types}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: rowcount {len(spark_rows)} != {len(duck_rows)}"
     )
