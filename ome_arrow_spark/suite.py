@@ -1152,3 +1152,116 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("bigint").alias("q"),
         F.dayofweek("o_orderdate").cast("bigint").alias("dow1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide conditional aggregation) and unpivot (wide → long
+# via stack). Column names fixed by the known category domain — at
+# scale always pass the pivot values explicitly to skip the extra
+# distinct-scan Spark otherwise runs.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f"),
+            F.coalesce("O", F.lit(0)).alias("o"),
+            F.coalesce("P", F.lit(0)).alias("p"),
+        )
+    )
+
+
+@register(
+    "unpivot_nation_balance",
+    """
+    WITH w AS (
+      SELECT n_nationkey,
+             CAST(SUM(CAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0 END
+                      AS DECIMAL(30,6))) AS DOUBLE) AS pos_bal,
+             CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE 0 END
+                      AS DECIMAL(30,6))) AS DOUBLE) AS neg_bal
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_nationkey)
+    SELECT n_nationkey, 'pos_bal' AS kind, pos_bal AS amount FROM w
+    UNION ALL
+    SELECT n_nationkey, 'neg_bal' AS kind, neg_bal AS amount FROM w
+    """,
+)
+def unpivot_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            _dsum(F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).otherwise(0), "pos_bal"),
+            _dsum(F.when(F.col("c_acctbal") < 0, -F.col("c_acctbal")).otherwise(0), "neg_bal"),
+        )
+    )
+    return wide.unpivot("n_nationkey", ["pos_bal", "neg_bal"], "kind", "amount")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (iterative label
+# propagation) — deterministic min-label semantics, so a DuckDB
+# recursive CTE re-derives the exact clustering.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      FROM documents WHERE doc_id % 5 = 0),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u  -- only propagate smaller labels
+    )
+    SELECT node, CAST(MIN(label) AS BIGINT) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.clustering import connected_components
+
+    # the planted near-dup pairs: (doc, mutated copy at +100000)
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+    )
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Mini k-means over embeddings — iterative, deterministic init but the
+# float centroid arithmetic is not portably re-derivable in SQL →
+# rows-only check; determinism itself is pytest-asserted.
+# ---------------------------------------------------------------------------
+@register("kmeans_embeddings", None)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return kmeans(emb, k=4, iterations=3)

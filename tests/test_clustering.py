@@ -1,0 +1,70 @@
+"""Iterative operators: connected components on multi-hop graphs
+(the oracle query only covers planted 2-node clusters), k-means
+determinism, grouped-map applyInPandas normalization."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.operators.clustering import connected_components, kmeans
+
+
+def test_connected_components_chains_and_isolates(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # 12-node chain exercises multi-round propagation (diameter > 2)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs)
+    assert got.select(F.countDistinct("component")).first()[0] == 1
+    assert got.agg(F.min("component")).first()[0] == 100
+    assert got.count() == 13
+
+
+def test_kmeans_deterministic_and_plausible(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    a = sorted(map(tuple, kmeans(emb, k=3, iterations=2).collect()))
+    b = sorted(map(tuple, kmeans(emb, k=3, iterations=2).collect()))
+    assert a == b, "kmeans must be deterministic run-to-run"
+    clusters = {c for _, c in a}
+    assert clusters <= {0, 1, 2} and len(a) == 100
+
+
+def test_grouped_map_normalize(spark):
+    """applyInPandas grouped-map: per-image min-max plane normalization
+    (SURVEY §2C grouped map / UDTF row)."""
+    from ome_arrow_spark import synth
+    from ome_arrow_spark.operators.views import planes_df
+
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    pl = planes_df(imgs)
+
+    def normalize(pdf):
+        import pandas as pd
+
+        lo = min(np.asarray(p).min() for p in pdf["pixels"])
+        hi = max(np.asarray(p).max() for p in pdf["pixels"])
+        span = max(hi - lo, 1)
+        pdf = pdf.copy()
+        pdf["pixels"] = pdf["pixels"].map(
+            lambda p: (((np.asarray(p) - lo) * 65535) // span).astype("int32")
+        )
+        return pdf
+
+    out = pl.groupBy("image_id").applyInPandas(normalize, schema=pl.schema)
+    rows = {(r["t"], r["c"], r["z"]): r["pixels"] for r in out.collect()}
+    # image range is 0..123 → plane c0 first pixel 0 → 0; c1 last 123 → 65535
+    assert rows[(0, 0, 0)][0] == 0
+    assert rows[(0, 1, 0)][-1] == 65535
