@@ -252,3 +252,60 @@ def spark_table_from_records(spark: SparkSession, records: list[dict]) -> DataFr
 
 def exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+def upsert_ome_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    column: str = DEFAULT_COLUMN,
+) -> None:
+    """Upsert by image id: existing rows with matching ids are replaced,
+    new ids appended (MERGE-by-rewrite). Plain parquet has no atomic
+    commit — the rewrite goes through a staging path then a swap; on a
+    production lakehouse use Delta/Iceberg MERGE INTO, which this
+    mirrors semantically."""
+    import shutil
+    import tempfile
+
+    key = f"{column}.id"
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        kept = existing.join(
+            updates.select(F.col(key).alias("__uid")),
+            existing[key] == F.col("__uid"),
+            "left_anti",
+        )
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    staging = tempfile.mkdtemp(prefix="ome_upsert_") + "/data"
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+    # swap (non-atomic on plain filesystems; documented)
+    back = spark.read.parquet(staging)
+    back.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+
+
+def compact_ome_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite the images table into
+    ~target_bytes partitions (byte-estimated from metadata, not row
+    counts — pixel rows are MB-scale). Returns the new file count."""
+    from ome_arrow_spark.plans.tuning import repartition_images
+
+    df = spark.read.parquet(path)
+    compacted = repartition_images(df, target_bytes=target_bytes)
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="ome_compact_") + "/data"
+    compacted.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -1,0 +1,83 @@
+"""Streaming OME image ingest: watch a directory for new TIFF/FTIF
+files, decode them incrementally, and append to the canonical images
+table — the continuous-acquisition scenario (microscope drops files,
+the table grows).
+
+Uses the binaryFile STREAMING source (same decode UDF as batch S3) so
+each micro-batch handles only newly-arrived files; checkpointing makes
+ingest exactly-once per file. ``ingest_available_now`` drains what's
+present and stops — batch-testable, like streaming/events.py."""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
+
+from ome_arrow_spark.meta import ome_arrow_struct
+
+
+def read_image_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tif*",
+    column: str = "ome_arrow",
+    max_files_per_trigger: int | None = 64,
+) -> DataFrame:
+    """Streaming decode: new files → OME struct rows.
+    ``maxFilesPerTrigger`` bounds micro-batch size so one burst of
+    uploads can't produce an oversized batch."""
+    # streaming sources require an explicit schema; this is binaryFile's
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_stream = reader.load(path).select("path", "content")
+
+    schema = StructType([StructField(column, ome_arrow_struct())])
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ome_arrow_spark.sources.tiff import _record_to_row, decode_image_bytes
+
+        for pdf in batches:
+            records = [
+                _record_to_row(decode_image_bytes(p, bytes(b)))
+                for p, b in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame({column: records})
+
+    return bin_stream.mapInPandas(decode_batches, schema=schema)
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    glob: str = "*.tif*",
+) -> int:
+    """Drain currently-present files into the images table (parquet
+    append); returns rows appended. Re-running with the same checkpoint
+    would skip already-ingested files — here each call is fresh
+    (drain-once semantics for tests/jobs)."""
+    stream = read_image_stream(spark, src_dir, glob)
+    ckpt = tempfile.mkdtemp(prefix="ome_ingest_ckpt_")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", ckpt)
+        .option("compression", "zstd")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table_path).count()

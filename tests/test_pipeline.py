@@ -1,0 +1,96 @@
+"""Composed pipelines: near-dedup end-to-end, upsert/compaction table
+maintenance, streaming image ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ome_arrow_spark import synth
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.operators.pipeline import drop_near_duplicates, near_dedup
+from ome_arrow_spark.sources.ome_parquet import (
+    compact_ome_parquet,
+    read_ome_parquet,
+    upsert_ome_parquet,
+    write_ome_parquet,
+)
+from ome_arrow_spark.streaming.images import ingest_available_now
+
+
+def _docs(spark):
+    rows = []
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "spark engines shuffle data across wide clusters with partitioned joins",
+        "pixels planes channels stacks volumes render microscopes acquire images",
+    ]
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((100 + i, t + " tail"))      # near-dup of i
+        rows.append((200 + i, "unique text number %d entirely different words here ok" % i))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dedup_pipeline(spark):
+    docs = _docs(spark)
+    out = near_dedup(docs, jaccard_threshold=0.4)
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    for i in range(3):
+        assert comp[100 + i] == i, f"near-dup {100+i} should cluster with {i}"
+        assert comp[200 + i] == 200 + i, "unique docs stay singleton"
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, jaccard_threshold=0.4).collect())
+    assert kept == [0, 1, 2, 200, 201, 202]
+
+
+def test_upsert_images(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = synth.golden_images_df(spark, ids=["z-series", "img-0001"])
+    write_ome_parquet(v1, path, mode="overwrite")
+
+    # replace img-0001 with a renamed version + add time-series
+    updated = synth.golden_images_df(spark, ids=["time-series", "img-0001"]).withColumn(
+        "ome_arrow",
+        F.col("ome_arrow").withField("name", F.lit("updated!")),
+    )
+    upsert_ome_parquet(spark, updated, path)
+
+    back = read_ome_parquet(spark, path)
+    assert back.count() == 3
+    names = {
+        r["id"]: r["name"]
+        for r in back.select(
+            F.col("ome_arrow.id").alias("id"), F.col("ome_arrow.name").alias("name")
+        ).collect()
+    }
+    assert names["img-0001"] == "updated!"
+    assert names["z-series"] == "z-series"  # untouched rows survive
+
+
+def test_compaction(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single", "nviz-1ch-stack", "img-0001"])
+    # fragment: one file per image
+    write_ome_parquet(imgs.repartition(3), path, mode="overwrite")
+    import os
+
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    after = compact_ome_parquet(spark, path)
+    assert before == 3 and after <= 2
+    assert read_ome_parquet(spark, path).count() == 3
+
+
+def test_streaming_image_ingest(spark, tmp_path):
+    from ome_arrow_spark.sources.tiff import encode_ftif
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for i in range(5):
+        vol = np.full((1, 1, 1, 4, 4), i, dtype=np.int32)
+        (src / f"acq_{i}.ftif").write_bytes(encode_ftif(vol, image_id=f"acq{i}"))
+    table = str(tmp_path / "images_table")
+    n = ingest_available_now(spark, str(src), table, glob="*.ftif")
+    assert n == 5
+    back = read_ome_parquet(spark, table)
+    ids = sorted(r["image_id"] for r in describe(back).collect())
+    assert ids == [f"acq{i}" for i in range(5)]
