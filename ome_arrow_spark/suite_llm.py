@@ -418,3 +418,60 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("mean_r"), r6("mean_g"), r6("mean_b"),
         r6("duration_s"), r6("rms"), "n_frames",
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composed pipeline: full near-dedup (LSH candidates → exact
+# Jaccard verify → connected components → representatives) on the
+# planted-dup corpus. The oracle recomposes every stage in SQL —
+# including the recursive-CTE label propagation — from the fragments
+# proven by the single-stage queries above.
+# ---------------------------------------------------------------------------
+@register(
+    "near_dedup_full",
+    f"""
+    WITH RECURSIVE corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+    ej AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM s),
+    verified AS (
+      SELECT p.id_a, p.id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               COUNT(*) AS inter
+        FROM ej a JOIN ej b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4) p
+      JOIN cand USING (id_a, id_b)
+      WHERE p.inter / (p.na + p.nb - p.inter) >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT c.doc_id,
+           CAST(COALESCE(comp.component, c.doc_id) AS BIGINT) AS component,
+           COALESCE(comp.component, c.doc_id) = c.doc_id AS is_representative
+    FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    """,
+)
+def near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.pipeline import near_dedup
+
+    docs = _mutated_docs(spark, sf_dir)
+    return near_dedup(docs, jaccard_threshold=0.5).select(
+        "doc_id", "component", "is_representative"
+    )

@@ -191,3 +191,42 @@ def test_repr_html(spark):
     html = repr_html(synth.conftest_record())
     assert "img-0001" in html and "multi-channel (2 channels)" in html
     assert "DNA" in html and "Mito" in html
+
+
+def test_reference_null_masks_interop(spark, tmp_path):
+    """The reference writes masks as Arrow null type (meta.py:88);
+    Spark reads it as an always-NULL int column — reads, describe, and
+    slice must all tolerate it (SURVEY §7 hard-part #2)."""
+    from ome_arrow_spark.operators.slice_op import slice_images
+
+    path = str(tmp_path / "ref.parquet")
+    OP.write_ome_record_compat(synth.conftest_record(), path)
+    df = OP.read_ome_parquet(spark, path)
+    assert df.selectExpr("ome_arrow.masks").first()[0] is None
+    sliced = slice_images(df, 0, 2, 0, 2)
+    rec = sliced.first()["ome_arrow"]
+    assert rec["masks"] is None
+    assert rec["pixels_meta"]["size_x"] == 2
+
+
+def test_many_images_table_ops(spark):
+    """Row-wise scaling smoke: 200 small images through describe,
+    slice, planes explode, and a pixel aggregate in one go."""
+    import pyarrow as pa
+
+    from ome_arrow_spark.operators.slice_op import slice_images
+    from ome_arrow_spark.operators.views import plane_stats
+    from ome_arrow_spark.synth import arrow_ome_struct, golden_record
+
+    recs = [golden_record(f"m{i:03d}", 1, 2, 2, 8, 9) for i in range(200)]
+    tbl = pa.table({"ome_arrow": pa.array(recs, type=arrow_ome_struct())})
+    imgs = spark.createDataFrame(tbl)
+    assert describe(imgs).count() == 200
+    sliced = slice_images(imgs, 2, 6, 1, 7, c_indices=[1])
+    st = plane_stats(sliced)
+    assert st.count() == 200 * 2  # 1 channel × 2 z × 200 images
+    row = st.filter((F.col("image_id") == "m007") & (F.col("z") == 1)).first()
+    expected = (
+        synth.pixel_plane(0, 1, 1, 8, 9).reshape(8, 9)[1:7, 2:6].sum()
+    )
+    assert row["px_sum"] == int(expected)
