@@ -68,3 +68,19 @@ def test_grouped_map_normalize(spark):
     # image range is 0..123 → plane c0 first pixel 0 → 0; c1 last 123 → 65535
     assert rows[(0, 0, 0)][0] == 0
     assert rows[(0, 1, 0)][-1] == 65535
+
+
+def test_udtf_sentence_split(spark):
+    from ome_arrow_spark.functions.udtfs import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, "no punctuation here"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(spark, docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"], r["n_words"]))
+    assert by_doc[1] == [(0, "Hello world.", 2), (1, "How are you?", 3), (2, "Fine!", 1)]
+    assert by_doc[2] == [(0, "no punctuation here", 3)]
+    assert 3 not in by_doc
