@@ -1398,3 +1398,207 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Window breadth: ntile / percent_rank / cume_dist / first / last / nth.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+           ROUND(CUME_DIST() OVER w, 9) AS cd,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_ok
+    FROM orders
+    WHERE o_custkey % 40 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 40 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String breadth: split_part / translate / repeat / left / right /
+# instr / levenshtein / contains family.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_string2",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1)            AS first_word,
+           split_part(p_name, ' ', 2)            AS second_word,
+           translate(p_brand, '#', '-')          AS brand_dashed,
+           repeat('*', p_size % 5)               AS stars,
+           left(p_type, 3)                       AS type3,
+           right(p_name, 4)                      AS name_tail,
+           CAST(strpos(p_name, 'e') AS INT)      AS first_e,
+           CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev_to_b1,
+           contains(p_name, 'red')               AS has_red,
+           starts_with(p_type, 'ECO')            AS is_eco,
+           ends_with(p_name, 'bolt')             AS is_bolt
+    FROM part WHERE p_partkey % 13 = 0
+    """,
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.left(F.col("p_type"), F.lit(3)).alias("type3"),
+        F.right(F.col("p_name"), F.lit(4)).alias("name_tail"),
+        F.instr("p_name", "e").cast("int").alias("first_e"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("int").alias("lev_to_b1"),
+        F.contains("p_name", F.lit("red")).alias("has_red"),
+        F.startswith("p_type", F.lit("ECO")).alias("is_eco"),
+        F.endswith("p_name", F.lit("bolt")).alias("is_bolt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate breadth: min_by/max_by (unique keys → deterministic),
+# count_if, bool_and/bool_or, ordered collect_set.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_extras",
+    """
+    SELECT l_returnflag,
+           arg_min(l_orderkey, l_orderkey) AS min_order,
+           arg_max(l_orderkey, l_orderkey) AS max_order,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_orderkey").alias("min_order"),
+        F.max_by("l_orderkey", "l_orderkey").alias("max_order"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation/covariance, deterministically: moments from exact decimal
+# sums → identical doubles on any engine/partitioning (engine-native
+# corr/covar accumulate floats in arbitrary order).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_corr",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem)
+    SELECT n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price,
+           (sxy - sx * sy / n)
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q, e = F.col("l_quantity"), F.col("l_extendedprice")
+    d = lambda c, p=30, s=6: F.sum(c.cast(f"decimal({p},{s})")).cast("double")  # noqa: E731
+    m = li.agg(
+        F.count("*").alias("n"),
+        d(q).alias("sx"),
+        d(e).alias("sy"),
+        d(q * e).alias("sxy"),
+        d(q * q).alias("sxx"),
+        d(e * e, 38, 4).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: users progressing view → click → purchase in timestamp
+# order (sequential min-over-filtered-window per stage).
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_events",
+    """
+    WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )

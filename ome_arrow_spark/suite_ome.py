@@ -358,3 +358,30 @@ def ome_rgba_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
         rgb["b"].cast("int").alias("b"),
         rgba_alpha(F.col("color_rgba")).cast("int").alias("alpha"),
     )
+
+
+# Pixel-intensity histogram (the imaging primitive behind contrast
+# stretching / equalization): 16 buckets of 4096 over the uint16 domain
+# for one channel volume, exact integer bucketing both engines.
+@register(
+    "ome_histogram",
+    """
+    WITH vx AS (
+      SELECT ((17 + z.z*7 + i.i) % 65536) // 4096 AS bucket
+      FROM (SELECT unnest(generate_series(0, 4)) AS z) z,
+           (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i)
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_px
+    FROM vx GROUP BY bucket
+    """,
+)
+def ome_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel c=1 of multi-channel-z: explode planes → bucketize."""
+    from ome_arrow_spark.operators.views import planes_df
+
+    imgs = synth.golden_images_df(spark, ids=["multi-channel-z"], include_conftest=False)
+    pl = planes_df(imgs).filter(F.col("c") == 1)
+    return (
+        pl.select(F.explode("pixels").alias("v"))
+        .groupBy(F.floor(F.col("v") / 4096).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n_px"))
+    )
