@@ -97,3 +97,87 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    vec: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    assigns every corpus vector to its nearest centroid (the inverted
+    lists); each query probes only its ``n_probe`` nearest centroids
+    and searches those lists exactly.
+
+    Scale: the corpus is scanned once for assignment (materialize the
+    listed corpus as a bucketed/partitioned table in production); per
+    query, work shrinks from |corpus| to ~n_probe/n_centroids of it.
+    Recall rises with n_probe; n_probe = n_centroids degenerates to
+    brute force."""
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.operators.clustering import kmeans
+
+    # coarse quantizer trained on the corpus (deterministic init/iters)
+    assign = kmeans(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")),
+        k=n_centroids,
+        iterations=3,
+    ).withColumnsRenamed({"vec_id": corpus_id})
+    c_listed = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv")).join(
+        assign, corpus_id
+    )
+
+    # centroids recomputed as cluster means (same arithmetic as kmeans)
+    dim = corpus.select(F.size(vec).alias("d")).first()["d"]
+    cent_rows = (
+        c_listed.groupBy("cluster")
+        .agg(
+            *[
+                (F.sum(F.element_at("__cv", i + 1).cast("double")) / F.count("*")).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .collect()
+    )
+    centroids = [
+        (r["cluster"], [r[f"m{i}"] for i in range(dim)]) for r in cent_rows
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(ci).alias("cl"), F.array(*[F.lit(x) for x in v]).alias("ctr"))
+            for ci, v in centroids
+        ]
+    )
+
+    # per query: n_probe nearest centroids
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    d2 = lambda ctr: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__qv"), ctr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        q.select(query_id, "__qv", F.explode(cent_arr).alias("cs"))
+        .select(query_id, "__qv", F.col("cs.cl").alias("cluster"), d2(F.col("cs.ctr")).alias("d2"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("d2"), F.col("cluster"))
+    probed = (
+        probes.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(query_id, "__qv", "cluster")
+    )
+
+    scored = F.broadcast(probed).join(c_listed, "cluster").select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -475,3 +475,13 @@ def near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup(docs, jaccard_threshold=0.5).select(
         "doc_id", "component", "is_representative"
     )
+
+
+@register("knn_cosine_ivf", None)  # approximate (kmeans-float) — rows-only
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
+    return ivf_topk(q, c, k=3, n_centroids=8, n_probe=3)

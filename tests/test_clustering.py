@@ -84,3 +84,18 @@ def test_udtf_sentence_split(spark):
     assert by_doc[1] == [(0, "Hello world.", 2), (1, "How are you?", 3), (2, "Fine!", 1)]
     assert by_doc[2] == [(0, "no punctuation here", 3)]
     assert 3 not in by_doc
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from ome_arrow_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
+    exact = {(r["qid"], r["cid"]) for r in cosine_topk(q, c, k=3).collect()}
+    approx = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=3, n_centroids=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism
+    approx2 = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=3, n_centroids=8, n_probe=3).collect()}
+    assert approx == approx2

@@ -230,3 +230,16 @@ def test_many_images_table_ops(spark):
         synth.pixel_plane(0, 1, 1, 8, 9).reshape(8, 9)[1:7, 2:6].sum()
     )
     assert row["px_sum"] == int(expected)
+
+
+def test_ambiguous_ome_columns_rejected(spark, tmp_path):
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    two = imgs.select(
+        F.col("ome_arrow").alias("a"), F.col("ome_arrow").alias("b")
+    )
+    out = str(tmp_path / "two")
+    two.write.parquet(out)
+    with pytest.raises(ValueError, match="Ambiguous"):
+        OP.read_ome_parquet(spark, out)
+    # naming one of them resolves it
+    assert OP.read_ome_parquet(spark, out, column_name="b").count() == 1
