@@ -103,23 +103,32 @@ def main() -> None:
             ref_sums[rec["id"]] = sum(sum(p["pixels"]) for p in sliced["planes"])
         ref_s = time.perf_counter() - t0
 
-        # --- engine pipeline: scan → slice expression → stats ---
+        # --- engine pipeline: scan → slice expression → per-image sums,
+        # computed INLINE over the sliced struct (single projection, no
+        # explode: the right plan for a per-image reduction) ---
+        from pyspark.sql import functions as SF
+
         t0 = time.perf_counter()
         imgs = spark.read.parquet(table_path)
-        got = (
-            plane_stats(
-                slice_images(
-                    imgs, x0, x1, y0, y1, c_indices=KEEP_C, z_indices=KEEP_Z,
-                    validate=False,
-                )
-            )
-            .groupBy("image_id")
-            .sum("px_sum")
-            .collect()
+        sliced = slice_images(
+            imgs, x0, x1, y0, y1, c_indices=KEEP_C, z_indices=KEEP_Z, validate=False
         )
+        got = sliced.select(
+            SF.col("ome_arrow.id").alias("image_id"),
+            SF.expr(
+                "aggregate(ome_arrow.planes, 0L, "
+                "(a, p) -> a + aggregate(p.pixels, 0L, (x, v) -> x + v))"
+            ).alias("px_sum"),
+        ).collect()
         spark_s = time.perf_counter() - t0
-        spark_sums = {r[0]: r[1] for r in got}
+        spark_sums = {r["image_id"]: r["px_sum"] for r in got}
         assert spark_sums == ref_sums, "slice results diverge from reference"
+
+        # secondary: the naive explode-then-aggregate plan (what a user
+        # gets without thinking about plan shape) — reported for honesty
+        t0 = time.perf_counter()
+        plane_stats(sliced).groupBy("image_id").sum("px_sum").collect()
+        spark_explode_s = time.perf_counter() - t0
 
         print(
             json.dumps(
@@ -128,6 +137,7 @@ def main() -> None:
                     "pixels_per_image": int(np.prod(SHAPE)),
                     "reference_pipeline_s": round(ref_s, 3),
                     "engine_pipeline_s": round(spark_s, 3),
+                    "engine_explode_plan_s": round(spark_explode_s, 3),
                     "speedup": round(ref_s / spark_s, 2),
                     "results_match": True,
                 }
