@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "ome_multiscale",
     # streaming (AvailableNow micro-batch end-to-end)
     "stream_tumbling",
+    "stream_stateful",
+    # composed pipeline + multimodal
+    "near_dedup_full",
+    "media_features",
 ]
 
 

@@ -98,3 +98,39 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "embeddings",
         )
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+def cluster_defaults(executors: int = 1000, executor_cores: int = 8) -> dict[str, str]:
+    """Recommended submit-time configs for the 100 TB / 1000-executor
+    deployment this engine targets. Local runs ignore these; they are
+    the documented production posture (spark-submit --conf pairs).
+
+    Rationale per group:
+    * shuffle: initial partition count ≈ 2–3× total cores so AQE can
+      coalesce DOWN (never splits up); skew-join on for pixel-payload
+      and hot-key skew.
+    * memory: pixel arrays are large contiguous allocations — more
+      overhead headroom than typical rows-of-scalars jobs.
+    * files: 128 MB scan targets; zstd everywhere; nested pruning and
+      vectorized nested reads are what keep describe-class queries off
+      the pixel payload.
+    """
+    total_cores = executors * executor_cores
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(total_cores * 3),
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.parquet.enableNestedColumnVectorizedReader": "true",
+        "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.executor.memoryOverheadFactor": "0.2",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "256",  # MB-scale rows
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.shuffle.service.enabled": "true",
+    }

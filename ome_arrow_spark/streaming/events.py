@@ -141,3 +141,26 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
     )
+
+
+def run_foreach_batch(df: DataFrame, batch_fn, output_mode: str = "update") -> None:
+    """foreachBatch sink: apply an arbitrary batch function (upserts,
+    MERGEs, multi-sink fan-out) per micro-batch — the pattern for
+    streaming into plain-parquet/lakehouse tables where no native
+    streaming sink exists."""
+    spark = df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if int(prev_parts) > 16:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -94,3 +94,39 @@ def test_streaming_image_ingest(spark, tmp_path):
     back = read_ome_parquet(spark, table)
     ids = sorted(r["image_id"] for r in describe(back).collect())
     assert ids == [f"acq{i}" for i in range(5)]
+
+
+def test_foreach_batch_streaming_upsert(spark, tmp_path):
+    """Streaming → foreachBatch → per-batch parquet upsert of per-user
+    aggregates (the lakehouse MERGE pattern on plain files)."""
+    from ome_arrow_spark.streaming.events import read_events_stream, run_foreach_batch
+
+    out = str(tmp_path / "user_stats")
+    ev = read_events_stream(spark, "/root/testdata/sf0.001")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out)
+
+    run_foreach_batch(agg, write_batch, output_mode="complete")
+    got = spark.read.parquet(out)
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT user_id, COUNT(*) n FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).fetchall()
+    assert got.count() == len(exp)
+    g = {r["user_id"]: r["n"] for r in got.collect()}
+    assert all(g[u] == n for u, n in exp)
+
+
+def test_cluster_defaults_shape():
+    from ome_arrow_spark.session import cluster_defaults
+
+    conf = cluster_defaults(executors=1000, executor_cores=8)
+    assert conf["spark.sql.shuffle.partitions"] == "16000"
+    assert conf["spark.dynamicAllocation.maxExecutors"] == "1000"
+    assert conf["spark.sql.adaptive.enabled"] == "true"
