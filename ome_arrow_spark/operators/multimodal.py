@@ -206,4 +206,7 @@ def synth_media_df(spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2)
         frames = (np.arange(f * h * w * 3).reshape(f, h, w, 3) + i) % 256
         rows.append((mid, "video", bytearray(encode_fvid(frames)), (w, h, f, None, "fvid")))
         mid += 1
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # coalesce: createDataFrame slices tiny local data across
+    # defaultParallelism partitions → dozens of one-row Python-worker
+    # tasks for a 9-row table
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
