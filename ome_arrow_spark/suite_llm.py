@@ -485,3 +485,58 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
     return ivf_topk(q, c, k=3, n_centroids=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: corpus ∪ perturbed copies (deterministic
+# elementwise nudge, vec_id + 10000); pairs with cosine ≥ 0.98 are
+# exactly the planted ones. Brute-force O(n²) at fixture scale — the
+# LSH/IVF variants above are the corpus-scale paths.
+# ---------------------------------------------------------------------------
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           list_transform(range(len(embedding)),
+                          i -> CAST(embedding[i+1] AS DOUBLE) + 0.01 * ((i % 3) - 1)) AS emb
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_DOTD = "list_sum(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]))"
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND({_DOTD.format(a='a.emb', b='b.emb')}
+                       / (sqrt({_DOTD.format(a='a.emb', b='a.emb')})
+                          * sqrt({_DOTD.format(a='b.emb', b='b.emb')})), 6) AS cos_sim
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.98
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") + 0.01 * ((i % 3) - 1)
+        ).alias("emb"),
+    )
+    corpus = base.unionByName(perturbed)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("__a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("__b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__a"), F.col("__b")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.98)
