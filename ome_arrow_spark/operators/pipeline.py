@@ -37,6 +37,10 @@ def near_dedup(
     propagation runs on the (tiny) verified-pair graph, and the final
     join back is key-partitioned. No stage is quadratic in the corpus.
     """
+    # one materialization: both the signature and the verification
+    # stages re-tokenize the corpus otherwise (two full scans of a
+    # possibly-computed input)
+    docs = docs.localCheckpoint(eager=True)
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     candidates = lsh_candidates(sig, id_col)
     # verify candidates with exact Jaccard (blocked to the candidate set)

@@ -385,3 +385,55 @@ def ome_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("v") / 4096).cast("int").alias("bucket"))
         .agg(F.count("*").alias("n_px"))
     )
+
+
+
+
+# The README's core promise (reference README.md:20-22): images stored
+# as VALUES in tables, queryable next to feature/metadata relations.
+# Golden images join an inline experiment-metadata dim; per-plate
+# aggregate over image classification + pixel geometry.
+def _plate_dim_rows():
+    rows = []
+    shapes = list(synth.GOLDEN_SHAPES) + [("img-0001", 1, 2, 1, 3, 4)]
+    for i, (iid, *_rest) in enumerate(shapes):
+        rows.append((iid, f"plate-{i % 3}", "DAPI" if i % 2 else "GFP"))
+    return rows
+
+
+@register(
+    "ome_feature_join",
+    f"""
+    WITH dim(image_id, plate, stain) AS (VALUES
+        {", ".join("('%s', '%s', '%s')" % r for r in _plate_dim_rows())}),
+    img(image_id, size_t, size_c, size_z, size_y, size_x) AS (VALUES
+        {", ".join("('%s', %d, %d, %d, %d, %d)" % s for s in (list(synth.GOLDEN_SHAPES) + [("img-0001", 1, 2, 1, 3, 4)]))})
+    SELECT plate, stain,
+           COUNT(*) AS n_images,
+           CAST(SUM(CAST(size_t AS BIGINT) * size_c * size_z * size_y * size_x) AS BIGINT)
+             AS total_px,
+           CAST(SUM(CASE WHEN size_t = 1 AND size_z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_2d
+    FROM img JOIN dim USING (image_id)
+    GROUP BY plate, stain
+    """,
+)
+def ome_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synth.golden_images_df(spark, with_pixels=False)
+    dim = spark.createDataFrame(_plate_dim_rows(), "image_id string, plate string, stain string")
+    d = describe(imgs)
+    px = (
+        F.col("size_t").cast("bigint")
+        * F.col("size_c") * F.col("size_z") * F.col("size_y") * F.col("size_x")
+    )
+    return (
+        d.join(F.broadcast(dim), "image_id")
+        .groupBy("plate", "stain")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(px).alias("total_px"),
+            F.sum(
+                F.when((F.col("size_t") == 1) & (F.col("size_z") == 1), 1).otherwise(0)
+            ).alias("n_2d"),
+        )
+    )
