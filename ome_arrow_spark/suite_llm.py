@@ -540,3 +540,38 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("__a"), F.col("__b")), 6).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.98)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling for dataset curation: keep ~1/3 of
+# each language's documents, selected by content-hash order (stable
+# under repartitioning/insertion order, unlike TABLESAMPLE).
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_sample_stratified",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang FROM ranked
+    WHERE rn <= CAST(CEIL(n_lang / 3.0) AS BIGINT)
+    """,
+)
+def dataset_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") / 3.0).cast("bigint"))
+        .select("doc_id", "lang")
+    )

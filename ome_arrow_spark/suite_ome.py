@@ -437,3 +437,62 @@ def ome_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_2d"),
         )
     )
+
+
+# Background subtraction (flat-field-style correction): per plane,
+# subtract the plane minimum and clamp at 0 — a pure array expression.
+# nviz shapes don't wrap uint16, so min/max/sums are closed-form.
+@register(
+    "ome_bg_subtract",
+    """
+    WITH pl AS (SELECT CAST(c.c AS INT) AS c, CAST(z.z AS INT) AS z,
+                        (c.c*100 + z.z*7) AS base
+                FROM (SELECT unnest(generate_series(0, 1)) AS c) c,
+                     (SELECT unnest(generate_series(0, 21)) AS z) z),
+    px AS (SELECT c, z, base, unnest(generate_series(0, 128*128 - 1)) AS i FROM pl)
+    SELECT c, z,
+           CAST(SUM(CASE WHEN (base*0 + i) > 0 THEN i ELSE 0 END) AS BIGINT) AS corrected_sum,
+           CAST(MAX(i) AS INT) AS corrected_max
+    FROM px GROUP BY c, z
+    """,
+)
+def ome_bg_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planes use pixel = base + i (no wrap at 128²): after subtracting
+    the per-plane min (= base), the corrected plane is exactly i —
+    DuckDB re-derives sums/max of i directly. Synth pixels use
+    base = t*31 + c*17 + z*7; this fixture remaps c→c*100 via a custom
+    image to make per-channel bases distinct."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ome_arrow_spark.synth import arrow_ome_struct, golden_record
+
+    rec = golden_record("bg", 1, 2, 22, 128, 128)
+    for p in rec["planes"]:
+        base = p["c"] * 100 + p["z"] * 7
+        p["pixels"] = (base + np.arange(128 * 128, dtype=np.int64)).astype(np.int32)
+    tbl = pa.table({"ome_arrow": pa.array([rec], type=arrow_ome_struct())})
+    imgs = spark.createDataFrame(tbl)
+
+    from ome_arrow_spark.operators.views import planes_df
+
+    pl = planes_df(imgs)
+    # Bind the plane min ONCE via a singleton-array lambda (the
+    # let-binding idiom from slice_op): a plain column alias gets
+    # collapsed back INTO the element lambda by CollapseProject,
+    # re-scanning the array per element — O(n²) per plane, measured
+    # 300× slower. Lambda-bound variables survive optimization.
+    corrected = pl.select(
+        F.col("c").cast("int"),
+        F.col("z").cast("int"),
+        F.expr(
+            "flatten(transform(array(array_min(pixels)), "
+            "mn -> transform(pixels, v -> greatest(v - mn, 0))))"
+        ).alias("px"),
+    )
+    return corrected.select(
+        "c",
+        "z",
+        F.aggregate("px", F.lit(0).cast("long"), lambda a, v: a + v).alias("corrected_sum"),
+        F.array_max("px").alias("corrected_max"),
+    )
