@@ -575,3 +575,48 @@ def dataset_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n_lang") / 3.0).cast("bigint"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal curation: text quality × embedding geometry in one
+# query — documents join their embeddings (shared id domain), filter
+# on both modalities, aggregate per (lang, label).
+# ---------------------------------------------------------------------------
+@register(
+    "curation_crossmodal",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    e AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT lang, label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(nrm), 6) AS avg_norm
+    FROM q JOIN e ON q.doc_id = e.vec_id
+    WHERE q.n_tokens >= 20 AND e.nrm BETWEEN 0.5 AND 2.0
+    GROUP BY lang, label
+    """,
+)
+def curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.functions.vectors import norm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter((F.col("n_tokens") >= 20) & F.col("nrm").between(0.5, 2.0))
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
