@@ -152,3 +152,25 @@ def repr_html(record: dict[str, Any]) -> str:
         f"{rows}</table>"
         f"<i>thumbnail: install matplotlib for plane rendering</i></div>"
     )
+
+
+def max_intensity_projection(
+    images: DataFrame, c: int = 0, t: int = 0, column: str = "ome_arrow"
+) -> DataFrame:
+    """MIP along Z: per (t, c), the element-wise max across that
+    channel's z-planes — the standard z-stack visualization. Pure
+    array fold: zip_with(greatest) over the filtered planes list, no
+    explode, no UDF."""
+    pm = f"{column}.pixels_meta"
+    mip = (
+        f"aggregate("
+        f"  filter({column}.planes, p -> int(p.t) = {t} AND int(p.c) = {c}),"
+        f"  array_repeat(0, int({pm}.size_x) * int({pm}.size_y)),"
+        f"  (acc, p) -> zip_with(acc, p.pixels, (a, b) -> greatest(a, b)))"
+    )
+    return images.select(
+        F.col(f"{column}.id").alias("image_id"),
+        F.col(f"{pm}.size_x").alias("size_x"),
+        F.col(f"{pm}.size_y").alias("size_y"),
+        F.expr(mip).alias("mip"),
+    )

@@ -496,3 +496,31 @@ def ome_bg_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("px", F.lit(0).cast("long"), lambda a, v: a + v).alias("corrected_sum"),
         F.array_max("px").alias("corrected_max"),
     )
+
+
+# Max-intensity projection along Z (the classic z-stack render):
+# nviz-1ch-stack pixels are (z*7 + i) % 65536 with no wrap at 128², so
+# the MIP is exactly 21*7 + i — DuckDB re-derives sums/extremes.
+@register(
+    "ome_mip",
+    """
+    WITH px AS (SELECT 147 + i.i AS v
+                FROM (SELECT unnest(generate_series(0, 128*128 - 1)) AS i) i)
+    SELECT 'nviz-1ch-stack' AS image_id,
+           CAST(SUM(v) AS BIGINT) AS mip_sum,
+           CAST(MIN(v) AS INT) AS mip_min,
+           CAST(MAX(v) AS INT) AS mip_max
+    FROM px
+    """,
+)
+def ome_mip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import max_intensity_projection
+
+    imgs = synth.golden_images_df(spark, ids=["nviz-1ch-stack"], include_conftest=False)
+    mip = max_intensity_projection(imgs, c=0, t=0)
+    return mip.select(
+        "image_id",
+        F.aggregate("mip", F.lit(0).cast("long"), lambda a, v: a + v).alias("mip_sum"),
+        F.array_min("mip").alias("mip_min"),
+        F.array_max("mip").alias("mip_max"),
+    )
