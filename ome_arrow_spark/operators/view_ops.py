@@ -174,3 +174,43 @@ def max_intensity_projection(
         F.col(f"{pm}.size_y").alias("size_y"),
         F.expr(mip).alias("mip"),
     )
+
+
+def channel_colocalization(
+    images: DataFrame, c1: int = 0, c2: int = 1, t: int = 0, z: int = 0,
+    column: str = "ome_arrow",
+) -> DataFrame:
+    """Pearson colocalization between two channels of the same plane —
+    the standard two-stain correlation analysis. Integer moments are
+    computed exactly with array folds (engine-portable); the final
+    Pearson arithmetic is plain double ops on those exact sums."""
+    def plane(c: int):
+        return (
+            f"element_at(filter({column}.planes, "
+            f"p -> int(p.t) = {t} AND int(p.c) = {c} AND int(p.z) = {z}), -1).pixels"
+        )
+
+    sums = (
+        f"aggregate(zip_with({plane(c1)}, {plane(c2)}, (a, b) -> named_struct("
+        f"'x', cast(a as bigint), 'y', cast(b as bigint))), "
+        f"named_struct('n', 0L, 'sx', 0L, 'sy', 0L, 'sxy', 0L, 'sxx', 0L, 'syy', 0L), "
+        f"(acc, e) -> named_struct("
+        f"'n', acc.n + 1L, 'sx', acc.sx + e.x, 'sy', acc.sy + e.y, "
+        f"'sxy', acc.sxy + e.x * e.y, 'sxx', acc.sxx + e.x * e.x, "
+        f"'syy', acc.syy + e.y * e.y))"
+    )
+    m = images.select(
+        F.col(f"{column}.id").alias("image_id"), F.expr(sums).alias("m")
+    )
+    n = F.col("m.n").cast("double")
+    sx, sy = F.col("m.sx").cast("double"), F.col("m.sy").cast("double")
+    sxy = F.col("m.sxy").cast("double")
+    sxx, syy = F.col("m.sxx").cast("double"), F.col("m.syy").cast("double")
+    return m.select(
+        "image_id",
+        F.col("m.n").alias("n_px"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("pearson"),
+    )

@@ -230,7 +230,9 @@ def from_stack_pattern(
                             "pixels": v[0, 0, zl].ravel().tolist(),
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["t", "c", "z", "size_y", "size_x", "pixels"]
+            )
 
     plane_schema = (
         "t int, c int, z int, size_y int, size_x int, pixels array<int>"

@@ -524,3 +524,22 @@ def ome_mip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("mip").alias("mip_min"),
         F.array_max("mip").alias("mip_max"),
     )
+
+
+# Channel colocalization (Pearson between stains) on the conftest
+# record: channel pixels are i and 100+i — perfectly correlated, and
+# the moments are tiny enough for literal VALUES.
+@register(
+    "ome_colocalization",
+    """
+    SELECT 'img-0001' AS image_id, 12 AS n_px, CAST(1.0 AS DOUBLE) AS pearson
+    """,
+)
+def ome_colocalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import channel_colocalization
+
+    imgs = synth.golden_images_df(spark, ids=["img-0001"])
+    out = channel_colocalization(imgs, c1=0, c2=1)
+    return out.select(
+        "image_id", F.col("n_px").cast("int"), F.round("pearson", 9).alias("pearson")
+    )
