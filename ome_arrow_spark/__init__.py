@@ -16,19 +16,22 @@ nested-schema pruning. Pandas UDFs appear only at true codec boundaries
 (TIFF/Zarr decode-encode).
 """
 
+from ome_arrow_spark.core import OmeImages
 from ome_arrow_spark.meta import (
     OME_ARROW_TYPE,
     OME_ARROW_VERSION,
     ome_arrow_struct,
     ome_images_schema,
 )
-from ome_arrow_spark.session import get_spark, tune_session
+from ome_arrow_spark.session import cluster_defaults, get_spark, tune_session
 
 __all__ = [
     "OME_ARROW_TYPE",
     "OME_ARROW_VERSION",
+    "OmeImages",
     "ome_arrow_struct",
     "ome_images_schema",
+    "cluster_defaults",
     "get_spark",
     "tune_session",
 ]

@@ -543,3 +543,53 @@ def ome_colocalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "image_id", F.col("n_px").cast("int"), F.round("pearson", 9).alias("pearson")
     )
+
+
+# Timelapse intensity trend (photobleaching-style analysis): per-frame
+# mean intensity of the time-series image plus the least-squares slope
+# over t — all from exact integer sums, regression arithmetic in
+# doubles on identical operands.
+@register(
+    "ome_timelapse_trend",
+    """
+    WITH px AS (
+      SELECT t.t AS t, (t.t*31 + i.i) % 65536 AS v
+      FROM (SELECT unnest(generate_series(0, 6)) AS t) t,
+           (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i),
+    per_t AS (
+      SELECT t, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n FROM px GROUP BY t),
+    fit AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(CAST(s AS DOUBLE) / n) AS DOUBLE) AS sm,
+             CAST(SUM(t * (CAST(s AS DOUBLE) / n)) AS DOUBLE) AS stm,
+             CAST(SUM(CAST(t AS DOUBLE) * t) AS DOUBLE) AS stt
+      FROM per_t)
+    SELECT p.t, CAST(p.s AS BIGINT) AS px_sum,
+           ROUND(CAST(p.s AS DOUBLE) / p.n, 6) AS mean_intensity,
+           ROUND((f.k * f.stm - f.st * f.sm) / (f.k * f.stt - f.st * f.st), 6)
+             AS bleach_slope
+    FROM per_t p CROSS JOIN fit f
+    """,
+)
+def ome_timelapse_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.views import plane_stats
+
+    imgs = synth.golden_images_df(spark, ids=["time-series"], include_conftest=False)
+    per_t = plane_stats(imgs).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("px_sum"),
+        (F.col("px_sum").cast("double") / F.col("px_count")).alias("m"),
+    )
+    k, st = F.count("*"), F.sum("t").cast("double")
+    sm, stm = F.sum("m"), F.sum(F.col("t") * F.col("m"))
+    stt = F.sum((F.col("t") * F.col("t")).cast("double"))
+    fit = per_t.agg(
+        ((k * stm - st * sm) / (k * stt - st * st)).alias("slope")
+    )
+    return per_t.crossJoin(fit).select(
+        "t",
+        "px_sum",
+        F.round("m", 6).alias("mean_intensity"),
+        F.round("slope", 6).alias("bleach_slope"),
+    )
