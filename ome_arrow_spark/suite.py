@@ -1602,3 +1602,35 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: customers ∪ event-users with activity on either side
+# (nulls where one side is absent).
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    """
+    WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+         cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(c_custkey, user_id) AS entity_id,
+           c_mktsegment,
+           n_events,
+           (c_custkey IS NOT NULL AND user_id IS NOT NULL) AS in_both
+    FROM cu FULL OUTER JOIN ev ON c_custkey = user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n_events"))
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = cu.join(ev, cu.c_custkey == ev.user_id, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "user_id").alias("entity_id"),
+        "c_mktsegment",
+        "n_events",
+        (F.col("c_custkey").isNotNull() & F.col("user_id").isNotNull()).alias("in_both"),
+    )
