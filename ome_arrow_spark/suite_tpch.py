@@ -1,0 +1,595 @@
+"""TPC-H query-shape completion: the 12 shapes missing from suite.py
+(Q2/Q6/Q8/Q11/Q12/Q13/Q15/Q16/Q18/Q19/Q20/Q21), adapted to the driver
+fixture schema (TESTDATA.md). The fixture has no ``partsupp`` and fewer
+columns than real TPC-H, so part↔supplier relationships route through
+``lineitem`` and comment/shipmode predicates are replaced with columns
+that exist — the *relational shapes* (correlated min subquery, scalar-
+subquery HAVING, disjunctive join predicates, EXISTS/NOT-EXISTS
+self-joins, left-join-with-condition distribution) are preserved.
+
+Reference parity note: the reference (WayScience/ome-arrow) delegates
+ALL relational querying to Arrow-compatible engines (reference
+README.md:22); this module is part of the promised-but-delegated query
+surface inventoried in SURVEY.md §2C.
+
+Every query follows the suite.py determinism contract: decimal-sum
+pattern for float aggregates, unique tiebreakers under every LIMIT,
+identical column aliases in Spark and oracle SQL.
+
+Scale notes (100 TB posture) are attached per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.suite import _dsum, _t, register
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier (correlated MIN subquery -> per-key min + join
+# back on equality).
+# Scale: the per-part min table has |part| rows — broadcast it back against
+# the candidate join instead of re-scanning lineitem per part the way the
+# correlated form implies. region/nation/supplier are dimension broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN eu       ON p_partkey = eu.l_partkey
+    JOIN supplier ON s_suppkey = eu.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size = 15
+      AND unit_price = (SELECT MIN(e2.unit_price) FROM eu e2
+                        WHERE e2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    eu = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    # per-part min (exact double comparison; MIN is order-independent)
+    min_price = eu.groupBy("l_partkey").agg(F.min("unit_price").alias("mn"))
+    # fresh reads: sup/nat already participate in `eu`, and Spark rejects
+    # the resulting ambiguous self-join column references
+    sup2 = _t(spark, sf_dir, "supplier")
+    nat2 = _t(spark, sf_dir, "nation")
+    return (
+        part.filter(F.col("p_size") == 15)
+        .join(eu, part.p_partkey == eu.l_partkey)
+        .join(F.broadcast(min_price.withColumnRenamed("l_partkey", "mk")),
+              (F.col("p_partkey") == F.col("mk")) & (F.col("unit_price") == F.col("mn")))
+        .join(F.broadcast(sup2), F.col("l_suppkey") == sup2.s_suppkey)
+        .join(F.broadcast(nat2), sup2.s_nationkey == nat2.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast revenue change — pure scan + conjunctive pushed filter
+# + single global aggregate. Scale: every predicate pushes to parquet
+# (timestamp + double range); the aggregate is one partial per partition,
+# one tiny final reduce. Zero shuffle of data rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share — ratio of conditional aggregate to total
+# within year groups, through a 6-table star join.
+# Scale: lineitem⋈orders is the only big shuffle; part/customer/supplier/
+# nation/region are broadcast dims. The CASE lives inside the partial agg so
+# the shuffle carries 2 decimals per (year, partition).
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(30,6)")
+            .alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important parts — group-agg compared against a scalar subquery
+# of the global total (HAVING value > SUM(value) * fraction).
+# Scale: one shuffle to group by partkey; the global total is a one-row
+# broadcast cross join, NOT a second scan (the CTE is reused; Spark computes
+# v once per branch — at 100 TB persist v or rely on exchange reuse).
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val"))
+    )
+    total = v.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: late-shipment priority classification — join + conditional
+# counts (CASE inside aggregate). The fixture has no l_shipmode/commitdate;
+# lateness = shipped >60 days after order date, grouped by linestatus.
+# Scale: the join shuffles on orderkey; counts are map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_late_lines",
+    """
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — LEFT OUTER join with an
+# extra join-side predicate (not a WHERE — null-extended rows must survive),
+# then a two-level aggregation.
+# Scale: join shuffles on custkey; both group-bys are low-cardinality.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier — aggregate view + scalar-subquery MAX equality.
+# Exact decimal sums make `revenue = MAX(revenue)` reliable across engines.
+# Scale: revenue is one shuffle on suppkey; the max is a one-row broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        F.broadcast(sup)
+        .join(revenue, sup.s_suppkey == revenue.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier count by part attributes — COUNT(DISTINCT) per group
+# with a NOT-IN (anti-join) exclusion list.
+# Scale: the anti join broadcasts the tiny exclusion list; count-distinct
+# shuffles (brand,type,size,suppkey) — Catalyst expands to two-phase
+# distinct aggregation automatically.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customers — IN-subquery over a grouped HAVING
+# (semi join against qualifying orders), then re-aggregate with the dims.
+# Scale: the qualifying-order list is small (threshold-selective) →
+# broadcast semi join; the outer agg groups on orderkey so partial aggs
+# collapse locally.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big_orders.withColumnRenamed("l_orderkey", "bk")),
+            orders.o_orderkey == F.col("bk"),
+            "left_semi",
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-column join predicate (OR of conjunction
+# blocks spanning both join sides) — the classic "can the optimizer keep
+# this a hash join with a post-filter" test.
+# Scale: part is a broadcast; the OR predicate evaluates post-join inside
+# codegen. No repeated scans per disjunct.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_predicate",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & (qty >= 20) & (qty <= 30))
+    )
+    return joined.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: part promotion — nested IN-subqueries (suppliers who moved
+# enough of the matching parts). partsupp is absent; availability routes
+# through shipped lineitem volume.
+# Scale: inner agg shuffles on suppkey only after the part semi-join prunes;
+# the qualifying-supplier list broadcasts into the outer semi join.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_part_promotion",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 800)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    movers = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"))
+        .filter(F.col("q") > 800)
+        .select("l_suppkey")
+    )
+    return (
+        sup.filter(F.col("s_acctbal") > 0)
+        .join(F.broadcast(movers), sup.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: waiting suppliers — EXISTS + NOT-EXISTS self-joins on lineitem.
+# The oracle keeps the correlated form; the Spark plan rewrites it as ONE
+# per-order aggregation (distinct suppliers, distinct LATE suppliers, late
+# line count) — at 100 TB this is one shuffle over lineitem instead of two
+# correlated re-scans, and the qualifying-order set stays distributed.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.first("o_orderstatus").alias("status"),
+            F.countDistinct("l_suppkey").alias("nsup"),
+            F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate_sup"),
+            F.count(F.when(F.col("is_late"), 1)).alias("nlate_lines"),
+            F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_suppkey"),
+        )
+        # exactly one late supplier, at least one other supplier on the order
+        .filter((F.col("status") == "F") & (F.col("nsup") > 1) & (F.col("nlate_sup") == 1))
+    )
+    return (
+        per_order.groupBy("late_suppkey")
+        .agg(F.sum("nlate_lines").alias("numwait"))
+        .join(F.broadcast(sup), F.col("late_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
