@@ -73,6 +73,90 @@ def lang_predict(toks: Column) -> Column:
     return expr.otherwise("zh")
 
 
+#: Rolling-hash fingerprint parameters (winnowing: Schleimer/Wilkerson/
+#: Aiken MOSS scheme): character k-grams hashed with a polynomial rolling
+#: hash, window-minimum selection.
+KGRAM_K = 8
+WINNOW_W = 4
+_HASH_BASE = 257
+_HASH_MOD = 2147483647  # 2^31 - 1; keeps (h*257 + 255) < 2^39 « int64
+
+
+def kgram_hash_sql(text_col: str = "text", pos_var: str = "i") -> str:
+    """Unrolled polynomial hash of the k-gram starting at 0-based ``pos_var``.
+
+    Pure ANSI arithmetic over ``ascii``/``substr`` — the SAME string
+    evaluates bit-identically as a Spark lambda body and inside a DuckDB
+    ``generate_series`` oracle. BIGINT from the first term so neither
+    engine's 32-bit multiply can overflow; mod applied per step.
+    """
+    expr = f"CAST(ascii(substr({text_col}, {pos_var} + 1, 1)) AS BIGINT)"
+    for j in range(1, KGRAM_K):
+        expr = (
+            f"(({expr}) * {_HASH_BASE} + "
+            f"ascii(substr({text_col}, {pos_var} + {j + 1}, 1))) % {_HASH_MOD}"
+        )
+    return expr
+
+
+def winnow_fingerprints(text_col: str = "text") -> Column:
+    """Distinct winnowing fingerprints of ``text_col`` as an int64 array.
+
+    One projection, zero shuffle: k-gram hashes via ``transform`` over a
+    position ``sequence``, then window minima. The hash array is bound
+    through ``transform(array(...), hs -> ...)`` so CollapseProject cannot
+    re-inline it into the window lambda (which would turn the O(n·w) scan
+    into O(n²) — see slice_op.py for the same idiom).
+    """
+    return F.expr(
+        f"""
+        transform(
+          array(transform(sequence(0, length({text_col}) - {KGRAM_K}),
+                          i -> {kgram_hash_sql(text_col, "i")})),
+          hs -> array_distinct(
+                  transform(sequence(0, size(hs) - {WINNOW_W}),
+                            t -> array_min(slice(hs, t + 1, {WINNOW_W})))))[0]
+        """
+    )
+
+
+def max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent values in a pre-sorted array — i.e.
+    the count of the most frequent element. Single aggregate fold; the
+    array is bound via the array-wrap idiom against optimizer re-inlining.
+    Caller guarantees ``size >= 2`` (``sequence(1, 0)`` counts down)."""
+    return F.transform(
+        F.array(sorted_arr),
+        lambda st: F.aggregate(
+            F.sequence(F.lit(1), F.size(st) - 1),
+            F.struct(
+                F.lit(1).cast("long").alias("cur"), F.lit(1).cast("long").alias("best")
+            ),
+            lambda acc, i: F.when(
+                F.element_at(st, i + 1) == F.element_at(st, i),
+                F.struct(
+                    (acc.cur + 1).alias("cur"),
+                    F.greatest(acc.best, acc.cur + 1).alias("best"),
+                ),
+            ).otherwise(
+                F.struct(F.lit(1).cast("long").alias("cur"), acc.best.alias("best"))
+            ),
+            lambda acc: acc.best,
+        ),
+    ).getItem(0)
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs as strings; caller guarantees ``size >= 2``."""
+    return F.transform(
+        F.array(toks),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)),
+        ),
+    ).getItem(0)
+
+
 def fingerprint(col: Column) -> Column:
     """Normalized-content fingerprint: md5 over the token stream.
     Whitespace/punctuation/case-insensitive — two documents differing

@@ -162,6 +162,132 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document fingerprinting: rolling-hash winnowing (MOSS scheme) — char
+# k-gram polynomial hashes, window-min selection, distinct fingerprints.
+# Spark side: ONE shuffle-free projection (HOFs over the text column);
+# oracle: independent window-function formulation over generate_series.
+# Scale: per-doc work is linear in length; no shuffle at all — the ideal
+# 100 TB shape (the fingerprint sets would feed an LSH-style band join
+# for plagiarism/overlap detection, same pattern as neardup_lsh).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, strlen(text) - {TX.KGRAM_K})) AS i
+      FROM documents
+      WHERE strlen(text) >= {TX.KGRAM_K + TX.WINNOW_W - 1}),
+    kg AS (
+      SELECT doc_id, i,
+             {TX.kgram_hash_sql("text", "i")} AS h,
+             strlen(text) - {TX.KGRAM_K - 1} AS n_kgrams
+      FROM pos),
+    wins AS (
+      SELECT doc_id, n_kgrams, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {TX.WINNOW_W - 1} FOLLOWING) AS w
+      FROM kg),
+    sel AS (
+      SELECT DISTINCT doc_id, n_kgrams, w
+      FROM wins WHERE i <= n_kgrams - {TX.WINNOW_W})
+    SELECT doc_id,
+           CAST(MAX(n_kgrams) AS BIGINT) AS n_kgrams,
+           COUNT(*) AS n_fp,
+           CAST(SUM(w) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints("text")
+    return (
+        docs.filter(F.length("text") >= TX.KGRAM_K + TX.WINNOW_W - 1)
+        .select(
+            "doc_id",
+            (F.length("text") - (TX.KGRAM_K - 1)).cast("long").alias("n_kgrams"),
+            fps.alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").cast("long").alias("n_fp"),
+            F.aggregate(
+                F.col("fps"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("fp_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-quality signals (Gopher/C4-style): most-frequent-token
+# fraction + duplicate-bigram fraction per document.
+# Spark side: shuffle-free — max token count = longest run in the SORTED
+# token array (one O(n log n) sort + O(n) fold per row, bound against
+# optimizer re-inlining); oracle independently recomputes via
+# unnest + GROUP BY. At 100 TB this beats the explode+groupBy+join-back
+# formulation, which would shuffle every token twice.
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      GROUP BY doc_id, tok),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_tok_cnt FROM cnt GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, n,
+             len(list_distinct(list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i + 1])))
+               AS n_distinct_bigrams
+      FROM base)
+    SELECT bg.doc_id,
+           CAST(bg.n AS BIGINT) AS n_tokens,
+           CAST(top.top_tok_cnt AS BIGINT) AS top_tok_cnt,
+           CAST(top.top_tok_cnt AS DOUBLE) / bg.n AS top_tok_frac,
+           CAST(bg.n - 1 AS BIGINT) AS n_bigrams,
+           CAST((bg.n - 1) - bg.n_distinct_bigrams AS DOUBLE) / (bg.n - 1)
+             AS dup_bigram_frac,
+           (CAST(top.top_tok_cnt AS DOUBLE) / bg.n > 0.2)
+             OR (CAST((bg.n - 1) - bg.n_distinct_bigrams AS DOUBLE) / (bg.n - 1) > 0.5)
+             AS is_repetitive
+    FROM bg JOIN top ON bg.doc_id = top.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        TX.max_run_length(F.array_sort(F.col("toks"))).alias("top_tok_cnt"),
+        F.size(F.array_distinct(TX.bigrams(F.col("toks"))))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_tok_cnt").cast("double") / F.col("n_tokens")
+    n_bigrams = F.col("n_tokens") - 1
+    dup_frac = (n_bigrams - F.col("n_distinct_bigrams")).cast("double") / n_bigrams
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "top_tok_cnt",
+        top_frac.alias("top_tok_frac"),
+        n_bigrams.alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.5)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup on normalized-content fingerprint.
 # ---------------------------------------------------------------------------
 @register(
