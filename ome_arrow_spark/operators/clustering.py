@@ -44,7 +44,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate: min over neighbors' labels and own
         neigh = (
             edges.join(labels, edges.v == labels.node)
@@ -57,13 +57,18 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
+        old_labels = labels
+        labels = new_labels
+        # round 0 always changes labels when any edge exists — skip the
+        # convergence-count job there (one fewer action per call)
+        if it == 0:
+            continue
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(old_labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
     return labels

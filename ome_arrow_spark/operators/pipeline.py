@@ -16,7 +16,7 @@ from ome_arrow_spark.operators.clustering import connected_components
 from ome_arrow_spark.operators.dedup import (
     lsh_candidates,
     minhash_signatures,
-    ngram_jaccard_pairs,
+    shingles,
 )
 
 
@@ -43,10 +43,40 @@ def near_dedup(
     docs = docs.localCheckpoint(eager=True)
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     candidates = lsh_candidates(sig, id_col)
-    # verify candidates with exact Jaccard (blocked to the candidate set)
+    # verify ONLY the candidate pairs with exact Jaccard: join each
+    # side's distinct-shingle set onto the pair and intersect in place.
+    # The alternative (full shingle-collision self-join, then semi-join
+    # the candidates) computes intersections for EVERY colliding pair in
+    # the corpus — at 100 TB the candidate-driven form touches
+    # |candidates| rows instead of Σ|bucket|² and shuffles on doc id,
+    # which the corpus is already partitioned by.
+    shs = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
     verified = (
-        ngram_jaccard_pairs(docs, text_col, id_col, shingle_k, jaccard_threshold)
-        .join(candidates, ["id_a", "id_b"], "left_semi")
+        candidates.join(
+            shs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            shs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
     )
     comps = connected_components(verified)
     out = docs.join(
