@@ -96,8 +96,13 @@ def lsh_candidates(
     see module scale notes).
 
     All bands materialize from ONE pass over ``sig`` (explode of the
-    per-band keys) — a per-band loop would re-run the whole upstream
-    signature pipeline once per band."""
+    per-band keys), and pairs come from ONE shuffle: group ids per
+    bucket, guard the bucket size, emit i<j combinations with a nested
+    ``transform``. The join formulation (bucket counts → join back →
+    self-join) costs three shuffles of the same data and materializes
+    every oversized bucket's B² pairs before any guard can drop them;
+    here oversized buckets are dropped as B-row id lists, never as
+    pairs."""
     band_structs = F.array(
         *[
             F.struct(
@@ -110,24 +115,23 @@ def lsh_candidates(
     b = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    counts = b.groupBy("band", "band_key").agg(F.count("*").alias("__n"))
-    b = b.join(
-        counts.filter(F.col("__n") <= max_bucket).drop("__n"),
-        ["band", "band_key"],
-        "inner",
+    buckets = (
+        b.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
     )
-    left, right = b.alias("a"), b.alias("b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
