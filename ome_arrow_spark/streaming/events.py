@@ -143,6 +143,35 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, bound: str = "30 minutes"
+) -> DataFrame:
+    """Stream ⋈ stream inner join on user with an event-time interval
+    condition (purchase within ``bound`` after the click) — the
+    attribution-join shape. Both sides carry watermarks; with the
+    interval condition they bound the join state: a buffered click can
+    be dropped once the purchase-side watermark passes click_ts +
+    bound, so state is O(events within the bound window), not O(stream).
+    Append output mode (stream-stream joins emit rows exactly once)."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
 def run_foreach_batch(df: DataFrame, batch_fn, output_mode: str = "update") -> None:
     """foreachBatch sink: apply an arbitrary batch function (upserts,
     MERGEs, multi-sink fan-out) per micro-batch — the pattern for

@@ -7,6 +7,7 @@ lag/cumsum sessionization)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ome_arrow_spark.streaming import events as EV
 from ome_arrow_spark.suite import _t, register
@@ -95,6 +96,35 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = EV.read_events_stream(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer")
     return EV.run_available_now(EV.stream_static_join(ev, cust))
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = EV.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = EV.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return EV.run_available_now(
+        EV.stream_stream_interval_join(clicks, purchases), output_mode="append"
+    )
 
 
 @register(
