@@ -1634,3 +1634,41 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("c_custkey").isNotNull() & F.col("user_id").isNotNull()).alias("in_both"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map pandas UDF (applyInPandas) as a first-class query: per
+# event-type top-3 by value, computed INSIDE the Python worker (sort +
+# head per group) — the arbitrary-per-group-logic escape hatch when no
+# built-in expresses the group computation.
+# Scale: one shuffle on the group key; each group crosses the JVM↔Python
+# boundary once as an Arrow batch. Fine when groups fit in worker memory
+# (top-k per bounded key set); for unbounded groups prefer the window
+# formulation (`window_rank`) — this query's oracle IS that formulation,
+# proving both agree.
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_map_topk",
+    """
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS INT) AS rk
+      FROM events)
+    WHERE rk <= 3
+    """,
+)
+def grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+
+    def topk(pdf):
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(3)
+        pdf = pdf.reset_index(drop=True)
+        pdf["rk"] = pdf.index + 1
+        return pdf[["event_type", "event_id", "value", "rk"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        topk, schema="event_type string, event_id bigint, value double, rk int"
+    )

@@ -461,6 +461,32 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroids",
+    """
+    WITH px AS (
+      SELECT label, embedding,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS mean_val
+    FROM px GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise — the vector-aggregation shape
+    (class prototypes / IVF coarse centroids). posexplode + two-level
+    key: at 100 TB the (label, pos) partial aggregates collapse
+    map-side, so the shuffle carries |labels|·dim rows per partition,
+    independent of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
+    )
+
+
+@register(
     "embedding_stats",
     f"""
     SELECT label,
