@@ -97,3 +97,48 @@ def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+def test_q19_single_broadcast_join_with_postfilter(spark, sf_dir):
+    """The disjunctive OR-of-conjunctions predicate must NOT degrade to
+    a cartesian/nested-loop plan: one broadcast hash join on partkey,
+    disjuncts evaluated post-join inside codegen."""
+    from ome_arrow_spark import suite_tpch
+
+    df = suite_tpch.q19_disjunctive_predicate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_broadcast(spark, sf_dir):
+    """The qualifying-order HAVING list joins back as a broadcast
+    LeftSemi — not a shuffled join of lineitem against itself."""
+    from ome_arrow_spark import suite_tpch
+
+    df = suite_tpch.q18_large_volume_customer(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_q21_single_lineitem_aggregation(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS rewrite keeps ONE pass over lineitem
+    (per-order aggregate) instead of correlated re-scans: the executed
+    plan scans lineitem exactly once."""
+    from ome_arrow_spark import suite_tpch
+
+    df = suite_tpch.q21_waiting_supplier(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, (
+        "q21 should aggregate lineitem once, not re-scan per subquery"
+    )
+
+
+def test_doc_fingerprint_no_shuffle(spark, sf_dir):
+    """Winnowing fingerprints are a pure projection — zero exchanges."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["doc_fingerprint"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-doc fingerprinting must not shuffle"
