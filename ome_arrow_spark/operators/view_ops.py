@@ -214,3 +214,85 @@ def channel_colocalization(
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("pearson"),
     )
+
+
+def extract_patches(images: DataFrame, patch: int = 64, column: str = "ome_arrow") -> DataFrame:
+    """Non-overlapping ``patch``×``patch`` tiles from every plane — the
+    images→training-patches expansion (each tile becomes a sample row).
+    Returns (image_id, t, c, z, gy, gx, patch_pixels) with the tile
+    flattened row-major; partial tiles at the right/bottom edges are
+    dropped (standard training-crop semantics).
+
+    All Catalyst: the grid is an exploded ``sequence`` cross product and
+    the tile gather is ``flatten(transform(...slice...))`` over the
+    flattened plane — no Python, no shuffle beyond the explode.
+    Scale: output rows ≈ planes × (Y/patch)·(X/patch); each carries only
+    patch² ints, so downstream repartitioning can target byte budgets
+    exactly (plans/tuning.repartition_images logic applies unchanged).
+    """
+    from ome_arrow_spark.operators.views import planes_df
+
+    pl = planes_df(images, column).filter(
+        (F.col("size_y") >= patch) & (F.col("size_x") >= patch)
+    )
+    grid = F.expr(
+        f"""
+        flatten(transform(sequence(0, CAST(size_y / {patch} AS INT) - 1),
+                gy -> transform(sequence(0, CAST(size_x / {patch} AS INT) - 1),
+                      gx -> named_struct('gy', gy, 'gx', gx))))
+        """
+    )
+    tile = F.expr(
+        f"""
+        flatten(transform(sequence(0, {patch - 1}),
+                r -> slice(pixels, (g.gy * {patch} + r) * size_x + g.gx * {patch} + 1,
+                           {patch})))
+        """
+    )
+    return (
+        pl.select(
+            "image_id", "t", "c", "z", "size_x", "pixels", F.explode(grid).alias("g")
+        )
+        .select(
+            "image_id",
+            "t",
+            "c",
+            "z",
+            F.col("g.gy").alias("gy"),
+            F.col("g.gx").alias("gx"),
+            tile.alias("patch_pixels"),
+        )
+    )
+
+
+def focus_metric(images: DataFrame, column: str = "ome_arrow") -> DataFrame:
+    """Per-plane sharpness (Brenner-style: sum of squared horizontal
+    neighbor differences) + best-focus rank per (image, t, c) — the
+    z-stack QC / autofocus-selection query. Row-end pairs are excluded
+    (a flattened plane is row-major, so index pairs spanning rows are
+    not spatial neighbors).
+
+    One aggregate fold per plane, JVM-side; ranking is a tiny window
+    over |planes| rows per image — at 100 TB the fold dominates and
+    parallelizes per-plane."""
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.operators.views import planes_df
+
+    pl = planes_df(images, column)
+    focus = F.expr(
+        """
+        aggregate(sequence(0, size(pixels) - 2),
+                  CAST(0 AS BIGINT),
+                  (acc, i) -> acc + IF((i + 1) % size_x = 0, CAST(0 AS BIGINT),
+                      CAST(element_at(pixels, i + 2) - element_at(pixels, i + 1) AS BIGINT)
+                      * CAST(element_at(pixels, i + 2) - element_at(pixels, i + 1) AS BIGINT)))
+        """
+    )
+    w = Window.partitionBy("image_id", "t", "c").orderBy(
+        F.desc("focus"), F.col("z")
+    )
+    return (
+        pl.select("image_id", "t", "c", "z", focus.alias("focus"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )

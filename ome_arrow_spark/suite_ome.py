@@ -593,3 +593,96 @@ def ome_timelapse_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("mean_intensity"),
         F.round("slope", 6).alias("bleach_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-patch extraction: non-overlapping 64×64 tiles from every
+# plane of multi-channel-z (1×3×5×167×439 → 15 planes × 2×6 tiles).
+# The oracle re-derives each tile's stats arithmetically from the
+# golden pixel formula over the same grid — an independent computation
+# of the row-major tile-gather indexing.
+# ---------------------------------------------------------------------------
+@register(
+    "ome_patch_extract",
+    """
+    WITH cc AS (SELECT unnest(generate_series(0, 2)) AS c),
+         zz AS (SELECT unnest(generate_series(0, 4)) AS z),
+         gy AS (SELECT unnest(generate_series(0, 1)) AS gy),
+         gx AS (SELECT unnest(generate_series(0, 5)) AS gx),
+         rr AS (SELECT unnest(generate_series(0, 63)) AS r),
+         xx AS (SELECT unnest(generate_series(0, 63)) AS x),
+         px AS (
+           SELECT cc.c, zz.z, gy.gy, gx.gx,
+                  (cc.c*17 + zz.z*7 + (gy.gy*64 + rr.r)*439 + gx.gx*64 + xx.x)
+                    % 65536 AS v
+           FROM cc, zz, gy, gx, rr, xx)
+    SELECT CAST(0 AS INT) AS t, CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           CAST(gy AS INT) AS gy, CAST(gx AS INT) AS gx,
+           CAST(MIN(v) AS INT) AS p_min,
+           CAST(MAX(v) AS INT) AS p_max,
+           CAST(SUM(v) AS BIGINT) AS p_sum,
+           CAST(COUNT(*) AS INT) AS p_count
+    FROM px GROUP BY c, z, gy, gx
+    """,
+)
+def ome_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import extract_patches
+
+    imgs = synth.golden_images_df(
+        spark, ids=["multi-channel-z"], include_conftest=False
+    )
+    patches = extract_patches(imgs, patch=64)
+    return patches.select(
+        F.col("t").cast("int"),
+        F.col("c").cast("int"),
+        F.col("z").cast("int"),
+        F.col("gy").cast("int"),
+        F.col("gx").cast("int"),
+        F.array_min("patch_pixels").alias("p_min"),
+        F.array_max("patch_pixels").alias("p_max"),
+        F.aggregate(
+            "patch_pixels", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("p_sum"),
+        F.size("patch_pixels").alias("p_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-focus selection: Brenner sharpness per plane + rank within each
+# (t, c) — the z-stack QC query. Oracle recomputes the squared
+# neighbor-difference sum from the pixel formula (row-end pairs
+# excluded on both sides).
+# ---------------------------------------------------------------------------
+@register(
+    "ome_focus_rank",
+    """
+    WITH cc AS (SELECT unnest(generate_series(0, 2)) AS c),
+         zz AS (SELECT unnest(generate_series(0, 4)) AS z),
+         yy AS (SELECT unnest(generate_series(0, 166)) AS y),
+         xx AS (SELECT unnest(generate_series(0, 437)) AS x),
+         d AS (
+           SELECT cc.c, zz.z,
+                  ((cc.c*17 + zz.z*7 + yy.y*439 + xx.x + 1) % 65536)
+                - ((cc.c*17 + zz.z*7 + yy.y*439 + xx.x) % 65536) AS df
+           FROM cc, zz, yy, xx),
+         f AS (SELECT c, z, SUM(df*df) AS focus FROM d GROUP BY c, z)
+    SELECT CAST(0 AS INT) AS t, CAST(c AS INT) AS c, CAST(z AS INT) AS z,
+           CAST(focus AS BIGINT) AS focus,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c ORDER BY focus DESC, z) AS INT)
+             AS rk
+    FROM f
+    """,
+)
+def ome_focus_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import focus_metric
+
+    imgs = synth.golden_images_df(
+        spark, ids=["multi-channel-z"], include_conftest=False
+    )
+    return focus_metric(imgs).select(
+        F.col("t").cast("int"),
+        F.col("c").cast("int"),
+        F.col("z").cast("int"),
+        "focus",
+        "rk",
+    )
