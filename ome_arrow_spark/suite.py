@@ -1672,3 +1672,39 @@ def grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         topk, schema="event_type string, event_id bigint, value double, rk int"
     )
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by (argmin/argmax) aggregates. Ties in o_totalprice exist
+# in the fixture, so the comparator packs (exact cents, orderkey) into
+# one BIGINT — deterministic in both engines (Spark round and DuckDB
+# ROUND agree half-up for positive values; cents < 2^53 are exact).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_minmax_by",
+    """
+    WITH o AS (
+      SELECT *,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey
+               AS cmp
+      FROM orders)
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, cmp)   AS top_order,
+           arg_min(o_orderkey, cmp)   AS bottom_order,
+           arg_max(o_totalprice, cmp) AS top_price,
+           arg_min(o_totalprice, cmp) AS bottom_price
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cmp",
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "cmp").alias("top_order"),
+        F.min_by("o_orderkey", "cmp").alias("bottom_order"),
+        F.max_by("o_totalprice", "cmp").alias("top_price"),
+        F.min_by("o_totalprice", "cmp").alias("bottom_price"),
+    )
