@@ -36,15 +36,24 @@ def asof_join(
     right_values: list[str],
     value_aliases: list[str] | None = None,
     keep: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: latest ``right`` row with ``right_time <=
-    left_time`` per ``left_on == right_on`` key; NULL values when no
-    right row qualifies.
+    left_time`` (``direction="backward"``, default) or earliest right
+    row with ``right_time >= left_time`` (``direction="forward"``) per
+    ``left_on == right_on`` key; NULL values when no right row
+    qualifies.
 
     ``right_values`` are the columns to carry over; ``value_aliases``
     renames them in the output; ``keep`` selects the left columns to
-    retain (default: all).
+    retain (default: all). Both directions are the same one-shuffle
+    union+window plan — forward just reverses the sort, so the carried
+    ``last()`` is the nearest *following* right row. Tie among
+    equal-time right rows: backward keeps the max first-value column,
+    forward the min (both deterministic).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_aliases is None:
         value_aliases = right_values
     if keep is None:
@@ -68,13 +77,17 @@ def asof_join(
         *[F.col(c).alias(f"__v_{i}") for i, c in enumerate(right_values)],
     )
 
-    # Order: time asc; at equal times right rows before left rows (so an
-    # event sees same-instant orders); among equal-time right rows the
-    # later-listed value columns (tiebreaker = first right_value col)
-    # resolve by ordering on them ascending — last() picks the max.
+    # Order: time asc (backward) / desc (forward); at equal times right
+    # rows before left rows (so an event sees same-instant orders);
+    # among equal-time right rows the first right_value column breaks
+    # ties — last() picks the max (backward) / min (forward).
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col(side).asc(), F.col("__v_0").asc_nulls_first()]
+    else:
+        order = [F.col(ts).desc(), F.col(side).asc(), F.col("__v_0").desc_nulls_first()]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col(side).asc(), F.col(f"__v_{0}").asc_nulls_first())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 

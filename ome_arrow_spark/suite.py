@@ -705,6 +705,43 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of: earliest order at-or-after each event (the "next
+# action" attribution direction). Same one-shuffle union+window plan as
+# backward, sort reversed; tie at equal orderdate → min orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_events_orders_forward",
+    """
+    SELECT event_id, ts, user_id, o_orderkey AS next_orderkey, o_orderdate AS next_orderdate
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_events_orders_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        value_aliases=["next_orderkey", "next_orderdate"],
+        keep=["event_id", "ts", "user_id"],
+        direction="forward",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Theta/range join: fact rows against interval buckets. The bucket dim
 # is tiny → Spark picks BroadcastNestedLoopJoin; at scale, bucketize
 # instead (width_bucket-style precompute) to make it an equi-join.
