@@ -170,27 +170,34 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB shape (the fingerprint sets would feed an LSH-style band join
 # for plagiarism/overlap detection, same pattern as neardup_lsh).
 # ---------------------------------------------------------------------------
-@register(
-    "doc_fingerprint",
-    f"""
-    WITH pos AS (
-      SELECT doc_id, text,
+# Shared winnowing-CTE text (doc_fingerprint + decontamination oracles):
+# positions → k-gram hashes → window minima → distinct fingerprints.
+_WINNOW_SEL_CTE = f"""
+    pos AS (
+      SELECT doc_id, source, text,
              unnest(generate_series(0, strlen(text) - {TX.KGRAM_K})) AS i
       FROM documents
       WHERE strlen(text) >= {TX.KGRAM_K + TX.WINNOW_W - 1}),
     kg AS (
-      SELECT doc_id, i,
+      SELECT doc_id, source, i,
              {TX.kgram_hash_sql("text", "i")} AS h,
              strlen(text) - {TX.KGRAM_K - 1} AS n_kgrams
       FROM pos),
     wins AS (
-      SELECT doc_id, n_kgrams, i,
+      SELECT doc_id, source, n_kgrams, i,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                           ROWS BETWEEN CURRENT ROW AND {TX.WINNOW_W - 1} FOLLOWING) AS w
       FROM kg),
     sel AS (
-      SELECT DISTINCT doc_id, n_kgrams, w
+      SELECT DISTINCT doc_id, source, n_kgrams, w
       FROM wins WHERE i <= n_kgrams - {TX.WINNOW_W})
+"""
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH {_WINNOW_SEL_CTE}
     SELECT doc_id,
            CAST(MAX(n_kgrams) AS BIGINT) AS n_kgrams,
            COUNT(*) AS n_fp,
@@ -770,5 +777,91 @@ def curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: Knuth multiplicative hash of the
+# doc id → percent bucket → 80/10/10. Pure integer arithmetic, so both
+# engines agree exactly and the assignment is stable under any
+# repartitioning — the property a reproducible dataset split needs.
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_split",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing winnowing
+# fingerprints with the eval set (source 'src0' plays the benchmark).
+# Ubiquitous fingerprints (> max_df docs) are dropped first — they are
+# corpus boilerplate, carry no contamination signal, and at 100 TB they
+# are exactly the skewed join keys that would blow the fp-join up
+# (same guard philosophy as lsh_candidates.max_bucket).
+# ---------------------------------------------------------------------------
+@register(
+    "decontamination",
+    f"""
+    WITH {{cte}}
+    , freq AS (
+      SELECT w FROM sel GROUP BY w HAVING COUNT(DISTINCT doc_id) <= 50),
+    f AS (SELECT sel.doc_id, sel.source, sel.w FROM sel JOIN freq USING (w)),
+    ev AS (SELECT doc_id AS eval_id, w FROM f WHERE source = 'src0'),
+    tr AS (SELECT doc_id, w FROM f WHERE source <> 'src0'),
+    hits AS (SELECT tr.doc_id, tr.w, ev.eval_id FROM tr JOIN ev USING (w))
+    SELECT doc_id,
+           COUNT(DISTINCT w) AS n_shared_fp,
+           COUNT(DISTINCT eval_id) AS n_eval_docs
+    FROM hits GROUP BY doc_id
+    """.format(cte=_WINNOW_SEL_CTE),
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= TX.KGRAM_K + TX.WINNOW_W - 1
+    )
+    fp = docs.select(
+        "doc_id", "source", F.explode(TX.winnow_fingerprints("text")).alias("w")
+    )
+    keep = (
+        fp.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("w")
+    )
+    f = fp.join(keep, "w", "left_semi")
+    ev = f.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "w"
+    )
+    tr = f.filter(F.col("source") != "src0").select("doc_id", "w")
+    return (
+        tr.join(ev, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("w").alias("n_shared_fp"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
