@@ -1745,3 +1745,57 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", "cmp").alias("top_price"),
         F.min_by("o_totalprice", "cmp").alias("bottom_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: dense (day × event_type) grid LEFT JOIN sparse
+# daily counts, zeros coalesced in, plus running cumulative totals —
+# the same dims-frame/zero-fill pattern the OME ingest uses for missing
+# planes (SURVEY §2B), applied to the relational surface.
+# Scale: the calendar is a one-row aggregate exploded then broadcast
+# against the distinct type set; daily counts shuffle once on
+# (day, type); the window runs per type over |days| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gapfill",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             event_type
+      FROM events),
+    b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+    cal AS (
+      SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    cnt AS (SELECT d, event_type, COUNT(*) AS n FROM e GROUP BY d, event_type)
+    SELECT cal.day, types.event_type,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(cnt.n, 0))
+                  OVER (PARTITION BY types.event_type ORDER BY cal.day)
+                AS BIGINT) AS cum
+    FROM cal CROSS JOIN types
+    LEFT JOIN cnt ON cnt.d = cal.day AND cnt.event_type = types.event_type
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("d", "event_type").agg(F.count("*").alias("n"))
+    grid = F.broadcast(cal).crossJoin(F.broadcast(types)).withColumnRenamed(
+        "event_type", "et"
+    )
+    joined = grid.join(
+        cnt,
+        (grid.day == cnt.d) & (grid.et == cnt.event_type),
+        "left",
+    ).select("day", F.col("et").alias("event_type"), F.coalesce("n", F.lit(0)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return joined.select(
+        "day", "event_type", "n", F.sum("n").over(w).alias("cum")
+    )
