@@ -865,3 +865,41 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer count (GPT-2-style pattern, lookahead-free so
+# Java regex and RE2 agree byte-for-byte) next to plain whitespace
+# counts — the two token-budget estimators a corpus pipeline runs. A
+# planted contraction row exercises the '\''s/'\''t/... branches the
+# word-soup fixture never hits.
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT 999999, 'it''s a test, isn''t it? 42 times  x')
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_bpe,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws
+    FROM d
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.sparkSession.createDataFrame(
+        [(999999, "it's a test, isn't it? 42 times  x")], "doc_id long, text string"
+    )
+    d = docs.unionByName(planted)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+        .cast("long")
+        .alias("n_bpe"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws"),
+    )
