@@ -25,6 +25,13 @@ from pyspark.sql import types as T
 
 _COUNTER = itertools.count()
 
+#: Shuffle-partition floor for fixture-scale streaming runs: every
+#: shuffle partition is a state-store instance, so fewer = less
+#: per-batch overhead; 8 still exercises multi-partition state. A real
+#: cluster deployment sets spark.sql.shuffle.partitions itself and this
+#: floor never engages (we only lower, never raise).
+STREAM_PARTITIONS = 8
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -58,8 +65,8 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
     # session's 200 partitions is pure task/state overhead at fixture
     # scale. Fresh checkpoint per run → safe to lower; restored after.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    if int(prev_parts) > 16:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+    if int(prev_parts) > STREAM_PARTITIONS:
+        spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     name = f"stream_result_{next(_COUNTER)}_{os.getpid()}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
@@ -179,8 +186,8 @@ def run_foreach_batch(df: DataFrame, batch_fn, output_mode: str = "update") -> N
     streaming sink exists."""
     spark = df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    if int(prev_parts) > 16:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+    if int(prev_parts) > STREAM_PARTITIONS:
+        spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
     ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
     q = (
         df.writeStream.foreachBatch(batch_fn)
