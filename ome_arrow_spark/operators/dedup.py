@@ -71,13 +71,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     k: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed s, ``min(md5('s:' ||
     shingle))``. Documents with fewer than k tokens produce no shingles
-    and are absent (they can't near-dup on k-grams anyway)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    and are absent (they can't near-dup on k-grams anyway).
+
+    ``shingles_col`` names a precomputed shingle-array column to reuse
+    (a pipeline that also verifies Jaccard shingles once, not per
+    stage); min is multiplicity-insensitive, so distinct shingle sets
+    give identical signatures."""
+    sh_expr = (
+        F.col(shingles_col) if shingles_col else shingles(F.col(text_col), k)
     )
+    sh = df.select(F.col(id_col), F.explode(sh_expr).alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
         for s in range(num_hashes)

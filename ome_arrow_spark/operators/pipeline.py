@@ -37,11 +37,16 @@ def near_dedup(
     propagation runs on the (tiny) verified-pair graph, and the final
     join back is key-partitioned. No stage is quadratic in the corpus.
     """
-    # one materialization: both the signature and the verification
-    # stages re-tokenize the corpus otherwise (two full scans of a
-    # possibly-computed input)
-    docs = docs.localCheckpoint(eager=True)
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    # one materialization carrying the distinct shingle sets: tokenize +
+    # shingle ONCE for the whole pipeline (signatures, LSH, and Jaccard
+    # verification all derive from the same materialized arrays; MinHash
+    # is multiplicity-insensitive so the distinct set is equivalent)
+    docs = docs.withColumn(
+        "__shs", F.array_distinct(shingles(F.col(text_col), shingle_k))
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, shingles_col="__shs"
+    )
     candidates = lsh_candidates(sig, id_col)
     # verify ONLY the candidate pairs with exact Jaccard: join each
     # side's distinct-shingle set onto the pair and intersect in place.
@@ -51,8 +56,7 @@ def near_dedup(
     # |candidates| rows instead of Σ|bucket|² and shuffles on doc id,
     # which the corpus is already partitioned by.
     shs = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("shs"),
+        F.col(id_col), F.col("__shs").alias("shs")
     ).withColumn("n_sh", F.size("shs"))
     verified = (
         candidates.join(
@@ -79,7 +83,7 @@ def near_dedup(
         .select("id_a", "id_b", "inter", "jaccard")
     )
     comps = connected_components(verified)
-    out = docs.join(
+    out = docs.drop("__shs").join(
         comps.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
     return out.withColumn("is_representative", F.col(id_col) == F.col("component"))
