@@ -1799,3 +1799,24 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "day", "event_type", "n", F.sum("n").over(w).alias("cum")
     )
+
+
+# ---------------------------------------------------------------------------
+# spark.sql() API surface: run the *exact oracle SQL text* of Q1 through
+# Spark's SQL parser over temp views — one engine-agnostic ANSI string
+# executed by both engines, demonstrating the DataFrame and SQL entry
+# points converge on the same Catalyst plan (Spark parses/plans it
+# identically to the q1_pricing_summary DataFrame build).
+# ---------------------------------------------------------------------------
+def _q1_oracle() -> str:
+    return _REGISTRY["q1_pricing_summary"][1]
+
+
+@register("sql_api_q1", None)  # oracle attached below after registration
+def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_q1_oracle())
+
+
+# same text on both sides: the oracle IS the Spark query
+_REGISTRY["sql_api_q1"] = (sql_api_q1, _q1_oracle())
