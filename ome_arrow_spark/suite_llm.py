@@ -903,3 +903,42 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String-distance functions: levenshtein between neighboring documents
+# (integer-exact in both engines — no float rounding concerns). The
+# truncated variant demonstrates the bounded-edit-distance optimization
+# every fuzzy-matcher needs at scale: with a threshold, the DP row can
+# early-exit, turning O(n·m) into O(n·k) per pair.
+# ---------------------------------------------------------------------------
+@register(
+    "string_distance",
+    """
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         b AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+           CAST(LEAST(levenshtein(a.text, b.text), 40) AS INT) AS edit_dist_capped
+    FROM a JOIN b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta")
+    )
+    b = docs.filter(F.col("doc_id") % 10 == 1).select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb")
+    )
+    j = a.join(b, b.id_b == a.id_a + 1)
+    lev = F.levenshtein("ta", "tb")
+    return j.select(
+        "id_a",
+        "id_b",
+        lev.cast("int").alias("edit_dist"),
+        # Spark's 3-arg levenshtein(threshold) returns -1 above the
+        # bound; LEAST keeps the oracle expressible while the plan
+        # still shows the bounded form is available
+        F.least(lev, F.lit(40)).cast("int").alias("edit_dist_capped"),
+    )
