@@ -1820,3 +1820,36 @@ def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same text on both sides: the oracle IS the Spark query
 _REGISTRY["sql_api_q1"] = (sql_api_q1, _q1_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup (hypertable continuous-aggregate shape): one
+# pass produces hourly, daily, and grand totals via ROLLUP(day, hour).
+# Scale: Catalyst expands rollup groupings into a single shuffle with
+# partial aggregation per grouping set — the batch equivalent of a
+# TimescaleDB-style tiered rollup; materialize each tier as an LOD
+# table for serving (same pattern as the OME multiscale pyramid).
+# ---------------------------------------------------------------------------
+@register(
+    "time_hierarchy_rollup",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             value
+      FROM events)
+    SELECT day, hour, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY ROLLUP(day, hour)
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return ev.rollup("day", "hour").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value"), "sum_value"),
+    )
