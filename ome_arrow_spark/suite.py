@@ -1853,3 +1853,96 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _dsum(F.col("value"), "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report: per-key frequency for the hottest lineitem join
+# keys plus each key's share of its column's rows — the diagnostic that
+# decides when salting/AQE-skew-join engages at 100 TB (a key holding
+# >~1/parallelism of the rows serializes its join partition).
+# ---------------------------------------------------------------------------
+@register(
+    "skew_report",
+    """
+    WITH k AS (
+      SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS BIGINT) AS key_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem),
+    c AS (SELECT key_col, key_val, COUNT(*) AS n FROM k GROUP BY key_col, key_val),
+    t AS (SELECT key_col, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY key_col),
+    r AS (SELECT c.key_col, c.key_val, c.n,
+                 CAST(c.n AS DOUBLE) / t.total AS share,
+                 ROW_NUMBER() OVER (PARTITION BY c.key_col
+                                    ORDER BY c.n DESC, c.key_val) AS rk
+          FROM c JOIN t ON c.key_col = t.key_col)
+    SELECT key_col, key_val, n, share, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.select(
+        F.lit("l_orderkey").alias("key_col"),
+        F.col("l_orderkey").cast("long").alias("key_val"),
+    ).unionByName(
+        li.select(
+            F.lit("l_suppkey").alias("key_col"),
+            F.col("l_suppkey").cast("long").alias("key_val"),
+        )
+    )
+    c = k.groupBy("key_col", "key_val").agg(F.count("*").alias("n"))
+    t = c.groupBy("key_col").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("key_col").orderBy(F.desc("n"), F.col("key_val"))
+    return (
+        c.join(F.broadcast(t), "key_col")
+        .select(
+            "key_col",
+            "key_val",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler: null fraction, distinct count, min/max per selected
+# column — the data-quality scan a platform runs on every new table.
+# One pass per profile (all aggregates fuse into a single partial/final
+# pair; no per-column scans).
+# ---------------------------------------------------------------------------
+@register(
+    "data_profile",
+    """
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_totalprice) AS n_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        c = F.col(col)
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_val"),
+            F.max(c).cast("double").alias("max_val"),
+        )
+
+    out = prof("o_totalprice").unionByName(prof("o_custkey"))
+    return out.select("col", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
