@@ -43,15 +43,20 @@ def cosine_topk(
 
 def _hyperplane_sign(vec: Column, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane dot-product sign: the
-    plane's i-th component is ±1 from an integer mix of (plane, i) —
-    no RNG state, reproducible on any engine/executor."""
+    plane's i-th component is ±1 from xxhash64(plane, i) parity — no
+    RNG state, reproducible on any executor.
+
+    NOT a linear mix like ``(a*plane + b*i) % 2``: with odd a, b that
+    collapses to (plane+i) parity, making every plane the same
+    hyperplane or its mirror — an n-bit signature that is really 1 bit
+    (caught by the recall calibration: recall was flat in n_planes)."""
     return (
         F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, i: x.cast("double")
-                * (2 * (F.pmod(plane * 1315423911 + i * 2654435761, F.lit(2))) - 1),
+                * (2 * F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)).cast("int") - 1),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -60,11 +65,12 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
     ).cast("int")
 
 
-def lsh_signature(vec: Column, n_planes: int = 8) -> Column:
-    """n-bit random-hyperplane signature as an int bucket key."""
+def lsh_signature(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+    """n-bit random-hyperplane signature as an int bucket key; ``table``
+    offsets the plane seeds so each LSH table draws independent planes."""
     sig = None
     for p in range(n_planes):
-        bit = _hyperplane_sign(vec, p) * (2**p)
+        bit = _hyperplane_sign(vec, table * 1000 + p) * (2**p)
         sig = bit if sig is None else sig + bit
     return sig.cast("int")
 
@@ -76,21 +82,45 @@ def cosine_topk_lsh(
     query_id: str = "qid",
     corpus_id: str = "cid",
     vec: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors in the same
-    hyperplane bucket as the query (plus Hamming-adjacent buckets would
-    raise recall; single-bucket here), then exact cosine within the
-    candidate set. The bucket join replaces the full cross product —
-    at 10⁹ corpus rows the scored set shrinks by ~2^n_planes."""
+    """Approximate top-k: candidates = corpus vectors sharing a bucket
+    with the query in ANY of ``n_tables`` independent hyperplane tables
+    (multi-table OR — recall ≈ 1-(1-p^planes)^tables), then exact
+    cosine within the candidate set.
+
+    Scale: all tables come from ONE pass over each side (explode of the
+    per-table signature array — not a per-table rescan); the bucket
+    join replaces the full cross product, shrinking the scored set by
+    ~2^n_planes / n_tables. Tune (n_planes ↓ recall-per-table ↑ bucket
+    size ↑) × (n_tables ↑ recall ↑ cost ↑); see the calibration table
+    in README."""
+    def sigs(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature(v, n_planes, table=t).alias("s"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("__qv"), lsh_signature(F.col(vec), n_planes).alias("__sig")
-    )
+        F.col(query_id), F.col(vec).alias("__qv"), F.explode(sigs(F.col(vec))).alias("__b")
+    ).select(query_id, "__qv", F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"))
     c = corpus.select(
-        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_signature(F.col(vec), n_planes).alias("__sig")
+        F.col(corpus_id), F.col(vec).alias("__cv"), F.explode(sigs(F.col(vec))).alias("__b")
+    ).select(corpus_id, "__cv", F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"))
+    candidates = (
+        F.broadcast(q)
+        .join(c, ["__t", "__sig"])
+        .select(query_id, corpus_id, "__qv", "__cv")
+        .dropDuplicates([query_id, corpus_id])
     )
-    scored = F.broadcast(q).join(c, "__sig").select(
+    scored = candidates.select(
         query_id,
         corpus_id,
         F.round(cosine(F.col("__qv"), F.col("__cv")), digits).alias("cos_sim"),

@@ -99,3 +99,23 @@ def test_ivf_topk_recall(spark, sf_dir):
     # determinism
     approx2 = {(r["qid"], r["cid"]) for r in ivf_topk(q, c, k=3, n_centroids=8, n_probe=3).collect()}
     assert approx == approx2
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multi-table LSH recall floor at the calibrated defaults
+    (planes=4 × tables=8): ≥0.6 on the synthetic embeddings — the
+    worst case for LSH, since random vectors have no cluster structure.
+    Also guards the hyperplane-seed mix: a degenerate signature (all
+    planes collapsing to one, as a linear (plane+i)%2 mix does) sends
+    recall to ~1 bucket's worth and fails this floor at these params."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 25).select(F.col("vec_id").alias("qid"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 25).select(F.col("vec_id").alias("cid"), "embedding")
+    exact = {(r["qid"], r["cid"]) for r in cosine_topk(q, c, k=3).collect()}
+    approx = {(r["qid"], r["cid"]) for r in cosine_topk_lsh(q, c, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
