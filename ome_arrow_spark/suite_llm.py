@@ -942,3 +942,87 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still shows the bounded form is available
         F.least(lev, F.lit(40)).cast("int").alias("edit_dist_capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI: pointwise mutual information over per-doc
+# distinct-token pairs — the collocation/phrase-mining statistic.
+# Integer counts are exact on both engines; the final log is rounded to
+# 6 digits on both sides. Scale: pair explosion is bounded by per-doc
+# distinct vocabulary (cap with a min-df floor upstream for open-vocab
+# corpora); the two frequency tables shuffle once each and the small
+# unigram table broadcasts into the pair join.
+# ---------------------------------------------------------------------------
+@register(
+    "token_pmi",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS_SQL})) AS toks
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY tok),
+    pairs AS (
+      SELECT p.x, p.y, COUNT(*) AS cxy
+      FROM t, LATERAL (
+        SELECT a.tok_a AS x, b.tok_b AS y
+        FROM (SELECT unnest(toks) AS tok_a) a, (SELECT unnest(toks) AS tok_b) b
+        WHERE a.tok_a < b.tok_b) p
+      GROUP BY p.x, p.y
+      HAVING COUNT(*) >= 20)
+    SELECT pairs.x, pairs.y, CAST(pairs.cxy AS BIGINT) AS cxy,
+           ROUND(LN((CAST(pairs.cxy AS DOUBLE) * n.n_docs)
+                    / (ux.c * CAST(uy.c AS DOUBLE))), 6) AS pmi
+    FROM pairs, n
+    JOIN uni ux ON ux.tok = pairs.x
+    JOIN uni uy ON uy.tok = pairs.y
+    ORDER BY pmi DESC, pairs.x, pairs.y
+    LIMIT 50
+    """,
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(TX.tokens(F.col("text")))).alias("toks")
+    )
+    n_docs = t.count()
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pair_expr = F.explode(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("toks"), i + 2, F.size(F.col("toks"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    pairs = (
+        t.select(pair_expr.alias("ps"))
+        .select(F.explode("ps").alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 20)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") * F.lit(n_docs))
+            / (F.col("cx") * F.col("cy").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .select("x", "y", "cxy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(50)
+    )
