@@ -1026,3 +1026,36 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "x", "y")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-preserving generator (explode_outer): rows with empty token
+# arrays survive as NULL-token rows — the semantics that keep
+# left-join-shaped accounting (every doc appears ≥ once) through an
+# unnest. A planted empty doc exercises the branch the fixture lacks.
+# ---------------------------------------------------------------------------
+@register(
+    "generator_outer",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 5
+      UNION ALL SELECT 888888, ''),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM d),
+    x AS (SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN CAST([NULL] AS VARCHAR[])
+                      ELSE toks END AS toks2
+          FROM t)
+    SELECT doc_id, unnest(toks2) AS tok FROM x
+    """,
+)
+def generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).select(
+        "doc_id", "text"
+    )
+    planted = docs.sparkSession.createDataFrame(
+        [(888888, "")], "doc_id long, text string"
+    )
+    d = docs.unionByName(planted)
+    return d.select(
+        "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("tok")
+    )
