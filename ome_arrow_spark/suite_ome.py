@@ -686,3 +686,57 @@ def ome_focus_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "focus",
         "rk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Radial intensity profile: mean intensity by integer distance from the
+# plane center — the illumination-falloff / PSF diagnostic. IEEE sqrt
+# is correctly rounded, so FLOOR(SQRT(int)) agrees across engines.
+# Spark: positions explode once, then a groupBy on radius (tiny key
+# space ≤ diag/1) with exact integer sums.
+# ---------------------------------------------------------------------------
+@register(
+    "ome_radial_profile",
+    """
+    WITH yy AS (SELECT unnest(generate_series(0, 166)) AS y),
+         xx AS (SELECT unnest(generate_series(0, 438)) AS x),
+         px AS (
+           SELECT CAST(FLOOR(SQRT((yy.y - 83)*(yy.y - 83) + (xx.x - 219)*(xx.x - 219))) AS INT) AS r,
+                  (yy.y*439 + xx.x) % 65536 AS v
+           FROM yy, xx)
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM px GROUP BY r ORDER BY r
+    """,
+)
+def ome_radial_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.views import planes_df
+
+    imgs = synth.golden_images_df(
+        spark, ids=["single-channel"], include_conftest=False
+    )
+    pl = planes_df(imgs)
+    # explode pixel positions; radius from the integer center (y,x)
+    pos = pl.select(
+        "size_x",
+        "pixels",
+        F.explode(F.sequence(F.lit(0), F.size("pixels") - 1)).alias("i"),
+    ).select(
+        F.floor(
+            F.sqrt(
+                (F.expr("i div size_x") - 83) * (F.expr("i div size_x") - 83)
+                + (F.col("i") % F.col("size_x") - 219)
+                * (F.col("i") % F.col("size_x") - 219)
+            )
+        )
+        .cast("int")
+        .alias("r"),
+        F.element_at("pixels", F.col("i") + 1).alias("v"),
+    )
+    return (
+        pos.groupBy("r")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum(F.col("v").cast("long")).alias("sum_v"),
+        )
+        .orderBy("r")
+    )
