@@ -1059,3 +1059,55 @@ def generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact emails and phone-shaped numbers before a corpus
+# ships to training — count what was redacted per doc for the audit
+# trail. Lookahead-free patterns (Java regex and RE2 agree); planted
+# rows exercise every branch since the word-soup fixture has no PII.
+# Scale: pure per-row regexp_replace — zero shuffle, full codegen.
+# ---------------------------------------------------------------------------
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 5
+      UNION ALL SELECT 777001, 'contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now'
+      UNION ALL SELECT 777002, 'two mails a@b.io c.d@e-f.org and digits 12345678901')
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                                       '{_PHONE_PAT}')) AS INT) AS n_phones
+    FROM d
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).select(
+        "doc_id", "text"
+    )
+    planted = docs.sparkSession.createDataFrame(
+        [
+            (777001, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+            (777002, "two mails a@b.io c.d@e-f.org and digits 12345678901"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(planted)
+    no_email = F.regexp_replace("text", _EMAIL_PAT, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(no_email, _PHONE_PAT, "<PHONE>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PHONE_PAT), 0))
+        .cast("int")
+        .alias("n_phones"),
+    )
