@@ -1007,14 +1007,20 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(qtys) AS n_lines,
            list_sort(qtys)[1] AS min_qty,
            list_sort(qtys)[len(qtys)] AS max_qty,
-           list_transform(qtys, q -> q * 2.0) AS qtys_doubled,
+           array_to_string(list_transform(qtys,
+                 q -> CAST(CAST(q * 2.0 AS DECIMAL(12,2)) AS VARCHAR)), ',')
+             AS qtys_doubled_csv,
            len(list_filter(qtys, q -> q > 25)) AS n_big,
-           qtys[1:2] AS first_two,
+           array_to_string(list_transform(qtys[1:2],
+                 q -> CAST(CAST(q AS DECIMAL(12,2)) AS VARCHAR)), ',')
+             AS first_two_csv,
            list_contains(qtys, 1.0) AS has_one,
            ROUND(list_sum(list_transform(list_zip(qtys, prices),
                  t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 2)
              AS dot_qp,
-           list_reverse(qtys) AS qtys_rev,
+           array_to_string(list_transform(list_reverse(qtys),
+                 q -> CAST(CAST(q AS DECIMAL(12,2)) AS VARCHAR)), ',')
+             AS qtys_rev_csv,
            array_to_string(list_transform(qtys, q -> CAST(CAST(q AS INT) AS VARCHAR)), ',')
              AS qty_csv
     FROM per_order
@@ -1038,9 +1044,17 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(qtys).cast("long").alias("n_lines"),
         F.array_min(qtys).alias("min_qty"),
         F.array_max(qtys).alias("max_qty"),
-        F.transform(qtys, lambda q: q * 2.0).alias("qtys_doubled"),
+        F.array_join(
+            F.transform(qtys, lambda q: (q * 2.0).cast("decimal(12,2)").cast("string")),
+            ",",
+        ).alias("qtys_doubled_csv"),
         F.size(F.filter(qtys, lambda q: q > 25)).cast("long").alias("n_big"),
-        F.slice(qtys, 1, 2).alias("first_two"),
+        F.array_join(
+            F.transform(
+                F.slice(qtys, 1, 2), lambda q: q.cast("decimal(12,2)").cast("string")
+            ),
+            ",",
+        ).alias("first_two_csv"),
         F.array_contains(qtys, 1.0).alias("has_one"),
         F.round(
             F.aggregate(
@@ -1050,7 +1064,12 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("dot_qp"),
-        F.reverse(qtys).alias("qtys_rev"),
+        F.array_join(
+            F.transform(
+                F.reverse(qtys), lambda q: q.cast("decimal(12,2)").cast("string")
+            ),
+            ",",
+        ).alias("qtys_rev_csv"),
         F.array_join(
             F.transform(qtys, lambda q: q.cast("int").cast("string")), ","
         ).alias("qty_csv"),
@@ -1528,7 +1547,8 @@ def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
            bool_and(l_quantity > 0) AS all_positive_qty,
            bool_or(l_tax > 0.07) AS any_high_tax,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+             AS statuses_csv
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1540,7 +1560,9 @@ def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses_csv"
+        ),
     )
 
 
