@@ -60,7 +60,18 @@ def densify_to_files(
 ) -> list[str]:
     """Write one ``{image_id}.npy`` dense tensor per image, in
     parallel on the executors (one task per partition; images are
-    independent). Returns the written paths."""
+    independent). Returns the written paths.
+
+    .. warning::
+        ``out_dir`` is opened with plain ``os`` paths *on the executors*,
+        so on a multi-node cluster it must be a shared filesystem (NFS,
+        Lustre, a FUSE-mounted object store) visible at the same path on
+        every executor AND the driver — otherwise the .npy files land on
+        executor-local disks and the returned paths are not
+        driver-accessible. Works unconditionally in local mode. For
+        object stores, swap ``np.save`` for an fsspec/boto client write
+        inside ``_write``; the Spark-side plan is unchanged.
+    """
     os.makedirs(out_dir, exist_ok=True)
     dtype = np.dtype(dtype_name)
 

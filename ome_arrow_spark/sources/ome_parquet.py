@@ -279,12 +279,27 @@ def upsert_ome_parquet(
         merged = kept.unionByName(updates)
     else:
         merged = updates
-    staging = tempfile.mkdtemp(prefix="ome_upsert_") + "/data"
-    merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
-    # swap (non-atomic on plain filesystems; documented)
-    back = spark.read.parquet(staging)
-    back.write.mode("overwrite").option("compression", "zstd").parquet(path)
-    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    staging_root = tempfile.mkdtemp(prefix="ome_upsert_")
+    staging = staging_root + "/data"
+    try:
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        back = spark.read.parquet(staging)
+    except Exception:
+        # staging holds nothing valuable yet — clean it and re-raise
+        shutil.rmtree(staging_root, ignore_errors=True)
+        raise
+    # swap (non-atomic on plain filesystems — Delta/Iceberg MERGE INTO
+    # is the atomic alternative, documented above)
+    try:
+        back.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    except Exception as ex:
+        # the target may be partially overwritten; the staging copy is
+        # the only intact version — surface it instead of deleting it.
+        raise RuntimeError(
+            f"upsert swap into {path!r} failed mid-overwrite; intact "
+            f"merged data preserved at {staging!r}"
+        ) from ex
+    shutil.rmtree(staging_root, ignore_errors=True)
 
 
 def compact_ome_parquet(
@@ -302,10 +317,20 @@ def compact_ome_parquet(
     import shutil
     import tempfile
 
-    staging = tempfile.mkdtemp(prefix="ome_compact_") + "/data"
-    compacted.write.mode("overwrite").option("compression", "zstd").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(path)
-    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    staging_root = tempfile.mkdtemp(prefix="ome_compact_")
+    staging = staging_root + "/data"
+    try:
+        compacted.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        back = spark.read.parquet(staging)
+    except Exception:
+        shutil.rmtree(staging_root, ignore_errors=True)
+        raise
+    try:
+        back.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    except Exception as ex:
+        raise RuntimeError(
+            f"compaction swap into {path!r} failed mid-overwrite; intact "
+            f"compacted data preserved at {staging!r}"
+        ) from ex
+    shutil.rmtree(staging_root, ignore_errors=True)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -45,14 +45,21 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source requires a directory: scan sf_dir with a
-    # glob filter selecting only the events file(s).
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The conf is consumed when the source relation is defined; restoring
+    # it afterwards does not affect micro-batch execution (verified).
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        # The file stream source requires a directory: scan sf_dir with a
+        # glob filter selecting only the events file(s).
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -81,7 +88,14 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # Materialize and drop the memory-sink table immediately: the sink
+    # holds every run's result on the driver otherwise (one leaked table
+    # per call in long-lived sessions).
+    result = spark.table(name)
+    rows = result.collect()
+    schema = result.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

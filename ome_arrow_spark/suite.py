@@ -65,8 +65,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and floor-convert to microseconds — the same truncation Python
     datetimes (and hence the DuckDB oracle results) apply.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        # the conf is consumed at read/analysis time (schema conversion),
+        # so restoring it afterwards does not affect later execution.
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
     # integer division: epoch-nanos overflow double's 53-bit mantissa,
     # so `/ 1000` (double) would corrupt the low microseconds.
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
