@@ -21,6 +21,7 @@ from ome_arrow_spark import suite_ome  # noqa: F401  (registers OME queries)
 from ome_arrow_spark import suite_llm  # noqa: F401  (registers LLM-ops queries)
 from ome_arrow_spark import suite_streaming  # noqa: F401  (registers streaming queries)
 from ome_arrow_spark import suite_tpch  # noqa: F401  (registers TPC-H-shape queries)
+from ome_arrow_spark import suite_analytics  # noqa: F401  (registers analytics queries)
 from ome_arrow_spark.session import tune_session
 
 

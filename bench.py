@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ome_arrow_spark.session import get_spark
 from ome_arrow_spark import suite
-from ome_arrow_spark import suite_llm, suite_ome, suite_streaming  # noqa: F401  (register queries)
+from ome_arrow_spark import suite_analytics, suite_llm, suite_ome, suite_streaming  # noqa: F401  (register queries)
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 BENCH_QUERIES = [

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -19,16 +20,21 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Label propagation: every node ends with the MIN node id of its
-    component — deterministic, so a recursive-CTE oracle can re-derive
-    it. Returns (node, component).
+    """Every node ends with the MIN node id of its component —
+    deterministic, so a recursive-CTE oracle can re-derive it.
+    Returns (node, component).
 
-    Scale: each round is one groupBy(min) over the edge list — no
-    driver-side graph. Rounds needed = graph diameter (near-dup
-    clusters are tiny, 2-3 rounds); ``max_iter`` bounds pathological
-    chains. Convergence is checked with a cheap count of changed
-    labels (AQE-coalesced aggregate)."""
+    Hybrid execution: the duplicate-pair graph is orders of magnitude
+    smaller than the corpus (it holds only verified near-dup pairs), so
+    when the deduplicated edge count fits comfortably on the driver
+    (≤ ``small_graph_threshold``) we collect it and run union-find —
+    one job instead of ~2 per label-propagation round. Past the
+    threshold the distributed path takes over: each round is one
+    groupBy(min) over the edge list, no driver-side graph, rounds =
+    graph diameter (near-dup clusters are tiny, 2-3 rounds),
+    ``max_iter`` bounds pathological chains."""
     # localCheckpoint (not cache) each round: iterative self-derived
     # plans grow multiplicatively in lineage depth — without truncation
     # a 12-round chain OOMs the OPTIMIZER, not the data.
@@ -38,6 +44,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= small_graph_threshold:
+        return _components_driver_union_find(edges)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -72,6 +80,42 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _components_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Min-label union-find over a collected edge list (small-graph fast
+    path of :func:`connected_components`). Always attaching the larger
+    root under the smaller keeps every root = the component's min id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    node_type = edges.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("component", node_type),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def kmeans(

@@ -1,0 +1,451 @@
+"""Behavioral / temporal analytics queries (SURVEY.md §2C breadth):
+sessionization, cohort retention, SCD2 temporal tables, rolling
+anomaly detection, interval concurrency (sweep-line), co-occurrence
+graph triangles, LATERAL correlated subqueries, bitwise aggregates,
+exact multi-quantiles, and a Python UDTF.
+
+These are the query shapes a warehouse team layers on top of the
+relational core — each one distributed-by-construction (window
+functions partition by entity; sweep-lines aggregate per day before
+the cumulative pass; the triangle join is an equi-join cascade
+Catalyst can reorder, not a driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ome_arrow_spark.suite import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch): a session extends while consecutive events of
+# a user are ≤ 30 min apart. lag-over-(ts,event_id) marks session
+# starts; a running sum assigns session ids — the standard two-window
+# formulation, one shuffle on user_id reused by both windows and the
+# final aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    g AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_id, ts,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
+          FROM g)
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.lag(us).over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week; for each
+# (cohort_week, week_offset) the distinct users active then. Two
+# aggregations over the same user_id partitioning + one broadcast-size
+# join (cohorts table is |users| rows but 2 columns).
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohort AS (SELECT user_id,
+                      CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+               FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+            FROM e)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                          CAST(a.act_week AS DATE)) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("act_week"), F.to_date("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal table build: per customer, each order's status becomes a
+# validity interval [valid_from, valid_to) closed by the next change;
+# the open interval is the current row. One lead window per customer.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_orders",
+    """
+    WITH o AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+                      CAST(o_orderdate AS DATE) AS od
+               FROM orders WHERE o_custkey % 100 = 0)
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           od AS valid_from,
+           lead(od) OVER w AS valid_to,
+           lead(od) OVER w IS NULL AS is_current
+    FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    """,
+)
+def scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("od"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("od").alias("valid_from"),
+        F.lead("od").over(w).alias("valid_to"),
+        F.lead("od").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection: z-score of each event value against the
+# trailing 20 events of the same user (exclusive). Moments from exact
+# decimal sums → identical doubles on any engine/partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "window_anomaly",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    m AS (SELECT user_id, event_id, ts, value,
+            COUNT(value) OVER w AS n,
+            CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s,
+            CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts,
+           ROUND(value, 6) AS value,
+           CAST(n AS BIGINT) AS n,
+           ROUND((value - s / n) / SQRT((ss - s * s / n) / (n - 1)), 6) AS z
+    FROM m
+    WHERE n >= 5
+      AND ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 2.5
+    """,
+)
+def window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    m = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(v.cast("decimal(30,6)")).over(w).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = (v - s / n) / F.sqrt((ss - s * s / n) / (n - 1))
+    return m.filter((n >= 5) & (F.abs(z) > 2.5)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(v, 6).alias("value"),
+        n.cast("bigint").alias("n"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency by sweep-line: orders are "active" for 30 days;
+# +1/-1 deltas aggregated per day FIRST (so the cumulative window sees
+# |days| rows, not |orders|), then a running sum gives the active count
+# and a monthly max compacts the output. The per-day pre-aggregation is
+# what keeps the unavoidable single-partition cumulative pass trivial
+# at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_concurrency",
+    """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d0
+               FROM orders WHERE o_custkey % 10 = 0),
+    deltas AS (
+      SELECT d0 AS d, 1 AS delta FROM o
+      UNION ALL
+      SELECT d0 + INTERVAL 30 DAY, -1 FROM o),
+    daily AS (SELECT CAST(d AS DATE) AS d, CAST(SUM(delta) AS BIGINT) AS net
+              FROM deltas GROUP BY 1),
+    run AS (SELECT d, CAST(SUM(net) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+            FROM daily)
+    SELECT CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+           MAX(active) AS max_active
+    FROM run GROUP BY 1
+    """,
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(F.to_date("o_orderdate").alias("d0"))
+    )
+    deltas = o.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
+        o.select(F.date_add("d0", 30).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    run = daily.withColumn(
+        "active",
+        F.sum("net").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return run.groupBy(F.date_trunc("month", F.col("d")).alias("month")).agg(
+        F.max("active").alias("max_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence graph triangles: parts are nodes, an edge joins two
+# parts co-occurring in an order, triangles counted by the canonical
+# a<b<c three-way self-join. Pure equi-join cascade — Catalyst picks
+# the join order; the edge list is the only shuffled relation.
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM lineitem WHERE l_partkey % 5 = 0),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    return ne.crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: top-2 customers by balance per nation,
+# written as SQL LATERAL on the Spark side too (the engine's lateral
+# join support is itself the operator under test; Catalyst rewrites it
+# to a ranked window).
+# ---------------------------------------------------------------------------
+@register(
+    "join_lateral",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM __lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM __lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates — bit_and/bit_or/bit_xor fold over group members.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_bitwise",
+    """
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS and_key,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS or_key,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("and_key"),
+            F.bit_or("o_orderkey").alias("or_key"),
+            F.bit_xor("o_orderkey").alias("xor_key"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact multi-quantile: percentile() materializes the sorted group —
+# interactive-scale tool; percentile_approx is the 100 TB switch (same
+# call shape, mergeable sketch). Interpolation arithmetic is identical
+# across engines (verified bit-equal vs quantile_cont).
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_multi",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = F.col("l_extendedprice")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(e, F.lit(0.25)).alias("p25"),
+            F.percentile(e, F.lit(0.50)).alias("p50"),
+            F.percentile(e, F.lit(0.75)).alias("p75"),
+            F.percentile(e, F.lit(0.95)).alias("p95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (user-defined TABLE function, Spark 4): sentence
+# expansion with positions, correlated through LATERAL. The UDTF is
+# the extension point for row-exploding Python logic (parsers,
+# chunkers) that SQL generators can't express — here it intentionally
+# mirrors a SQL-expressible split so DuckDB can oracle-check the
+# machinery end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_sentences",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, '. ') AS parts
+               FROM documents WHERE doc_id % 23 = 0),
+    u AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM t)
+    SELECT doc_id, CAST(i + 1 AS INT) AS sent_idx, parts[i + 1] AS sentence,
+           CAST(length(parts[i + 1]) AS INT) AS n_chars
+    FROM u
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class Sentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield (i + 1, s, len(s))
+
+    spark.udtf.register("__sentences", Sentences)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 23 == 0
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM __udtf_docs d, LATERAL __sentences(d.text) s
+        """
+    )

@@ -10,22 +10,32 @@ from pyspark.sql import functions as F
 from ome_arrow_spark.operators.clustering import connected_components, kmeans
 
 
-def test_connected_components_chains_and_isolates(spark):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])  # driver / distributed path
+def test_connected_components_chains_and_isolates(spark, threshold):
     # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
-    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, small_graph_threshold=threshold
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_connected_components_long_chain(spark, threshold):
     # 12-node chain exercises multi-round propagation (diameter > 2)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
     )
-    got = connected_components(pairs)
+    got = connected_components(pairs, small_graph_threshold=threshold)
     assert got.select(F.countDistinct("component")).first()[0] == 1
     assert got.agg(F.min("component")).first()[0] == 100
     assert got.count() == 13
