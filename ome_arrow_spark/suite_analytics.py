@@ -307,6 +307,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # the edge list feeds FOUR plan branches (three triangle roles +
+        # the edge count); materialize once instead of rescanning
+        # lineitem per branch (AQE exchange reuse only catches some).
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -448,4 +452,79 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
         FROM __udtf_docs d, LATERAL __sentences(d.text) s
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-stratum keep-rates applied via a
+# deterministic multiplicative hash of the key — reproducible across
+# engines and runs (TABLESAMPLE/rand() are not), shuffle-free (the
+# filter composes with the scan), and exactly the mechanism of
+# `dataset_split` generalized to non-uniform rates per stratum.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    """
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             ((o_orderkey * 2654435761) % 4294967296) % 100 AS bucket
+      FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM b
+    WHERE bucket < CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 50
+                     WHEN '2-HIGH' THEN 20
+                     ELSE 5 END
+    GROUP BY o_orderpriority
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 20)
+        .otherwise(5)
+    )
+    return (
+        o.filter(bucket < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram binning — the group key is an arithmetic
+# expression, so the aggregation stays a single hash-agg pass with
+# partial (map-side) combine; no sort, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_totalprice",
+    """
+    SELECT CAST(TRUNC(o_totalprice / 20000) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 20000).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )
