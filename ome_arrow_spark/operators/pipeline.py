@@ -40,12 +40,14 @@ def near_dedup(
     # one materialization carrying the distinct shingle sets: tokenize +
     # shingle ONCE for the whole pipeline (signatures, LSH, and Jaccard
     # verification all derive from the same materialized arrays; MinHash
-    # is multiplicity-insensitive so the distinct set is equivalent)
-    docs = docs.withColumn(
-        "__shs", F.array_distinct(shingles(F.col(text_col), shingle_k))
+    # is multiplicity-insensitive so the distinct set is equivalent).
+    # Only (id, shingles) is checkpointed — the corpus text itself is
+    # never materialized twice; the final join re-reads it from source.
+    shs_tbl = docs.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__shs")
     ).localCheckpoint(eager=True)
     sig = minhash_signatures(
-        docs, text_col, id_col, num_hashes, shingle_k, shingles_col="__shs"
+        shs_tbl, text_col, id_col, num_hashes, shingle_k, shingles_col="__shs"
     )
     candidates = lsh_candidates(sig, id_col)
     # verify ONLY the candidate pairs with exact Jaccard: join each
@@ -55,7 +57,7 @@ def near_dedup(
     # the corpus — at 100 TB the candidate-driven form touches
     # |candidates| rows instead of Σ|bucket|² and shuffles on doc id,
     # which the corpus is already partitioned by.
-    shs = docs.select(
+    shs = shs_tbl.select(
         F.col(id_col), F.col("__shs").alias("shs")
     ).withColumn("n_sh", F.size("shs"))
     verified = (
@@ -83,7 +85,7 @@ def near_dedup(
         .select("id_a", "id_b", "inter", "jaccard")
     )
     comps = connected_components(verified)
-    out = docs.drop("__shs").join(
+    out = docs.join(
         comps.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
     return out.withColumn("is_representative", F.col(id_col) == F.col("component"))
