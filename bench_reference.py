@@ -130,6 +130,34 @@ def main() -> None:
         plane_stats(sliced).groupBy("image_id").sum("px_sum").collect()
         spark_explode_s = time.perf_counter() - t0
 
+        # --- catalog query head-to-head: per-image shape/type summary.
+        # The reference must eager-read every record (pixels included —
+        # pq.read_table + as_py is its only parquet path) before
+        # utils.describe_ome_arrow can report shapes; the engine's
+        # describe is a nested-field projection that never touches
+        # `planes` (nestedSchemaPruning) — the reason to store images
+        # in a queryable table at all. Summaries asserted identical.
+        _, ref_utils = load_reference()
+        t0 = time.perf_counter()
+        tbl2 = pq.read_table(table_path)
+        ref_desc = {}
+        for i in range(tbl2.num_rows):
+            rec = tbl2.column("ome_arrow")[i].as_py()
+            ref_desc[rec["id"]] = ref_utils.describe_ome_arrow(rec)["summary"]
+        ref_describe_s = time.perf_counter() - t0
+
+        from ome_arrow_spark.operators.describe import describe
+
+        t0 = time.perf_counter()
+        got_desc = {
+            r["image_id"]: r["summary"]
+            for r in describe(spark.read.parquet(table_path))
+            .select("image_id", "summary")
+            .collect()
+        }
+        engine_describe_s = time.perf_counter() - t0
+        assert got_desc == ref_desc, "describe summaries diverge from reference"
+
         print(
             json.dumps(
                 {
@@ -139,6 +167,9 @@ def main() -> None:
                     "engine_pipeline_s": round(spark_s, 3),
                     "engine_explode_plan_s": round(spark_explode_s, 3),
                     "speedup": round(ref_s / spark_s, 2),
+                    "reference_describe_s": round(ref_describe_s, 3),
+                    "engine_describe_s": round(engine_describe_s, 3),
+                    "describe_speedup": round(ref_describe_s / engine_describe_s, 2),
                     "results_match": True,
                 }
             )
