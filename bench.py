@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "sort_topk",
     "json_events",
     "asof_events_orders",
+    "sessionize_events",
+    "triangle_count",
     # LLM / training-data ops
     "text_stats",
     "dedup_exact",
