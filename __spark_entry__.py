@@ -22,6 +22,7 @@ from ome_arrow_spark import suite_llm  # noqa: F401  (registers LLM-ops queries)
 from ome_arrow_spark import suite_streaming  # noqa: F401  (registers streaming queries)
 from ome_arrow_spark import suite_tpch  # noqa: F401  (registers TPC-H-shape queries)
 from ome_arrow_spark import suite_analytics  # noqa: F401  (registers analytics queries)
+from ome_arrow_spark import suite_formats  # noqa: F401  (registers format/merge queries)
 from ome_arrow_spark.session import tune_session
 
 

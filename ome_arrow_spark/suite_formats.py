@@ -1,0 +1,281 @@
+"""Format breadth + incremental-load patterns (SURVEY.md §2C scan/sink
+rows): CSV and JSON-lines source/sink round-trips, CDC MERGE semantics
+over plain parquet-style batches, and the cogrouped-applyInPandas API
+surface (pandas merge_asof per key-group).
+
+Round-trip queries prove the sources preserve values exactly: the
+aggregate over the round-tripped copy must hash-match an oracle
+computed from the ORIGINAL parquet. Sinks land under /tmp keyed by the
+sf_dir basename (overwritten per call — the queries are rerunnable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ome_arrow_spark.suite import _events, _t, register
+
+
+def _rt_dir(sf_dir: str, tag: str) -> str:
+    return f"/tmp/ome_arrow_rt_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+# ---------------------------------------------------------------------------
+# CSV source/sink round-trip: write a projected orders table to CSV
+# (header, explicit date formatting), read it back with an explicit
+# schema, aggregate. Hash-matching the original-parquet oracle proves
+# the text round-trip is lossless for every carried type.
+# ---------------------------------------------------------------------------
+@register(
+    "csv_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           MIN(CAST(o_orderdate AS DATE)) AS first_date,
+           MAX(CAST(o_orderdate AS DATE)) AS last_date
+    FROM orders WHERE o_custkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _rt_dir(sf_dir, "csv")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.DateType()),
+        ]
+    )
+    back = spark.read.option("header", "true").schema(schema).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines source/sink round-trip with a NESTED payload: each row is
+# re-shaped into a struct + array before writing, read back with
+# schema inference, then unpacked — exercising the nested-value path of
+# the JSON reader, not just flat scalars.
+# ---------------------------------------------------------------------------
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(length(c_name)) AS BIGINT) AS sum_name_len
+    FROM customer WHERE c_custkey % 10 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _rt_dir(sf_dir, "jsonl")
+    (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+            ).alias("profile"),
+            F.array("c_acctbal").alias("balances"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.json(path)
+    return (
+        back.select(
+            F.col("profile.segment").alias("c_mktsegment"),
+            F.element_at("balances", 1).alias("bal"),
+            F.length("profile.name").alias("name_len"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("bal").cast("decimal(30,6)")).cast("double").alias("sum_bal"),
+            F.sum("name_len").cast("bigint").alias("sum_name_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE semantics over batch relations: an update batch (status
+# flip + price bump on matched keys) plus an insert batch merged into
+# the base by the shuffle-MERGE pattern — union with a source-priority
+# column, one row_number window per key. This is exactly what
+# Delta/Iceberg MERGE INTO compiles to when no file-pruning applies;
+# on plain tables it is the scalable formulation (one shuffle on the
+# merge key, no driver involvement).
+# ---------------------------------------------------------------------------
+@register(
+    "merge_incremental",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+             o_totalprice AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0),
+    merged AS (
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hit = F.col("o_orderkey") % 101 == 0
+    upd = base.filter(hit).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    ins = base.filter(hit).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    staged = (
+        base.withColumn("__src", F.lit(0))
+        .unionByName(upd.withColumn("__src", F.lit(1)))
+        .unionByName(ins.withColumn("__src", F.lit(1)))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("__src").desc())
+    merged = (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: per-user as-of merge executed by pandas
+# merge_asof inside each cogroup — the API surface for custom two-sided
+# per-key logic that exceeds SQL (here deliberately SQL-mirrorable so
+# the oracle can check the machinery). Same semantics as
+# asof_events_orders: latest order at-or-before the event, ties on
+# orderdate broken by max orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "cogrouped_asof",
+    """
+    SELECT event_id, ts, user_id, o_orderkey AS asof_orderkey,
+           o_totalprice AS asof_totalprice
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+              FROM events WHERE user_id % 5 = 0) e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 5 == 0)
+        .select("event_id", "ts", "user_id")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    out_schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "asof_orderkey long, asof_totalprice double"
+    )
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        if ev.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id",
+                    "ts",
+                    "user_id",
+                    "asof_orderkey",
+                    "asof_totalprice",
+                ]
+            )
+        ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # epoch-µs keys on BOTH sides (the two columns may arrive at
+        # different datetime64 resolutions)
+        ev["__k"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        if od.empty:
+            res = ev.copy()
+            res["o_orderkey"] = pd.Series(dtype="float64")
+            res["o_totalprice"] = pd.Series(dtype="float64")
+        else:
+            # sort orders ascending; merge_asof takes the LAST row at
+            # equal keys, which realizes the (orderdate, orderkey) max
+            # tiebreak
+            od = od.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
+                drop=True
+            )
+            od["__k"] = od["o_orderdate"].astype("datetime64[us]").astype("int64")
+            res = pd.merge_asof(
+                ev, od[["__k", "o_orderkey", "o_totalprice"]], on="__k",
+                direction="backward",
+            )
+        return pd.DataFrame(
+            {
+                "event_id": res["event_id"],
+                "ts": res["ts"],
+                "user_id": res["user_id"],
+                "asof_orderkey": res["o_orderkey"].astype("Int64"),
+                "asof_totalprice": res["o_totalprice"],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(merge, schema=out_schema)
+    )
