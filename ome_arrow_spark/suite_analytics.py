@@ -13,6 +13,8 @@ Catalyst can reorder, not a driver loop).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -527,4 +529,143 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both fact tables written bucketed+sorted on
+# the join key, so the join needs NO exchange on either side — the
+# physical pattern for repeated joins at 100 TB (pay the bucketing
+# shuffle once at ingest, never again). The query re-buckets its inputs
+# each run (self-contained), then joins; test_plans asserts the
+# exchange-free property for this layout.
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join",
+    """
+    SELECT COUNT(*) AS n_lines,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey % 50 = 0
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"bk_orders_{tag}", f"bk_lineitem_{tag}"
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(ot)
+    )
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(lt)
+    )
+    o, li = spark.table(ot), spark.table(lt)
+    return o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other — still hash-partitionable (NULL is one bucket), unlike
+# general theta predicates.
+# ---------------------------------------------------------------------------
+@register(
+    "join_null_safe",
+    """
+    WITH c AS (SELECT NULLIF(c_nationkey % 5, 4) AS k FROM customer),
+    s AS (SELECT NULLIF(s_nationkey % 5, 4) AS k FROM supplier)
+    SELECT c.k, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("ks")
+    )
+    return (
+        c.join(s, c.k.eqNullSafe(s.ks))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit null ordering: NULLS FIRST/LAST contracts on a top-k —
+# ordering is total (null bucket → price desc → key) so the LIMIT is
+# deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "sort_nulls_order",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st, o_totalprice
+    FROM orders
+    ORDER BY st NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("O")).alias("st"),
+        "o_totalprice",
+    )
+    return o.orderBy(
+        F.col("st").asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill (last observation carried forward): IGNORE NULLS over
+# an unbounded-preceding frame — the sparse-to-dense fill for sensor /
+# status streams, one window, no self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "window_locf",
+    """
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price,
+           last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                      IGNORE NULLS)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS locf_price
+    FROM orders WHERE o_custkey % 200 = 0
+    """,
+)
+def window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 200 == 0)
+    fp = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fp.alias("f_price"),
+        F.last(fp, ignorenulls=True).over(w).alias("locf_price"),
     )

@@ -740,3 +740,52 @@ def ome_radial_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean-threshold segmentation stats: per z-plane of channel c=1, the
+# plane-mean threshold and the foreground fraction above it — the
+# simplest auto-threshold (cf. Otsu) as a two-window relational pass:
+# explode once, window-avg per plane, conditional count. The oracle
+# re-derives every pixel from the synthesis formula via
+# generate_series (an independent implementation of the semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "ome_threshold_stats",
+    """
+    WITH vx AS (
+      SELECT z.z AS z, ((17 + z.z*7 + i.i) % 65536) AS v
+      FROM (SELECT unnest(generate_series(0, 4)) AS z) z,
+           (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i),
+    m AS (SELECT z, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+          FROM vx GROUP BY z)
+    SELECT CAST(vx.z AS INT) AS z,
+           ROUND(m.mean_v, 6) AS mean_v,
+           COUNT(*) FILTER (WHERE vx.v > m.mean_v) AS n_above,
+           ROUND(COUNT(*) FILTER (WHERE vx.v > m.mean_v) * 1.0 / COUNT(*), 6)
+             AS frac_above
+    FROM vx JOIN m USING (z)
+    GROUP BY vx.z, m.mean_v
+    """,
+)
+def ome_threshold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.views import planes_df
+    from pyspark.sql.window import Window
+
+    imgs = synth.golden_images_df(spark, ids=["multi-channel-z"], include_conftest=False)
+    pl = (
+        planes_df(imgs)
+        .filter(F.col("c") == 1)
+        .select("z", F.explode("pixels").alias("v"))
+    )
+    w = Window.partitionBy("z")
+    m = pl.withColumn(
+        "mean_v",
+        F.sum("v").over(w).cast("double") / F.count("v").over(w),
+    )
+    above = F.count_if(F.col("v") > F.col("mean_v"))
+    return m.groupBy(F.col("z").cast("int").alias("z")).agg(
+        F.round(F.first("mean_v"), 6).alias("mean_v"),
+        above.alias("n_above"),
+        F.round(above * F.lit(1.0) / F.count("*"), 6).alias("frac_above"),
+    )
