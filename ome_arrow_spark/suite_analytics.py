@@ -552,8 +552,18 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ot, lt = f"bk_orders_{tag}", f"bk_lineitem_{tag}"
+    # a fresh session's in-memory catalog does not know tables written
+    # by a previous process, but their warehouse directories persist —
+    # drop both the catalog entry AND the location before rewriting.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    for t in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 50 == 0)
