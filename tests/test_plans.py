@@ -142,3 +142,49 @@ def test_doc_fingerprint_no_shuffle(spark, sf_dir):
     df = entry_mod.queries()["doc_fingerprint"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "per-doc fingerprinting must not shuffle"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both sessionization windows and the final aggregate share one
+    user_id partitioning — exactly one exchange end-to-end."""
+    from ome_arrow_spark import suite_analytics
+
+    df = suite_analytics.sessionize_events(spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
+    assert shuffles == 1, f"expected 1 shuffle, plan has {shuffles}"
+
+
+def test_bucketed_join_query_colocated(spark, sf_small):
+    """With broadcast disabled, the bucketed-table join must be a
+    SortMergeJoin with NO exchange on either side (bucket-co-located)."""
+    from ome_arrow_spark import suite_analytics
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = suite_analytics.bucketed_join(spark, sf_small)
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in ep
+    join_part = ep.split("SortMergeJoin")[1]
+    # the countDistinct aggregate above the join may shuffle; the join
+    # inputs themselves (below the SMJ node) must not
+    assert "Exchange hashpartitioning" not in join_part, (
+        "bucketed join inputs must not re-shuffle"
+    )
+
+
+def test_merge_incremental_single_shuffle_merge(spark, sf_dir):
+    """The MERGE row_number dedup must be one hash partitioning on the
+    merge key (plus the final small aggregate)."""
+    from ome_arrow_spark import suite_formats
+
+    df = suite_formats.merge_incremental(spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
+    assert shuffles <= 2, f"merge should shuffle on key + final agg only, got {shuffles}"
