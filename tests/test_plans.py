@@ -144,6 +144,15 @@ def test_doc_fingerprint_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, "per-doc fingerprinting must not shuffle"
 
 
+def _final_plan(df) -> str:
+    """The executed plan's FINAL section only. Under AQE,
+    ``executedPlan().toString()`` appends an ``== Initial Plan ==``
+    section that repeats every node — counting exchanges on the whole
+    string double-counts each one."""
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    return ep.split("== Initial Plan ==")[0]
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     """Both sessionization windows and the final aggregate share one
     user_id partitioning — exactly one exchange end-to-end."""
@@ -151,7 +160,7 @@ def test_sessionize_single_shuffle(spark, sf_dir):
 
     df = suite_analytics.sessionize_events(spark, sf_dir)
     df.collect()
-    ep = df._jdf.queryExecution().executedPlan().toString()
+    ep = _final_plan(df)
     shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
     assert shuffles == 1, f"expected 1 shuffle, plan has {shuffles}"
 
@@ -166,7 +175,7 @@ def test_bucketed_join_query_colocated(spark, sf_small):
     try:
         df = suite_analytics.bucketed_join(spark, sf_small)
         df.collect()
-        ep = df._jdf.queryExecution().executedPlan().toString()
+        ep = _final_plan(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in ep
@@ -185,6 +194,6 @@ def test_merge_incremental_single_shuffle_merge(spark, sf_dir):
 
     df = suite_formats.merge_incremental(spark, sf_dir)
     df.collect()
-    ep = df._jdf.queryExecution().executedPlan().toString()
+    ep = _final_plan(df)
     shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
     assert shuffles <= 2, f"merge should shuffle on key + final agg only, got {shuffles}"
