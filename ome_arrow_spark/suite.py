@@ -45,12 +45,56 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's correctness gate hashes the FIRST 50 registered queries
+# against their DuckDB oracles. Registration order is import order, which
+# would fill the whole window with suite.py's relational queries; this
+# list pins a representative cross-section — core relational + OME format
+# + LLM dedup/ANN + streaming + incremental formats — to the head of the
+# ordering so the flagship differentiators get driver-verified rows.
+# Names not yet registered are skipped, so partial imports stay safe.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # core relational (scan/filter/join/agg/window/sort/set/scalar)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "filter_predicates", "join_semi", "join_anti", "join_left_order_counts",
+    "join_full_outer", "join_range", "asof_events_orders",
+    "asof_events_orders_forward", "agg_distinct", "agg_rollup", "agg_stats",
+    "agg_corr", "agg_minmax_by", "window_rank", "window_analytic",
+    "sort_topk", "set_ops", "scalar_string", "scalar_date", "scalar_math",
+    "json_events", "pivot_status_priority", "unpivot_nation_balance",
+    # correlated subqueries + multi-join TPC-H shapes
+    "q4_order_priority", "q9_product_profit", "q17_small_quantity",
+    "q22_global_sales_opportunity",
+    # analytics
+    "funnel_events", "events_gapfill", "dedup_components",
+    "grouped_map_topk", "sessionize_events",
+    # OME format operators
+    "ome_describe", "ome_slice_crop", "ome_stack_ingest", "ome_multiscale",
+    "ome_verify",
+    # LLM data-pipeline operators
+    "dedup_exact", "neardup_lsh", "knn_cosine", "text_stats",
+    "doc_fingerprint", "near_dedup_full",
+    # streaming + incremental formats
+    "stream_tumbling", "csv_roundtrip", "merge_incremental",
+    "cogrouped_asof",
+)
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _DRIVER_WINDOW if n in _REGISTRY]
+    seen = set(head)
+    return head + [n for n in _REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
