@@ -118,6 +118,91 @@ def _components_driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(rows, schema)
 
 
+def cluster_means(
+    assigned: DataFrame, cluster_col: str = "cluster", vec_col: str = "__v"
+) -> DataFrame:
+    """Per-cluster element-wise mean of a vector column, vector-natively:
+    posexplode → groupBy(cluster, pos) → re-assemble. Returns
+    ``(cluster, ctr array<double>)``.
+
+    Scale: the plan has O(1) aggregate expressions regardless of vector
+    dimensionality (a 1024-dim embedding is NOT 1024 agg columns); the
+    single shuffle carries (cluster × dim) keys with map-side partial
+    aggregation, so skew is bounded by dim fan-out, not cluster sizes.
+    Sums accumulate in DECIMAL(38,12) — exact and associative, so the
+    means are independent of partitioning/summation order and an SQL
+    oracle re-derives them bit-identically."""
+    per_dim = (
+        assigned.select(cluster_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(cluster_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    return (
+        per_dim.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(cluster_col, F.col("pm").getField("m").alias("ctr"))
+    )
+
+
+def pack_centroids(cent_df: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+    """Collapse a (cluster, ctr) DataFrame to ONE row holding
+    ``__cents: array<struct<cluster,ctr>>`` sorted by cluster id — the
+    broadcast-able carrier for shuffle-free nearest-centroid assignment.
+    Centroids travel as *data* (Arrow broadcast), never as plan
+    literals: plan size stays O(1) in both k and dim."""
+    return cent_df.agg(
+        F.array_sort(F.collect_list(F.struct(F.col(cluster_col), F.col("ctr")))).alias(
+            "__cents"
+        )
+    )
+
+
+def _sq_l2(vec_col: str, ctr) -> object:
+    """Squared L2 between a float-vector column and a double centroid
+    array — a sequential left-to-right fold, the same order DuckDB's
+    ``list_sum`` uses, so distances are IEEE-identical cross-engine."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            ctr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_nearest(
+    v: DataFrame, packed: DataFrame, id_col: str, vec_col: str = "__v"
+) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffle: broadcast the
+    1-row packed-centroid frame, score all k centroids inside one
+    higher-order-function fold per row, keep the argmin (ties → lowest
+    cluster id, because the array is cluster-sorted and the fold uses
+    strict <). Returns (id, vec, cluster)."""
+    scored = F.transform(
+        F.col("__cents"),
+        lambda cs: F.struct(
+            cs["cluster"].alias("c"), _sq_l2(vec_col, cs["ctr"]).alias("d2")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).alias("c"), F.lit(float("inf")).alias("d2")
+        ),
+        lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc),
+    )
+    return v.crossJoin(F.broadcast(packed)).select(
+        id_col, vec_col, best["c"].alias("cluster")
+    )
+
+
 def kmeans(
     vectors: DataFrame,
     k: int = 4,
@@ -126,68 +211,35 @@ def kmeans(
     iterations: int = 5,
 ) -> DataFrame:
     """Deterministic mini k-means: centroids init from the k smallest
-    ids, fixed iteration count, squared-L2 assignment with id
+    ids, fixed iteration count, squared-L2 assignment with lowest-id
     tiebreak. Returns (vec_id, cluster).
 
-    Scale: centroids (k×dim doubles) broadcast each round; assignment
-    is a scan; the update is a groupBy over k groups with array-wise
-    decimal-free double sums (cluster means are internal state, not
-    published values)."""
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
-    cent = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            vectors.orderBy(id_col).limit(k).collect()
-        )
-    ]
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
-    assigned = None
-    for _ in range(iterations):
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(ci).alias("c"),
-                    F.array(*[F.lit(x) for x in vec]).alias("ctr"),
-                )
-                for ci, vec in cent
-            ]
-        )
-        dist = lambda ctr: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("__v"), ctr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = v.select(
-            id_col,
-            "__v",
-            F.explode(cent_arr).alias("cs"),
-        ).select(
-            id_col,
-            "__v",
-            F.col("cs.c").alias("c"),
-            dist(F.col("cs.ctr")).alias("d2"),
-        )
-        from pyspark.sql.window import Window
+    Fully in-plan and vector-native: assignment is a shuffle-free
+    broadcast + HOF argmin (:func:`assign_nearest`), the update is one
+    posexplode shuffle with exact decimal accumulation
+    (:func:`cluster_means`) — so each iteration costs exactly one
+    shuffle and the whole run is re-derivable as unrolled SQL (the
+    driver oracle does exactly that). Centroids are never plan
+    literals; only the k-row packed frame is localCheckpoint-ed per
+    round to truncate the iterative lineage."""
+    from pyspark.sql.window import Window
 
-        w = Window.partitionBy(id_col).orderBy(F.col("d2"), F.col("c"))
-        assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(id_col, "__v", F.col("c").alias("cluster"))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    w_init = Window.orderBy(id_col)
+    cent0 = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cluster"),
+            F.transform(F.col("__v"), lambda x: x.cast("double")).alias("ctr"),
         )
-        sums = assigned.groupBy("cluster").agg(
-            *[
-                F.sum(F.element_at("__v", i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-            F.count("*").alias("n"),
-        )
-        rows = sums.collect()
-        new_cent = []
-        for r in sorted(rows, key=lambda r: r["cluster"]):
-            new_cent.append(
-                (r["cluster"], [r[f"s{i}"] / r["n"] for i in range(dim)])
+    )
+    packed = pack_centroids(cent0).localCheckpoint(eager=True)
+    assigned = None
+    for it in range(iterations):
+        assigned = assign_nearest(v, packed, id_col)
+        if it < iterations - 1:
+            packed = pack_centroids(cluster_means(assigned)).localCheckpoint(
+                eager=True
             )
-        cent = new_cent
     return assigned.select(id_col, "cluster")

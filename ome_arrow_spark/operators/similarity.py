@@ -152,7 +152,12 @@ def ivf_topk(
     brute force."""
     from pyspark.sql.window import Window
 
-    from ome_arrow_spark.operators.clustering import kmeans
+    from ome_arrow_spark.operators.clustering import (
+        _sq_l2,
+        cluster_means,
+        kmeans,
+        pack_centroids,
+    )
 
     # coarse quantizer trained on the corpus (deterministic init/iters)
     assign = kmeans(
@@ -164,38 +169,25 @@ def ivf_topk(
         assign, corpus_id
     )
 
-    # centroids recomputed as cluster means (same arithmetic as kmeans)
-    dim = corpus.select(F.size(vec).alias("d")).first()["d"]
-    cent_rows = (
-        c_listed.groupBy("cluster")
-        .agg(
-            *[
-                (F.sum(F.element_at("__cv", i + 1).cast("double")) / F.count("*")).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        )
-        .collect()
-    )
-    centroids = [
-        (r["cluster"], [r[f"m{i}"] for i in range(dim)]) for r in cent_rows
-    ]
-    cent_arr = F.array(
-        *[
-            F.struct(F.lit(ci).alias("cl"), F.array(*[F.lit(x) for x in v]).alias("ctr"))
-            for ci, v in centroids
-        ]
-    )
+    # centroids recomputed as cluster means — vector-native (O(1) agg
+    # expressions regardless of dim), packed into one broadcast row
+    # instead of plan literals
+    packed = pack_centroids(
+        cluster_means(c_listed, vec_col="__cv")
+    ).localCheckpoint(eager=True)
 
-    # per query: n_probe nearest centroids
+    # per query: n_probe nearest centroids (query side is small — the
+    # explode + window ranks k centroid candidates per query)
     q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
-    d2 = lambda ctr: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("__qv"), ctr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     probes = (
-        q.select(query_id, "__qv", F.explode(cent_arr).alias("cs"))
-        .select(query_id, "__qv", F.col("cs.cl").alias("cluster"), d2(F.col("cs.ctr")).alias("d2"))
+        q.crossJoin(F.broadcast(packed))
+        .select(query_id, "__qv", F.explode("__cents").alias("cs"))
+        .select(
+            query_id,
+            "__qv",
+            F.col("cs.cluster").alias("cluster"),
+            _sq_l2("__qv", F.col("cs.ctr")).alias("d2"),
+        )
     )
     wq = Window.partitionBy(query_id).orderBy(F.col("d2"), F.col("cluster"))
     probed = (

@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None):
 _DRIVER_WINDOW: tuple[str, ...] = (
     # core relational (scan/filter/join/agg/window/sort/set/scalar)
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
-    "filter_predicates", "join_semi", "join_anti", "join_left_order_counts",
+    "filter_predicates", "join_semi", "join_left_order_counts",
     "join_full_outer", "join_range", "asof_events_orders",
     "asof_events_orders_forward", "agg_distinct", "agg_rollup", "agg_stats",
     "agg_corr", "agg_minmax_by", "window_rank", "window_analytic",
@@ -64,9 +64,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # correlated subqueries + multi-join TPC-H shapes
     "q4_order_priority", "q9_product_profit", "q17_small_quantity",
     "q22_global_sales_opportunity",
-    # analytics
+    # analytics + iterative
     "funnel_events", "events_gapfill", "dedup_components",
-    "grouped_map_topk", "sessionize_events",
+    "kmeans_embeddings", "grouped_map_topk", "sessionize_events",
     # OME format operators
     "ome_describe", "ome_slice_crop", "ome_stack_ingest", "ome_multiscale",
     "ome_verify",
@@ -1362,11 +1362,67 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mini k-means over embeddings — iterative, deterministic init but the
-# float centroid arithmetic is not portably re-derivable in SQL →
-# rows-only check; determinism itself is pytest-asserted.
+# Mini k-means over embeddings — iterative but fully re-derivable:
+# deterministic init (k smallest ids), squared-L2 distances as
+# sequential folds (Spark F.aggregate ≡ DuckDB list_sum, same order →
+# IEEE-identical), centroid means in exact DECIMAL(38,12) accumulation
+# (order-independent) — so the 3 fixed iterations unroll into plain SQL
+# and the assignments hash-match bit-exactly.
 # ---------------------------------------------------------------------------
-@register("kmeans_embeddings", None)
+def _kmeans_oracle(k: int = 4, iterations: int = 3, id_max: int = 200) -> str:
+    """Unrolled k-means as chained CTEs mirroring operators/clustering.py
+    (assign_nearest + cluster_means) stage for stage."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.v, c.ctr),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def assign(a: str, cent: str) -> str:
+        return f"""
+    {a} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cluster) AS rk
+        FROM e, {cent} c
+      ) WHERE rk = 1
+    )"""
+
+    def update(cent: str, a: str) -> str:
+        return f"""
+    {cent} AS (
+      SELECT cluster, list(m ORDER BY pos) AS ctr FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS pos,
+                     unnest(v) AS val FROM {a})
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )"""
+
+    ctes = [
+        f"""
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {id_max}
+    )""",
+        f"""
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             v AS ctr
+      FROM e ORDER BY vec_id LIMIT {k}
+    )""",
+    ]
+    for it in range(iterations):
+        ctes.append(assign(f"a{it + 1}", f"c{it}"))
+        if it < iterations - 1:
+            ctes.append(update(f"c{it + 1}", f"a{it + 1}"))
+    return (
+        "WITH " + ",".join(ctes) + f"\n    SELECT vec_id, cluster FROM a{iterations}"
+    )
+
+
+@register("kmeans_embeddings", _kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators.clustering import kmeans
 
