@@ -20,7 +20,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    small_graph_threshold: int = 2_000_000,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """Every node ends with the MIN node id of its component —
     deterministic, so a recursive-CTE oracle can re-derive it.
@@ -29,8 +29,10 @@ def connected_components(
     Hybrid execution: the duplicate-pair graph is orders of magnitude
     smaller than the corpus (it holds only verified near-dup pairs), so
     when the deduplicated edge count fits comfortably on the driver
-    (≤ ``small_graph_threshold``) we collect it and run union-find —
-    one job instead of ~2 per label-propagation round. Past the
+    (≤ ``small_graph_threshold``; the default 500k edges ≈ tens of MB
+    of Row objects — budget driver memory accordingly before raising
+    it) we collect it and run union-find — one job instead of ~2 per
+    label-propagation round. Past the
     threshold the distributed path takes over: each round is one
     groupBy(min) over the edge list, no driver-side graph, rounds =
     graph diameter (near-dup clusters are tiny, 2-3 rounds),

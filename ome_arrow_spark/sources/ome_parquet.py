@@ -80,8 +80,62 @@ def read_ome_parquet(
         raise ValueError(
             f"strict_schema: column {chosen} does not equal the canonical OME-Arrow type"
         )
+    if os.path.isdir(path):
+        check_table_tags(path)
     out = df.select(F.col(chosen).alias(DEFAULT_COLUMN))
     return out
+
+
+SIDECAR_NAME = "_ome_arrow_meta.json"
+
+
+def write_table_tags(path: str, extra: dict[str, str] | None = None) -> None:
+    """Write the ``ome.arrow.*`` tags for a *table* (directory) write as
+    a ``_ome_arrow_meta.json`` sidecar. Spark cannot attach parquet
+    file-level key-value metadata, so the directory carrier mirrors the
+    reference's per-file tags (export.py:405-414); on a lakehouse the
+    idiomatic equivalent is table properties (Delta/Iceberg), which
+    this sidecar stands in for. Underscore-prefixed → invisible to
+    Spark/Hadoop listings, so scans are unaffected."""
+    import json
+
+    tags = {META_KEY_TYPE: OME_ARROW_TYPE, META_KEY_VERSION: OME_ARROW_VERSION}
+    tags.update(extra or {})
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump(tags, f, indent=1, sort_keys=True)
+
+
+def read_table_tags(path: str) -> dict[str, str]:
+    """Tags from a table directory's sidecar ({} when absent)."""
+    import json
+
+    p = os.path.join(path, SIDECAR_NAME)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {str(k): str(v) for k, v in json.load(f).items()}
+
+
+def check_table_tags(path: str) -> None:
+    """Soft check like the reference's ingest (ingest.py:922-930):
+    wrong/foreign tags warn, absent or matching tags pass silently."""
+    import warnings
+
+    tags = read_table_tags(path)
+    if not tags:
+        return
+    if tags.get(META_KEY_TYPE) != OME_ARROW_TYPE:
+        warnings.warn(
+            f"{path}: sidecar {META_KEY_TYPE}={tags.get(META_KEY_TYPE)!r} "
+            f"is not {OME_ARROW_TYPE!r}",
+            stacklevel=3,
+        )
+    elif tags.get(META_KEY_VERSION) != OME_ARROW_VERSION:
+        warnings.warn(
+            f"{path}: sidecar version {tags.get(META_KEY_VERSION)!r} != "
+            f"{OME_ARROW_VERSION!r} (reading anyway)",
+            stacklevel=3,
+        )
 
 
 def write_ome_parquet(
@@ -92,9 +146,10 @@ def write_ome_parquet(
     target_rows_per_file: int | None = None,
 ) -> None:
     """Distributed images-table sink: zstd parquet, many images per
-    file. ``target_rows_per_file`` bounds file size for pixel-heavy
-    rows (a 2048² uint16 plane is ~8.4 MB as int32 in memory — at
-    100 TB keep files ~128–512 MB via maxRecordsPerFile rather than
+    file, ``ome.arrow.*`` tags in a directory sidecar.
+    ``target_rows_per_file`` bounds file size for pixel-heavy rows (a
+    2048² uint16 plane is ~8.4 MB as int32 in memory — at 100 TB keep
+    files ~128–512 MB via maxRecordsPerFile rather than
     one-file-per-image)."""
     w = df.write.mode(mode).option("compression", "zstd")
     if target_rows_per_file:
@@ -102,6 +157,7 @@ def write_ome_parquet(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+    write_table_tags(path)
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +310,45 @@ def exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+def _staged_replace(df: DataFrame, path: str, prefix: str) -> None:
+    """Crash-safe table rewrite: write the full result to a sibling
+    staging directory (same filesystem), then swap it in with two
+    directory renames — target → .old, staging → target. Directory
+    rename is atomic on POSIX, so a reader never observes a
+    partially-written target; any failure leaves either the original
+    or the completed new table at ``path``, and the cleanup runs in
+    ``finally``. On object stores / HDFS use Delta or Iceberg, whose
+    commit log provides this atomicity natively."""
+    import shutil
+
+    path = os.path.abspath(path)
+    parent, base = os.path.dirname(path), os.path.basename(path)
+    staging = os.path.join(parent, f".{base}.{prefix}.staging")
+    backup = os.path.join(parent, f".{base}.{prefix}.old")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    try:
+        # executes the (lazy) read of the current table — must complete
+        # before the swap touches `path`
+        df.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        tags = read_table_tags(path) if os.path.isdir(path) else {}
+        if tags:  # carry the sidecar through the rewrite
+            write_table_tags(staging, {k: v for k, v in tags.items()})
+        swapped = False
+        try:
+            if os.path.exists(path):
+                os.rename(path, backup)
+                swapped = True
+            os.rename(staging, path)
+        except Exception:
+            if swapped and not os.path.exists(path):
+                os.rename(backup, path)  # restore the original
+            raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+
+
 def upsert_ome_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -261,13 +356,9 @@ def upsert_ome_parquet(
     column: str = DEFAULT_COLUMN,
 ) -> None:
     """Upsert by image id: existing rows with matching ids are replaced,
-    new ids appended (MERGE-by-rewrite). Plain parquet has no atomic
-    commit — the rewrite goes through a staging path then a swap; on a
-    production lakehouse use Delta/Iceberg MERGE INTO, which this
-    mirrors semantically."""
-    import shutil
-    import tempfile
-
+    new ids appended (MERGE-by-rewrite) through the crash-safe staged
+    swap of :func:`_staged_replace`; on a production lakehouse use
+    Delta/Iceberg MERGE INTO, which this mirrors semantically."""
     key = f"{column}.id"
     if os.path.exists(path):
         existing = spark.read.parquet(path)
@@ -279,27 +370,7 @@ def upsert_ome_parquet(
         merged = kept.unionByName(updates)
     else:
         merged = updates
-    staging_root = tempfile.mkdtemp(prefix="ome_upsert_")
-    staging = staging_root + "/data"
-    try:
-        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
-        back = spark.read.parquet(staging)
-    except Exception:
-        # staging holds nothing valuable yet — clean it and re-raise
-        shutil.rmtree(staging_root, ignore_errors=True)
-        raise
-    # swap (non-atomic on plain filesystems — Delta/Iceberg MERGE INTO
-    # is the atomic alternative, documented above)
-    try:
-        back.write.mode("overwrite").option("compression", "zstd").parquet(path)
-    except Exception as ex:
-        # the target may be partially overwritten; the staging copy is
-        # the only intact version — surface it instead of deleting it.
-        raise RuntimeError(
-            f"upsert swap into {path!r} failed mid-overwrite; intact "
-            f"merged data preserved at {staging!r}"
-        ) from ex
-    shutil.rmtree(staging_root, ignore_errors=True)
+    _staged_replace(merged, path, "upsert")
 
 
 def compact_ome_parquet(
@@ -314,23 +385,5 @@ def compact_ome_parquet(
 
     df = spark.read.parquet(path)
     compacted = repartition_images(df, target_bytes=target_bytes)
-    import shutil
-    import tempfile
-
-    staging_root = tempfile.mkdtemp(prefix="ome_compact_")
-    staging = staging_root + "/data"
-    try:
-        compacted.write.mode("overwrite").option("compression", "zstd").parquet(staging)
-        back = spark.read.parquet(staging)
-    except Exception:
-        shutil.rmtree(staging_root, ignore_errors=True)
-        raise
-    try:
-        back.write.mode("overwrite").option("compression", "zstd").parquet(path)
-    except Exception as ex:
-        raise RuntimeError(
-            f"compaction swap into {path!r} failed mid-overwrite; intact "
-            f"compacted data preserved at {staging!r}"
-        ) from ex
-    shutil.rmtree(staging_root, ignore_errors=True)
+    _staged_replace(compacted, path, "compact")
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])

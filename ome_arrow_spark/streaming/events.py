@@ -65,7 +65,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion on the files present
-    now; return the materialized result."""
+    now; return the materialized result.
+
+    Contract: EAGER and driver-materialized — the memory sink's rows
+    are collected to the driver (then the sink's temp view is dropped,
+    so repeated calls don't leak tables) and returned as a fresh local
+    DataFrame. Size the driver for the full result, or for large
+    complete-mode outputs write to a durable sink (parquet +
+    foreachBatch) instead of this convenience wrapper."""
     spark = df.sparkSession
     # Streaming exchanges don't benefit from AQE coalescing, and every
     # shuffle partition becomes a state-store instance — a vanilla

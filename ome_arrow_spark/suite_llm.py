@@ -987,7 +987,9 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.array_sort(F.array_distinct(TX.tokens(F.col("text")))).alias("toks")
     )
-    n_docs = t.count()
+    # corpus size as a 1-row aggregate broadcast into the plan — NOT a
+    # separate .count() job (that would be an extra full corpus pass)
+    n = t.agg(F.count("*").alias("__n_docs"))
     uni = (
         t.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -1014,7 +1016,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
     pmi = F.round(
         F.log(
-            (F.col("cxy").cast("double") * F.lit(n_docs))
+            (F.col("cxy").cast("double") * F.col("__n_docs"))
             / (F.col("cx") * F.col("cy").cast("double"))
         ),
         6,
@@ -1022,6 +1024,7 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ux), "x")
         .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n))
         .select("x", "y", "cxy", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "x", "y")
         .limit(50)

@@ -67,6 +67,67 @@ def test_upsert_images(spark, tmp_path):
     assert names["z-series"] == "z-series"  # untouched rows survive
 
 
+def test_upsert_failure_leaves_table_intact(spark, tmp_path):
+    """Crash-safety: an upsert whose merged-result write fails mid-job
+    must leave the original table readable and unchanged (the staged
+    write never touches the target before the rename swap)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "tbl")
+    v1 = synth.golden_images_df(spark, ids=["z-series", "img-0001"])
+    write_ome_parquet(v1, path, mode="overwrite")
+    before = sorted(
+        r["id"] for r in read_ome_parquet(spark, path).select("ome_arrow.id").collect()
+    )
+
+    @F.udf(T.StringType())
+    def boom(s):
+        raise RuntimeError("injected failure")
+
+    bad = synth.golden_images_df(spark, ids=["time-series"]).withColumn(
+        "ome_arrow", F.col("ome_arrow").withField("name", boom(F.col("ome_arrow.id")))
+    )
+    with pytest.raises(Exception, match="injected failure|Job aborted"):
+        upsert_ome_parquet(spark, bad, path)
+
+    after = sorted(
+        r["id"] for r in read_ome_parquet(spark, path).select("ome_arrow.id").collect()
+    )
+    assert after == before
+    import os
+
+    leftovers = [f for f in os.listdir(tmp_path) if "staging" in f or ".old" in f]
+    assert not leftovers, f"staged swap must clean up: {leftovers}"
+
+
+def test_table_tags_sidecar_roundtrip(spark, tmp_path):
+    """write_ome_parquet tags multi-row Spark tables via the directory
+    sidecar; the tags survive upsert/compaction rewrites and a foreign
+    type warns (soft check) instead of failing."""
+    import warnings
+
+    from ome_arrow_spark.sources.ome_parquet import read_table_tags, write_table_tags
+
+    path = str(tmp_path / "tagged")
+    imgs = synth.golden_images_df(spark, ids=["z-series", "img-0001"])
+    write_ome_parquet(imgs, path, mode="overwrite")
+    tags = read_table_tags(path)
+    assert tags.get("ome.arrow.type") == "ome.arrow"
+    assert "ome.arrow.version" in tags
+
+    # tags survive the staged-swap rewrite
+    upsert_ome_parquet(spark, synth.golden_images_df(spark, ids=["time-series"]), path)
+    assert read_table_tags(path) == tags
+
+    # foreign tag → warn, still reads
+    write_table_tags(path, {"ome.arrow.type": "something-else"})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert read_ome_parquet(spark, path).count() == 3
+    assert any("something-else" in str(x.message) for x in w)
+
+
 def test_compaction(spark, tmp_path):
     path = str(tmp_path / "frag")
     imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single", "nviz-1ch-stack", "img-0001"])

@@ -243,3 +243,19 @@ def test_ambiguous_ome_columns_rejected(spark, tmp_path):
         OP.read_ome_parquet(spark, out)
     # naming one of them resolves it
     assert OP.read_ome_parquet(spark, out, column_name="b").count() == 1
+
+
+def test_nanos_conf_captured_at_read_definition(spark, sf_dir):
+    """Regression pin for the scoped nanosAsLong restore in
+    suite._events / streaming.events: the legacy conf must be consumed
+    when the parquet relation is DEFINED (schema conversion), so
+    restoring it immediately afterwards — before any action — must not
+    break execution-time reads of TIMESTAMP(NANOS) parquet. If a Spark
+    upgrade moves the capture point to execution time, this fails."""
+    from ome_arrow_spark import suite
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = suite._events(spark, sf_dir)  # defines read + restores conf
+    assert spark.conf.get(key, None) is None  # restore happened
+    rows = df.select("ts").limit(5).collect()  # executes AFTER restore
+    assert len(rows) == 5 and all(r["ts"] is not None for r in rows)
