@@ -97,10 +97,18 @@ def decode_volume_bytes(
             from ome_arrow_spark.sources.numpy_ingest import normalize_axes
 
             return normalize_axes(vol, keep), (1.0, 1.0, 1.0), None, {}
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_baseline, is_tiff
+
+    if is_tiff(data):
+        # real TIFF bytes, no tifffile: the built-in baseline decoder
+        # covers uncompressed striped grayscale 8/16-bit (either
+        # endianness, multi-page → z) — the reference's fixture class.
+        vol = decode_tiff_baseline(data)
+        return vol, (1.0, 1.0, 1.0), None, {}
     raise NotImplementedError(
-        f"Cannot decode {path!r}: tifffile is not installed in this environment "
-        "and the payload is not an FTIF test container. Install tifffile to "
-        "ingest real TIFF/OME-TIFF bytes — the Spark plumbing is identical."
+        f"Cannot decode {path!r}: not an FTIF container and not a TIFF byte "
+        "stream. Real compressed/tiled/RGB TIFFs additionally need tifffile "
+        "(baseline uncompressed grayscale decodes built-in)."
     )
 
 
@@ -193,12 +201,14 @@ def to_tiff_dir(
 ) -> list[str]:
     """Write one file per image from the executors (foreachPartition
     pattern; the reference writes one image eagerly on one core,
-    export.py:219-228). Real OME-TIFF needs tifffile → gated; FTIF
-    otherwise so round-trips are testable."""
+    export.py:219-228). Grayscale stacks (C=T=1) become REAL baseline
+    multi-page .tif files via the built-in pure-Python encoder — any
+    TIFF reader opens them; multi-channel/timepoint volumes need the
+    OME-TIFF metadata model, so without tifffile they fall back to the
+    FTIF container (full OME-TIFF stays gated on tifffile)."""
     from ome_arrow_spark.operators.densify import record_to_numpy
+    from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
 
-    if use_real_tiff is None:
-        use_real_tiff = HAVE_TIFFFILE
     if use_real_tiff and not HAVE_TIFFFILE:
         raise NotImplementedError("tifffile not installed; cannot write real OME-TIFF")
     os.makedirs(out_dir, exist_ok=True)
@@ -207,18 +217,23 @@ def to_tiff_dir(
         for row in rows:
             rec = row[column].asDict(recursive=True)
             vol = record_to_numpy(rec)
-            path = os.path.join(out_dir, f"{rec['id']}.ftif")
             names = [c["name"] for c in rec["pixels_meta"]["channels"]]
             pm = rec["pixels_meta"]
-            blob = encode_ftif(
-                vol,
-                image_id=rec["id"],
-                name=rec["name"],
-                channel_names=names,
-                physical_size_x=pm["physical_size_x"],
-                physical_size_y=pm["physical_size_y"],
-                physical_size_z=pm["physical_size_z"],
-            )
+            t, c = vol.shape[0], vol.shape[1]
+            if t == 1 and c == 1:
+                path = os.path.join(out_dir, f"{rec['id']}.tif")
+                blob = encode_tiff_baseline(vol[0, 0])
+            else:
+                path = os.path.join(out_dir, f"{rec['id']}.ftif")
+                blob = encode_ftif(
+                    vol,
+                    image_id=rec["id"],
+                    name=rec["name"],
+                    channel_names=names,
+                    physical_size_x=pm["physical_size_x"],
+                    physical_size_y=pm["physical_size_y"],
+                    physical_size_z=pm["physical_size_z"],
+                )
             with open(path, "wb") as f:
                 f.write(blob)
             yield path

@@ -149,11 +149,26 @@ def test_tiff_sink_roundtrip(spark, tmp_path):
     assert sa == sb
 
 
-def test_real_tiff_decode_is_gated():
+def test_tiff_decode_gates():
+    """Baseline uncompressed grayscale decodes built-in (see
+    test_tiff_minimal); everything else still gates cleanly: compressed
+    TIFF → NotImplementedError (needs tifffile), garbage → error."""
     if TF.HAVE_TIFFFILE:
         pytest.skip("tifffile present; gate not active")
-    with pytest.raises(NotImplementedError):
+    from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
+
+    blob = encode_tiff_baseline(np.zeros((4, 4), dtype=np.uint16))
+    lzw = blob.replace(
+        b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00\x00\x00",
+        b"\x03\x01\x03\x00\x01\x00\x00\x00\x05\x00\x00\x00",
+    )
+    assert lzw != blob
+    with pytest.raises(NotImplementedError, match="compression"):
+        TF.decode_image_bytes("x.tif", lzw)
+    with pytest.raises(ValueError, match="malformed"):
         TF.decode_image_bytes("x.tif", b"II*\x00garbage")
+    with pytest.raises(NotImplementedError, match="not a TIFF"):
+        TF.decode_image_bytes("x.bin", b"not an image at all")
 
 
 def test_partitioned_table_write(spark, tmp_path):
