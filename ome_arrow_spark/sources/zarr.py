@@ -6,16 +6,16 @@ manifest-based, not ``binaryFile``: a DataFrame of store paths fans out
 to executors which each open one store locally (shared filesystem /
 object store mount — the standard cluster layout for NGFF).
 
-Codec gating: the real NGFF decode needs the ``zarr`` package (absent
-here) and raises ``NotImplementedError``; the FZARR test store (a
-directory with ``header.json`` + one little-endian uint16 ``.bin`` per
-plane) keeps every Spark-side piece — manifest fan-out, per-store
-decode, schema, assembly — real and tested.
+Codecs: REAL Zarr v2 / OME-NGFF 0.4 stores read and write built-in via
+``zarr_minimal`` (C-order arrays, raw/zlib/gzip chunks, multiscale
+group attrs) — no zarr package needed; blosc/zstd, v3, and sharded
+stores still gate on the real libraries with ``NotImplementedError``.
+The legacy FZARR test container (``header.json`` + one ``.bin`` per
+plane) remains readable.
 
-The sink writes FZARR stores with an NGFF-style multiscale pyramid:
-level k halves Y and X by mean-pooling (see operators/multiscale.py for
-the query-side LOD operator; export.py:316-337 computes the same
-shapes)."""
+The sink writes an NGFF-style multiscale pyramid: level k halves Y and
+X by mean-pooling (see operators/multiscale.py for the query-side LOD
+operator; export.py:316-337 computes the same shapes)."""
 
 from __future__ import annotations
 
@@ -126,10 +126,35 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
         while arr.ndim < 5:
             arr = arr[np.newaxis, ...]
         return from_numpy(arr, dim_order="TCZYX", image_id=os.path.basename(store_path))
+    from ome_arrow_spark.sources.zarr_minimal import (
+        is_zarr_v2_store,
+        read_ngff_attrs,
+        read_zarr_array,
+    )
+
+    if is_zarr_v2_store(store_path):
+        # real Zarr v2 / NGFF store, no zarr package: built-in codec
+        # (C-order, raw/zlib/gzip chunks — what this repo's sink and
+        # zarr-python's default-adjacent configs produce)
+        attrs = read_ngff_attrs(store_path)
+        arr = read_zarr_array(os.path.join(store_path, str(level)))
+        while arr.ndim < 5:
+            arr = arr[np.newaxis, ...]
+        oa = attrs.get("ome_arrow", {})
+        omero = attrs.get("omero", {})
+        ch = [c.get("label") for c in omero.get("channels", [])] or None
+        return from_numpy(
+            arr.astype(np.int64),
+            dim_order="TCZYX",
+            image_id=oa.get("id") or os.path.basename(store_path).removesuffix(".zarr"),
+            name=oa.get("name"),
+            channel_names=ch,
+            acquisition_datetime=datetime(2025, 1, 1),
+        )
     raise NotImplementedError(
-        f"Cannot decode {store_path!r}: the zarr package is not installed and "
-        "this is not an FZARR test store. Install zarr for real NGFF stores — "
-        "the manifest fan-out is identical."
+        f"Cannot decode {store_path!r}: not an FZARR store and not a Zarr v2 "
+        "store (v3/sharded/blosc stores need the zarr package; v2 with "
+        "raw/zlib/gzip chunks decodes built-in)."
     )
 
 
@@ -164,21 +189,48 @@ def from_zarr_manifest(
     return manifest.mapInPandas(decode, schema=schema)
 
 
+def build_pyramid(
+    vol: np.ndarray, levels: int, factor: int = 2
+) -> list[np.ndarray]:
+    """Mean-pooled multiscale levels (shape halving mirrors
+    export.py:316-337); level 0 is the input."""
+    out = [np.clip(vol, 0, 65535).astype(np.int64)]
+    for _ in range(1, levels):
+        cur = out[-1]
+        ly, lx = cur.shape[-2], cur.shape[-1]
+        ny, nx = ly // factor, lx // factor
+        out.append(
+            cur[..., : ny * factor, : nx * factor]
+            .reshape(*cur.shape[:-2], ny, factor, nx, factor)
+            .sum(axis=(-3, -1))
+            // (factor * factor)
+        )
+    return out
+
+
 def to_zarr_dir(
     images: DataFrame,
     out_dir: str,
     column: str = "ome_arrow",
     multiscale_levels: int = 1,
     downscale_spatial_by: int = 2,
-    use_real_zarr: bool | None = None,
+    store_format: str = "ngff",
+    compressor: str | None = "zlib",
+    compression_level: int = 1,
+    chunks: tuple[int, ...] | None = None,
 ) -> list[str]:
-    """One store per image, written from executors."""
-    from ome_arrow_spark.operators.densify import record_to_numpy
+    """One store per image, written from executors.
 
-    if use_real_zarr is None:
-        use_real_zarr = HAVE_ZARR
-    if use_real_zarr and not HAVE_ZARR:
-        raise NotImplementedError("zarr not installed; cannot write real NGFF stores")
+    ``store_format="ngff"`` (default) writes REAL Zarr v2 / OME-NGFF 0.4
+    stores via the built-in codec — ``compressor`` ∈ {None, "zlib",
+    "gzip"} and ``chunks`` select the codec matrix (blosc/zstd and v3
+    sharding need the zarr package and gate upstream); "fzarr" keeps the
+    legacy test container."""
+    from ome_arrow_spark.operators.densify import record_to_numpy
+    from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
+
+    if store_format not in ("ngff", "fzarr"):
+        raise ValueError(f"unknown store_format {store_format!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(rows):
@@ -187,15 +239,33 @@ def to_zarr_dir(
             vol = record_to_numpy(rec)
             store = os.path.join(out_dir, f"{rec['id']}.zarr")
             names = [c["name"] for c in rec["pixels_meta"]["channels"]]
-            write_fzarr_store(
-                store,
-                vol,
-                image_id=rec["id"],
-                name=rec["name"],
-                channel_names=names,
-                multiscale_levels=multiscale_levels,
-                downscale_spatial_by=downscale_spatial_by,
-            )
+            if store_format == "ngff":
+                write_ngff_store(
+                    store,
+                    [
+                        lv.astype("<u2")
+                        for lv in build_pyramid(
+                            vol, multiscale_levels, downscale_spatial_by
+                        )
+                    ],
+                    image_id=rec["id"],
+                    name=rec["name"],
+                    channel_names=names,
+                    downscale=downscale_spatial_by,
+                    compressor=compressor,
+                    compression_level=compression_level,
+                    chunks=chunks,
+                )
+            else:
+                write_fzarr_store(
+                    store,
+                    vol,
+                    image_id=rec["id"],
+                    name=rec["name"],
+                    channel_names=names,
+                    multiscale_levels=multiscale_levels,
+                    downscale_spatial_by=downscale_spatial_by,
+                )
             yield store
 
     return images.select(column).rdd.mapPartitions(_write).collect()
