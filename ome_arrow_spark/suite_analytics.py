@@ -679,3 +679,36 @@ def window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("f_price"),
         F.last(fp, ignorenulls=True).over(w).alias("locf_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join: hot keys (a handful of orderkeys carrying a
+# large share of lineitem at 100 TB) are split across salt_buckets
+# sub-keys, so no single reducer receives a whole hot key. Semantics
+# are identical to the plain equi-join — the oracle IS the plain join;
+# the salted plan trades ×buckets replication of the small side for
+# bounded per-task input (plans/tuning.py:95 documents the cost model;
+# AQE skew-join covers sort-merge, salting also covers hash shuffles).
+# ---------------------------------------------------------------------------
+@register(
+    "join_salted_skew",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.plans.tuning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, "o_orderkey", salt_buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+    )

@@ -197,3 +197,49 @@ def test_merge_incremental_single_shuffle_merge(spark, sf_dir):
     ep = _final_plan(df)
     shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
     assert shuffles <= 2, f"merge should shuffle on key + final agg only, got {shuffles}"
+
+
+def test_kmeans_assignment_no_shuffle(spark, sf_dir):
+    """Nearest-centroid assignment is a broadcast + HOF argmin — the
+    final plan must contain NO shuffle exchange and O(1) expressions
+    regardless of embedding dimensionality."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.clustering import assign_nearest, pack_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    # isolate the operator: the fixture's limit() adds its own exchange
+    v = emb.select("vec_id", F.col("embedding").alias("__v")).localCheckpoint(
+        eager=True
+    )
+    cent = v.orderBy("vec_id").limit(3).select(
+        F.lit(0).alias("cluster"),
+        F.transform("__v", lambda x: x.cast("double")).alias("ctr"),
+    )
+    out = assign_nearest(v, pack_centroids(cent).localCheckpoint(eager=True), "vec_id")
+    out.collect()
+    ep = _final_plan(out)
+    shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
+    assert shuffles == 0, f"assignment must not shuffle:\n{ep[:800]}"
+
+
+def test_cluster_means_dim_independent_plan(spark, sf_dir):
+    """The centroid update is posexplode + two-level agg: the number of
+    aggregate expressions must NOT scale with vector dim (the r2 design
+    had one agg column per dimension)."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.clustering import cluster_means
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    assigned = emb.select(
+        (F.col("vec_id") % 3).alias("cluster"), F.col("embedding").alias("__v")
+    )
+    cm = cluster_means(assigned)
+    plan = cm._jdf.queryExecution().optimizedPlan().toString()
+    # dim=64 fixture: a per-dimension design would show ~64 sum() exprs
+    assert plan.count("sum(") <= 3, "agg expressions must be O(1) in dim"
+    cm.collect()
+    ep = _final_plan(cm)
+    shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
+    assert shuffles <= 2, f"update = one (cluster,pos) shuffle + tiny reassembly, got {shuffles}"
