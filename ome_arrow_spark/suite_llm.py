@@ -1114,3 +1114,126 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram overlap dedup (the bounded form of exact-substring dedup
+# à la Lee et al. 2021): doc pairs sharing >= min_shared distinct word
+# 5-grams. Same scale shape as LSH candidates: distinct (doc, gram) in
+# one pass, grams grouped to sorted id-lists with a bucket cap (a gram
+# in >50 docs is boilerplate — dropped BEFORE the B² pair expansion),
+# pairs emitted via nested transform, one count shuffle. No full
+# self-join of the gram table ever materializes.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_exact_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (SELECT DISTINCT doc_id, gram FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)-3),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t WHERE len(toks) >= 5)),
+    b AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 50),
+    p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM g a JOIN g c USING (gram) JOIN b USING (gram)
+          WHERE a.doc_id < c.doc_id)
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared
+    FROM p GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+    """,
+)
+def ngram_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 5)),
+                )
+            )
+        ).alias("gram"),
+    )
+    buckets = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, 50))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-terms per document: tf and df from two aggregations over
+# one exploded token pass; idf joins back as a BROADCAST (the
+# vocabulary is tiny next to the corpus); corpus size is an in-plan
+# 1-row aggregate (no extra job). ln() on identical doubles both
+# engines; rounded to 6. Top-3 per doc with token tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 100
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    s AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok), n)
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rk
+      FROM s) WHERE rk <= 3
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n = t.agg(F.count("*").alias("n_docs"))
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    s = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
