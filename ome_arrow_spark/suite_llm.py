@@ -1237,3 +1237,126 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence assembly: deterministic corpus shuffle (Knuth
+# multiplicative hash as the sort key — reproducible on any engine, no
+# RNG state) + concat-and-chunk packing into fixed token-budget
+# sequences, per shard. Scale: ONE shuffle partitions docs into shards;
+# the running sum is a window inside each shard (shards ≈ executor
+# count × small factor keeps window state bounded); no global ordering
+# bottleneck. Each doc gets (shard, seq_id, offset) — the exact
+# address a tokenizer-side packer needs; docs straddle sequence
+# boundaries GPT-style (budget 2048).
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_shuffle_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             ((doc_id * 2654435761) % 4294967296) AS shuffle_key
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(shuffle_key % 8 AS BIGINT) AS shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shuffle_key % 8
+                                      ORDER BY shuffle_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t)
+    SELECT doc_id, n_tokens, shard,
+           (cum - n_tokens) // 2048 AS seq_id,
+           (cum - n_tokens) % 2048 AS seq_offset
+    FROM s
+    """,
+)
+def dataset_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "shuffle_key"
+        ),
+    )
+    w = (
+        Window.partitionBy(F.col("shuffle_key") % 8)
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = t.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shuffle_key") % 8).cast("long").alias("shard"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum"),
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
+        (start % 2048).alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget subsampling: keep docs per language, in deterministic-
+# shuffle order, until a fixed token budget fills — the mixture-control
+# primitive for corpus curation. Window cumsum per lang; the filter is
+# cum <= budget so the result is the maximal prefix under budget.
+# ---------------------------------------------------------------------------
+@register(
+    "token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             ((doc_id * 2654435761) % 4294967296) AS shuffle_key
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY shuffle_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t)
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MAX(cum) AS BIGINT) AS budget_used
+    FROM s WHERE cum <= 5000
+    GROUP BY lang
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "shuffle_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = t.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    return (
+        s.filter(F.col("cum") <= 5000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+            F.max("cum").cast("long").alias("budget_used"),
+        )
+    )
