@@ -97,14 +97,34 @@ def decode_volume_bytes(
             from ome_arrow_spark.sources.numpy_ingest import normalize_axes
 
             return normalize_axes(vol, keep), (1.0, 1.0, 1.0), None, {}
-    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_baseline, is_tiff
+    from ome_arrow_spark.sources.tiff_minimal import (
+        decode_tiff_pages,
+        is_tiff,
+        pages_to_tczyx,
+        parse_ome_xml_dims,
+    )
 
     if is_tiff(data):
         # real TIFF bytes, no tifffile: the built-in baseline decoder
-        # covers uncompressed striped grayscale 8/16-bit (either
-        # endianness, multi-page → z) — the reference's fixture class.
-        vol = decode_tiff_baseline(data)
-        return vol, (1.0, 1.0, 1.0), None, {}
+        # covers uncompressed/PackBits striped grayscale 8/16-bit
+        # (either endianness). OME-TIFF ImageDescription XML maps pages
+        # to (T,C,Z) per DimensionOrder; plain TIFF pages become a
+        # z-stack — the reference's full fixture class.
+        pages, desc = decode_tiff_pages(data)
+        dims = parse_ome_xml_dims(desc)
+        if dims is not None:
+            vol = pages_to_tczyx(pages, dims)
+            return (
+                vol,
+                (
+                    dims["physical_size_x"],
+                    dims["physical_size_y"],
+                    dims["physical_size_z"],
+                ),
+                dims["channel_names"],
+                {},
+            )
+        return pages[np.newaxis, np.newaxis], (1.0, 1.0, 1.0), None, {}
     raise NotImplementedError(
         f"Cannot decode {path!r}: not an FTIF container and not a TIFF byte "
         "stream. Real compressed/tiled/RGB TIFFs additionally need tifffile "

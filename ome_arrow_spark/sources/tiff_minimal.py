@@ -24,12 +24,36 @@ TAG_HEIGHT = 257
 TAG_BITS = 258
 TAG_COMPRESSION = 259
 TAG_PHOTOMETRIC = 262
+TAG_DESCRIPTION = 270
 TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
+TAG_SAMPLE_FORMAT = 339
+
+COMPRESSION_NONE = 1
+COMPRESSION_PACKBITS = 32773
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in [0,127] → copy n+1 literal
+    bytes; n in [-127,-1] → repeat next byte 1-n times; -128 is a
+    no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # replicate run of 257-h
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
 
 
 def is_tiff(data: bytes) -> bool:
@@ -40,29 +64,37 @@ def is_tiff(data: bytes) -> bool:
     return struct.unpack(bo + "H", data[2:4])[0] == 42
 
 
-def _read_ifd_entries(data: bytes, bo: str, off: int) -> tuple[dict[int, list[int]], int]:
-    """One IFD → ({tag: values}, next_ifd_offset). Only integer-typed
-    tags the baseline needs are materialized."""
+def _read_ifd_entries(data: bytes, bo: str, off: int) -> tuple[dict[int, object], int]:
+    """One IFD → ({tag: values-or-str}, next_ifd_offset). Integer tags
+    come back as int lists; ASCII tags (e.g. ImageDescription, which
+    carries the OME-XML in OME-TIFF) as stripped str."""
     (n_entries,) = struct.unpack_from(bo + "H", data, off)
-    tags: dict[int, list[int]] = {}
+    tags: dict[int, object] = {}
     for i in range(n_entries):
         base = off + 2 + 12 * i
         tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
-        if typ not in (1, 3, 4):  # BYTE/SHORT/LONG — all the baseline uses
+        if typ not in (1, 2, 3, 4):
             continue
         size = _TYPE_SIZES[typ] * count
         if size <= 4:
             val_off = base + 8
         else:
             (val_off,) = struct.unpack_from(bo + "I", data, base + 8)
+        if typ == 2:  # ASCII
+            tags[tag] = data[val_off : val_off + count].split(b"\x00")[0].decode(
+                "utf-8", "replace"
+            )
+            continue
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, val_off))
     (next_off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n_entries)
     return tags, next_off
 
 
-def decode_tiff_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale TIFF → uint16 volume ``(1,1,N,Y,X)``.
+def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
+    """Decode every page of a grayscale TIFF → ``((N,Y,X) int32 pages,
+    first-page ImageDescription)``. Supported: uncompressed + PackBits
+    strips, 8/16-bit, unsigned or signed samples, either endianness.
 
     Raises ``ValueError`` on non-TIFF bytes and ``NotImplementedError``
     on TIFF features outside the baseline subset — the caller decides
@@ -72,6 +104,7 @@ def decode_tiff_baseline(data: bytes) -> np.ndarray:
     bo = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     pages: list[np.ndarray] = []
+    description: str | None = None
     while ifd_off:
         try:
             tags, ifd_off = _read_ifd_entries(data, bo, ifd_off)
@@ -84,7 +117,10 @@ def decode_tiff_baseline(data: bytes) -> np.ndarray:
         bits = tags.get(TAG_BITS, [1])[0]
         comp = tags.get(TAG_COMPRESSION, [1])[0]
         spp = tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0]
-        if comp != 1:
+        fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
+        if description is None and isinstance(tags.get(TAG_DESCRIPTION), str):
+            description = tags[TAG_DESCRIPTION]
+        if comp not in (COMPRESSION_NONE, COMPRESSION_PACKBITS):
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"
             )
@@ -94,18 +130,92 @@ def decode_tiff_baseline(data: bytes) -> np.ndarray:
             )
         if bits not in (8, 16):
             raise NotImplementedError(f"{bits}-bit samples are outside the baseline subset")
+        if fmt not in (1, 2):
+            raise NotImplementedError(f"SampleFormat {fmt} (float/complex) unsupported")
         offsets = tags[TAG_STRIP_OFFSETS]
         counts = tags[TAG_STRIP_BYTE_COUNTS]
         raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-        dtype = np.dtype(("<" if bo == "<" else ">") + ("u1" if bits == 8 else "u2"))
+        if comp == COMPRESSION_PACKBITS:
+            raw = packbits_decode(raw)
+        kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
+        dtype = np.dtype(("<" if bo == "<" else ">") + kind)
         plane = np.frombuffer(raw, dtype=dtype, count=width * height).reshape(
             height, width
         )
-        pages.append(plane.astype(np.uint16))
+        pages.append(plane.astype(np.int32))
     if not pages:
         raise ValueError("TIFF contains no IFDs")
-    vol = np.stack(pages)  # (N, Y, X); pages → z like the reference's BioIO read
+    return np.stack(pages), description
+
+
+def decode_tiff_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale TIFF → uint16 volume ``(1,1,N,Y,X)``
+    (pages → z; use :func:`decode_tiff_pages` + the OME-XML dims for
+    proper TCZYX mapping of OME-TIFF)."""
+    pages, _ = decode_tiff_pages(data)
+    vol = np.clip(pages, 0, 65535).astype(np.uint16)
     return vol[np.newaxis, np.newaxis, :, :, :]
+
+
+def parse_ome_xml_dims(description: str | None) -> dict[str, object] | None:
+    """Extract the plane-mapping metadata from an OME-TIFF
+    ImageDescription: SizeT/C/Z, DimensionOrder, channel names,
+    physical sizes. Namespace-agnostic (any OME schema year). Returns
+    None when the description is not OME-XML."""
+    if not description or "<OME" not in description:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(description)
+    except ET.ParseError:
+        return None
+    pixels = None
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1] == "Pixels":
+            pixels = el
+            break
+    if pixels is None:
+        return None
+    a = pixels.attrib
+    out: dict[str, object] = {
+        "size_t": int(a.get("SizeT", 1)),
+        "size_c": int(a.get("SizeC", 1)),
+        "size_z": int(a.get("SizeZ", 1)),
+        "dimension_order": a.get("DimensionOrder", "XYZCT"),
+        "physical_size_x": float(a.get("PhysicalSizeX", 1.0)),
+        "physical_size_y": float(a.get("PhysicalSizeY", 1.0)),
+        "physical_size_z": float(a.get("PhysicalSizeZ", 1.0)),
+    }
+    names = []
+    for el in pixels:
+        if el.tag.rsplit("}", 1)[-1] == "Channel":
+            names.append(el.attrib.get("Name"))
+    out["channel_names"] = names if any(n is not None for n in names) else None
+    return out
+
+
+def pages_to_tczyx(pages: np.ndarray, dims: dict[str, object]) -> np.ndarray:
+    """Arrange flat TIFF pages into (T,C,Z,Y,X) per the OME
+    ``DimensionOrder`` (the first letter after XY varies FASTEST across
+    pages, per the OME-TIFF spec)."""
+    st, sc, sz = int(dims["size_t"]), int(dims["size_c"]), int(dims["size_z"])
+    order = str(dims["dimension_order"]).upper()
+    fast = [d for d in order if d in "TCZ"]  # e.g. XYCZT -> [C, Z, T]
+    sizes = {"T": st, "C": sc, "Z": sz}
+    n = st * sc * sz
+    if pages.shape[0] != n:
+        raise ValueError(
+            f"OME dims T={st} C={sc} Z={sz} need {n} pages, TIFF has {pages.shape[0]}"
+        )
+    vol = np.empty((st, sc, sz) + pages.shape[1:], dtype=pages.dtype)
+    for i in range(n):
+        rem, coord = i, {}
+        for d in fast:
+            coord[d] = rem % sizes[d]
+            rem //= sizes[d]
+        vol[coord["T"], coord["C"], coord["Z"]] = pages[i]
+    return vol
 
 
 def encode_tiff_baseline(

@@ -1,0 +1,121 @@
+"""Ingest the reference's ACTUAL test fixtures (real OME-TIFF /
+CellProfiler TIFF bytes, reference tests/test_core.py:14-246) through
+the built-in codecs and assert the reference's own published
+expectations — shape, channel count, classification summary. This is
+the cross-engine proof that `load("img.ome.tif")` works on real bytes
+with zero optional dependencies."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ome_arrow_spark.operators.describe import describe
+from ome_arrow_spark.sources import tiff as TF
+from ome_arrow_spark.sources.ome_parquet import spark_table_from_records
+
+DATA = "/root/reference/tests/data"
+
+# (file, expected) straight from reference tests/test_core.py:14-246
+OME_TIFF_CASES = [
+    ("ome-artificial-5d-datasets/z-series.ome.tiff",
+     {"channels": 1, "shape": (1, 1, 5, 167, 439),
+      "summary": "3D image (z-stack), single-channel - shape (T=1, C=1, Z=5, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/time-series.ome.tif",
+     {"channels": 1, "shape": (7, 1, 1, 167, 439),
+      "summary": "movie / timelapse, single-channel - shape (T=7, C=1, Z=1, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/single-channel.ome.tiff",
+     {"channels": 1, "shape": (1, 1, 1, 167, 439),
+      "summary": "2D image, single-channel - shape (T=1, C=1, Z=1, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/multi-channel.ome.tiff",
+     {"channels": 3, "shape": (1, 3, 1, 167, 439),
+      "summary": "2D image, multi-channel (3 channels) - shape (T=1, C=3, Z=1, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/multi-channel-z-series.ome.tiff",
+     {"channels": 3, "shape": (1, 3, 5, 167, 439),
+      "summary": "3D image (z-stack), multi-channel (3 channels) - shape (T=1, C=3, Z=5, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/multi-channel-time-series.ome.tiff",
+     {"channels": 3, "shape": (7, 3, 1, 167, 439),
+      "summary": "movie / timelapse, multi-channel (3 channels) - shape (T=7, C=3, Z=1, Y=167, X=439)"}),
+    ("ome-artificial-5d-datasets/4D-series.ome.tiff",
+     {"channels": 1, "shape": (7, 1, 5, 167, 439),
+      "summary": "4D timelapse-volume, single-channel - shape (T=7, C=1, Z=5, Y=167, X=439)"}),
+    ("examplehuman/AS_09125_050116030001_D03f00d0.tif",  # PackBits
+     {"channels": 1, "shape": (1, 1, 1, 512, 512),
+      "summary": "2D image, single-channel - shape (T=1, C=1, Z=1, Y=512, X=512)"}),
+    ("examplehuman/AS_09125_050116030001_D03f00d2.tif",  # uncompressed
+     {"channels": 1, "shape": (1, 1, 1, 512, 512),
+      "summary": "2D image, single-channel - shape (T=1, C=1, Z=1, Y=512, X=512)"}),
+]
+
+
+@pytest.mark.parametrize("rel,exp", OME_TIFF_CASES,
+                         ids=[c[0].split("/")[-1] for c in OME_TIFF_CASES])
+def test_reference_fixture_expectations(spark, rel, exp):
+    p = os.path.join(DATA, rel)
+    if not os.path.exists(p):
+        pytest.skip(f"reference fixture {rel} not present")
+    rec = TF.decode_image_bytes(p, open(p, "rb").read())
+    imgs = spark_table_from_records(spark, [rec])
+    d = describe(imgs).first()
+    assert d["channels"] == exp["channels"]
+    got_shape = (d["size_t"], d["size_c"], d["size_z"], d["size_y"], d["size_x"])
+    assert got_shape == exp["shape"], f"{rel}: {got_shape} != {exp['shape']}"
+    assert d["summary"] == exp["summary"]
+    assert d["is_multichannel"] == (exp["channels"] > 1)
+
+
+def test_reference_nviz_stack_pattern(spark):
+    """The nviz CellProfiler stack assembles through the distributed
+    stack-pattern ingest with the reference's own pattern syntax
+    (reference tests/test_core.py:150-196)."""
+    folder = os.path.join(DATA, "nviz-artificial-4d-dataset")
+    if not os.path.isdir(folder):
+        pytest.skip("nviz fixtures not present")
+    from ome_arrow_spark.sources.stack_pattern import from_stack_pattern
+
+    imgs = from_stack_pattern(
+        spark, os.path.join(folder, "E99_C<111,222>_ZS<000-021>.tif")
+    )
+    d = describe(imgs).first()
+    assert (d["size_t"], d["size_c"], d["size_z"], d["size_y"], d["size_x"]) == (
+        1, 2, 22, 128, 128,
+    )
+    assert d["summary"] == (
+        "3D image (z-stack), multi-channel (2 channels) - shape "
+        "(T=1, C=2, Z=22, Y=128, X=128)"
+    )
+
+    single = from_stack_pattern(
+        spark, os.path.join(folder, "E99_C111_ZS<000-021>.tif")
+    )
+    ds = describe(single).first()
+    assert (ds["size_t"], ds["size_c"], ds["size_z"]) == (1, 1, 22)
+
+    one = from_stack_pattern(spark, os.path.join(folder, "E99_C<111,222>_ZS000.tif"))
+    do = describe(one).first()
+    assert do["summary"] == (
+        "2D image, multi-channel (2 channels) - shape (T=1, C=2, Z=1, Y=128, X=128)"
+    )
+
+
+def test_packbits_matches_uncompressed_statistics():
+    """d0/d1 (PackBits) and d2 (uncompressed) are sibling channels of
+    the same field — decode must produce plausible, distinct planes
+    with full dynamic range intact."""
+    import numpy as np
+
+    folder = os.path.join(DATA, "examplehuman")
+    if not os.path.isdir(folder):
+        pytest.skip("examplehuman fixtures not present")
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    planes = {}
+    for f in ("AS_09125_050116030001_D03f00d0.tif", "AS_09125_050116030001_D03f00d2.tif"):
+        pages, _ = decode_tiff_pages(open(os.path.join(folder, f), "rb").read())
+        assert pages.shape == (1, 512, 512)
+        planes[f] = pages[0]
+    a, b = planes.values()
+    assert not np.array_equal(a, b)
+    assert a.max() > 0 and b.max() > 0
+    assert 0 <= a.min() and a.max() <= 255  # 8-bit source
