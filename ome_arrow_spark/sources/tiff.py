@@ -221,13 +221,17 @@ def to_tiff_dir(
 ) -> list[str]:
     """Write one file per image from the executors (foreachPartition
     pattern; the reference writes one image eagerly on one core,
-    export.py:219-228). Grayscale stacks (C=T=1) become REAL baseline
-    multi-page .tif files via the built-in pure-Python encoder — any
-    TIFF reader opens them; multi-channel/timepoint volumes need the
-    OME-TIFF metadata model, so without tifffile they fall back to the
-    FTIF container (full OME-TIFF stays gated on tifffile)."""
+    export.py:219-228). Every volume becomes a REAL OME-TIFF via the
+    built-in encoder: multi-page baseline TIFF with the OME-XML
+    ImageDescription carrying (T,C,Z) dims, channel names, and
+    physical sizes — pages in XYCZT order, readable by any OME-aware
+    reader (and re-ingested exactly by from_tiff_dir). Compression
+    codecs gate on tifffile."""
     from ome_arrow_spark.operators.densify import record_to_numpy
-    from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
+    from ome_arrow_spark.sources.tiff_minimal import (
+        build_ome_xml,
+        encode_tiff_baseline,
+    )
 
     if use_real_tiff and not HAVE_TIFFFILE:
         raise NotImplementedError("tifffile not installed; cannot write real OME-TIFF")
@@ -239,23 +243,22 @@ def to_tiff_dir(
             vol = record_to_numpy(rec)
             names = [c["name"] for c in rec["pixels_meta"]["channels"]]
             pm = rec["pixels_meta"]
-            t, c = vol.shape[0], vol.shape[1]
-            if t == 1 and c == 1:
-                path = os.path.join(out_dir, f"{rec['id']}.tif")
-                blob = encode_tiff_baseline(vol[0, 0])
-            else:
-                path = os.path.join(out_dir, f"{rec['id']}.ftif")
-                blob = encode_ftif(
-                    vol,
-                    image_id=rec["id"],
-                    name=rec["name"],
-                    channel_names=names,
-                    physical_size_x=pm["physical_size_x"],
-                    physical_size_y=pm["physical_size_y"],
-                    physical_size_z=pm["physical_size_z"],
-                )
+            t, c, z, y, x = vol.shape
+            xml = build_ome_xml(
+                image_id=rec["id"],
+                name=rec["name"],
+                size_t=t, size_c=c, size_z=z, size_y=y, size_x=x,
+                channel_names=names,
+                physical_size_x=pm["physical_size_x"],
+                physical_size_y=pm["physical_size_y"],
+                physical_size_z=pm["physical_size_z"],
+            )
+            # pages in XYCZT order (C fastest) to match the XML
+            pages = vol.transpose(0, 2, 1, 3, 4).reshape(t * z * c, y, x)
+            suffix = ".ome.tif" if (t > 1 or c > 1) else ".tif"
+            path = os.path.join(out_dir, f"{rec['id']}{suffix}")
             with open(path, "wb") as f:
-                f.write(blob)
+                f.write(encode_tiff_baseline(pages, description=xml))
             yield path
 
     return images.select(column).rdd.mapPartitions(_write).collect()

@@ -218,13 +218,54 @@ def pages_to_tczyx(pages: np.ndarray, dims: dict[str, object]) -> np.ndarray:
     return vol
 
 
+def build_ome_xml(
+    *,
+    image_id: str,
+    name: str | None,
+    size_t: int,
+    size_c: int,
+    size_z: int,
+    size_y: int,
+    size_x: int,
+    channel_names: list[str] | None = None,
+    physical_size_x: float = 1.0,
+    physical_size_y: float = 1.0,
+    physical_size_z: float = 1.0,
+) -> str:
+    """Minimal OME-XML ImageDescription for an OME-TIFF whose pages are
+    written in XYCZT order (C fastest) — the same document the
+    reference's exporter emits via ome-types (export.py:116-228)."""
+    chans = "".join(
+        f'<Channel ID="Channel:{i}" Name="{cn}" SamplesPerPixel="1"/>'
+        for i, cn in enumerate(
+            channel_names or [f"C{i}" for i in range(size_c)]
+        )
+    )
+    nm = f' Name="{name}"' if name else ""
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        f'<Image ID="Image:0"{nm}>'
+        f'<Pixels ID="Pixels:0" DimensionOrder="XYCZT" Type="uint16" '
+        f'SizeT="{size_t}" SizeC="{size_c}" SizeZ="{size_z}" '
+        f'SizeY="{size_y}" SizeX="{size_x}" '
+        f'PhysicalSizeX="{physical_size_x}" PhysicalSizeY="{physical_size_y}" '
+        f'PhysicalSizeZ="{physical_size_z}">'
+        f"{chans}<TiffData/></Pixels></Image></OME>"
+    )
+
+
 def encode_tiff_baseline(
-    vol: np.ndarray, *, big_endian: bool = False, rows_per_strip: int | None = None
+    vol: np.ndarray,
+    *,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    description: str | None = None,
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` (or ``(Y,X)``) uint8/uint16 array as a real
-    multi-page baseline TIFF — one IFD per z-plane, uncompressed strips.
-    Exists so tests (and the sink, for single-channel stacks) produce
-    genuine TIFF bytes that ANY reader opens."""
+    multi-page baseline TIFF — one IFD per plane, uncompressed strips,
+    optional ImageDescription on the first IFD (the OME-XML carrier).
+    Genuine TIFF bytes that ANY reader opens."""
     vol = np.asarray(vol)
     if vol.ndim == 2:
         vol = vol[np.newaxis]
@@ -265,13 +306,20 @@ def encode_tiff_baseline(
             (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
             (TAG_STRIP_BYTE_COUNTS, 4, len(strips), [len(s) for s in strips]),
         ]
+        if z == 0 and description is not None:
+            desc_bytes = description.encode() + b"\x00"
+            entries.insert(4, (TAG_DESCRIPTION, 2, len(desc_bytes), desc_bytes))
+            entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ascending
         # out-of-line value arrays first
         value_offsets: dict[int, int] = {}
         for tag, typ, count, values in entries:
             if _TYPE_SIZES[typ] * count > 4:
                 value_offsets[tag] = len(out)
-                fmt = {3: "H", 4: "I"}[typ]
-                out += struct.pack(bo + str(count) + fmt, *values)
+                if typ == 2:
+                    out += values
+                else:
+                    fmt = {3: "H", 4: "I"}[typ]
+                    out += struct.pack(bo + str(count) + fmt, *values)
         if len(out) % 2:
             out += b"\x00"
 
@@ -283,8 +331,11 @@ def encode_tiff_baseline(
             if _TYPE_SIZES[typ] * count > 4:
                 out += struct.pack(bo + "I", value_offsets[tag])
             else:
-                fmt = {3: "H", 4: "I"}[typ]
-                packed = struct.pack(bo + str(count) + fmt, *values)
+                if typ == 2:
+                    packed = bytes(values)
+                else:
+                    fmt = {3: "H", 4: "I"}[typ]
+                    packed = struct.pack(bo + str(count) + fmt, *values)
                 out += packed + b"\x00" * (4 - len(packed))
         ifd_patch_at = len(out)  # this IFD's next-pointer
         out += struct.pack(bo + "I", 0)

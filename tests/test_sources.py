@@ -139,14 +139,20 @@ def test_ftif_binaryfile_ingest(spark, tmp_path):
 
 
 def test_tiff_sink_roundtrip(spark, tmp_path):
+    """Multi-channel volumes round-trip as REAL OME-TIFF: XYCZT pages +
+    OME-XML dims/channel names, re-ingested bit-identically."""
     imgs = synth.golden_images_df(spark, ids=["nviz-2ch-single"], include_conftest=False)
     out = str(tmp_path / "sink")
     paths = TF.to_tiff_dir(imgs, out)
-    assert len(paths) == 1
-    back = TF.from_tiff_dir(spark, out, glob="*.ftif")
+    assert len(paths) == 1 and paths[0].endswith(".ome.tif")
+    back = TF.from_tiff_dir(spark, out, glob="*.ome.tif")
     sa = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
     sb = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(back).collect()}
     assert sa == sb
+    # channel names survive through the OME-XML
+    names = back.select(F.col("ome_arrow.pixels_meta.channels.name")).first()[0]
+    orig = imgs.select(F.col("ome_arrow.pixels_meta.channels.name")).first()[0]
+    assert names == orig
 
 
 def test_tiff_decode_gates():

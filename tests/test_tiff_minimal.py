@@ -108,3 +108,30 @@ def test_sink_writes_real_tif_for_grayscale(spark, tmp_path):
     sa = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(imgs).collect()}
     sb = {(r["t"], r["c"], r["z"]): r["px_sum"] for r in plane_stats(back).collect()}
     assert sa == sb
+
+
+def test_ome_tiff_4d_roundtrip(spark, tmp_path):
+    """T, C, and Z all >1: the writer's XYCZT page order and the
+    reader's DimensionOrder mapping must invert each other exactly."""
+    from ome_arrow_spark.sources.numpy_ingest import from_numpy
+    from ome_arrow_spark.sources.ome_parquet import spark_table_from_records
+
+    rng = np.random.default_rng(23)
+    vol = rng.integers(0, 65536, size=(3, 2, 4, 9, 11), dtype=np.uint16)
+    rec = from_numpy(vol, dim_order="TCZYX", image_id="four_d",
+                     channel_names=["DAPI", "GFP"])
+    imgs = spark_table_from_records(spark, [rec])
+    out = str(tmp_path / "sink4d")
+    paths = TF.to_tiff_dir(imgs, out)
+    assert paths[0].endswith(".ome.tif")
+    back = TF.from_tiff_dir(spark, out, glob="*.ome.tif")
+    rows = (
+        back.select(F.explode("ome_arrow.planes").alias("p"))
+        .select("p.t", "p.c", "p.z", "p.pixels")
+        .collect()
+    )
+    assert len(rows) == 3 * 2 * 4
+    for r in rows:
+        np.testing.assert_array_equal(
+            np.asarray(r["pixels"]).reshape(9, 11), vol[r["t"], r["c"], r["z"]]
+        )
