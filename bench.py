@@ -52,10 +52,15 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_tiff_ingest(spark, n_images: int = 100, side: int = 512) -> tuple[float, float]:
+def bench_tiff_ingest(
+    spark, n_images: int = 100, side: int = 512, real_tiff: bool = False
+) -> tuple[float, float]:
     """Distributed image-ingest throughput (BASELINE target:
-    ≥50 images/s for 512² uint16): write n FTIFs once, time the
-    binaryFile + mapInPandas decode to materialized plane stats."""
+    ≥50 images/s for 512² uint16): write n images once, time the
+    binaryFile + mapInPandas decode to materialized plane stats.
+    ``real_tiff`` benches genuine OME-TIFF bytes through the built-in
+    codec (IFD walk + strip assembly + OME-XML parse); the FTIF metric
+    stays for r1/r2 comparability."""
     import shutil
     import tempfile
 
@@ -63,15 +68,30 @@ def bench_tiff_ingest(spark, n_images: int = 100, side: int = 512) -> tuple[floa
 
     from ome_arrow_spark.operators.views import plane_stats
     from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_dir
+    from ome_arrow_spark.sources.tiff_minimal import build_ome_xml, encode_tiff_baseline
 
     d = tempfile.mkdtemp(prefix="bench_tiff_")
     try:
         base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(1, 1, 1, side, side)
         for i in range(n_images):
-            with open(os.path.join(d, f"img{i:04d}.ftif"), "wb") as f:
-                f.write(encode_ftif((base + i) % 65536, image_id=f"img{i:04d}"))
+            vol = (base + i) % 65536
+            if real_tiff:
+                xml = build_ome_xml(
+                    image_id=f"img{i:04d}", name=None, size_t=1, size_c=1,
+                    size_z=1, size_y=side, size_x=side,
+                )
+                blob = encode_tiff_baseline(
+                    vol[0, 0].astype(np.uint16), description=xml
+                )
+                ext = "ome.tif"
+            else:
+                blob = encode_ftif(vol, image_id=f"img{i:04d}")
+                ext = "ftif"
+            with open(os.path.join(d, f"img{i:04d}.{ext}"), "wb") as f:
+                f.write(blob)
+        glob = "*.ome.tif" if real_tiff else "*.ftif"
         dt = min(
-            _timed(lambda: plane_stats(from_tiff_dir(spark, d, glob="*.ftif")).count())
+            _timed(lambda: plane_stats(from_tiff_dir(spark, d, glob=glob)).count())
             for _ in range(REPEATS)
         )
         return dt, n_images / dt
@@ -117,6 +137,11 @@ def main() -> None:
     times["tiff_ingest_100x512"] = round(ingest_s, 4)
     total += ingest_s
     print(f"# tiff_ingest_100x512: {ingest_s:.3f}s ({ingest_rate:.1f} img/s)", file=sys.stderr)
+
+    ome_s, ome_rate = bench_tiff_ingest(spark, real_tiff=True)
+    times["ometiff_ingest_100x512"] = round(ome_s, 4)
+    total += ome_s
+    print(f"# ometiff_ingest_100x512: {ome_s:.3f}s ({ome_rate:.1f} img/s)", file=sys.stderr)
 
     print(
         json.dumps(
