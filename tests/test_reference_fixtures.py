@@ -119,3 +119,18 @@ def test_packbits_matches_uncompressed_statistics():
     assert not np.array_equal(a, b)
     assert a.max() > 0 and b.max() > 0
     assert 0 <= a.min() and a.max() <= 255  # 8-bit source
+
+
+def test_facade_load_real_ome_tiff(spark):
+    """The reference user's first action — OMEArrow(path) on a real
+    .ome.tiff — through our facade equivalent, distributed."""
+    p = os.path.join(DATA, "ome-artificial-5d-datasets/z-series.ome.tiff")
+    if not os.path.exists(p):
+        pytest.skip("fixture not present")
+    from ome_arrow_spark.core import OmeImages
+
+    imgs = OmeImages.load(spark, p)
+    d = imgs.describe().first()
+    assert d["summary"] == (
+        "3D image (z-stack), single-channel - shape (T=1, C=1, Z=5, Y=167, X=439)"
+    )
