@@ -712,3 +712,40 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frame: per-user trailing-1-hour event stats — the
+# sliding aggregate SQL expresses as RANGE INTERVAL, distinct from both
+# row-count frames (window_range_frame) and tumbling windows. Spark has
+# no INTERVAL frame literal; ordering by epoch micros with a
+# ±3.6e9-micro range is the exact equivalent (RANGE includes ts peers
+# identically). One shuffle on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "window_time_range",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_value_1h
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE user_id % 50 = 0)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias(
+            "sum_value_1h"
+        ),
+    )
