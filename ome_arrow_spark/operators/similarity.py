@@ -41,22 +41,32 @@ def cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def _hyperplane_sign(vec: Column, plane: int) -> Column:
+def _hyperplane_sign(vec: Column, plane: int, seed_mode: str = "xxhash") -> Column:
     """Deterministic pseudo-random hyperplane dot-product sign: the
-    plane's i-th component is ±1 from xxhash64(plane, i) parity — no
-    RNG state, reproducible on any executor.
+    plane's i-th component is ±1 from a hash of (plane, i) — no RNG
+    state, reproducible on any executor. ``seed_mode="xxhash"`` is the
+    production default (fast, JVM-side); ``"md5"`` derives the sign
+    from md5 hex parity, which DuckDB recomputes bit-identically — the
+    engine-portable mode the oracle-checked query uses.
 
     NOT a linear mix like ``(a*plane + b*i) % 2``: with odd a, b that
     collapses to (plane+i) parity, making every plane the same
     hyperplane or its mirror — an n-bit signature that is really 1 bit
     (caught by the recall calibration: recall was flat in n_planes)."""
+    if seed_mode == "md5":
+        def sgn(i):
+            h = F.md5(F.concat_ws(":", F.lit(str(plane)), i.cast("string")))
+            return 2 * F.pmod(F.ascii(F.substring(h, 1, 1)), F.lit(2)).cast("int") - 1
+    else:
+        def sgn(i):
+            return 2 * F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)).cast("int") - 1
+
     return (
         F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double")
-                * (2 * F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)).cast("int") - 1),
+                lambda x, i: x.cast("double") * sgn(i),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -65,12 +75,14 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
     ).cast("int")
 
 
-def lsh_signature(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+def lsh_signature(
+    vec: Column, n_planes: int = 8, table: int = 0, seed_mode: str = "xxhash"
+) -> Column:
     """n-bit random-hyperplane signature as an int bucket key; ``table``
     offsets the plane seeds so each LSH table draws independent planes."""
     sig = None
     for p in range(n_planes):
-        bit = _hyperplane_sign(vec, table * 1000 + p) * (2**p)
+        bit = _hyperplane_sign(vec, table * 1000 + p, seed_mode) * (2**p)
         sig = bit if sig is None else sig + bit
     return sig.cast("int")
 
@@ -85,6 +97,7 @@ def cosine_topk_lsh(
     n_planes: int = 4,
     n_tables: int = 8,
     digits: int = 6,
+    seed_mode: str = "xxhash",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing a bucket
     with the query in ANY of ``n_tables`` independent hyperplane tables
@@ -102,7 +115,7 @@ def cosine_topk_lsh(
             *[
                 F.struct(
                     F.lit(t).alias("t"),
-                    lsh_signature(v, n_planes, table=t).alias("s"),
+                    lsh_signature(v, n_planes, table=t, seed_mode=seed_mode).alias("s"),
                 )
                 for t in range(n_tables)
             ]

@@ -459,12 +459,60 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, c, k=3)
 
 
-@register("knn_cosine_lsh", None)  # approximate — rows-only check
+def _lsh_oracle(n_planes: int = 4, n_tables: int = 8, k: int = 3) -> str:
+    """DuckDB twin of cosine_topk_lsh(seed_mode='md5'): the hyperplane
+    sign of plane P over vector col ``{v}`` is the md5-hex-parity fold
+    — the exact SQL the Spark HOF evaluates (same fold order, same
+    strings hashed), so buckets, candidates, and ranks all match."""
+
+    def sign_bit(plane: int, v: str) -> str:
+        return (
+            f"(CASE WHEN list_sum(list_transform(range(len({v})), i -> "
+            f"CAST({v}[i+1] AS DOUBLE) * "
+            f"(2 * (ascii(substr(md5(concat('{plane}', ':', i)), 1, 1)) % 2) - 1)"
+            f")) > 0.0 THEN 1 ELSE 0 END)"
+        )
+
+    def sig(table: int, v: str) -> str:
+        return " + ".join(
+            f"{sign_bit(table * 1000 + p, v)} * {2**p}" for p in range(n_planes)
+        )
+
+    def side(src: str, idc: str, v: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {v}, {t} AS t, {sig(t, v)} AS sig FROM {src}"
+            for t in range(n_tables)
+        )
+
+    dot = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         qs AS ({side('q', 'qid', 'qe')}),
+         cs AS ({side('c', 'cid', 'ce')}),
+         cand AS (SELECT DISTINCT qid, cid, qe, ce
+                  FROM qs JOIN cs USING (t, sig)),
+         p AS (SELECT qid, cid,
+                      ROUND({dot.format(a='qe', b='ce')}
+                            / (sqrt({dot.format(a='qe', b='qe')})
+                               * sqrt({dot.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM cand)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_cosine_lsh", _lsh_oracle())
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with md5-derived hyperplanes (seed_mode='md5') so the
+    DuckDB oracle re-derives every bucket and rank bit-identically;
+    the production path keeps xxhash64 planes (similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     c = emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cid"), "embedding")
-    return cosine_topk_lsh(q, c, k=3)
+    return cosine_topk_lsh(q, c, k=3, seed_mode="md5")
 
 
 @register(
