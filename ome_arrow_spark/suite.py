@@ -1369,22 +1369,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (order-independent) — so the 3 fixed iterations unroll into plain SQL
 # and the assignments hash-match bit-exactly.
 # ---------------------------------------------------------------------------
-def _kmeans_oracle(k: int = 4, iterations: int = 3, id_max: int = 200) -> str:
-    """Unrolled k-means as chained CTEs mirroring operators/clustering.py
-    (assign_nearest + cluster_means) stage for stage."""
+def kmeans_cte_fragments(
+    k: int, iterations: int, src: str = "e", id_col: str = "vec_id",
+    prefix: str = "",
+) -> tuple[list[str], str]:
+    """Unrolled k-means as chained CTE strings mirroring
+    operators/clustering.py (assign_nearest + cluster_means) stage for
+    stage over a source CTE ``src(id_col, v DOUBLE[])``. Returns
+    (cte_list, final_assignment_cte_name). Reused by the IVF oracle."""
     d2 = (
-        "list_sum(list_transform(list_zip(e.v, c.ctr),"
+        f"list_sum(list_transform(list_zip({src}.v, c.ctr),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
 
     def assign(a: str, cent: str) -> str:
         return f"""
     {a} AS (
-      SELECT vec_id, v, cluster FROM (
-        SELECT e.vec_id, e.v, c.cluster,
-               row_number() OVER (PARTITION BY e.vec_id
+      SELECT {id_col}, v, cluster FROM (
+        SELECT {src}.{id_col}, {src}.v, c.cluster,
+               row_number() OVER (PARTITION BY {src}.{id_col}
                                   ORDER BY {d2}, c.cluster) AS rk
-        FROM e, {cent} c
+        FROM {src}, {cent} c
       ) WHERE rk = 1
     )"""
 
@@ -1402,23 +1407,28 @@ def _kmeans_oracle(k: int = 4, iterations: int = 3, id_max: int = 200) -> str:
 
     ctes = [
         f"""
-    e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id < {id_max}
-    )""",
-        f"""
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+    {prefix}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INT) AS cluster,
              v AS ctr
-      FROM e ORDER BY vec_id LIMIT {k}
+      FROM {src} ORDER BY {id_col} LIMIT {k}
     )""",
     ]
     for it in range(iterations):
-        ctes.append(assign(f"a{it + 1}", f"c{it}"))
+        ctes.append(assign(f"{prefix}a{it + 1}", f"{prefix}c{it}"))
         if it < iterations - 1:
-            ctes.append(update(f"c{it + 1}", f"a{it + 1}"))
+            ctes.append(update(f"{prefix}c{it + 1}", f"{prefix}a{it + 1}"))
+    return ctes, f"{prefix}a{iterations}"
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 3, id_max: int = 200) -> str:
+    src = f"""
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {id_max}
+    )"""
+    ctes, final = kmeans_cte_fragments(k, iterations)
     return (
-        "WITH " + ",".join(ctes) + f"\n    SELECT vec_id, cluster FROM a{iterations}"
+        "WITH " + ",".join([src] + ctes) + f"\n    SELECT vec_id, cluster FROM {final}"
     )
 
 

@@ -684,8 +684,81 @@ def near_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_cosine_ivf", None)  # approximate (kmeans-float) — rows-only
+def _ivf_oracle(k: int = 3, n_centroids: int = 8, n_probe: int = 3) -> str:
+    """DuckDB twin of ivf_topk: unrolled k-means coarse quantizer over
+    the corpus (suite.kmeans_cte_fragments — identical decimal-mean
+    arithmetic), per-query n_probe nearest centroids by the same
+    squared-L2 fold, exact rounded cosine within the probed lists."""
+    from ome_arrow_spark.suite import kmeans_cte_fragments
+
+    km_ctes, km_final = kmeans_cte_fragments(
+        n_centroids, 3, src="e", id_col="cid", prefix="km_"
+    )
+    dot = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    qd2 = (
+        "list_sum(list_transform(list_zip(q.qv, cm.ctr),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    head = [
+        """
+    e AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id >= 10
+    )""",
+        """
+    q AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 10
+    )""",
+    ]
+    tail = [
+        # centroids recomputed as cluster means of the FINAL assignment
+        f"""
+    cm AS (
+      SELECT cluster, list(m ORDER BY pos) AS ctr FROM (
+        SELECT cluster, pos,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS pos,
+                     unnest(v) AS val FROM {km_final})
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    )""",
+        f"""
+    probes AS (
+      SELECT qid, qv, cluster FROM (
+        SELECT q.qid, q.qv, cm.cluster,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {qd2}, cm.cluster) AS rk
+        FROM q, cm
+      ) WHERE rk <= {n_probe}
+    )""",
+        f"""
+    scored AS (
+      SELECT p.qid, a.cid,
+             ROUND({dot.format(a='p.qv', b='a.v')}
+                   / (sqrt({dot.format(a='p.qv', b='p.qv')})
+                      * sqrt({dot.format(a='a.v', b='a.v')})), 6) AS cos_sim
+      FROM probes p JOIN {km_final} a USING (cluster)
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",".join(head + km_ctes + tail)
+        + f"""
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM scored)
+    WHERE rk <= {k}
+    """
+    )
+
+
+@register("knn_cosine_ivf", _ivf_oracle())
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — fully re-derivable since the vector-native kmeans
+    rewrite (decimal means + deterministic folds): the oracle unrolls
+    the coarse quantizer and probes the same lists."""
     from ome_arrow_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
