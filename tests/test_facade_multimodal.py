@@ -42,7 +42,7 @@ def test_export_numpy_and_parquet_roundtrip(spark, tmp_path):
 def test_export_tiff_zarr_dispatch(spark, tmp_path):
     oi = OmeImages.load(spark, synth.conftest_record())
     p1 = oi.export("ometiff", out=str(tmp_path / "tf"))
-    assert p1 and p1[0].endswith(".ftif")
+    assert p1 and p1[0].endswith((".ome.tif", ".tif"))
     p2 = oi.export("zarr", out=str(tmp_path / "zr"))
     assert p2 and p2[0].endswith(".zarr")
     back = OmeImages.load(spark, p2[0])
