@@ -1,11 +1,13 @@
-"""Minimal pure-Python baseline-TIFF codec: classic (non-Big) TIFF,
-uncompressed, striped, grayscale, 8- or 16-bit, little- or big-endian,
-multi-page. This is the no-dependency fallback that lets
-``from_tiff_dir`` ingest REAL ``.tif`` bytes (the reference's
-CellProfiler-style fixtures, reference tests/test_core.py:199-246)
-when ``tifffile`` is absent; anything fancier (compression, tiles, RGB,
-planar configs) still requires tifffile and raises
-``NotImplementedError`` upstream.
+"""Minimal pure-Python TIFF codec: classic (non-Big) TIFF, grayscale,
+8- or 16-bit, little- or big-endian, multi-page; uncompressed, PackBits
+(TIFF 6.0 §9) or LZW (TIFF 6.0 §13) segments; striped or tiled
+(TIFF 6.0 §15) layout; horizontal-differencing predictor (TIFF 6.0
+§14). This is the no-dependency fallback that lets ``from_tiff_dir``
+ingest REAL ``.tif`` bytes — including the LZW-compressed output that
+microscopes/CellProfiler commonly emit (reference ingest.py:321-330
+reads these via BioIO/tifffile) — when ``tifffile`` is absent; RGB,
+planar configs, floats and exotic codecs (JPEG/deflate) still require
+tifffile and raise ``NotImplementedError`` upstream.
 
 Page mapping follows the reference's BioIO convention for plain
 grayscale stacks: N pages → a z-stack, volume shape ``(1, 1, N, Y, X)``
@@ -29,10 +31,19 @@ TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
 
 COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
 COMPRESSION_PACKBITS = 32773
+
+COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
+                     "packbits": COMPRESSION_PACKBITS}
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -54,6 +65,140 @@ def packbits_decode(data: bytes) -> bytes:
             i += 1
         # h == 128: no-op
     return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (literal runs only — valid, decodable by any
+    reader; replicate-run detection is a size optimization we skip)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12-bit
+    codes, ClearCode 256, EndOfInformation 257, and the "early change"
+    convention (code width bumps when the table reaches 511/1023/2047,
+    matching libtiff/tifffile)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits = 9
+    bitpos = 0
+    nbytes = len(data)
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while True:
+        byte = bitpos >> 3
+        if byte >= nbytes:
+            break  # missing EOI: tolerate, stream ended
+        chunk = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:  # first code after a clear is a literal
+            if code >= 256:
+                raise ValueError("corrupt LZW stream: no leading ClearCode")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder — the exact dual of :func:`lzw_decode`
+    (early change: width bumps after table entry 511/1023/2047; table
+    flush at 4094 entries like libtiff)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for i in range(len(data)):
+        b = data[i : i + 1]
+        wb = w + b
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w])
+        table[wb] = next_code
+        next_code += 1
+        if next_code > (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        w = b
+        if next_code >= 4094:  # table nearly full: flush
+            emit(table[w])
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+            w = b""
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _decode_segment(seg: bytes, comp: int) -> bytes:
+    if comp == COMPRESSION_NONE:
+        return seg
+    if comp == COMPRESSION_PACKBITS:
+        return packbits_decode(seg)
+    return lzw_decode(seg)
+
+
+def _encode_segment(seg: bytes, comp: int) -> bytes:
+    if comp == COMPRESSION_NONE:
+        return seg
+    if comp == COMPRESSION_PACKBITS:
+        return packbits_encode(seg)
+    return lzw_encode(seg)
+
+
+def _hdiff_encode(plane: "np.ndarray") -> "np.ndarray":
+    """Horizontal differencing (Predictor=2, TIFF 6.0 §14): per row,
+    keep col 0, store modular deltas. Dtype arithmetic wraps, matching
+    the spec's modulo-2^bits behavior."""
+    d = plane.copy()
+    d[:, 1:] = plane[:, 1:] - plane[:, :-1]
+    return d
+
+
+def _hdiff_decode(plane: "np.ndarray") -> "np.ndarray":
+    return np.cumsum(plane, axis=1, dtype=plane.dtype)
 
 
 def is_tiff(data: bytes) -> bool:
@@ -110,7 +255,16 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             tags, ifd_off = _read_ifd_entries(data, bo, ifd_off)
         except (struct.error, IndexError) as exc:
             raise ValueError(f"malformed/truncated TIFF structure: {exc}") from exc
-        if TAG_WIDTH not in tags or TAG_HEIGHT not in tags or TAG_STRIP_OFFSETS not in tags:
+        has_strips = TAG_STRIP_OFFSETS in tags and TAG_STRIP_BYTE_COUNTS in tags
+        has_tiles = (
+            TAG_TILE_OFFSETS in tags
+            and TAG_TILE_BYTE_COUNTS in tags
+            and TAG_TILE_WIDTH in tags
+            and TAG_TILE_LENGTH in tags
+        )
+        if TAG_WIDTH not in tags or TAG_HEIGHT not in tags or not (
+            has_strips or has_tiles
+        ):
             raise ValueError("malformed TIFF: IFD lacks required baseline tags")
         width = tags[TAG_WIDTH][0]
         height = tags[TAG_HEIGHT][0]
@@ -118,9 +272,10 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
         comp = tags.get(TAG_COMPRESSION, [1])[0]
         spp = tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0]
         fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
+        predictor = tags.get(TAG_PREDICTOR, [1])[0]
         if description is None and isinstance(tags.get(TAG_DESCRIPTION), str):
             description = tags[TAG_DESCRIPTION]
-        if comp not in (COMPRESSION_NONE, COMPRESSION_PACKBITS):
+        if comp not in (COMPRESSION_NONE, COMPRESSION_PACKBITS, COMPRESSION_LZW):
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"
             )
@@ -132,16 +287,46 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             raise NotImplementedError(f"{bits}-bit samples are outside the baseline subset")
         if fmt not in (1, 2):
             raise NotImplementedError(f"SampleFormat {fmt} (float/complex) unsupported")
-        offsets = tags[TAG_STRIP_OFFSETS]
-        counts = tags[TAG_STRIP_BYTE_COUNTS]
-        raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-        if comp == COMPRESSION_PACKBITS:
-            raw = packbits_decode(raw)
+        if predictor not in (1, 2):
+            raise NotImplementedError(f"Predictor {predictor} (float) unsupported")
         kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
         dtype = np.dtype(("<" if bo == "<" else ">") + kind)
-        plane = np.frombuffer(raw, dtype=dtype, count=width * height).reshape(
-            height, width
-        )
+        if has_tiles:
+            tw = tags[TAG_TILE_WIDTH][0]
+            th = tags[TAG_TILE_LENGTH][0]
+            offsets = tags[TAG_TILE_OFFSETS]
+            counts = tags[TAG_TILE_BYTE_COUNTS]
+            if len(offsets) != len(counts):
+                raise ValueError("malformed TIFF: TileOffsets/TileByteCounts mismatch")
+            ntx = -(-width // tw)
+            plane = np.zeros((height, width), dtype=dtype)
+            for i, (o, c) in enumerate(zip(offsets, counts)):
+                raw = _decode_segment(data[o : o + c], comp)
+                tile = np.frombuffer(raw, dtype=dtype, count=tw * th).reshape(th, tw)
+                if predictor == 2:
+                    tile = _hdiff_decode(tile)
+                ty, tx = divmod(i, ntx)
+                rows = min(th, height - ty * th)
+                cols = min(tw, width - tx * tw)
+                plane[ty * th : ty * th + rows, tx * tw : tx * tw + cols] = tile[
+                    :rows, :cols
+                ]
+        else:
+            offsets = tags[TAG_STRIP_OFFSETS]
+            counts = tags[TAG_STRIP_BYTE_COUNTS]
+            if len(offsets) != len(counts):
+                raise ValueError(
+                    "malformed TIFF: StripOffsets/StripByteCounts mismatch"
+                )
+            raw = b"".join(
+                _decode_segment(data[o : o + c], comp)
+                for o, c in zip(offsets, counts)
+            )
+            plane = np.frombuffer(raw, dtype=dtype, count=width * height).reshape(
+                height, width
+            )
+            if predictor == 2:
+                plane = _hdiff_decode(plane)
         pages.append(plane.astype(np.int32))
     if not pages:
         raise ValueError("TIFF contains no IFDs")
