@@ -158,14 +158,21 @@ class OmeImages:
         if mode is None:
             raise ValueError(f"Unknown export mode {how!r}")
         if mode == "numpy":
+            # Stream partitions to the driver one at a time
+            # (toLocalIterator) so peak driver memory is one partition of
+            # images, not the whole table — the list contract (same as
+            # the reference's to_numpy, core.py:364-377) is unchanged.
             from ome_arrow_spark.operators.densify import record_to_numpy
 
             return [
                 record_to_numpy(r[self.column].asDict(recursive=True), **kw)
-                for r in self.df.collect()
+                for r in self.df.toLocalIterator()
             ]
         if mode == "dict":
-            return [r[self.column].asDict(recursive=True) for r in self.df.collect()]
+            return [
+                r[self.column].asDict(recursive=True)
+                for r in self.df.toLocalIterator()
+            ]
         if out is None:
             raise ValueError(f"export(how={how!r}) requires out=")
         if mode == "ome-parquet":

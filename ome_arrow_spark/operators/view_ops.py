@@ -67,11 +67,14 @@ def volume_contrast(
     lo: float = 0.01,
     hi: float = 0.999,
     column: str = "ome_arrow",
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Robust contrast limits for the (t=0, channel c) volume (V2
-    view.py:132-136: percentiles 1.0/99.9). ``exact=False`` switches to
-    percentile_approx for 100 TB-scale interactive use."""
+    view.py:132-136: percentiles 1.0/99.9). Default ``exact=False`` uses
+    ``percentile_approx`` (t-digest, no per-image full voxel sort) — the
+    plan a 100 TB interactive scan needs; ``exact=True`` switches to the
+    exact ``percentile`` for oracle-grade reproducibility (the
+    ``ome_volume_contrast`` suite query passes it explicitly)."""
     px = images.select(
         F.col(f"{column}.id").alias("image_id"),
         F.explode(
@@ -112,15 +115,89 @@ def render_plane_matplotlib(record: dict[str, Any], tcz=(0, 0, 0), **kw):
     raise KeyError(f"plane {tcz} not found")  # pragma: no cover
 
 
-def render_volume_pyvista(record: dict[str, Any], c: int = 0, **kw):
-    """Driver-side volume render (V2). Gated on pyvista."""
-    try:  # pragma: no cover
-        import pyvista  # type: ignore  # noqa: F401
+def build_volume_zyx(record: dict[str, Any], c: int = 0, downsample: int = 1):
+    """(Z, Y, X) uint16 volume + (dx, dy, dz) world spacing for T=0,
+    channel ``c`` — the driver-side rebuild the reference does at
+    view.py:116-126 (zero-filled missing z-planes, spacing from
+    ``physical_size_*`` defaulting to 1.0, downsample scales spacing
+    view.py:124-126). Pure numpy, no render dependency."""
+    import numpy as np
+
+    pm = record["pixels_meta"]
+    sx, sy, sz = int(pm["size_x"]), int(pm["size_y"]), int(pm["size_z"])
+    sc = int(pm["size_c"])
+    if not (0 <= c < sc):
+        raise ValueError(f"Channel out of range: 0..{sc - 1}")
+    dx = float(pm.get("physical_size_x") or 1.0)
+    dy = float(pm.get("physical_size_y") or 1.0)
+    dz = float(pm.get("physical_size_z") or 1.0)
+    vol = np.zeros((sz, sy, sx), dtype=np.uint16)
+    for p in record["planes"]:
+        if int(p["t"]) == 0 and int(p["c"]) == c:
+            vol[int(p["z"])] = np.asarray(p["pixels"], dtype=np.uint16).reshape(sy, sx)
+    if downsample > 1:
+        vol = vol[::downsample, ::downsample, ::downsample]
+        dz, dy, dx = dz * downsample, dy * downsample, dx * downsample
+    return vol, (dx, dy, dz)
+
+
+def render_volume_pyvista(
+    record: dict[str, Any],
+    c: int = 0,
+    downsample: int = 1,
+    opacity="sigmoid",
+    clim: tuple[float, float] | None = None,
+    background: str = "black",
+    percentile_clim: tuple[float, float] = (1.0, 99.9),
+    show: bool = False,
+):
+    """Driver-side volume render (V2, reference view.py:66-286): rebuild
+    the (Z,Y,X) volume for T=0/channel c, transpose to VTK's (X,Y,Z)
+    memory order, spacing from physical sizes, robust-percentile contrast
+    limits when ``clim`` is None (view.py:133-136), then
+    ``pv.ImageData`` + ``Plotter.add_volume`` (view.py:163-196).
+    Returns the Plotter. Import-gated: pyvista is absent in this
+    container, so the construction is unit-tested against a fake module
+    (tests/test_facade_multimodal.py)."""
+    try:
+        import pyvista as pv  # type: ignore
     except ImportError as e:
         raise NotImplementedError(
             "pyvista is not installed; volume data is available via "
             "planes_df()/volume_contrast() — rendering requires pyvista"
         ) from e
+    import numpy as np
+
+    vol_zyx, (dx, dy, dz) = build_volume_zyx(record, c=c, downsample=downsample)
+    vol_xyz = vol_zyx.transpose(2, 1, 0)  # VTK memory order (view.py:129)
+    nx, ny, nz = map(int, vol_xyz.shape)
+
+    if clim is None:  # robust contrast, napari-style (view.py:133-136)
+        lo, hi = np.percentile(vol_xyz, percentile_clim)
+        lo = float(lo)
+        hi = float(hi if hi > lo else lo + 1.0)
+        clim = (lo, hi)
+
+    img = pv.ImageData()
+    img.dimensions = (nx, ny, nz)
+    img.spacing = (dx, dy, dz)
+    img.origin = (0.0, 0.0, 0.0)
+    img.point_data["scalars"] = np.asfortranarray(vol_xyz).ravel(order="F")
+
+    pl = pv.Plotter()
+    pl.set_background(background)
+    pl.add_volume(
+        img,
+        cmap="gray",
+        opacity=opacity,
+        clim=clim,
+        shade=False,
+        scalar_bar_args={"title": "intensity"},
+        opacity_unit_distance=max(min(dx, dy, dz), 1e-6),
+    )
+    if show:  # pragma: no cover
+        pl.show()
+    return pl
 
 
 def repr_html(record: dict[str, Any]) -> str:

@@ -8,9 +8,12 @@ DuckDB rows-only/oracle checks still apply. In production the same
 plans run against a live file/Kafka source with the watermark bounding
 state.
 
-The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS) — the
-streaming reader gets an explicit schema with ``ts: long`` (plus the
-``nanosAsLong`` conf) and converts, mirroring suite._events.
+The events fixture has stored ``ts`` as parquet TIMESTAMP(NANOS) or
+TIMESTAMP(MICROS) depending on testdata generation — the streaming
+reader sniffs the footer (driver-side pyarrow, no scan) and builds the
+matching explicit schema (``long`` + ``nanosAsLong`` conf for nanos,
+``timestamp_ntz`` for micros), then normalizes to the regular
+timestamp type, mirroring suite._events.
 """
 
 from __future__ import annotations
@@ -32,21 +35,34 @@ _COUNTER = itertools.count()
 #: floor never engages (we only lower, never raise).
 STREAM_PARTITIONS = 8
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The conf is consumed when the source relation is defined; restoring
-    # it afterwards does not affect micro-batch execution (verified).
+    from ome_arrow_spark.suite import _events_ts_unit
+
+    if _events_ts_unit(sf_dir) != "ns":
+        # TIMESTAMP(MICROS): natural NTZ read, normalize to session-tz
+        # timestamp (value-preserving under the UTC session tz).
+        stream = (
+            spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # TIMESTAMP(NANOS): read as long. The conf is consumed when the
+    # source relation is defined; restoring it afterwards does not
+    # affect micro-batch execution (verified).
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
@@ -54,7 +70,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The file stream source requires a directory: scan sf_dir with a
         # glob filter selecting only the events file(s).
         stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(_events_schema(T.LongType()))
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )

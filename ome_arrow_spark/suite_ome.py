@@ -301,7 +301,7 @@ def ome_volume_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators.view_ops import volume_contrast
 
     imgs = synth.golden_images_df(spark, ids=["nviz-1ch-stack"], include_conftest=False)
-    vc = volume_contrast(imgs, c=0, lo=0.01, hi=0.999)
+    vc = volume_contrast(imgs, c=0, lo=0.01, hi=0.999, exact=True)
     return vc.select(
         "image_id",
         F.round("clim_lo", 6).alias("clim_lo"),

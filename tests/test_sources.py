@@ -164,13 +164,15 @@ def test_tiff_decode_gates():
     from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
 
     blob = encode_tiff_baseline(np.zeros((4, 4), dtype=np.uint16))
-    lzw = blob.replace(
+    # flip Compression=1 to 7 (JPEG) — LZW/PackBits are now built-in, so
+    # the gate must trip on a codec the minimal decoder really lacks
+    jpeg = blob.replace(
         b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00\x00\x00",
-        b"\x03\x01\x03\x00\x01\x00\x00\x00\x05\x00\x00\x00",
+        b"\x03\x01\x03\x00\x01\x00\x00\x00\x07\x00\x00\x00",
     )
-    assert lzw != blob
+    assert jpeg != blob
     with pytest.raises(NotImplementedError, match="compression"):
-        TF.decode_image_bytes("x.tif", lzw)
+        TF.decode_image_bytes("x.tif", jpeg)
     with pytest.raises(ValueError, match="malformed"):
         TF.decode_image_bytes("x.tif", b"II*\x00garbage")
     with pytest.raises(NotImplementedError, match="not a TIFF"):
@@ -266,17 +268,51 @@ def test_ambiguous_ome_columns_rejected(spark, tmp_path):
     assert OP.read_ome_parquet(spark, out, column_name="b").count() == 1
 
 
-def test_nanos_conf_captured_at_read_definition(spark, sf_dir):
+def test_nanos_conf_captured_at_read_definition(spark, tmp_path):
     """Regression pin for the scoped nanosAsLong restore in
     suite._events / streaming.events: the legacy conf must be consumed
     when the parquet relation is DEFINED (schema conversion), so
     restoring it immediately afterwards — before any action — must not
-    break execution-time reads of TIMESTAMP(NANOS) parquet. If a Spark
-    upgrade moves the capture point to execution time, this fails."""
+    break execution-time reads of TIMESTAMP(NANOS) parquet. The driver's
+    current testdata generation stores micros, so synthesize a nanos
+    fixture here to keep the nanos branch exercised either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from ome_arrow_spark import suite
 
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    ns = [base + i * 1_000_000_007 for i in range(5)]  # sub-micro tails
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([float(i) for i in range(5)]),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), version="2.6")
+    assert suite._events_ts_unit(str(tmp_path)) == "ns"
+
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    df = suite._events(spark, sf_dir)  # defines read + restores conf
+    df = suite._events(spark, str(tmp_path))  # defines read + restores conf
     assert spark.conf.get(key, None) is None  # restore happened
-    rows = df.select("ts").limit(5).collect()  # executes AFTER restore
+    rows = df.select("ts").orderBy("event_id").collect()  # runs AFTER restore
+    got = [int(r["ts"].timestamp() * 1_000_000 + 0.5) for r in rows]
+    assert got == [v // 1000 for v in ns]  # floor-truncated to micros
+
+
+def test_events_micros_generation(spark, sf_dir):
+    """The current driver testdata stores ts as TIMESTAMP(MICROS):
+    _events must read it without any legacy conf and normalize to the
+    regular timestamp type with the naive values DuckDB sees."""
+    from ome_arrow_spark import suite
+
+    if suite._events_ts_unit(sf_dir) == "ns":
+        pytest.skip("fixture generation stores nanos")
+    df = suite._events(spark, sf_dir)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    rows = df.select("ts").limit(5).collect()
     assert len(rows) == 5 and all(r["ts"] is not None for r in rows)
