@@ -8,13 +8,14 @@ image; a 1000-executor cluster decodes 1000 TIFFs concurrently and the
 scan parallelism comes from file listing, not file splitting (TIFFs
 aren't splittable).
 
-Codec stubbing: this container has no tifffile/BioIO, so the byte
-decode is gated — real ``.ome.tif``/``.tif`` bytes raise
-``NotImplementedError`` unless ``tifffile`` is importable, and a
+Codecs: real ``.ome.tif``/``.tif`` bytes decode AND encode built-in via
+``tiff_minimal`` (uncompressed/PackBits/LZW/Deflate, striped/tiled,
+Predictor-2, grayscale/RGB chunky+planar, 8/16-bit int + float32,
+either endianness); ``tifffile``, when importable, takes over for
+anything outside that subset (JPEG, BigTIFF, float predictor). A
 deterministic FTIF container (magic + JSON header + raw uint16 LE
-payload) exercises the full Spark plumbing (schema, partitioning, UDF
-signature, Arrow batch shape) end-to-end. The decode function is the
-ONLY stub; everything around it is production code.
+payload) additionally exercises the Spark plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) in tests.
 """
 
 from __future__ import annotations
@@ -87,6 +88,13 @@ def decode_volume_bytes(
         vol = np.frombuffer(rest[nl + 1 :], dtype="<u2").reshape(shape)
         px, py, pz = header.get("physical_size", [1.0, 1.0, 1.0])
         return vol, (px, py, pz), header.get("channel_names"), header
+    from ome_arrow_spark.sources.tiff_minimal import (
+        decode_tiff_pages,
+        is_tiff,
+        pages_to_tczyx,
+        parse_ome_xml_dims,
+    )
+
     if HAVE_TIFFFILE:
         with tifffile.TiffFile(io.BytesIO(data)) as tf:  # pragma: no cover
             series = tf.series[0]
@@ -96,22 +104,51 @@ def decode_volume_bytes(
             vol = vol.reshape([s for a, s in zip(axes, vol.shape) if a in "TCZYX"])
             from ome_arrow_spark.sources.numpy_ingest import normalize_axes
 
-            return normalize_axes(vol, keep), (1.0, 1.0, 1.0), None, {}
-    from ome_arrow_spark.sources.tiff_minimal import (
-        decode_tiff_pages,
-        is_tiff,
-        pages_to_tczyx,
-        parse_ome_xml_dims,
-    )
+            # OME metadata parity with the built-in branch (reference
+            # ingest.py:340-346 carries channel names + physical sizes
+            # through every TIFF read): parse the first-page
+            # ImageDescription OME-XML when present.
+            desc = getattr(tf, "ome_metadata", None)
+            if desc is None and tf.pages:
+                desc = getattr(tf.pages[0], "description", None)
+            dims = parse_ome_xml_dims(desc)
+            phys = (1.0, 1.0, 1.0)
+            chans = None
+            if dims is not None:
+                phys = (
+                    dims["physical_size_x"],
+                    dims["physical_size_y"],
+                    dims["physical_size_z"],
+                )
+                chans = dims["channel_names"]
+            return normalize_axes(vol, keep), phys, chans, {}
 
     if is_tiff(data):
-        # real TIFF bytes, no tifffile: the built-in baseline decoder
-        # covers uncompressed/PackBits striped grayscale 8/16-bit
-        # (either endianness). OME-TIFF ImageDescription XML maps pages
-        # to (T,C,Z) per DimensionOrder; plain TIFF pages become a
-        # z-stack — the reference's full fixture class.
+        # real TIFF bytes, no tifffile: the built-in decoder covers
+        # uncompressed/PackBits/LZW/Deflate segments, striped or tiled,
+        # Predictor-2, grayscale or RGB (chunky/planar), 8/16-bit int
+        # (either endianness) and float32. OME-TIFF ImageDescription XML
+        # maps pages to (T,C,Z) per DimensionOrder; plain TIFF pages
+        # become a z-stack (RGB samples become channels) — the
+        # reference's full fixture class.
         pages, desc = decode_tiff_pages(data)
+        if pages.dtype.kind == "f":
+            pages = np.rint(pages)  # OME pixel model is uint16
         dims = parse_ome_xml_dims(desc)
+        if pages.ndim == 4:  # (N,Y,X,S) → samples as channels
+            vol = pages.transpose(3, 0, 1, 2)[np.newaxis]
+            if dims is not None:
+                return (
+                    vol,
+                    (
+                        dims["physical_size_x"],
+                        dims["physical_size_y"],
+                        dims["physical_size_z"],
+                    ),
+                    dims["channel_names"],
+                    {},
+                )
+            return vol, (1.0, 1.0, 1.0), None, {}
         if dims is not None:
             vol = pages_to_tczyx(pages, dims)
             return (
@@ -127,8 +164,9 @@ def decode_volume_bytes(
         return pages[np.newaxis, np.newaxis], (1.0, 1.0, 1.0), None, {}
     raise NotImplementedError(
         f"Cannot decode {path!r}: not an FTIF container and not a TIFF byte "
-        "stream. Real compressed/tiled/RGB TIFFs additionally need tifffile "
-        "(baseline uncompressed grayscale decodes built-in)."
+        "stream. JPEG-compressed or otherwise exotic TIFFs additionally need "
+        "tifffile (uncompressed/PackBits/LZW/Deflate, striped/tiled, "
+        "grayscale/RGB, 8/16-bit/float32 decode built-in)."
     )
 
 
@@ -217,24 +255,26 @@ def to_tiff_dir(
     images: DataFrame,
     out_dir: str,
     column: str = "ome_arrow",
-    use_real_tiff: bool | None = None,
+    compression: str = "none",
+    predictor: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> list[str]:
     """Write one file per image from the executors (foreachPartition
     pattern; the reference writes one image eagerly on one core,
     export.py:219-228). Every volume becomes a REAL OME-TIFF via the
-    built-in encoder: multi-page baseline TIFF with the OME-XML
-    ImageDescription carrying (T,C,Z) dims, channel names, and
-    physical sizes — pages in XYCZT order, readable by any OME-aware
-    reader (and re-ingested exactly by from_tiff_dir). Compression
-    codecs gate on tifffile."""
+    built-in encoder: multi-page TIFF with the OME-XML ImageDescription
+    carrying (T,C,Z) dims, channel names, and physical sizes — pages in
+    XYCZT order, readable by any OME-aware reader (and re-ingested
+    exactly by from_tiff_dir). ``compression`` ∈ {"none", "lzw",
+    "packbits", "deflate"}, ``predictor`` and ``tile=(w, h)`` select the
+    built-in codec matrix — the same options the reference forwards to
+    tifffile (export.py:203-210)."""
     from ome_arrow_spark.operators.densify import record_to_numpy
     from ome_arrow_spark.sources.tiff_minimal import (
         build_ome_xml,
         encode_tiff_baseline,
     )
 
-    if use_real_tiff and not HAVE_TIFFFILE:
-        raise NotImplementedError("tifffile not installed; cannot write real OME-TIFF")
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(rows):
@@ -258,7 +298,15 @@ def to_tiff_dir(
             suffix = ".ome.tif" if (t > 1 or c > 1) else ".tif"
             path = os.path.join(out_dir, f"{rec['id']}{suffix}")
             with open(path, "wb") as f:
-                f.write(encode_tiff_baseline(pages, description=xml))
+                f.write(
+                    encode_tiff_baseline(
+                        pages,
+                        description=xml,
+                        compression=compression,
+                        predictor=predictor,
+                        tile=tile,
+                    )
+                )
             yield path
 
     return images.select(column).rdd.mapPartitions(_write).collect()

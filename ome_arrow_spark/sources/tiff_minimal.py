@@ -1,22 +1,28 @@
-"""Minimal pure-Python TIFF codec: classic (non-Big) TIFF, grayscale,
-8- or 16-bit, little- or big-endian, multi-page; uncompressed, PackBits
-(TIFF 6.0 §9) or LZW (TIFF 6.0 §13) segments; striped or tiled
-(TIFF 6.0 §15) layout; horizontal-differencing predictor (TIFF 6.0
-§14). This is the no-dependency fallback that lets ``from_tiff_dir``
+"""Minimal pure-Python TIFF codec: classic (non-Big) TIFF, little- or
+big-endian, multi-page; grayscale or RGB/multi-sample (chunky OR planar
+PlanarConfiguration, TIFF 6.0 §12); 8/16-bit integer (signed/unsigned)
+or 32-bit float samples; uncompressed, PackBits (TIFF 6.0 §9), LZW
+(TIFF 6.0 §13) or Deflate (Adobe 8 / legacy 32946) segments; striped or
+tiled (TIFF 6.0 §15) layout; horizontal-differencing predictor
+(TIFF 6.0 §14). Both directions: :func:`decode_tiff_pages` reads,
+:func:`encode_tiff_baseline` writes (compression/predictor/tile
+selectable). This is the no-dependency path that lets ``from_tiff_dir``
 ingest REAL ``.tif`` bytes — including the LZW-compressed output that
 microscopes/CellProfiler commonly emit (reference ingest.py:321-330
-reads these via BioIO/tifffile) — when ``tifffile`` is absent; RGB,
-planar configs, floats and exotic codecs (JPEG/deflate) still require
-tifffile and raise ``NotImplementedError`` upstream.
+reads these via BioIO/tifffile) — when ``tifffile`` is absent; JPEG,
+floating-point predictor 3 and other exotica still require tifffile and
+raise ``NotImplementedError`` upstream.
 
 Page mapping follows the reference's BioIO convention for plain
-grayscale stacks: N pages → a z-stack, volume shape ``(1, 1, N, Y, X)``
+grayscale stacks: N pages → a z-stack, volume shape ``(1, 1, N, Y, X)``;
+multi-sample pages expose samples as channels, ``(1, S, N, Y, X)``
 (reference ingest.py:293-340 reads TCZYX via BioIO).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -31,6 +37,7 @@ TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
 TAG_PREDICTOR = 317
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
@@ -40,10 +47,14 @@ TAG_SAMPLE_FORMAT = 339
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE = 8  # "Adobe" deflate — what tifffile/libtiff write
+COMPRESSION_DEFLATE_OLD = 32946  # legacy deflate code, same byte stream
 COMPRESSION_PACKBITS = 32773
 
 COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
-                     "packbits": COMPRESSION_PACKBITS}
+                     "packbits": COMPRESSION_PACKBITS,
+                     "deflate": COMPRESSION_DEFLATE,
+                     "zlib": COMPRESSION_DEFLATE}
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -126,7 +137,15 @@ def lzw_decode(data: bytes) -> bytes:
 def lzw_encode(data: bytes) -> bytes:
     """TIFF-variant LZW encoder — the exact dual of :func:`lzw_decode`
     (early change: width bumps after table entry 511/1023/2047; table
-    flush at 4094 entries like libtiff)."""
+    flush at 4094 entries like libtiff).
+
+    The code width is driven by a mirror of the DECODER's table length
+    (``dlen``), not the encoder's dictionary: the decoder appends an
+    entry for every data code it receives after the first — including
+    the final one before EOI, which has no encoder-side dictionary add —
+    so an encoder that bumps on its own ``next_code`` writes the EOI one
+    bit too narrow whenever the last data code lands exactly on a
+    511/1023/2047 boundary."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     bitbuf = 0
@@ -143,6 +162,19 @@ def lzw_encode(data: bytes) -> bytes:
 
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
+    dlen = 258  # decoder-table-length mirror
+    first = True  # decoder does not append for the first code after CLEAR
+
+    def emit_data(code: int) -> None:
+        nonlocal dlen, first, nbits
+        emit(code)
+        if first:
+            first = False
+            return
+        dlen += 1
+        if dlen == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+
     emit(CLEAR)
     w = b""
     for i in range(len(data)):
@@ -151,21 +183,21 @@ def lzw_encode(data: bytes) -> bytes:
         if wb in table:
             w = wb
             continue
-        emit(table[w])
+        emit_data(table[w])
         table[wb] = next_code
         next_code += 1
-        if next_code > (1 << nbits) - 1 and nbits < 12:
-            nbits += 1
         w = b
         if next_code >= 4094:  # table nearly full: flush
-            emit(table[w])
+            emit_data(table[w])
             emit(CLEAR)
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
+            dlen = 258
+            first = True
             nbits = 9
             w = b""
     if w:
-        emit(table[w])
+        emit_data(table[w])
     emit(EOI)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)
@@ -177,6 +209,8 @@ def _decode_segment(seg: bytes, comp: int) -> bytes:
         return seg
     if comp == COMPRESSION_PACKBITS:
         return packbits_decode(seg)
+    if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+        return zlib.decompress(seg)
     return lzw_decode(seg)
 
 
@@ -185,20 +219,26 @@ def _encode_segment(seg: bytes, comp: int) -> bytes:
         return seg
     if comp == COMPRESSION_PACKBITS:
         return packbits_encode(seg)
+    if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+        return zlib.compress(seg, 6)
     return lzw_encode(seg)
 
 
-def _hdiff_encode(plane: "np.ndarray") -> "np.ndarray":
+def _hdiff_encode(plane: "np.ndarray", axis: int = 1) -> "np.ndarray":
     """Horizontal differencing (Predictor=2, TIFF 6.0 §14): per row,
-    keep col 0, store modular deltas. Dtype arithmetic wraps, matching
-    the spec's modulo-2^bits behavior."""
+    keep col 0, store modular deltas along the width axis. Dtype
+    arithmetic wraps, matching the spec's modulo-2^bits behavior. For
+    chunky multi-sample rows shaped ``(..., Y, X, S)`` pass the X axis —
+    each sample channel differences against the SAME channel of the
+    previous pixel, per spec."""
     d = plane.copy()
-    d[:, 1:] = plane[:, 1:] - plane[:, :-1]
+    lead = (slice(None),) * axis
+    d[lead + (slice(1, None),)] = np.diff(plane, axis=axis)
     return d
 
 
-def _hdiff_decode(plane: "np.ndarray") -> "np.ndarray":
-    return np.cumsum(plane, axis=1, dtype=plane.dtype)
+def _hdiff_decode(plane: "np.ndarray", axis: int = 1) -> "np.ndarray":
+    return np.cumsum(plane, axis=axis, dtype=plane.dtype)
 
 
 def is_tiff(data: bytes) -> bool:
@@ -237,9 +277,13 @@ def _read_ifd_entries(data: bytes, bo: str, off: int) -> tuple[dict[int, object]
 
 
 def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
-    """Decode every page of a grayscale TIFF → ``((N,Y,X) int32 pages,
-    first-page ImageDescription)``. Supported: uncompressed + PackBits
-    strips, 8/16-bit, unsigned or signed samples, either endianness.
+    """Decode every page of a TIFF → ``(pages, first-page
+    ImageDescription)``. Grayscale pages come back ``(N, Y, X)``;
+    multi-sample (RGB/RGBA, chunky or planar) pages ``(N, Y, X, S)``.
+    Integer samples (8/16-bit, signed/unsigned) decode to int32; float32
+    samples (SampleFormat=3) decode to float32. Either endianness;
+    uncompressed / PackBits / LZW / Deflate segments; striped or tiled;
+    Predictor-2.
 
     Raises ``ValueError`` on non-TIFF bytes and ``NotImplementedError``
     on TIFF features outside the baseline subset — the caller decides
@@ -268,30 +312,54 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             raise ValueError("malformed TIFF: IFD lacks required baseline tags")
         width = tags[TAG_WIDTH][0]
         height = tags[TAG_HEIGHT][0]
-        bits = tags.get(TAG_BITS, [1])[0]
+        bits_list = tags.get(TAG_BITS, [1])
+        bits = bits_list[0]
         comp = tags.get(TAG_COMPRESSION, [1])[0]
         spp = tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0]
         fmt = tags.get(TAG_SAMPLE_FORMAT, [1])[0]
         predictor = tags.get(TAG_PREDICTOR, [1])[0]
+        planar = tags.get(TAG_PLANAR_CONFIG, [1])[0]
         if description is None and isinstance(tags.get(TAG_DESCRIPTION), str):
             description = tags[TAG_DESCRIPTION]
-        if comp not in (COMPRESSION_NONE, COMPRESSION_PACKBITS, COMPRESSION_LZW):
+        if comp not in (
+            COMPRESSION_NONE,
+            COMPRESSION_PACKBITS,
+            COMPRESSION_LZW,
+            COMPRESSION_DEFLATE,
+            COMPRESSION_DEFLATE_OLD,
+        ):
             raise NotImplementedError(
-                f"TIFF compression {comp} is outside the baseline subset"
+                f"TIFF compression {comp} (e.g. JPEG) is outside the baseline subset"
             )
-        if spp != 1:
+        if spp > 1 and any(b != bits for b in bits_list):
+            raise NotImplementedError("heterogeneous BitsPerSample unsupported")
+        if fmt not in (1, 2, 3):
+            raise NotImplementedError(f"SampleFormat {fmt} (complex/void) unsupported")
+        if fmt == 3:
+            if bits != 32:
+                raise NotImplementedError(
+                    f"{bits}-bit float samples unsupported (only float32)"
+                )
+            if predictor != 1:
+                raise NotImplementedError(
+                    "Predictor with float samples (incl. Predictor 3) unsupported"
+                )
+        elif bits not in (8, 16):
             raise NotImplementedError(
-                f"{spp} samples/pixel (RGB/extra) is outside the baseline subset"
+                f"{bits}-bit samples are outside the baseline subset"
             )
-        if bits not in (8, 16):
-            raise NotImplementedError(f"{bits}-bit samples are outside the baseline subset")
-        if fmt not in (1, 2):
-            raise NotImplementedError(f"SampleFormat {fmt} (float/complex) unsupported")
         if predictor not in (1, 2):
             raise NotImplementedError(f"Predictor {predictor} (float) unsupported")
-        kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
+        if planar not in (1, 2):
+            raise ValueError(f"malformed TIFF: PlanarConfiguration {planar}")
+        if fmt == 3:
+            kind = "f4"
+        else:
+            kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
         dtype = np.dtype(("<" if bo == "<" else ">") + kind)
         if has_tiles:
+            if planar == 2 and spp > 1:
+                raise NotImplementedError("planar tiled TIFF unsupported")
             tw = tags[TAG_TILE_WIDTH][0]
             th = tags[TAG_TILE_LENGTH][0]
             offsets = tags[TAG_TILE_OFFSETS]
@@ -299,12 +367,14 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             if len(offsets) != len(counts):
                 raise ValueError("malformed TIFF: TileOffsets/TileByteCounts mismatch")
             ntx = -(-width // tw)
-            plane = np.zeros((height, width), dtype=dtype)
+            plane = np.zeros((height, width, spp), dtype=dtype)
             for i, (o, c) in enumerate(zip(offsets, counts)):
                 raw = _decode_segment(data[o : o + c], comp)
-                tile = np.frombuffer(raw, dtype=dtype, count=tw * th).reshape(th, tw)
+                tile = np.frombuffer(raw, dtype=dtype, count=tw * th * spp).reshape(
+                    th, tw, spp
+                )
                 if predictor == 2:
-                    tile = _hdiff_decode(tile)
+                    tile = _hdiff_decode(tile, axis=1)
                 ty, tx = divmod(i, ntx)
                 rows = min(th, height - ty * th)
                 cols = min(tw, width - tx * tw)
@@ -322,23 +392,41 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
                 _decode_segment(data[o : o + c], comp)
                 for o, c in zip(offsets, counts)
             )
-            plane = np.frombuffer(raw, dtype=dtype, count=width * height).reshape(
-                height, width
-            )
-            if predictor == 2:
-                plane = _hdiff_decode(plane)
-        pages.append(plane.astype(np.int32))
+            if planar == 2 and spp > 1:
+                # sample-major strip groups (TIFF 6.0 §12): all strips of
+                # sample 0, then sample 1, … → (S,Y,X) → (Y,X,S)
+                plane = np.frombuffer(
+                    raw, dtype=dtype, count=width * height * spp
+                ).reshape(spp, height, width)
+                if predictor == 2:
+                    plane = _hdiff_decode(plane, axis=2)
+                plane = plane.transpose(1, 2, 0)
+            else:
+                plane = np.frombuffer(
+                    raw, dtype=dtype, count=width * height * spp
+                ).reshape(height, width, spp)
+                if predictor == 2:
+                    plane = _hdiff_decode(plane, axis=1)
+        if spp == 1:
+            plane = plane.reshape(height, width)
+        out_dtype = np.float32 if fmt == 3 else np.int32
+        pages.append(plane.astype(out_dtype))
     if not pages:
         raise ValueError("TIFF contains no IFDs")
     return np.stack(pages), description
 
 
 def decode_tiff_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale TIFF → uint16 volume ``(1,1,N,Y,X)``
-    (pages → z; use :func:`decode_tiff_pages` + the OME-XML dims for
-    proper TCZYX mapping of OME-TIFF)."""
+    """Decode a baseline TIFF → uint16 volume ``(1,C,N,Y,X)`` (pages →
+    z; multi-sample pages → channels; floats round-clamped to the OME
+    uint16 pixel model; use :func:`decode_tiff_pages` + the OME-XML dims
+    for proper TCZYX mapping of OME-TIFF)."""
     pages, _ = decode_tiff_pages(data)
+    if pages.dtype.kind == "f":
+        pages = np.rint(pages)
     vol = np.clip(pages, 0, 65535).astype(np.uint16)
+    if vol.ndim == 4:  # (N,Y,X,S) → samples as channels
+        return vol.transpose(3, 0, 1, 2)[np.newaxis]
     return vol[np.newaxis, np.newaxis, :, :, :]
 
 
@@ -446,21 +534,48 @@ def encode_tiff_baseline(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     description: str | None = None,
+    compression: str = "none",
+    predictor: bool = False,
+    tile: tuple[int, int] | None = None,
+    planar: bool = False,
 ) -> bytes:
-    """Encode a ``(Z,Y,X)`` (or ``(Y,X)``) uint8/uint16 array as a real
-    multi-page baseline TIFF — one IFD per plane, uncompressed strips,
-    optional ImageDescription on the first IFD (the OME-XML carrier).
-    Genuine TIFF bytes that ANY reader opens."""
+    """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
+    multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
+    TIFF — one IFD per plane, optional ImageDescription on the first IFD
+    (the OME-XML carrier). Genuine TIFF bytes that ANY reader opens.
+
+    ``compression`` ∈ {"none", "lzw", "packbits", "deflate"} selects the
+    segment codec (the reference passes the same choice to tifffile,
+    export.py:203-210); ``predictor=True`` adds horizontal differencing
+    (Predictor=2); ``tile=(tile_width, tile_length)`` switches from
+    strips to the tiled layout (TIFF 6.0 §15 — multiples of 16 for
+    strict-reader compatibility); ``planar=True`` writes multi-sample
+    data in PlanarConfiguration=2 (sample-major strip groups)."""
     vol = np.asarray(vol)
     if vol.ndim == 2:
         vol = vol[np.newaxis]
-    if vol.ndim != 3:
-        raise ValueError("encode_tiff_baseline expects (Z,Y,X) or (Y,X)")
+    if vol.ndim not in (3, 4):
+        raise ValueError(
+            "encode_tiff_baseline expects (Z,Y,X), (Y,X) or (Z,Y,X,S)"
+        )
     if vol.dtype not in (np.uint8, np.uint16):
         vol = np.clip(vol, 0, 65535).astype(np.uint16)
+    try:
+        comp = COMPRESSION_NAMES[compression]
+    except KeyError:
+        raise ValueError(
+            f"unknown compression {compression!r}; built-in codecs: "
+            f"{sorted(COMPRESSION_NAMES)}"
+        ) from None
     bo = ">" if big_endian else "<"
     bits = 8 * vol.dtype.itemsize
-    n, height, width = vol.shape
+    if vol.ndim == 3:
+        vol = vol[..., np.newaxis]
+    n, height, width, spp = vol.shape
+    if planar and spp == 1:
+        planar = False  # PlanarConfiguration is meaningless for 1 sample
+    if tile is not None and planar:
+        raise NotImplementedError("planar tiled TIFF unsupported")
     rps = rows_per_strip or height
 
     out = bytearray()
@@ -468,34 +583,67 @@ def encode_tiff_baseline(
     out += struct.pack(bo + "I", 0)  # first-IFD offset patched below
     ifd_patch_at = 4
 
+    def _seg_bytes(arr: np.ndarray) -> bytes:
+        if predictor:
+            arr = _hdiff_encode(arr, axis=1)
+        return _encode_segment(np.ascontiguousarray(arr).tobytes(), comp)
+
     for z in range(n):
         plane = vol[z].astype(bo + ("u1" if bits == 8 else "u2"))
-        strips = [
-            plane[r : r + rps].tobytes() for r in range(0, height, rps)
-        ]
-        strip_offsets = []
-        for s in strips:
-            strip_offsets.append(len(out))
+        segments: list[bytes] = []
+        if tile is not None:
+            tw, th = tile
+            for ty in range(0, height, th):
+                for tx in range(0, width, tw):
+                    block = np.zeros((th, tw, spp), dtype=plane.dtype)
+                    part = plane[ty : ty + th, tx : tx + tw]
+                    block[: part.shape[0], : part.shape[1]] = part
+                    segments.append(_seg_bytes(block))
+        elif planar:
+            for s in range(spp):
+                for r in range(0, height, rps):
+                    segments.append(_seg_bytes(plane[r : r + rps, :, s]))
+        else:
+            for r in range(0, height, rps):
+                segments.append(_seg_bytes(plane[r : r + rps]))
+        seg_offsets = []
+        for s in segments:
+            seg_offsets.append(len(out))
             out += s
-        if len(out) % 2:  # IFDs must be word-aligned
-            out += b"\x00"
+            if len(out) % 2:  # keep every offset word-aligned
+                out += b"\x00"
 
         entries = [
             (TAG_WIDTH, 4, 1, [width]),
             (TAG_HEIGHT, 4, 1, [height]),
-            (TAG_BITS, 3, 1, [bits]),
-            (TAG_COMPRESSION, 3, 1, [1]),
-            (TAG_PHOTOMETRIC, 3, 1, [1]),  # BlackIsZero
-            (TAG_STRIP_OFFSETS, 4, len(strips), strip_offsets),
-            (TAG_SAMPLES_PER_PIXEL, 3, 1, [1]),
-            (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
-            (TAG_STRIP_BYTE_COUNTS, 4, len(strips), [len(s) for s in strips]),
+            (TAG_BITS, 3, spp, [bits] * spp),
+            (TAG_COMPRESSION, 3, 1, [comp]),
+            (TAG_PHOTOMETRIC, 3, 1, [2 if spp >= 3 else 1]),  # RGB/BlackIsZero
+            (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
         ]
+        if tile is not None:
+            entries += [
+                (TAG_TILE_WIDTH, 4, 1, [tile[0]]),
+                (TAG_TILE_LENGTH, 4, 1, [tile[1]]),
+                (TAG_TILE_OFFSETS, 4, len(segments), seg_offsets),
+                (TAG_TILE_BYTE_COUNTS, 4, len(segments), [len(s) for s in segments]),
+            ]
+        else:
+            entries += [
+                (TAG_STRIP_OFFSETS, 4, len(segments), seg_offsets),
+                (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
+                (TAG_STRIP_BYTE_COUNTS, 4, len(segments), [len(s) for s in segments]),
+            ]
+        if spp > 1:
+            entries.append((TAG_PLANAR_CONFIG, 3, 1, [2 if planar else 1]))
+        if predictor:
+            entries.append((TAG_PREDICTOR, 3, 1, [2]))
         if z == 0 and description is not None:
             desc_bytes = description.encode() + b"\x00"
-            entries.insert(4, (TAG_DESCRIPTION, 2, len(desc_bytes), desc_bytes))
-            entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ascending
-        # out-of-line value arrays first
+            entries.append((TAG_DESCRIPTION, 2, len(desc_bytes), desc_bytes))
+        entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ascending
+        # out-of-line value arrays first — each padded to an even offset
+        # (TIFF 6.0: all values must begin on a word boundary)
         value_offsets: dict[int, int] = {}
         for tag, typ, count, values in entries:
             if _TYPE_SIZES[typ] * count > 4:
@@ -505,8 +653,8 @@ def encode_tiff_baseline(
                 else:
                     fmt = {3: "H", 4: "I"}[typ]
                     out += struct.pack(bo + str(count) + fmt, *values)
-        if len(out) % 2:
-            out += b"\x00"
+                if len(out) % 2:
+                    out += b"\x00"
 
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, ifd_patch_at, ifd_off)

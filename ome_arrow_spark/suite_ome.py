@@ -220,6 +220,71 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compressed-TIFF ingest in the driver gate: write REAL .tif bytes
+# through the built-in encoder's codec matrix — LZW + Predictor-2
+# striped, Deflate tiled, PackBits big-endian 8-bit — and ingest via
+# the distributed binaryFile+mapInPandas path. Pixels follow a formula
+# the DuckDB oracle recomputes arithmetically, so a single wrong byte
+# anywhere in encode→decode breaks the hash. (Reference reads these
+# compressed classes via BioIO/tifffile, ingest.py:321-330; writes them
+# via tifffile's compression options, export.py:203-210.)
+@register(
+    "ome_tiff_codec_ingest",
+    """
+    WITH zz AS (SELECT unnest(generate_series(0, 3)) AS z),
+         ii AS (SELECT unnest(generate_series(0, 32*48 - 1)) AS i),
+         u AS (
+           SELECT 'lzw_pred' AS image_id, zz.z,
+                  SUM((zz.z*31 + ii.i) % 65536) AS s
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           SELECT 'deflate_tiled', zz.z, SUM((zz.z*47 + 2*ii.i) % 65536)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           SELECT 'packbits_be', zz.z, SUM((zz.z*13 + ii.i) % 199)
+           FROM zz, ii GROUP BY zz.z)
+    SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
+    FROM u
+    """,
+)
+def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources.tiff import from_tiff_dir
+    from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
+
+    z, y, x = 4, 32, 48
+    i = np.arange(y * x)
+    d = tempfile.mkdtemp(prefix="ome_codec_q_")
+    specs = {
+        "lzw_pred": (
+            np.stack([((zi * 31 + i) % 65536).reshape(y, x) for zi in range(z)])
+            .astype(np.uint16),
+            {"compression": "lzw", "predictor": True, "rows_per_strip": 7},
+        ),
+        "deflate_tiled": (
+            np.stack([((zi * 47 + 2 * i) % 65536).reshape(y, x) for zi in range(z)])
+            .astype(np.uint16),
+            {"compression": "deflate", "tile": (16, 16)},
+        ),
+        "packbits_be": (
+            np.stack([((zi * 13 + i) % 199).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "packbits", "big_endian": True, "rows_per_strip": 5},
+        ),
+    }
+    for iid, (vol, kw) in specs.items():
+        with open(os.path.join(d, f"{iid}.tif"), "wb") as f:
+            f.write(encode_tiff_baseline(vol, **kw))
+    imgs = from_tiff_dir(spark, d, glob="*.tif")
+    return plane_stats(imgs).select(
+        "image_id", F.col("z").cast("int"), "px_sum"
+    )
+
+
 # Multiscale LOD: mean-pool (factor 2, integer floor) of nviz-2ch-single,
 # checked cell-exactly by DuckDB re-deriving the pooled sum from the
 # pixel formula pixel(c,y,x) = (c*17 + y*128 + x) % 65536.

@@ -43,6 +43,123 @@ def test_roundtrip_uint8_and_2d():
     np.testing.assert_array_equal(back[0, 0, 0], vol.astype(np.uint16))
 
 
+@pytest.mark.parametrize("compression", ["lzw", "packbits", "deflate"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize(
+    "layout",
+    [
+        {"rows_per_strip": 3},
+        {"rows_per_strip": 3, "predictor": True},
+        {"tile": (16, 16)},
+        {"tile": (16, 16), "predictor": True},
+    ],
+    ids=["strips", "strips+pred", "tiled", "tiled+pred"],
+)
+def test_roundtrip_codec_matrix(compression, dtype, layout):
+    """Every built-in codec × layout × dtype must round-trip exactly on
+    data that mixes compressible runs with random noise (the noise
+    exercises LZW literal paths; the runs exercise table growth)."""
+    rng = np.random.default_rng(int(np.dtype(dtype).itemsize * 100 + len(compression)))
+    hi = 256 if dtype == np.uint8 else 65536
+    vol = rng.integers(0, hi, size=(3, 21, 37), dtype=dtype)
+    vol[0, :7] = 42  # constant run → replicate/table-reuse paths
+    vol[1, :, ::2] = np.arange(21)[:, None] % hi  # smooth → predictor win
+    blob = encode_tiff_baseline(vol, compression=compression, **layout)
+    assert is_tiff(blob)
+    back = decode_tiff_baseline(blob)
+    np.testing.assert_array_equal(back[0, 0], vol.astype(np.uint16))
+
+
+def test_roundtrip_lzw_kwkwk_and_table_flush():
+    """The two LZW stress cases: cScSc patterns hit the KwKwK code
+    (code == len(table)) and >4094 distinct phrases force a mid-stream
+    table flush + ClearCode; both must survive encode→decode, at every
+    code-width boundary (511/1023/2047)."""
+    kwkwk = np.frombuffer(b"\x01\x02\x01\x02\x01" * 1000, dtype=np.uint8)
+    rng = np.random.default_rng(99)
+    noisy = rng.integers(0, 256, size=60_000, dtype=np.uint8)  # > 4094 phrases
+    for arr in (kwkwk, noisy):
+        side = int(len(arr) ** 0.5)
+        plane = arr[: side * side].reshape(side, side)
+        back = decode_tiff_baseline(encode_tiff_baseline(plane, compression="lzw"))
+        np.testing.assert_array_equal(back[0, 0, 0], plane.astype(np.uint16))
+
+
+def test_lzw_eoi_on_width_boundary():
+    """Regression: incompressible segments whose FINAL data code lands
+    exactly on the 511-entry early-change boundary made the encoder
+    write EOI in 9 bits while the decoder (which appends a table entry
+    for every received code, including the last) already read 10.
+    Sweep lengths around the boundary so every tail offset is hit."""
+    from ome_arrow_spark.sources.tiff_minimal import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(1234)
+    for n in range(245, 265):
+        seg = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(seg)) == seg, f"len={n}"
+
+
+@pytest.mark.parametrize("planar", [False, True])
+@pytest.mark.parametrize("compression", ["none", "lzw"])
+def test_roundtrip_rgb_chunky_and_planar(planar, compression):
+    """SamplesPerPixel=3 (RGB), both PlanarConfigurations: decode yields
+    (N,Y,X,3) pages and decode_tiff_baseline maps samples to channels
+    (1,3,N,Y,X) — the last common real-world TIFF class (reference reads
+    via BioIO, ingest.py:321-330)."""
+    rng = np.random.default_rng(5)
+    vol = rng.integers(0, 256, size=(2, 9, 13, 3), dtype=np.uint8)
+    blob = encode_tiff_baseline(
+        vol, compression=compression, predictor=(compression == "lzw"),
+        planar=planar, rows_per_strip=4,
+    )
+    back = decode_tiff_baseline(blob)
+    assert back.shape == (1, 3, 2, 9, 13)
+    for s in range(3):
+        np.testing.assert_array_equal(back[0, s], vol[..., s].astype(np.uint16))
+
+
+def _make_float_tiff(arr: np.ndarray) -> bytes:
+    """Hand-rolled single-page float32 TIFF (SampleFormat=3) — the
+    encoder writes only the uint16 OME pixel model, so float decode gets
+    its fixture built tag-by-tag here."""
+    import struct
+
+    h, w = arr.shape
+    payload = arr.astype("<f4").tobytes()
+    out = bytearray(b"II*\x00" + struct.pack("<I", 0))
+    strip_off = len(out)
+    out += payload
+    if len(out) % 2:
+        out += b"\x00"
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 32), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, strip_off), (277, 3, 1, 1),
+        (278, 4, 1, h), (279, 4, 1, len(payload)), (339, 3, 1, 3),
+    ]
+    struct.pack_into("<I", out, 4, len(out))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_float32_decode():
+    """SampleFormat=3 float pages decode as float32 and round-clamp into
+    the uint16 volume (matching the reference's BioIO→uint16 coercion)."""
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    arr = np.array([[0.4, 1.6, 70000.0], [-3.0, 255.49, 255.51]], dtype=np.float32)
+    pages, _ = decode_tiff_pages(_make_float_tiff(arr))
+    assert pages.dtype == np.float32
+    np.testing.assert_allclose(pages[0], arr)
+    back = decode_tiff_baseline(_make_float_tiff(arr))
+    np.testing.assert_array_equal(
+        back[0, 0, 0], np.array([[0, 2, 65535], [0, 255, 256]], dtype=np.uint16)
+    )
+
+
 def test_from_tiff_dir_real_bytes_matches_from_numpy(spark, tmp_path):
     """End-to-end: hand-rolled REAL .tif files through the distributed
     binaryFile+mapInPandas path; pixels/planes identical to building
@@ -110,9 +227,17 @@ def test_sink_writes_real_tif_for_grayscale(spark, tmp_path):
     assert sa == sb
 
 
-def test_ome_tiff_4d_roundtrip(spark, tmp_path):
+@pytest.mark.parametrize(
+    "sink_kw",
+    [{}, {"compression": "lzw", "predictor": True, "tile": (16, 16)}],
+    ids=["uncompressed", "lzw+pred+tiled"],
+)
+def test_ome_tiff_4d_roundtrip(spark, tmp_path, sink_kw):
     """T, C, and Z all >1: the writer's XYCZT page order and the
-    reader's DimensionOrder mapping must invert each other exactly."""
+    reader's DimensionOrder mapping must invert each other exactly —
+    through the whole built-in codec matrix (to_tiff_dir forwards the
+    same compression choices the reference passes to tifffile,
+    export.py:203-210)."""
     from ome_arrow_spark.sources.numpy_ingest import from_numpy
     from ome_arrow_spark.sources.ome_parquet import spark_table_from_records
 
@@ -122,7 +247,7 @@ def test_ome_tiff_4d_roundtrip(spark, tmp_path):
                      channel_names=["DAPI", "GFP"])
     imgs = spark_table_from_records(spark, [rec])
     out = str(tmp_path / "sink4d")
-    paths = TF.to_tiff_dir(imgs, out)
+    paths = TF.to_tiff_dir(imgs, out, **sink_kw)
     assert paths[0].endswith(".ome.tif")
     back = TF.from_tiff_dir(spark, out, glob="*.ome.tif")
     rows = (
