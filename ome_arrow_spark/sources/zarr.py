@@ -127,15 +127,16 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
             arr = arr[np.newaxis, ...]
         return from_numpy(arr, dim_order="TCZYX", image_id=os.path.basename(store_path))
     from ome_arrow_spark.sources.zarr_minimal import (
-        is_zarr_v2_store,
+        is_zarr_store,
         read_ngff_attrs,
         read_zarr_array,
     )
 
-    if is_zarr_v2_store(store_path):
-        # real Zarr v2 / NGFF store, no zarr package: built-in codec
-        # (C-order, raw/zlib/gzip chunks — what this repo's sink and
-        # zarr-python's default-adjacent configs produce)
+    if is_zarr_store(store_path):
+        # real Zarr v2 or v3 / NGFF store, no zarr package: built-in
+        # codec (v2 C-order raw/zlib/gzip chunks; v3 bytes+gzip chain —
+        # what this repo's sink and zarr-python's default-adjacent
+        # configs produce)
         attrs = read_ngff_attrs(store_path)
         arr = read_zarr_array(os.path.join(store_path, str(level)))
         while arr.ndim < 5:
@@ -152,9 +153,9 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
             acquisition_datetime=datetime(2025, 1, 1),
         )
     raise NotImplementedError(
-        f"Cannot decode {store_path!r}: not an FZARR store and not a Zarr v2 "
-        "store (v3/sharded/blosc stores need the zarr package; v2 with "
-        "raw/zlib/gzip chunks decodes built-in)."
+        f"Cannot decode {store_path!r}: not an FZARR store and not a Zarr "
+        "v2/v3 store root (blosc/zstd-compressed or sharded stores need the "
+        "zarr package; v2 raw/zlib/gzip and v3 bytes+gzip decode built-in)."
     )
 
 
@@ -190,21 +191,40 @@ def from_zarr_manifest(
 
 
 def build_pyramid(
-    vol: np.ndarray, levels: int, factor: int = 2
+    vol: np.ndarray, levels: int, factor: int = 2, downscale_z: bool = False
 ) -> list[np.ndarray]:
-    """Mean-pooled multiscale levels (shape halving mirrors
-    export.py:316-337); level 0 is the input."""
+    """Mean-pooled multiscale levels; level 0 is the input.
+
+    Level-k spatial dims follow the reference's ``max(1, dim // factor)``
+    floor (export.py:317-330), so deep pyramids over small planes bottom
+    out at 1×1 instead of producing zero-size levels. The reference's
+    exporter downscales all three spatial axes (Z included); pass
+    ``downscale_z=True`` for that parity — the default keeps Z so every
+    level preserves per-plane (t,c,z) addressing, which the query-side
+    LOD operator (operators/multiscale.py) relies on."""
     out = [np.clip(vol, 0, 65535).astype(np.int64)]
     for _ in range(1, levels):
         cur = out[-1]
-        ly, lx = cur.shape[-2], cur.shape[-1]
-        ny, nx = ly // factor, lx // factor
-        out.append(
-            cur[..., : ny * factor, : nx * factor]
-            .reshape(*cur.shape[:-2], ny, factor, nx, factor)
+        lz, ly, lx = cur.shape[-3], cur.shape[-2], cur.shape[-1]
+        ny, nx = max(1, ly // factor), max(1, lx // factor)
+        fy = factor if ly >= factor else max(1, ly)
+        fx = factor if lx >= factor else max(1, lx)
+        nxt = (
+            cur[..., : ny * fy, : nx * fx]
+            .reshape(*cur.shape[:-2], ny, fy, nx, fx)
             .sum(axis=(-3, -1))
-            // (factor * factor)
+            // (fy * fx)
         )
+        if downscale_z:
+            nz = max(1, lz // factor)
+            fz = factor if lz >= factor else max(1, lz)
+            nxt = (
+                nxt[..., : nz * fz, :, :]
+                .reshape(*nxt.shape[:-3], nz, fz, ny, nx)
+                .sum(axis=-3)
+                // fz
+            )
+        out.append(nxt)
     return out
 
 
@@ -218,14 +238,18 @@ def to_zarr_dir(
     compressor: str | None = "zlib",
     compression_level: int = 1,
     chunks: tuple[int, ...] | None = None,
+    downscale_z: bool = False,
+    zarr_format: int = 2,
 ) -> list[str]:
     """One store per image, written from executors.
 
-    ``store_format="ngff"`` (default) writes REAL Zarr v2 / OME-NGFF 0.4
-    stores via the built-in codec — ``compressor`` ∈ {None, "zlib",
-    "gzip"} and ``chunks`` select the codec matrix (blosc/zstd and v3
-    sharding need the zarr package and gate upstream); "fzarr" keeps the
-    legacy test container."""
+    ``store_format="ngff"`` (default) writes REAL Zarr / OME-NGFF stores
+    via the built-in codec — ``zarr_format`` ∈ {2, 3} picks the store
+    layout (the reference's exporter exposes the same switch,
+    export.py:361), ``compressor`` ∈ {None, "zlib", "gzip"} and
+    ``chunks`` select the codec matrix (blosc/zstd and v3 sharding need
+    the zarr package and gate upstream); "fzarr" keeps the legacy test
+    container."""
     from ome_arrow_spark.operators.densify import record_to_numpy
     from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
 
@@ -245,7 +269,10 @@ def to_zarr_dir(
                     [
                         lv.astype("<u2")
                         for lv in build_pyramid(
-                            vol, multiscale_levels, downscale_spatial_by
+                            vol,
+                            multiscale_levels,
+                            downscale_spatial_by,
+                            downscale_z=downscale_z,
                         )
                     ],
                     image_id=rec["id"],
@@ -255,6 +282,7 @@ def to_zarr_dir(
                     compressor=compressor,
                     compression_level=compression_level,
                     chunks=chunks,
+                    zarr_format=zarr_format,
                 )
             else:
                 write_fzarr_store(

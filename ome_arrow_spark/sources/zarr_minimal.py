@@ -1,13 +1,20 @@
-"""Minimal pure-Python Zarr v2 + OME-NGFF 0.4 store codec.
+"""Minimal pure-Python Zarr v2 + v3 / OME-NGFF store codec.
 
-Real, spec-conformant stores with stdlib only (``json`` + ``zlib``):
-any zarr/ome-zarr client opens what this writes, and this reads what
-zarr-python writes for the baseline feature set — C-order arrays,
-``zlib``/``gzip``/raw chunk compression, ``.``- or ``/``-separated
-chunk keys, edge-chunk padding, group + array metadata, NGFF
-``multiscales`` axes/datasets attrs (reference export.py:231-374 emits
-the same layout via the zarr package; blosc/zstd-compressed or
-sharded/v3 stores still gate on the real libraries upstream).
+Real, spec-conformant stores with stdlib only (``json`` + ``zlib`` +
+``gzip``): any zarr/ome-zarr client opens what this writes, and this
+reads what zarr-python writes for the baseline feature set.
+
+* **v2** (``.zgroup``/``.zarray``/``.zattrs``): C-order arrays,
+  ``zlib``/``gzip``/raw chunk compression, ``.``- or ``/``-separated
+  chunk keys, edge-chunk padding, NGFF 0.4 ``multiscales`` attrs.
+* **v3** (``zarr.json`` + ``c/``-prefixed chunk keys): regular chunk
+  grid, default chunk-key encoding, ``bytes`` (endian) + optional
+  ``gzip`` codec chain, typed fill values, NGFF attributes under the
+  group's ``attributes`` key (the v3 layout the reference's exporter
+  selects with ``zarr_format=3``, export.py:265-289 + 361).
+
+Blosc/zstd compression and v3 ``sharding_indexed`` still gate on the
+real libraries upstream.
 """
 
 from __future__ import annotations
@@ -123,13 +130,187 @@ def write_zarr_array(
     _write_chunks(0, [])
 
 
+ZARR_JSON = "zarr.json"
+
+_V3_DTYPES = {
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+def write_zarr_array_v3(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str | None = "gzip",
+    compression_level: int = 1,
+    dimension_names: list[str] | None = None,
+    fill_value: int = 0,
+) -> None:
+    """Write one Zarr v3 array directory: ``zarr.json`` metadata +
+    ``c/``-prefixed chunk files (regular grid, default key encoding,
+    ``bytes``→``gzip`` codec chain). ``compressor`` ∈ {None, "gzip"} —
+    the v3 codec registry has no plain-zlib entry, so "zlib" requests
+    are written as gzip (same DEFLATE stream, framed)."""
+    if compressor == "zlib":
+        compressor = "gzip"
+    if compressor not in (None, "gzip"):
+        raise NotImplementedError(
+            f"v3 codec {compressor!r} (blosc/zstd/sharding) needs the zarr package"
+        )
+    arr = np.ascontiguousarray(arr)
+    rev = {v: k for k, v in _V3_DTYPES.items()}
+    kind = arr.dtype.str.lstrip("<>=|")
+    if kind not in rev:
+        raise NotImplementedError(f"v3 data_type for dtype {arr.dtype} unsupported")
+    if chunks is None:
+        chunks = (1,) * (arr.ndim - 2) + arr.shape[-2:]
+    chunks = tuple(int(min(c, s)) for c, s in zip(chunks, arr.shape))
+    codecs: list[dict[str, Any]] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if compressor == "gzip":
+        codecs.append(
+            {"name": "gzip", "configuration": {"level": int(compression_level)}}
+        )
+    meta: dict[str, Any] = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [int(s) for s in arr.shape],
+        "data_type": rev[kind],
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [int(c) for c in chunks]},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": int(fill_value),
+        "codecs": codecs,
+        "attributes": {},
+    }
+    if dimension_names:
+        meta["dimension_names"] = dimension_names
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ZARR_JSON), "w") as f:
+        json.dump(meta, f, indent=1)
+    le = arr.astype(arr.dtype.newbyteorder("<"))
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+    idx: list[int] = [0] * arr.ndim
+
+    def _write_chunks(dim: int, starts: list[int]) -> None:
+        if dim == arr.ndim:
+            sl = tuple(
+                slice(st, min(st + c, s))
+                for st, c, s in zip(starts, chunks, arr.shape)
+            )
+            block = le[sl]
+            if block.shape != chunks:  # pad edge chunk to full size
+                full = np.full(chunks, fill_value, dtype=le.dtype)
+                full[tuple(slice(0, e) for e in block.shape)] = block
+                block = full
+            blob = np.ascontiguousarray(block).tobytes()
+            if compressor == "gzip":
+                blob = gzip.compress(blob, compresslevel=int(compression_level))
+            key_parts = ["c"] + [str(i) for i in idx]
+            os.makedirs(os.path.join(path, *key_parts[:-1]), exist_ok=True)
+            with open(os.path.join(path, *key_parts), "wb") as f:
+                f.write(blob)
+            return
+        for i, st in enumerate(grid[dim]):
+            idx[dim] = i
+            _write_chunks(dim + 1, starts + [st])
+
+    _write_chunks(0, [])
+
+
+def read_zarr_array_v3(path: str) -> np.ndarray:
+    """Read a Zarr v3 array directory (regular grid, default key
+    encoding, ``bytes`` + optional ``gzip`` codec chain; blosc/zstd/
+    sharding/transpose gate on the zarr package)."""
+    with open(os.path.join(path, ZARR_JSON)) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ValueError(f"{path}: not a zarr v3 array")
+    if meta["chunk_grid"]["name"] != "regular":
+        raise NotImplementedError("non-regular v3 chunk grids unsupported")
+    cke = meta.get("chunk_key_encoding", {"name": "default"})
+    if cke.get("name") == "default":
+        sep = cke.get("configuration", {}).get("separator", "/")
+        prefix: list[str] = ["c"]
+    elif cke.get("name") == "v2":
+        sep = cke.get("configuration", {}).get("separator", ".")
+        prefix = []
+    else:
+        raise NotImplementedError(f"v3 chunk_key_encoding {cke.get('name')!r}")
+    dt = meta["data_type"]
+    if dt not in _V3_DTYPES:
+        raise NotImplementedError(f"v3 data_type {dt!r} unsupported")
+    endian = "<"
+    comp = None
+    level = 1
+    for codec in meta.get("codecs", []):
+        name = codec.get("name")
+        cfg = codec.get("configuration", {}) or {}
+        if name == "bytes":
+            endian = ">" if cfg.get("endian") == "big" else "<"
+        elif name == "gzip":
+            comp = "gzip"
+            level = cfg.get("level", 1)
+        else:
+            raise NotImplementedError(
+                f"v3 codec {name!r} (blosc/zstd/sharding/transpose) needs "
+                "the zarr package"
+            )
+    del level
+    dtype = np.dtype(endian + _V3_DTYPES[dt])
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    fill = meta.get("fill_value", 0) or 0
+    out = np.full(shape, fill, dtype=dtype)
+    grid = [range(0, s, c) for s, c in zip(shape, chunks)]
+    idx: list[int] = [0] * len(shape)
+
+    def _read(dim: int, starts: list[int]) -> None:
+        if dim == len(shape):
+            parts = prefix + [str(i) for i in idx]
+            key = sep.join(parts)
+            p = os.path.join(path, *key.split(sep)) if sep == "/" else os.path.join(
+                path, key
+            )
+            if not os.path.exists(p):
+                return  # missing chunk = fill_value per spec
+            raw = open(p, "rb").read()
+            if comp == "gzip":
+                raw = gzip.decompress(raw)
+            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+            sl = tuple(
+                slice(st, min(st + c, s)) for st, c, s in zip(starts, chunks, shape)
+            )
+            out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
+            return
+        for i, st in enumerate(grid[dim]):
+            idx[dim] = i
+            _read(dim + 1, starts + [st])
+
+    _read(0, [])
+    return out
+
+
 def read_zarr_array(path: str) -> np.ndarray:
-    """Read a Zarr v2 array directory written by this module or by
-    zarr-python (baseline subset: C-order, no filters, raw/zlib/gzip)."""
+    """Read a Zarr array directory written by this module or by
+    zarr-python — v2 (baseline subset: C-order, no filters,
+    raw/zlib/gzip) or v3 (dispatched to :func:`read_zarr_array_v3`)."""
+    if not os.path.exists(os.path.join(path, ZARRAY)) and os.path.exists(
+        os.path.join(path, ZARR_JSON)
+    ):
+        return read_zarr_array_v3(path)
     with open(os.path.join(path, ZARRAY)) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
-        raise NotImplementedError("only zarr v2 arrays decode built-in")
+        raise NotImplementedError("only zarr v2/v3 arrays decode built-in")
     if meta.get("order", "C") != "C" or meta.get("filters"):
         raise NotImplementedError("F-order/filtered zarr arrays need the zarr package")
     shape = tuple(meta["shape"])
@@ -183,36 +364,60 @@ def write_ngff_store(
     compressor: str | None = "zlib",
     compression_level: int = 1,
     chunks: tuple[int, ...] | None = None,
+    zarr_format: int = 2,
 ) -> None:
-    """OME-NGFF 0.4 multiscale group: ``.zgroup`` + ``multiscales``
-    attrs + one v2 array per pyramid level (datasets "0", "1", …).
-    ``omero.channels`` carries channel labels like the reference's
-    export (export.py:231-374)."""
+    """OME-NGFF multiscale group — one array per pyramid level
+    (datasets "0", "1", …), ``omero.channels`` carrying channel labels
+    like the reference's export (export.py:231-374).
+
+    ``zarr_format=2`` (default): ``.zgroup`` + ``.zattrs`` + v2 arrays
+    (NGFF 0.4). ``zarr_format=3``: a single group ``zarr.json`` whose
+    ``attributes`` carry the same multiscales document (NGFF 0.5
+    layout) + v3 arrays — the reference exposes the identical switch
+    (export.py:361)."""
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ZGROUP), "w") as f:
-        json.dump({"zarr_format": 2}, f)
+    if zarr_format == 2:
+        with open(os.path.join(path, ZGROUP), "w") as f:
+            json.dump({"zarr_format": 2}, f)
     datasets = []
     for i, lv in enumerate(levels):
-        s = float(downscale**i)
+        # per-axis scale from the ACTUAL shape ratio (not downscale**i):
+        # max(1, dim//f) floors and optional Z-downscale make the true
+        # ratio diverge from the nominal factor at deep/small levels
+        scale = [
+            float(s0) / float(si) for s0, si in zip(levels[0].shape, lv.shape)
+        ]
         datasets.append(
             {
                 "path": str(i),
                 "coordinateTransformations": [
-                    {"type": "scale", "scale": [1.0, 1.0, 1.0, s, s]}
+                    {"type": "scale", "scale": scale}
                 ],
             }
         )
-        write_zarr_array(
-            os.path.join(path, str(i)),
-            lv,
-            chunks=chunks,
-            compressor=compressor,
-            compression_level=compression_level,
-        )
+        if zarr_format == 2:
+            write_zarr_array(
+                os.path.join(path, str(i)),
+                lv,
+                chunks=chunks,
+                compressor=compressor,
+                compression_level=compression_level,
+            )
+        else:
+            write_zarr_array_v3(
+                os.path.join(path, str(i)),
+                lv,
+                chunks=chunks,
+                compressor=compressor,
+                compression_level=compression_level,
+                dimension_names=[a["name"] for a in NGFF_AXES[-lv.ndim :]],
+            )
     attrs: dict[str, Any] = {
         "multiscales": [
             {
-                "version": "0.4",
+                "version": "0.4" if zarr_format == 2 else "0.5",
                 "name": name or image_id,
                 "axes": NGFF_AXES,
                 "datasets": datasets,
@@ -224,19 +429,43 @@ def write_ngff_store(
         attrs["omero"] = {
             "channels": [{"label": cn} for cn in channel_names]
         }
-    with open(os.path.join(path, ZATTRS), "w") as f:
-        json.dump(attrs, f, indent=1)
+    if zarr_format == 2:
+        with open(os.path.join(path, ZATTRS), "w") as f:
+            json.dump(attrs, f, indent=1)
+    else:
+        group_meta = {
+            "zarr_format": 3,
+            "node_type": "group",
+            "attributes": attrs,
+        }
+        with open(os.path.join(path, ZARR_JSON), "w") as f:
+            json.dump(group_meta, f, indent=1)
 
 
 def read_ngff_attrs(path: str) -> dict[str, Any]:
+    """Group attributes, version-agnostic: v2 ``.zattrs`` or the
+    ``attributes`` key of a v3 group ``zarr.json``."""
     p = os.path.join(path, ZATTRS)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    p3 = os.path.join(path, ZARR_JSON)
+    if os.path.exists(p3):
+        with open(p3) as f:
+            meta = json.load(f)
+        if meta.get("node_type") == "group":
+            return meta.get("attributes", {}) or {}
+    return {}
 
 
 def is_zarr_v2_store(path: str) -> bool:
     return os.path.exists(os.path.join(path, ZGROUP)) or os.path.exists(
         os.path.join(path, ZARRAY)
+    )
+
+
+def is_zarr_store(path: str) -> bool:
+    """v2 (``.zgroup``/``.zarray``) or v3 (``zarr.json``) store root."""
+    return is_zarr_v2_store(path) or os.path.exists(
+        os.path.join(path, ZARR_JSON)
     )

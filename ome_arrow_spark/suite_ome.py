@@ -322,6 +322,65 @@ def ome_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zarr v3 round-trip in the driver gate: build the same 2-channel
+# 128×128 formula image as ome_multiscale, write a REAL Zarr v3 / NGFF
+# 0.5 store (zarr.json + c/-prefixed gzip chunks) with a 2-level
+# pyramid via the built-in v3 codec, ingest level 1 back through the
+# distributed manifest path, and have DuckDB re-derive the pooled sums
+# arithmetically. One wrong byte in the v3 write OR read breaks the
+# hash. (Reference writes v3 via the zarr package, export.py:265-289.)
+@register(
+    "ome_zarr_v3_roundtrip",
+    """
+    WITH cc AS (SELECT unnest(generate_series(0, 1)) AS c),
+         ny AS (SELECT unnest(generate_series(0, 63)) AS ny),
+         nx AS (SELECT unnest(generate_series(0, 63)) AS nx),
+         dd AS (SELECT a.dy, b.dx FROM (SELECT unnest([0,1]) dy) a,
+                                       (SELECT unnest([0,1]) dx) b),
+         cell AS (
+           SELECT cc.c, ny.ny, nx.nx,
+                  SUM((cc.c*17 + (ny.ny*2 + dd.dy)*128 + (nx.nx*2 + dd.dx)) % 65536)
+                    // 4 AS pooled
+           FROM cc, ny, nx, dd
+           GROUP BY cc.c, ny.ny, nx.nx)
+    SELECT CAST(c AS INT) AS c, CAST(SUM(pooled) AS BIGINT) AS px_sum,
+           CAST(MIN(pooled) AS INT) AS px_min,
+           CAST(MAX(pooled) AS INT) AS px_max
+    FROM cell GROUP BY c
+    """,
+)
+def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources.zarr import build_pyramid, from_zarr_manifest
+    from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
+
+    yy, xx = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+    vol = np.stack(
+        [(c * 17 + yy * 128 + xx) % 65536 for c in range(2)]
+    )[np.newaxis, :, np.newaxis]
+    d = tempfile.mkdtemp(prefix="ome_v3_q_")
+    store = os.path.join(d, "v3img.zarr")
+    write_ngff_store(
+        store,
+        [lv.astype("<u2") for lv in build_pyramid(vol, 2)],
+        image_id="v3img",
+        channel_names=["C0", "C1"],
+        compressor="gzip",
+        zarr_format=3,
+    )
+    imgs = from_zarr_manifest(spark, [store], level=1)
+    return plane_stats(imgs).select(
+        F.col("c").cast("int"),
+        "px_sum",
+        F.col("px_min").cast("int"),
+        F.col("px_max").cast("int"),
+    )
+
+
 # V1 plane lookup + autoscale: exact (t,c,z) plane of multi-channel-z.
 @register(
     "ome_view_plane",

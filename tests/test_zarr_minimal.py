@@ -78,6 +78,123 @@ def test_ngff_store_attrs_and_pyramid(tmp_path):
     np.testing.assert_array_equal(lv1, levels[1].astype(np.uint16))
 
 
+@pytest.mark.parametrize("compressor", [None, "gzip"])
+def test_v3_array_roundtrip(tmp_path, compressor):
+    """Zarr v3 layout: zarr.json metadata, c/-prefixed chunk keys,
+    bytes(+gzip) codec chain, edge-chunk padding — all bit-exact on
+    read-back, with genuine gzip chunk streams on disk."""
+    import gzip as _gzip
+
+    from ome_arrow_spark.sources.zarr_minimal import (
+        read_zarr_array_v3,
+        write_zarr_array_v3,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 65536, size=(2, 3, 4, 10, 7), dtype=np.uint16)
+    p = str(tmp_path / "a3")
+    write_zarr_array_v3(p, arr, chunks=(1, 2, 3, 4, 4), compressor=compressor)
+    np.testing.assert_array_equal(read_zarr_array_v3(p), arr)
+    # generic reader dispatches on layout
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+    meta = json.load(open(os.path.join(p, "zarr.json")))
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+    assert meta["data_type"] == "uint16"
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [1, 2, 3, 4, 4]
+    chunk_path = os.path.join(p, "c", "0", "0", "0", "0", "0")
+    assert os.path.exists(chunk_path)
+    raw = open(chunk_path, "rb").read()
+    if compressor == "gzip":
+        raw = _gzip.decompress(raw)
+    block = np.frombuffer(raw, dtype="<u2").reshape(1, 2, 3, 4, 4)
+    np.testing.assert_array_equal(block, arr[:1, :2, :3, :4, :4])
+
+
+def test_v3_unsupported_codec_gates(tmp_path):
+    from ome_arrow_spark.sources.zarr_minimal import (
+        read_zarr_array_v3,
+        write_zarr_array_v3,
+    )
+
+    arr = np.zeros((2, 2), dtype=np.uint16)
+    with pytest.raises(NotImplementedError, match="zstd"):
+        write_zarr_array_v3(str(tmp_path / "b"), arr, compressor="zstd")
+    p = str(tmp_path / "c")
+    write_zarr_array_v3(p, arr, compressor=None)
+    meta = json.load(open(os.path.join(p, "zarr.json")))
+    meta["codecs"].append({"name": "blosc", "configuration": {"cname": "zstd"}})
+    json.dump(meta, open(os.path.join(p, "zarr.json"), "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        read_zarr_array_v3(p)
+
+
+def test_v3_ngff_store_roundtrip(tmp_path):
+    """write_ngff_store(zarr_format=3) → a v3 group zarr.json carrying
+    the multiscales document in `attributes` + v3 arrays; decode_store
+    reads it back without the zarr package, metadata intact."""
+    vol = (np.arange(2 * 2 * 1 * 8 * 6) % 65536).reshape(2, 2, 1, 8, 6)
+    levels = ZR.build_pyramid(vol, 2)
+    p = str(tmp_path / "v3.zarr")
+    write_ngff_store(
+        p, [lv.astype("<u2") for lv in levels], image_id="v3img",
+        name="V3 Image", channel_names=["DAPI", "GFP"], zarr_format=3,
+    )
+    assert not os.path.exists(os.path.join(p, ".zgroup"))
+    gmeta = json.load(open(os.path.join(p, "zarr.json")))
+    assert gmeta["node_type"] == "group" and gmeta["zarr_format"] == 3
+    ms = read_ngff_attrs(p)["multiscales"][0]
+    assert ms["version"] == "0.5"
+    assert [d["path"] for d in ms["datasets"]] == ["0", "1"]
+    arr0 = json.load(open(os.path.join(p, "0", "zarr.json")))
+    assert arr0["dimension_names"] == ["t", "c", "z", "y", "x"]
+    rec = ZR.decode_store(p)
+    assert rec["id"] == "v3img" and rec["name"] == "V3 Image"
+    assert [c["name"] for c in rec["pixels_meta"]["channels"]] == ["DAPI", "GFP"]
+    got = {(pl["t"], pl["c"], pl["z"]): pl["pixels"] for pl in rec["planes"]}
+    for t in range(2):
+        for c in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(got[(t, c, 0)]).reshape(8, 6), vol[t, c, 0]
+            )
+    # level-1 read through decode_store as well
+    rec1 = ZR.decode_store(p, level=1)
+    assert rec1["pixels_meta"]["size_y"] == 4 and rec1["pixels_meta"]["size_x"] == 3
+
+
+def test_deep_pyramid_floors_at_one(tmp_path):
+    """levels > log2(min dim): the reference floors every level dim at
+    max(1, dim // factor) (export.py:317-330) — deep pyramids over small
+    planes must bottom out at 1×1, not crash on a zero-size level, and
+    the written store must carry true shape-ratio scales."""
+    vol = (np.arange(1 * 1 * 2 * 5 * 9) % 65536).reshape(1, 1, 2, 5, 9)
+    levels = ZR.build_pyramid(vol, 6)  # 5x9 → 2x4 → 1x2 → 1x1 → 1x1 → 1x1
+    shapes = [lv.shape[-2:] for lv in levels]
+    assert shapes == [(5, 9), (2, 4), (1, 2), (1, 1), (1, 1), (1, 1)]
+    assert all(lv.shape[-3] == 2 for lv in levels)  # Z kept by default
+    # the 1x1 tail is the mean of the preceding level
+    assert levels[3][0, 0, 0, 0, 0] == levels[2][0, 0, 0].sum() // 2
+    p = str(tmp_path / "deep.zarr")
+    write_ngff_store(p, [lv.astype("<u2") for lv in levels], image_id="deep")
+    ms = read_ngff_attrs(p)["multiscales"][0]
+    got = ms["datasets"][2]["coordinateTransformations"][0]["scale"]
+    assert got == [1.0, 1.0, 1.0, 5.0, 4.5]  # true ratio, not factor**k
+    lv2 = read_zarr_array(os.path.join(p, "2"))
+    np.testing.assert_array_equal(lv2, levels[2].astype(np.uint16))
+
+
+def test_pyramid_downscale_z_parity():
+    """downscale_z=True mirrors the reference exporter's all-spatial-axes
+    downscale (export.py:328-330): Z halves with the same max(1, ...)
+    floor and level values are the Z-pair means of the YX-pooled level."""
+    vol = (np.arange(1 * 1 * 4 * 8 * 8) % 65536).reshape(1, 1, 4, 8, 8)
+    levels = ZR.build_pyramid(vol, 3, downscale_z=True)
+    assert [lv.shape[-3:] for lv in levels] == [(4, 8, 8), (2, 4, 4), (1, 2, 2)]
+    yx = ZR.build_pyramid(vol, 2)[1]  # YX-only pooled level 1
+    np.testing.assert_array_equal(
+        levels[1][0, 0], (yx[0, 0, 0::2] + yx[0, 0, 1::2]) // 2
+    )
+
+
 def test_decode_store_reads_ngff_without_zarr_pkg(tmp_path):
     """decode_store on a real NGFF store: id/name/channels from attrs,
     pixels bit-identical."""
