@@ -115,12 +115,22 @@ def render_plane_matplotlib(record: dict[str, Any], tcz=(0, 0, 0), **kw):
     raise KeyError(f"plane {tcz} not found")  # pragma: no cover
 
 
-def build_volume_zyx(record: dict[str, Any], c: int = 0, downsample: int = 1):
+def build_volume_zyx(
+    record: dict[str, Any],
+    c: int = 0,
+    downsample: int = 1,
+    scaling_values: tuple[float, float, float] | None = None,
+):
     """(Z, Y, X) uint16 volume + (dx, dy, dz) world spacing for T=0,
     channel ``c`` — the driver-side rebuild the reference does at
     view.py:116-126 (zero-filled missing z-planes, spacing from
     ``physical_size_*`` defaulting to 1.0, downsample scales spacing
-    view.py:124-126). Pure numpy, no render dependency."""
+    view.py:124-126). ``scaling_values`` is the reference's explicit
+    (Z, Y, X) spacing override (view.py:70, 111-112); the reference's
+    OTHER override source — a legacy ``pm["scaling_values"]`` dict key
+    (view.py:105-110) — cannot exist here because pixels_meta is the
+    typed OME-Arrow struct, so that branch is intentionally omitted.
+    Pure numpy, no render dependency."""
     import numpy as np
 
     pm = record["pixels_meta"]
@@ -128,9 +138,12 @@ def build_volume_zyx(record: dict[str, Any], c: int = 0, downsample: int = 1):
     sc = int(pm["size_c"])
     if not (0 <= c < sc):
         raise ValueError(f"Channel out of range: 0..{sc - 1}")
-    dx = float(pm.get("physical_size_x") or 1.0)
-    dy = float(pm.get("physical_size_y") or 1.0)
-    dz = float(pm.get("physical_size_z") or 1.0)
+    if scaling_values is not None:
+        dz, dy, dx = (float(v) for v in scaling_values)
+    else:
+        dx = float(pm.get("physical_size_x") or 1.0)
+        dy = float(pm.get("physical_size_y") or 1.0)
+        dz = float(pm.get("physical_size_z") or 1.0)
     vol = np.zeros((sz, sy, sx), dtype=np.uint16)
     for p in record["planes"]:
         if int(p["t"]) == 0 and int(p["c"]) == c:
@@ -150,15 +163,18 @@ def render_volume_pyvista(
     background: str = "black",
     percentile_clim: tuple[float, float] = (1.0, 99.9),
     show: bool = False,
+    scaling_values: tuple[float, float, float] | None = None,
 ):
     """Driver-side volume render (V2, reference view.py:66-286): rebuild
     the (Z,Y,X) volume for T=0/channel c, transpose to VTK's (X,Y,Z)
-    memory order, spacing from physical sizes, robust-percentile contrast
-    limits when ``clim`` is None (view.py:133-136), then
-    ``pv.ImageData`` + ``Plotter.add_volume`` (view.py:163-196).
-    Returns the Plotter. Import-gated: pyvista is absent in this
-    container, so the construction is unit-tested against a fake module
-    (tests/test_facade_multimodal.py)."""
+    memory order, spacing from physical sizes (or the reference's
+    explicit ``scaling_values`` (Z,Y,X) override, view.py:70),
+    robust-percentile contrast limits when ``clim`` is None
+    (view.py:133-136), then ``pv.ImageData`` + ``Plotter.add_volume``
+    (view.py:163-196). Returns the Plotter. Import-gated: pyvista is
+    absent in this container, so the construction is unit-tested against
+    a fake module (tests/test_zarr_multiscale_views.py::
+    test_render_volume_pyvista_fake_module)."""
     try:
         import pyvista as pv  # type: ignore
     except ImportError as e:
@@ -168,7 +184,9 @@ def render_volume_pyvista(
         ) from e
     import numpy as np
 
-    vol_zyx, (dx, dy, dz) = build_volume_zyx(record, c=c, downsample=downsample)
+    vol_zyx, (dx, dy, dz) = build_volume_zyx(
+        record, c=c, downsample=downsample, scaling_values=scaling_values
+    )
     vol_xyz = vol_zyx.transpose(2, 1, 0)  # VTK memory order (view.py:129)
     nx, ny, nz = map(int, vol_xyz.shape)
 

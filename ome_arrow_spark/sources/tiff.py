@@ -11,8 +11,9 @@ aren't splittable).
 Codecs: real ``.ome.tif``/``.tif`` bytes decode AND encode built-in via
 ``tiff_minimal`` (uncompressed/PackBits/LZW/Deflate, striped/tiled,
 Predictor-2, grayscale/RGB chunky+planar, 8/16-bit int + float32,
-either endianness); ``tifffile``, when importable, takes over for
-anything outside that subset (JPEG, BigTIFF, float predictor). A
+either endianness, classic or BigTIFF layout); ``tifffile``, when
+importable, takes over for anything outside that subset (JPEG, float
+predictor 3). A
 deterministic FTIF container (magic + JSON header + raw uint16 LE
 payload) additionally exercises the Spark plumbing (schema,
 partitioning, UDF signature, Arrow batch shape) in tests.

@@ -1,5 +1,6 @@
-"""Minimal pure-Python TIFF codec: classic (non-Big) TIFF, little- or
-big-endian, multi-page; grayscale or RGB/multi-sample (chunky OR planar
+"""Minimal pure-Python TIFF codec: classic TIFF or BigTIFF (magic 43,
+8-byte offsets — TIFF supplement 2), little- or big-endian, multi-page;
+grayscale or RGB/multi-sample (chunky OR planar
 PlanarConfiguration, TIFF 6.0 §12); 8/16-bit integer (signed/unsigned)
 or 32-bit float samples; uncompressed, PackBits (TIFF 6.0 §9), LZW
 (TIFF 6.0 §13) or Deflate (Adobe 8 / legacy 32946) segments; striped or
@@ -56,7 +57,9 @@ COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "deflate": COMPRESSION_DEFLATE,
                      "zlib": COMPRESSION_DEFLATE}
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+# BYTE ASCII SHORT LONG RATIONAL ... LONG8 SLONG8 IFD8 (BigTIFF, TIFF
+# supplement 2)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8, 17: 8, 18: 8}
 
 
 def packbits_decode(data: bytes) -> bytes:
@@ -242,38 +245,52 @@ def _hdiff_decode(plane: "np.ndarray", axis: int = 1) -> "np.ndarray":
 
 
 def is_tiff(data: bytes) -> bool:
-    """Classic-TIFF magic: byte order mark + 42."""
+    """TIFF magic: byte order mark + 42 (classic) or 43 (BigTIFF)."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         return False
     bo = "<" if data[:2] == b"II" else ">"
-    return struct.unpack(bo + "H", data[2:4])[0] == 42
+    return struct.unpack(bo + "H", data[2:4])[0] in (42, 43)
 
 
-def _read_ifd_entries(data: bytes, bo: str, off: int) -> tuple[dict[int, object], int]:
+def _read_ifd_entries(
+    data: bytes, bo: str, off: int, big: bool = False
+) -> tuple[dict[int, object], int]:
     """One IFD → ({tag: values-or-str}, next_ifd_offset). Integer tags
     come back as int lists; ASCII tags (e.g. ImageDescription, which
-    carries the OME-XML in OME-TIFF) as stripped str."""
-    (n_entries,) = struct.unpack_from(bo + "H", data, off)
+    carries the OME-XML in OME-TIFF) as stripped str. ``big`` selects
+    the BigTIFF layout (8-byte entry counts/offsets, 20-byte entries,
+    LONG8/SLONG8/IFD8 types — TIFF supplement 2)."""
+    if big:
+        (n_entries,) = struct.unpack_from(bo + "Q", data, off)
+        entry0, esize, inline = off + 8, 20, 8
+        cnt_fmt, off_fmt = "HHQ", "Q"
+    else:
+        (n_entries,) = struct.unpack_from(bo + "H", data, off)
+        entry0, esize, inline = off + 2, 12, 4
+        cnt_fmt, off_fmt = "HHI", "I"
     tags: dict[int, object] = {}
-    for i in range(n_entries):
-        base = off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
-        if typ not in (1, 2, 3, 4):
+    for i in range(int(n_entries)):
+        base = entry0 + esize * i
+        tag, typ, count = struct.unpack_from(bo + cnt_fmt, data, base)
+        if typ not in (1, 2, 3, 4, 16, 17, 18):
             continue
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
-            val_off = base + 8
+        val_base = base + (12 if big else 8)
+        if size <= inline:
+            val_off = val_base
         else:
-            (val_off,) = struct.unpack_from(bo + "I", data, base + 8)
+            (val_off,) = struct.unpack_from(bo + off_fmt, data, val_base)
         if typ == 2:  # ASCII
             tags[tag] = data[val_off : val_off + count].split(b"\x00")[0].decode(
                 "utf-8", "replace"
             )
             continue
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 18: "Q"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, val_off))
-    (next_off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n_entries)
-    return tags, next_off
+    (next_off,) = struct.unpack_from(
+        bo + off_fmt, data, entry0 + esize * int(n_entries)
+    )
+    return tags, int(next_off)
 
 
 def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
@@ -289,14 +306,21 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
     on TIFF features outside the baseline subset — the caller decides
     whether tifffile can take over."""
     if not is_tiff(data):
-        raise ValueError("not a classic TIFF byte stream")
+        raise ValueError("not a TIFF byte stream")
     bo = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    big = struct.unpack(bo + "H", data[2:4])[0] == 43
+    if big:
+        offsize, zero = struct.unpack_from(bo + "HH", data, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     pages: list[np.ndarray] = []
     description: str | None = None
     while ifd_off:
         try:
-            tags, ifd_off = _read_ifd_entries(data, bo, ifd_off)
+            tags, ifd_off = _read_ifd_entries(data, bo, ifd_off, big=big)
         except (struct.error, IndexError) as exc:
             raise ValueError(f"malformed/truncated TIFF structure: {exc}") from exc
         has_strips = TAG_STRIP_OFFSETS in tags and TAG_STRIP_BYTE_COUNTS in tags
@@ -538,6 +562,7 @@ def encode_tiff_baseline(
     predictor: bool = False,
     tile: tuple[int, int] | None = None,
     planar: bool = False,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
     multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
@@ -550,7 +575,10 @@ def encode_tiff_baseline(
     (Predictor=2); ``tile=(tile_width, tile_length)`` switches from
     strips to the tiled layout (TIFF 6.0 §15 — multiples of 16 for
     strict-reader compatibility); ``planar=True`` writes multi-sample
-    data in PlanarConfiguration=2 (sample-major strip groups)."""
+    data in PlanarConfiguration=2 (sample-major strip groups);
+    ``bigtiff=True`` writes the BigTIFF (magic 43) layout — 8-byte
+    offsets, 20-byte IFD entries, LONG8 offset arrays (TIFF supplement
+    2) — for stores past the classic 4 GiB addressing limit."""
     vol = np.asarray(vol)
     if vol.ndim == 2:
         vol = vol[np.newaxis]
@@ -579,9 +607,16 @@ def encode_tiff_baseline(
     rps = rows_per_strip or height
 
     out = bytearray()
-    out += (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
-    out += struct.pack(bo + "I", 0)  # first-IFD offset patched below
-    ifd_patch_at = 4
+    if bigtiff:
+        out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HHH", 43, 8, 0)
+        out += struct.pack(bo + "Q", 0)  # first-IFD offset patched below
+        ifd_patch_at = 8
+        off_fmt, off_typ, inline = "Q", 16, 8
+    else:
+        out += (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+        out += struct.pack(bo + "I", 0)  # first-IFD offset patched below
+        ifd_patch_at = 4
+        off_fmt, off_typ, inline = "I", 4, 4
 
     def _seg_bytes(arr: np.ndarray) -> bytes:
         if predictor:
@@ -625,12 +660,12 @@ def encode_tiff_baseline(
             entries += [
                 (TAG_TILE_WIDTH, 4, 1, [tile[0]]),
                 (TAG_TILE_LENGTH, 4, 1, [tile[1]]),
-                (TAG_TILE_OFFSETS, 4, len(segments), seg_offsets),
+                (TAG_TILE_OFFSETS, off_typ, len(segments), seg_offsets),
                 (TAG_TILE_BYTE_COUNTS, 4, len(segments), [len(s) for s in segments]),
             ]
         else:
             entries += [
-                (TAG_STRIP_OFFSETS, 4, len(segments), seg_offsets),
+                (TAG_STRIP_OFFSETS, off_typ, len(segments), seg_offsets),
                 (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
                 (TAG_STRIP_BYTE_COUNTS, 4, len(segments), [len(s) for s in segments]),
             ]
@@ -646,31 +681,34 @@ def encode_tiff_baseline(
         # (TIFF 6.0: all values must begin on a word boundary)
         value_offsets: dict[int, int] = {}
         for tag, typ, count, values in entries:
-            if _TYPE_SIZES[typ] * count > 4:
+            if _TYPE_SIZES[typ] * count > inline:
                 value_offsets[tag] = len(out)
                 if typ == 2:
                     out += values
                 else:
-                    fmt = {3: "H", 4: "I"}[typ]
+                    fmt = {3: "H", 4: "I", 16: "Q"}[typ]
                     out += struct.pack(bo + str(count) + fmt, *values)
                 if len(out) % 2:
                     out += b"\x00"
 
         ifd_off = len(out)
-        struct.pack_into(bo + "I", out, ifd_patch_at, ifd_off)
-        out += struct.pack(bo + "H", len(entries))
+        struct.pack_into(bo + off_fmt, out, ifd_patch_at, ifd_off)
+        if bigtiff:
+            out += struct.pack(bo + "Q", len(entries))
+        else:
+            out += struct.pack(bo + "H", len(entries))
         for tag, typ, count, values in entries:
-            out += struct.pack(bo + "HHI", tag, typ, count)
-            if _TYPE_SIZES[typ] * count > 4:
-                out += struct.pack(bo + "I", value_offsets[tag])
+            out += struct.pack(bo + "HH" + off_fmt, tag, typ, count)
+            if _TYPE_SIZES[typ] * count > inline:
+                out += struct.pack(bo + off_fmt, value_offsets[tag])
             else:
                 if typ == 2:
                     packed = bytes(values)
                 else:
-                    fmt = {3: "H", 4: "I"}[typ]
+                    fmt = {3: "H", 4: "I", 16: "Q"}[typ]
                     packed = struct.pack(bo + str(count) + fmt, *values)
-                out += packed + b"\x00" * (4 - len(packed))
+                out += packed + b"\x00" * (inline - len(packed))
         ifd_patch_at = len(out)  # this IFD's next-pointer
-        out += struct.pack(bo + "I", 0)
+        out += struct.pack(bo + off_fmt, 0)
 
     return bytes(out)

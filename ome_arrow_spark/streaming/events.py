@@ -49,13 +49,17 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ome_arrow_spark.suite import _events_ts_unit
+    from ome_arrow_spark.suite import _events_ts_info
 
-    if _events_ts_unit(sf_dir) != "ns":
-        # TIMESTAMP(MICROS): natural NTZ read, normalize to session-tz
-        # timestamp (value-preserving under the UTC session tz).
+    unit, utc_adjusted = _events_ts_info(sf_dir)
+    if unit != "ns":
+        # TIMESTAMP(MICROS): the explicit reader schema mirrors the
+        # parquet logical type — TimestampType when isAdjustedToUTC
+        # (instant semantics), TimestampNTZType otherwise — so the read
+        # is value-preserving by construction, not by session-tz luck.
+        ts_type = T.TimestampType() if utc_adjusted else T.TimestampNTZType()
         stream = (
-            spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+            spark.readStream.schema(_events_schema(ts_type))
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )

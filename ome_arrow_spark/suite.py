@@ -53,32 +53,39 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # core relational (scan/filter/join/agg/window/sort/scalar).  Round 4
-    # rotation: entries already driver-hashed green in r1-r3 (scalar trio,
-    # pivot/unpivot, rollup/stats/corr/minmax_by, set_ops, q4/q9/q17/q22)
-    # moved out in favor of never-driver-checked streaming/ANN/LLM/OME
-    # queries — converts their local-pytest parity into driver-grade rows.
-    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
-    "filter_predicates", "join_semi", "join_left_order_counts",
-    "join_full_outer", "join_range", "asof_events_orders",
-    "asof_events_orders_forward", "agg_distinct", "window_rank",
-    "window_analytic", "window_time_range", "sort_topk", "json_events",
-    # correlated subqueries + multi-join TPC-H shapes
-    "q2_min_cost_supplier", "q8_market_share", "q21_waiting_supplier",
-    # analytics + iterative
-    "funnel_events", "events_gapfill", "dedup_components",
-    "kmeans_embeddings", "grouped_map_topk", "sessionize_events",
-    # OME format operators
-    "ome_describe", "ome_slice_crop", "ome_stack_ingest", "ome_multiscale",
-    "ome_verify", "ome_colocalization",
-    # LLM data-pipeline operators
-    "dedup_exact", "neardup_lsh", "knn_cosine", "knn_cosine_lsh",
-    "knn_cosine_ivf", "text_stats", "doc_fingerprint", "near_dedup_full",
-    "decontamination", "dataset_shuffle_pack", "tfidf_topk",
+    # Round-5 rotation — the THIRD distinct 50-query window. Everything
+    # below has NEVER had a driver-grade CORRECTNESS row (r1-r4 covered
+    # 79 of 150 queries; this window converts 50 more local-pytest
+    # parities into driver-grade rows → 129/150 ever-driver-checked).
+    # Rotated out (green in r1-r4): the TPC-H core, join/window/sort
+    # battery, streaming five, ANN trio, near-dedup pipeline, OME
+    # describe/slice/verify/stack/multiscale. Names not yet registered
+    # are skipped, so partial imports stay safe.
+    #
+    # round-5 format additions (compressed-TIFF + Zarr v3 round-trips)
+    "ome_tiff_codec_ingest", "ome_zarr_v3_roundtrip",
+    # TPC-H shapes never driver-hashed
+    "q6_forecast_revenue", "q11_important_parts", "q12_late_lines",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q18_large_volume_customer", "q19_disjunctive_predicate",
+    "q20_part_promotion",
     # streaming + incremental formats
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
-    "stream_stream_join", "csv_roundtrip", "merge_incremental",
-    "cogrouped_asof",
+    "stream_static_join", "stream_stateful", "jsonl_roundtrip",
+    # OME imaging-analytics + view/meta operators
+    "ome_channels", "ome_view_plane", "ome_volume_contrast",
+    "ome_histogram", "ome_feature_join", "ome_bg_subtract", "ome_mip",
+    "ome_timelapse_trend", "ome_patch_extract", "ome_focus_rank",
+    "ome_radial_profile", "ome_threshold_stats", "ome_planes_sql",
+    # LLM text/embedding operators
+    "text_quality", "lang_id", "token_topk", "text_repetition",
+    "minhash_signatures", "simhash", "ngram_jaccard",
+    "embedding_centroids", "embedding_stats", "embedding_neardup",
+    "token_count_bpe", "token_pmi", "pii_scrub", "ngram_exact_overlap",
+    "token_budget_sample",
+    # analytics + partition-policy
+    "retention_cohorts", "scd2_orders", "window_anomaly",
+    "interval_concurrency", "triangle_count", "percentile_multi",
+    "bucketed_join", "window_locf",
 )
 
 
@@ -104,21 +111,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events_ts_unit(sf_dir: str) -> str:
-    """Parquet time unit of events.ts ('ns' or 'us') — a driver-side
+def _events_ts_info(sf_dir: str) -> tuple[str, bool]:
+    """``(time unit, isAdjustedToUTC)`` of events.ts — a driver-side
     footer sniff (pyarrow, no JVM scan). Different testdata generations
     have stored either TIMESTAMP(NANOS) or TIMESTAMP(MICROS); both must
-    ingest identically."""
+    ingest identically. Directory datasets are searched recursively
+    (cluster layouts nest part files under partition subdirs), and a
+    non-timestamp ``ts`` raises instead of being misread as seconds."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):  # directory dataset at cluster scale
-        part = next(
-            os.path.join(path, f) for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
+        parts = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
-        path = part
-    return getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+        if not parts:
+            raise FileNotFoundError(
+                f"no *.parquet part files anywhere under {path}"
+            )
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit is None:
+        raise TypeError(
+            f"events.ts has parquet type {t!r}, not a timestamp — refusing "
+            "to guess an epoch unit for event-time ingest"
+        )
+    return unit, getattr(t, "tz", None) is not None
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    return _events_ts_info(sf_dir)[0]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,32 @@ def test_roundtrip_lzw_kwkwk_and_table_flush():
         np.testing.assert_array_equal(back[0, 0, 0], plane.astype(np.uint16))
 
 
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_bigtiff(big_endian):
+    """BigTIFF (magic 43): 8-byte offsets, 20-byte IFD entries, LONG8
+    offset arrays — multi-page + multi-strip + compression must
+    round-trip exactly, and the header must be genuine BigTIFF."""
+    import struct as _struct
+
+    rng = np.random.default_rng(41)
+    vol = rng.integers(0, 65536, size=(3, 14, 9), dtype=np.uint16)
+    blob = encode_tiff_baseline(
+        vol, bigtiff=True, big_endian=big_endian, rows_per_strip=5,
+        compression="lzw", description="bigtiff fixture",
+    )
+    assert is_tiff(blob)
+    bo = ">" if big_endian else "<"
+    assert _struct.unpack(bo + "H", blob[2:4])[0] == 43
+    assert _struct.unpack(bo + "HH", blob[4:8]) == (8, 0)
+    back = decode_tiff_baseline(blob)
+    np.testing.assert_array_equal(back[0, 0], vol)
+    # description survives the BigTIFF IFD layout
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    _, desc = decode_tiff_pages(blob)
+    assert desc == "bigtiff fixture"
+
+
 def test_lzw_eoi_on_width_boundary():
     """Regression: incompressible segments whose FINAL data code lands
     exactly on the 511-entry early-change boundary made the encoder
@@ -158,6 +184,82 @@ def test_float32_decode():
     np.testing.assert_array_equal(
         back[0, 0, 0], np.array([[0, 2, 65535], [0, 255, 256]], dtype=np.uint16)
     )
+
+
+def test_tifffile_branch_metadata_parity(monkeypatch):
+    """A cluster WITH tifffile must not silently lose OME metadata the
+    built-in path preserves (reference ingest.py:340-346 carries channel
+    names + physical sizes through every TIFF read). Monkeypatch a fake
+    tifffile module whose decode mirrors the built-in one and assert
+    decode_volume_bytes returns identical (volume, physical sizes,
+    channel names) on both branches."""
+    import io
+
+    from ome_arrow_spark.sources import tiff as TFmod
+    from ome_arrow_spark.sources.tiff_minimal import (
+        build_ome_xml,
+        decode_tiff_pages,
+        pages_to_tczyx,
+        parse_ome_xml_dims,
+    )
+
+    rng = np.random.default_rng(31)
+    vol = rng.integers(0, 65536, size=(1, 2, 3, 8, 10), dtype=np.uint16)
+    xml = build_ome_xml(
+        image_id="par", name="par", size_t=1, size_c=2, size_z=3, size_y=8,
+        size_x=10, channel_names=["DAPI", "GFP"],
+        physical_size_x=0.25, physical_size_y=0.25, physical_size_z=1.5,
+    )
+    pages = vol.transpose(0, 2, 1, 3, 4).reshape(6, 8, 10)  # XYCZT order
+    blob = encode_tiff_baseline(pages, description=xml)
+
+    builtin_vol, builtin_phys, builtin_chans, _ = TFmod.decode_volume_bytes(
+        "par.ome.tif", blob
+    )
+
+    class _FakePage:
+        def __init__(self, desc):
+            self.description = desc
+
+    class _FakeSeries:
+        # tifffile reports plain multi-page stacks as QYX; the branch
+        # must still recover TCZ from the OME-XML it parses itself
+        axes = "QYX"
+
+        def __init__(self, arr):
+            self._arr = arr
+
+        def asarray(self):
+            return self._arr
+
+    class _FakeTiffFile:
+        def __init__(self, fh):
+            data = fh.read() if hasattr(fh, "read") else open(fh, "rb").read()
+            p, desc = decode_tiff_pages(data)
+            dims = parse_ome_xml_dims(desc)
+            self._arr = pages_to_tczyx(p, dims).astype(np.uint16) if dims else p
+            # collapse to the page stack like tifffile's plain series
+            self._pages_arr = p
+            self.pages = [_FakePage(desc)]
+            self.ome_metadata = desc
+            self.series = [_FakeSeries(self._pages_arr)]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(TFmod, "tifffile", type("M", (), {"TiffFile": _FakeTiffFile}))
+    monkeypatch.setattr(TFmod, "HAVE_TIFFFILE", True)
+    tf_vol, tf_phys, tf_chans, _ = TFmod.decode_volume_bytes("par.ome.tif", blob)
+
+    assert tf_phys == builtin_phys == (0.25, 0.25, 1.5)
+    assert tf_chans == builtin_chans == ["DAPI", "GFP"]
+    np.testing.assert_array_equal(np.asarray(builtin_vol), vol)
+    # the fake series is the flat page stack (1,1,6,8,10); metadata
+    # parity is the contract here — the volume reshape is tifffile's job
+    assert np.asarray(tf_vol).size == vol.size
 
 
 def test_from_tiff_dir_real_bytes_matches_from_numpy(spark, tmp_path):
