@@ -90,10 +90,14 @@ def bench_tiff_ingest(
             with open(os.path.join(d, f"img{i:04d}.{ext}"), "wb") as f:
                 f.write(blob)
         glob = "*.ome.tif" if real_tiff else "*.ftif"
-        dt = min(
-            _timed(lambda: plane_stats(from_tiff_dir(spark, d, glob=glob)).count())
-            for _ in range(REPEATS)
-        )
+        action = lambda: plane_stats(from_tiff_dir(spark, d, glob=glob)).count()
+        # One untimed warmup: the first decode pays Python-worker pool
+        # spin-up + page-cache fill for the fixture files, which under
+        # ambient load survives even a min-of-2 (observed 0.8s vs 3.2s
+        # for IDENTICAL code across runs). The metric is steady-state
+        # throughput, so measure steady state.
+        action()
+        dt = min(_timed(action) for _ in range(REPEATS))
         return dt, n_images / dt
     finally:
         shutil.rmtree(d, ignore_errors=True)
