@@ -6,12 +6,14 @@ manifest-based, not ``binaryFile``: a DataFrame of store paths fans out
 to executors which each open one store locally (shared filesystem /
 object store mount — the standard cluster layout for NGFF).
 
-Codecs: REAL Zarr v2 / OME-NGFF 0.4 stores read and write built-in via
-``zarr_minimal`` (C-order arrays, raw/zlib/gzip chunks, multiscale
-group attrs) — no zarr package needed; blosc/zstd, v3, and sharded
-stores still gate on the real libraries with ``NotImplementedError``.
-The legacy FZARR test container (``header.json`` + one ``.bin`` per
-plane) remains readable.
+Codecs: REAL Zarr v2 AND v3 / OME-NGFF stores read and write built-in
+via ``zarr_minimal`` — v2 C-order arrays with raw/zlib/gzip chunks, v3
+``zarr.json`` layouts with the bytes+gzip codec chain and
+``sharding_indexed`` shards (CRC-32C indexes), multiscale group attrs
+in either layout — no zarr package needed; blosc/zstd compression
+still gates on the real libraries with ``NotImplementedError``. The
+legacy FZARR test container (``header.json`` + one ``.bin`` per plane)
+remains readable.
 
 The sink writes an NGFF-style multiscale pyramid: level k halves Y and
 X by mean-pooling (see operators/multiscale.py for the query-side LOD
@@ -154,8 +156,9 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
         )
     raise NotImplementedError(
         f"Cannot decode {store_path!r}: not an FZARR store and not a Zarr "
-        "v2/v3 store root (blosc/zstd-compressed or sharded stores need the "
-        "zarr package; v2 raw/zlib/gzip and v3 bytes+gzip decode built-in)."
+        "v2/v3 store root (blosc/zstd-compressed stores need the zarr "
+        "package; v2 raw/zlib/gzip and v3 bytes+gzip incl. sharded decode "
+        "built-in)."
     )
 
 
@@ -240,6 +243,7 @@ def to_zarr_dir(
     chunks: tuple[int, ...] | None = None,
     downscale_z: bool = False,
     zarr_format: int = 2,
+    shards: tuple[int, ...] | None = None,
 ) -> list[str]:
     """One store per image, written from executors.
 
@@ -283,6 +287,7 @@ def to_zarr_dir(
                     compression_level=compression_level,
                     chunks=chunks,
                     zarr_format=zarr_format,
+                    shards=shards,
                 )
             else:
                 write_fzarr_store(

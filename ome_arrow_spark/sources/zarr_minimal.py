@@ -139,6 +139,81 @@ _V3_DTYPES = {
 }
 
 
+def _crc32c_table() -> list[int]:
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        tbl.append(c)
+    return tbl
+
+
+_CRC32C_TBL = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the checksum the v3 ``crc32c`` codec
+    appends to shard indexes. Pure-Python table walk; only ever applied
+    to 16-bytes-per-chunk index blobs, so speed is irrelevant."""
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TBL[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int]:
+    """``(endian, compressor, level)`` from a v3 array→bytes codec chain
+    (``bytes`` + optional ``gzip``); anything else gates upstream."""
+    endian = "<"
+    comp = None
+    level = 1
+    for codec in codecs:
+        name = codec.get("name")
+        cfg = codec.get("configuration", {}) or {}
+        if name == "bytes":
+            endian = ">" if cfg.get("endian") == "big" else "<"
+        elif name == "gzip":
+            comp = "gzip"
+            level = int(cfg.get("level", 1))
+        else:
+            raise NotImplementedError(
+                f"v3 codec {name!r} (blosc/zstd/transpose) needs the zarr package"
+            )
+    return endian, comp, level
+
+
+_MISSING_CHUNK = (1 << 64) - 1
+
+
+def _iter_grid(shape: tuple[int, ...], step: tuple[int, ...]):
+    """Yield (index-tuple, start-tuple) over a regular grid, C-order."""
+    import itertools
+
+    ranges = [
+        list(enumerate(range(0, s, c))) for s, c in zip(shape, step)
+    ]
+    for combo in itertools.product(*ranges):
+        yield tuple(i for i, _ in combo), tuple(st for _, st in combo)
+
+
+def _extract_block(
+    arr: np.ndarray, starts: tuple[int, ...], block_shape: tuple[int, ...], fill
+) -> np.ndarray:
+    """``arr[starts : starts+block_shape]`` padded with ``fill`` to the
+    full block shape (v3 chunks are always full-size on disk)."""
+    sl = tuple(
+        slice(st, min(st + c, s))
+        for st, c, s in zip(starts, block_shape, arr.shape)
+    )
+    block = arr[sl]
+    if block.shape != tuple(block_shape):
+        full = np.full(block_shape, fill, dtype=arr.dtype)
+        full[tuple(slice(0, e) for e in block.shape)] = block
+        block = full
+    return np.ascontiguousarray(block)
+
+
 def write_zarr_array_v3(
     path: str,
     arr: np.ndarray,
@@ -147,17 +222,28 @@ def write_zarr_array_v3(
     compression_level: int = 1,
     dimension_names: list[str] | None = None,
     fill_value: int = 0,
+    shards: tuple[int, ...] | None = None,
 ) -> None:
     """Write one Zarr v3 array directory: ``zarr.json`` metadata +
     ``c/``-prefixed chunk files (regular grid, default key encoding,
     ``bytes``→``gzip`` codec chain). ``compressor`` ∈ {None, "gzip"} —
     the v3 codec registry has no plain-zlib entry, so "zlib" requests
-    are written as gzip (same DEFLATE stream, framed)."""
+    are written as gzip (same DEFLATE stream, framed).
+
+    ``shards`` switches on the ``sharding_indexed`` codec: each on-disk
+    object is one SHARD of that shape holding a sub-grid of ``chunks``-
+    shaped inner chunks plus a uint64 (offset, nbytes) index with a
+    CRC-32C footer (index_location "end"). This is the v3 object-store
+    scale feature — at 100 TB a chunk-per-object layout is millions of
+    tiny PUTs; shards cut object count by the inner-grid size while
+    keeping chunk-granular reads via the index. The reference writes the
+    same layout through the zarr package (export.py:265-289,
+    ``shard_shape``)."""
     if compressor == "zlib":
         compressor = "gzip"
     if compressor not in (None, "gzip"):
         raise NotImplementedError(
-            f"v3 codec {compressor!r} (blosc/zstd/sharding) needs the zarr package"
+            f"v3 codec {compressor!r} (blosc/zstd) needs the zarr package"
         )
     arr = np.ascontiguousarray(arr)
     rev = {v: k for k, v in _V3_DTYPES.items()}
@@ -167,13 +253,36 @@ def write_zarr_array_v3(
     if chunks is None:
         chunks = (1,) * (arr.ndim - 2) + arr.shape[-2:]
     chunks = tuple(int(min(c, s)) for c, s in zip(chunks, arr.shape))
-    codecs: list[dict[str, Any]] = [
+    inner_codecs: list[dict[str, Any]] = [
         {"name": "bytes", "configuration": {"endian": "little"}}
     ]
     if compressor == "gzip":
-        codecs.append(
+        inner_codecs.append(
             {"name": "gzip", "configuration": {"level": int(compression_level)}}
         )
+    if shards is not None:
+        # shard shape must be an inner-chunk multiple (v3 spec)
+        shards = tuple(
+            int(-(-int(s) // c) * c) for s, c in zip(shards, chunks)
+        )
+        grid_chunk = shards
+        codecs: list[dict[str, Any]] = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [int(c) for c in chunks],
+                    "codecs": inner_codecs,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
+    else:
+        grid_chunk = chunks
+        codecs = inner_codecs
     meta: dict[str, Any] = {
         "zarr_format": 3,
         "node_type": "array",
@@ -181,7 +290,7 @@ def write_zarr_array_v3(
         "data_type": rev[kind],
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": [int(c) for c in chunks]},
+            "configuration": {"chunk_shape": [int(c) for c in grid_chunk]},
         },
         "chunk_key_encoding": {
             "name": "default",
@@ -197,33 +306,42 @@ def write_zarr_array_v3(
     with open(os.path.join(path, ZARR_JSON), "w") as f:
         json.dump(meta, f, indent=1)
     le = arr.astype(arr.dtype.newbyteorder("<"))
-    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
-    idx: list[int] = [0] * arr.ndim
 
-    def _write_chunks(dim: int, starts: list[int]) -> None:
-        if dim == arr.ndim:
-            sl = tuple(
-                slice(st, min(st + c, s))
-                for st, c, s in zip(starts, chunks, arr.shape)
-            )
-            block = le[sl]
-            if block.shape != chunks:  # pad edge chunk to full size
-                full = np.full(chunks, fill_value, dtype=le.dtype)
-                full[tuple(slice(0, e) for e in block.shape)] = block
-                block = full
-            blob = np.ascontiguousarray(block).tobytes()
-            if compressor == "gzip":
-                blob = gzip.compress(blob, compresslevel=int(compression_level))
-            key_parts = ["c"] + [str(i) for i in idx]
-            os.makedirs(os.path.join(path, *key_parts[:-1]), exist_ok=True)
+    def _encode(block: np.ndarray) -> bytes:
+        blob = block.tobytes()
+        if compressor == "gzip":
+            blob = gzip.compress(blob, compresslevel=int(compression_level))
+        return blob
+
+    for idx, starts in _iter_grid(arr.shape, grid_chunk):
+        key_parts = ["c"] + [str(i) for i in idx]
+        os.makedirs(os.path.join(path, *key_parts[:-1]), exist_ok=True)
+        if shards is None:
+            blob = _encode(_extract_block(le, starts, chunks, fill_value))
             with open(os.path.join(path, *key_parts), "wb") as f:
                 f.write(blob)
-            return
-        for i, st in enumerate(grid[dim]):
-            idx[dim] = i
-            _write_chunks(dim + 1, starts + [st])
+            continue
+        # one shard: inner chunks in C-order + (offset, nbytes) index
+        shard_arr = _extract_block(le, starts, shards, fill_value)
+        body = bytearray()
+        index: list[int] = []
+        n_in_bounds = [
+            min(sh, max(0, s - st))
+            for sh, st, s in zip(shards, starts, arr.shape)
+        ]
+        for _, istarts in _iter_grid(shards, chunks):
+            if any(ist >= nb for ist, nb in zip(istarts, n_in_bounds)):
+                index += [_MISSING_CHUNK, _MISSING_CHUNK]  # fully out of bounds
+                continue
+            blob = _encode(_extract_block(shard_arr, istarts, chunks, fill_value))
+            index += [len(body), len(blob)]
+            body += blob
+        import struct as _struct
 
-    _write_chunks(0, [])
+        idx_blob = _struct.pack("<" + "Q" * len(index), *index)
+        idx_blob += _struct.pack("<I", crc32c(idx_blob))
+        with open(os.path.join(path, *key_parts), "wb") as f:
+            f.write(bytes(body) + idx_blob)
 
 
 def read_zarr_array_v3(path: str) -> np.ndarray:
@@ -248,54 +366,81 @@ def read_zarr_array_v3(path: str) -> np.ndarray:
     dt = meta["data_type"]
     if dt not in _V3_DTYPES:
         raise NotImplementedError(f"v3 data_type {dt!r} unsupported")
-    endian = "<"
-    comp = None
-    level = 1
-    for codec in meta.get("codecs", []):
-        name = codec.get("name")
-        cfg = codec.get("configuration", {}) or {}
-        if name == "bytes":
-            endian = ">" if cfg.get("endian") == "big" else "<"
-        elif name == "gzip":
-            comp = "gzip"
-            level = cfg.get("level", 1)
-        else:
-            raise NotImplementedError(
-                f"v3 codec {name!r} (blosc/zstd/sharding/transpose) needs "
-                "the zarr package"
-            )
-    del level
+    codecs = meta.get("codecs", [])
+    sharded = bool(codecs) and codecs[0].get("name") == "sharding_indexed"
+    if sharded:
+        if len(codecs) > 1:
+            raise NotImplementedError("codecs after sharding_indexed unsupported")
+        cfg = codecs[0].get("configuration", {}) or {}
+        inner_chunks = tuple(cfg["chunk_shape"])
+        endian, comp, _ = _parse_v3_codecs(cfg.get("codecs", []))
+        for ic in cfg.get("index_codecs", []):
+            if ic.get("name") not in ("bytes", "crc32c"):
+                raise NotImplementedError(
+                    f"shard index codec {ic.get('name')!r} unsupported"
+                )
+        has_crc = any(
+            ic.get("name") == "crc32c" for ic in cfg.get("index_codecs", [])
+        )
+        if cfg.get("index_location", "end") not in ("end", "start"):
+            raise ValueError("bad index_location")
+        index_at_end = cfg.get("index_location", "end") == "end"
+    else:
+        endian, comp, _ = _parse_v3_codecs(codecs)
     dtype = np.dtype(endian + _V3_DTYPES[dt])
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
     fill = meta.get("fill_value", 0) or 0
     out = np.full(shape, fill, dtype=dtype)
-    grid = [range(0, s, c) for s, c in zip(shape, chunks)]
-    idx: list[int] = [0] * len(shape)
 
-    def _read(dim: int, starts: list[int]) -> None:
-        if dim == len(shape):
-            parts = prefix + [str(i) for i in idx]
-            key = sep.join(parts)
-            p = os.path.join(path, *key.split(sep)) if sep == "/" else os.path.join(
-                path, key
-            )
-            if not os.path.exists(p):
-                return  # missing chunk = fill_value per spec
-            raw = open(p, "rb").read()
-            if comp == "gzip":
-                raw = gzip.decompress(raw)
-            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
-            sl = tuple(
-                slice(st, min(st + c, s)) for st, c, s in zip(starts, chunks, shape)
-            )
-            out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
-            return
-        for i, st in enumerate(grid[dim]):
-            idx[dim] = i
-            _read(dim + 1, starts + [st])
+    def _decode(blob: bytes) -> bytes:
+        return gzip.decompress(blob) if comp == "gzip" else blob
 
-    _read(0, [])
+    def _place(block_bytes: bytes, starts: tuple[int, ...], bshape) -> None:
+        block = np.frombuffer(block_bytes, dtype=dtype).reshape(bshape)
+        sl = tuple(
+            slice(st, min(st + c, s)) for st, c, s in zip(starts, bshape, shape)
+        )
+        out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
+
+    for idx, starts in _iter_grid(shape, chunks):
+        parts = prefix + [str(i) for i in idx]
+        key = sep.join(parts)
+        p = (
+            os.path.join(path, *key.split(sep))
+            if sep == "/"
+            else os.path.join(path, key)
+        )
+        if not os.path.exists(p):
+            continue  # missing chunk/shard = fill_value per spec
+        raw = open(p, "rb").read()
+        if not sharded:
+            _place(_decode(raw), starts, chunks)
+            continue
+        import struct as _struct
+
+        n_inner = 1
+        for s_, c_ in zip(chunks, inner_chunks):
+            n_inner *= -(-s_ // c_)
+        idx_size = 16 * n_inner + (4 if has_crc else 0)
+        idx_blob = raw[-idx_size:] if index_at_end else raw[:idx_size]
+        if has_crc:
+            body_idx, crc = idx_blob[:-4], _struct.unpack("<I", idx_blob[-4:])[0]
+            if crc32c(body_idx) != crc:
+                raise ValueError(f"shard index CRC mismatch in {p}")
+            idx_blob = body_idx
+        pairs = _struct.unpack("<" + "Q" * (2 * n_inner), idx_blob)
+        # spec: offsets are absolute within the shard object
+        for k, (_, istarts) in enumerate(_iter_grid(chunks, inner_chunks)):
+            off, nb = pairs[2 * k], pairs[2 * k + 1]
+            if off == _MISSING_CHUNK:
+                continue
+            blob = raw[off : off + nb]
+            _place(
+                _decode(blob),
+                tuple(st + ist for st, ist in zip(starts, istarts)),
+                inner_chunks,
+            )
     return out
 
 
@@ -365,6 +510,7 @@ def write_ngff_store(
     compression_level: int = 1,
     chunks: tuple[int, ...] | None = None,
     zarr_format: int = 2,
+    shards: tuple[int, ...] | None = None,
 ) -> None:
     """OME-NGFF multiscale group — one array per pyramid level
     (datasets "0", "1", …), ``omero.channels`` carrying channel labels
@@ -374,9 +520,13 @@ def write_ngff_store(
     (NGFF 0.4). ``zarr_format=3``: a single group ``zarr.json`` whose
     ``attributes`` carry the same multiscales document (NGFF 0.5
     layout) + v3 arrays — the reference exposes the identical switch
-    (export.py:361)."""
+    (export.py:361). ``shards`` (v3 only) writes every level with the
+    sharding_indexed codec, matching the reference's ``shards`` option
+    (export.py:345-348)."""
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
+    if shards is not None and zarr_format != 3:
+        raise NotImplementedError("sharding is a zarr v3 feature; pass zarr_format=3")
     os.makedirs(path, exist_ok=True)
     if zarr_format == 2:
         with open(os.path.join(path, ZGROUP), "w") as f:
@@ -413,6 +563,7 @@ def write_ngff_store(
                 compressor=compressor,
                 compression_level=compression_level,
                 dimension_names=[a["name"] for a in NGFF_AXES[-lv.ndim :]],
+                shards=shards,
             )
     attrs: dict[str, Any] = {
         "multiscales": [
