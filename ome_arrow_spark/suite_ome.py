@@ -324,11 +324,13 @@ def ome_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Zarr v3 round-trip in the driver gate: build the same 2-channel
 # 128×128 formula image as ome_multiscale, write a REAL Zarr v3 / NGFF
-# 0.5 store (zarr.json + c/-prefixed gzip chunks) with a 2-level
-# pyramid via the built-in v3 codec, ingest level 1 back through the
-# distributed manifest path, and have DuckDB re-derive the pooled sums
-# arithmetically. One wrong byte in the v3 write OR read breaks the
-# hash. (Reference writes v3 via the zarr package, export.py:265-289.)
+# 0.5 store — sharding_indexed shards of gzip inner chunks with
+# CRC-32C-checksummed uint64 indexes — with a 2-level pyramid via the
+# built-in v3 codec, ingest level 1 back through the distributed
+# manifest path, and have DuckDB re-derive the pooled sums
+# arithmetically. One wrong byte in the v3/shard write OR read breaks
+# the hash. (Reference writes the same layouts via the zarr package,
+# export.py:265-289 + shard_shape at :345-348.)
 @register(
     "ome_zarr_v3_roundtrip",
     """
@@ -371,6 +373,8 @@ def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         channel_names=["C0", "C1"],
         compressor="gzip",
         zarr_format=3,
+        chunks=(1, 1, 1, 32, 32),
+        shards=(1, 1, 1, 64, 64),
     )
     imgs = from_zarr_manifest(spark, [store], level=1)
     return plane_stats(imgs).select(
