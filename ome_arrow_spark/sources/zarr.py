@@ -144,7 +144,9 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
         while arr.ndim < 5:
             arr = arr[np.newaxis, ...]
         oa = attrs.get("ome_arrow", {})
-        omero = attrs.get("omero", {})
+        # omero channels live flat in NGFF 0.4 .zattrs, under the "ome"
+        # wrapper in NGFF 0.5 v3 groups
+        omero = attrs.get("omero") or attrs.get("ome", {}).get("omero") or {}
         ch = [c.get("label") for c in omero.get("channels", [])] or None
         return from_numpy(
             arr.astype(np.int64),

@@ -565,25 +565,37 @@ def write_ngff_store(
                 dimension_names=[a["name"] for a in NGFF_AXES[-lv.ndim :]],
                 shards=shards,
             )
-    attrs: dict[str, Any] = {
-        "multiscales": [
-            {
-                "version": "0.4" if zarr_format == 2 else "0.5",
-                "name": name or image_id,
-                "axes": NGFF_AXES,
-                "datasets": datasets,
-            }
-        ],
-        "ome_arrow": {"id": image_id, "name": name or image_id},
+    ms = {
+        "name": name or image_id,
+        "axes": NGFF_AXES,
+        "datasets": datasets,
     }
-    if channel_names:
-        attrs["omero"] = {
-            "channels": [{"label": cn} for cn in channel_names]
-        }
+    attrs: dict[str, Any]
     if zarr_format == 2:
+        # NGFF 0.4: flat .zattrs with per-entry version
+        attrs = {
+            "multiscales": [{"version": "0.4", **ms}],
+            "ome_arrow": {"id": image_id, "name": name or image_id},
+        }
+        if channel_names:
+            attrs["omero"] = {
+                "channels": [{"label": cn} for cn in channel_names]
+            }
         with open(os.path.join(path, ZATTRS), "w") as f:
             json.dump(attrs, f, indent=1)
     else:
+        # NGFF 0.5: multiscales (and omero) nest under an "ome" key
+        # whose wrapper carries the version; engine-custom keys stay
+        # siblings of "ome"
+        ome: dict[str, Any] = {"version": "0.5", "multiscales": [ms]}
+        if channel_names:
+            ome["omero"] = {
+                "channels": [{"label": cn} for cn in channel_names]
+            }
+        attrs = {
+            "ome": ome,
+            "ome_arrow": {"id": image_id, "name": name or image_id},
+        }
         group_meta = {
             "zarr_format": 3,
             "node_type": "group",

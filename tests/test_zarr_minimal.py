@@ -210,9 +210,12 @@ def test_v3_ngff_store_roundtrip(tmp_path):
     assert not os.path.exists(os.path.join(p, ".zgroup"))
     gmeta = json.load(open(os.path.join(p, "zarr.json")))
     assert gmeta["node_type"] == "group" and gmeta["zarr_format"] == 3
-    ms = read_ngff_attrs(p)["multiscales"][0]
-    assert ms["version"] == "0.5"
+    # NGFF 0.5: multiscales + omero nest under the versioned "ome" key
+    ome = read_ngff_attrs(p)["ome"]
+    assert ome["version"] == "0.5"
+    ms = ome["multiscales"][0]
     assert [d["path"] for d in ms["datasets"]] == ["0", "1"]
+    assert [c["label"] for c in ome["omero"]["channels"]] == ["DAPI", "GFP"]
     arr0 = json.load(open(os.path.join(p, "0", "zarr.json")))
     assert arr0["dimension_names"] == ["t", "c", "z", "y", "x"]
     rec = ZR.decode_store(p)
