@@ -111,6 +111,46 @@ def test_roundtrip_bigtiff(big_endian):
     assert desc == "bigtiff fixture"
 
 
+def test_codec_property_roundtrip():
+    """Hypothesis sweep: any (pages, height, width, samples) shape —
+    including degenerate 1×N rows — through any codec/layout/predictor
+    combination must round-trip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        z=st.integers(1, 3),
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        s=st.sampled_from([1, 3]),
+        dtype=st.sampled_from([np.uint8, np.uint16]),
+        compression=st.sampled_from(["none", "lzw", "packbits", "deflate"]),
+        layout=st.sampled_from(["strips", "tiled"]),
+        predictor=st.booleans(),
+        big_endian=st.booleans(),
+        bigtiff=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def check(z, h, w, s, dtype, compression, layout, predictor, big_endian,
+              bigtiff, seed):
+        rng = np.random.default_rng(seed)
+        hi = 256 if dtype == np.uint8 else 65536
+        shape = (z, h, w) if s == 1 else (z, h, w, s)
+        vol = rng.integers(0, hi, size=shape, dtype=dtype)
+        kw = {"tile": (16, 16)} if layout == "tiled" else {"rows_per_strip": 5}
+        blob = encode_tiff_baseline(
+            vol, compression=compression, predictor=predictor,
+            big_endian=big_endian, bigtiff=bigtiff, **kw,
+        )
+        back = decode_tiff_baseline(blob)
+        expect = vol if s == 1 else np.moveaxis(vol, -1, 0)
+        got = back[0, 0] if s == 1 else back[0]
+        np.testing.assert_array_equal(got, expect.astype(np.uint16))
+
+    check()
+
+
 def test_lzw_eoi_on_width_boundary():
     """Regression: incompressible segments whose FINAL data code lands
     exactly on the 511-entry early-change boundary made the encoder

@@ -174,6 +174,25 @@ def test_v3_sharding_roundtrip(tmp_path, compressor):
     assert offs == sorted(offs) and offs[0] == 0
 
 
+def test_v3_shard_index_crc_detects_corruption(tmp_path):
+    """A flipped byte in a shard's chunk index must fail the CRC-32C
+    check loudly instead of silently misplacing pixel data."""
+    from ome_arrow_spark.sources.zarr_minimal import (
+        read_zarr_array_v3,
+        write_zarr_array_v3,
+    )
+
+    arr = (np.arange(64, dtype=np.uint16)).reshape(1, 8, 8)
+    p = str(tmp_path / "s")
+    write_zarr_array_v3(p, arr, chunks=(1, 4, 4), shards=(1, 8, 8))
+    shard = os.path.join(p, "c", "0", "0", "0")
+    raw = bytearray(open(shard, "rb").read())
+    raw[-20] ^= 0xFF  # inside the index, before the CRC footer
+    open(shard, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC"):
+        read_zarr_array_v3(p)
+
+
 def test_v3_sharded_ngff_store(tmp_path):
     """write_ngff_store(zarr_format=3, shards=...) → decode_store reads
     the sharded store back bit-identically without the zarr package."""
