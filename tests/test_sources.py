@@ -304,6 +304,49 @@ def test_nanos_conf_captured_at_read_definition(spark, tmp_path):
     assert got == [v // 1000 for v in ns]  # floor-truncated to micros
 
 
+def test_events_ts_info_error_paths(tmp_path):
+    """_events_ts_info must find part files nested under partition
+    subdirectories, raise clearly when a directory dataset has no part
+    files, and refuse a non-timestamp ts instead of guessing a unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ome_arrow_spark import suite
+
+    # nested directory dataset: part file one level down
+    d = tmp_path / "nested"
+    (d / "events.parquet" / "day=1").mkdir(parents=True)
+    tbl = pa.table({"ts": pa.array([0, 1], pa.timestamp("us"))})
+    pq.write_table(tbl, str(d / "events.parquet" / "day=1" / "part0.parquet"))
+    assert suite._events_ts_info(str(d)) == ("us", False)
+
+    # empty directory dataset → clear FileNotFoundError
+    e = tmp_path / "empty"
+    (e / "events.parquet").mkdir(parents=True)
+    (e / "events.parquet" / "_SUCCESS").touch()
+    with pytest.raises(FileNotFoundError, match="part files"):
+        suite._events_ts_info(str(e))
+
+    # non-timestamp ts → TypeError, not a silent 'us' default
+    b = tmp_path / "badtype"
+    b.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([0, 1], pa.int64())}),
+        str(b / "events.parquet"),
+    )
+    with pytest.raises(TypeError, match="not a timestamp"):
+        suite._events_ts_info(str(b))
+
+    # tz-aware micros reports isAdjustedToUTC
+    u = tmp_path / "utc"
+    u.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([0, 1], pa.timestamp("us", tz="UTC"))}),
+        str(u / "events.parquet"),
+    )
+    assert suite._events_ts_info(str(u)) == ("us", True)
+
+
 def test_events_micros_generation(spark, sf_dir):
     """The current driver testdata stores ts as TIMESTAMP(MICROS):
     _events must read it without any legacy conf and normalize to the

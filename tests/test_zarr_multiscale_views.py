@@ -123,6 +123,9 @@ def test_build_volume_zyx_conftest():
     assert vol.shape == (1, 3, 4) and vol.dtype == np.uint16
     assert vol[0, 0, 0] == 100 and vol[0, 2, 3] == 123
     assert (dx, dy, dz) == (0.65, 0.65, 1.0)
+    # the reference's explicit (Z, Y, X) spacing override (view.py:70)
+    _, (ox, oy, oz) = build_volume_zyx(rec, c=1, scaling_values=(2.0, 0.5, 0.25))
+    assert (ox, oy, oz) == (0.25, 0.5, 2.0)
 
 
 def test_render_volume_pyvista_fake_module(monkeypatch):
