@@ -1,0 +1,555 @@
+"""Minimal pure-Python baseline JPEG codec (ITU T.81, sequential DCT,
+Huffman) — the last TIFF compression class (Compression=7, "new-style"
+JPEG-in-TIFF) the built-in path previously gated on tifffile
+(reference ingest.py:321-330 reads it via BioIO/tifffile).
+
+Decoder: baseline sequential 8-bit streams — grayscale or 3-component
+YCbCr with any sampling factors (4:4:4, 4:2:2, 4:2:0 upsampled by
+replication), restart intervals, 16-bit quant tables, abbreviated
+streams whose DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag
+347 carries exactly such a tables-only stream). Progressive/arithmetic/
+12-bit streams raise ``NotImplementedError``.
+
+Encoder: baseline sequential, grayscale or 4:4:4 RGB→YCbCr, Annex-K
+quantization scaled by ``quality`` (libjpeg's 5000/q · 200−2q rule),
+Annex-K Huffman tables emitted as explicit DQT/DHT segments — so the
+decoder reads back exactly what was declared, and any external JPEG
+reader opens the stream.
+
+IDCT/FDCT are exact orthonormal 8×8 matrix products in float64
+(vectorized over all blocks with numpy); the only loss is
+quantization + uint8 rounding, so a quality-100 round-trip is within
+±2 levels quickly verified by the tests.
+
+Throughput is Python-loop bound in the Huffman layer (~1-3 MB/s/core),
+like the LZW fallback: fine for per-file task parallelism, and
+tifffile takes over wholesale when installed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = natural index of the k-th scanned coef
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K base quantization tables (luma, chroma), natural order
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32
+)
+
+# Annex K Huffman specs: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    k = n.reshape(8, 1)
+    a = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    a[0] /= np.sqrt(2)
+    return a
+
+
+_A = _dct_matrix()
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """Forward DCT-II over (n, 8, 8) level-shifted blocks."""
+    return np.einsum("ij,njk,lk->nil", _A, blocks, _A)
+
+
+def _idct(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", _A, blocks, _A)
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 5000/q below 50, 200-2q above."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class JpegTables:
+    """Mutable decode state: quant/huffman tables + restart interval —
+    shareable across abbreviated streams (TIFF JPEGTables tag)."""
+
+    def __init__(self) -> None:
+        self.quant: dict[int, np.ndarray] = {}
+        self.huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        self.restart_interval = 0
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol via canonical Huffman assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.cnt = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.cnt <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.buf = (self.buf << 8) | 0  # pad past end
+                self.cnt += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # RST markers are consumed by restart(), not here
+                    self.marker = nxt
+                    self.buf = (self.buf << 8) | 0
+                    self.cnt += 8
+                    continue
+                else:
+                    self.marker = nxt
+                    self.buf = (self.buf << 8) | 0
+                    self.cnt += 8
+                    continue
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.cnt += 8
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.cnt < n:
+            self._fill()
+        self.cnt -= n
+        v = (self.buf >> self.cnt) & ((1 << n) - 1)
+        self.buf &= (1 << self.cnt) - 1
+        return v
+
+    def decode_huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.receive(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
+
+    def restart(self) -> None:
+        """Byte-align and consume the pending RST marker."""
+        self.buf = 0
+        self.cnt = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # skip FF Dx
+            self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def parse_tables(data: bytes, state: JpegTables | None = None) -> JpegTables:
+    """Parse a tables-only (abbreviated) JPEG stream — DQT/DHT/DRI
+    between SOI and EOI — into decode state. This is exactly what the
+    TIFF ``JPEGTables`` tag holds."""
+    state = state or JpegTables()
+    _decode_stream(data, state, tables_only=True)
+    return state
+
+
+def jpeg_decode(data: bytes, state: JpegTables | None = None) -> np.ndarray:
+    """Decode one baseline JPEG stream → uint8 (H, W) or (H, W, 3) RGB.
+    ``state`` supplies externally-parsed tables for abbreviated
+    streams."""
+    out = _decode_stream(data, state or JpegTables(), tables_only=False)
+    assert out is not None
+    return out
+
+
+def _decode_stream(
+    data: bytes, state: JpegTables, tables_only: bool
+) -> np.ndarray | None:
+    if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    frame = None
+    while pos + 4 <= len(data) + 2:
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    q = np.frombuffer(seg, dtype=">u2", count=64, offset=p)
+                    p += 128
+                else:
+                    q = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p)
+                    p += 64
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = q.astype(np.int32)
+                state.quant[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                state.huff[(tc, th)] = _build_decode_table(bits, values)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/lossless JPEG unsupported"
+            )
+        elif marker == 0xDA:  # SOS
+            if tables_only:
+                raise ValueError("JPEGTables stream must not contain a scan")
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            return _decode_scan(data, pos + seglen, state, frame, scan)
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("corrupt JPEG: no EOI")
+
+
+def _decode_scan(data, pos, state, frame, scan) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    ri = state.restart_interval
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                reader.restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, td, ta in scan:
+                ch, cv, tq = by_id[cid]
+                dc_tbl = state.huff.get((0, td))
+                ac_tbl = state.huff.get((1, ta))
+                quant = state.quant.get(tq)
+                if dc_tbl is None or ac_tbl is None or quant is None:
+                    raise ValueError("corrupt JPEG: missing table for scan")
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = np.zeros(64, dtype=np.int32)
+                        t = reader.decode_huffman(dc_tbl)
+                        pred[cid] += _extend(reader.receive(t), t)
+                        coefs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huffman(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index overflow")
+                            coefs[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.int32)
+                        nat[ZIGZAG] = coefs
+                        block = _idct((nat * quant).reshape(1, 8, 8).astype(np.float64))[0]
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+            mcu_count += 1
+    # crop + upsample each component to full (h, w)
+    full = []
+    for cid, ch, cv, _tq in comps:
+        # component's natural (pre-upsample) size
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = planes[cid][:chh, :cw]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{len(full)}-component JPEG unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _build_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length)."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | code
+        self.cnt += length
+        while self.cnt >= 8:
+            self.cnt -= 8
+            b = (self.buf >> self.cnt) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.buf &= (1 << self.cnt) - 1
+
+    def flush(self) -> None:
+        if self.cnt:
+            pad = 8 - self.cnt
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a baseline
+    sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects uint8 samples")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("jpeg_encode expects (H, W) or (H, W, 3)")
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img.astype(np.float64)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    ql = scaled_quant(_QUANT_LUMA, quality)
+    qc = scaled_quant(_QUANT_CHROMA, quality)
+    quants = [ql] + ([qc, qc] if not gray else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    # DQT (zigzag order on the wire)
+    seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i in range(len(comps)):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+    seg(0xC0, sof)
+    # DHT ×4 (or ×2 for grayscale)
+    specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if not gray:
+        specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (bits, values) in specs:
+        seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+    # SOS
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    enc_dc = [_build_encode_table(*_DC_LUMA)]
+    enc_ac = [_build_encode_table(*_AC_LUMA)]
+    if not gray:
+        enc_dc += [_build_encode_table(*_DC_CHROMA)] * 2
+        enc_ac += [_build_encode_table(*_AC_CHROMA)] * 2
+
+    # per-component DCT over edge-replicated 8-multiple padding
+    bh, bw = -(-h // 8), -(-w // 8)
+    coef_blocks = []
+    for ci, plane in enumerate(comps):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _fdct(blocks - 128.0)
+        q = quants[ci].reshape(1, 8, 8)
+        coef_blocks.append(
+            np.rint(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        )
+
+    writer = _BitWriter()
+    pred = [0] * len(comps)
+    for bi in range(bh * bw):  # 4:4:4 → one block per component per MCU
+        for ci in range(len(comps)):
+            zz = coef_blocks[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            t, bits = _magnitude(diff)
+            code, ln = enc_dc[ci][t]
+            writer.write(code, ln)
+            if t:
+                writer.write(bits, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[ci][0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                t, bits = _magnitude(v)
+                code, ln = enc_ac[ci][(run << 4) | t]
+                writer.write(code, ln)
+                writer.write(bits, t)
+                run = 0
+            if run:
+                code, ln = enc_ac[ci][0x00]  # EOB
+                writer.write(code, ln)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -3,16 +3,17 @@
 grayscale or RGB/multi-sample (chunky OR planar
 PlanarConfiguration, TIFF 6.0 §12); 8/16-bit integer (signed/unsigned)
 or 32-bit float samples; uncompressed, PackBits (TIFF 6.0 §9), LZW
-(TIFF 6.0 §13) or Deflate (Adobe 8 / legacy 32946) segments; striped or
+(TIFF 6.0 §13), Deflate (Adobe 8 / legacy 32946) or new-style JPEG
+(Compression=7 + JPEGTables, via ``jpeg_minimal``) segments; striped or
 tiled (TIFF 6.0 §15) layout; horizontal-differencing predictor
 (TIFF 6.0 §14). Both directions: :func:`decode_tiff_pages` reads,
 :func:`encode_tiff_baseline` writes (compression/predictor/tile
 selectable). This is the no-dependency path that lets ``from_tiff_dir``
 ingest REAL ``.tif`` bytes — including the LZW-compressed output that
 microscopes/CellProfiler commonly emit (reference ingest.py:321-330
-reads these via BioIO/tifffile) — when ``tifffile`` is absent; JPEG,
-floating-point predictor 3 and other exotica still require tifffile and
-raise ``NotImplementedError`` upstream.
+reads these via BioIO/tifffile) — when ``tifffile`` is absent; CCITT,
+old-style JPEG (6), floating-point predictor 3 and other exotica still
+require tifffile and raise ``NotImplementedError`` upstream.
 
 Throughput: the LZW paths run ~3-4 MB/s/core (pure-Python, linear in
 input size); PackBits ~400 MB/s and Deflate ~20 MB/s ride C code. On a
@@ -51,9 +52,11 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE = 8  # "Adobe" deflate — what tifffile/libtiff write
 COMPRESSION_DEFLATE_OLD = 32946  # legacy deflate code, same byte stream
 COMPRESSION_PACKBITS = 32773
@@ -61,11 +64,12 @@ COMPRESSION_PACKBITS = 32773
 COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "packbits": COMPRESSION_PACKBITS,
                      "deflate": COMPRESSION_DEFLATE,
-                     "zlib": COMPRESSION_DEFLATE}
+                     "zlib": COMPRESSION_DEFLATE,
+                     "jpeg": COMPRESSION_JPEG}
 
-# BYTE ASCII SHORT LONG RATIONAL ... LONG8 SLONG8 IFD8 (BigTIFF, TIFF
-# supplement 2)
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 16: 8, 17: 8, 18: 8}
+# BYTE ASCII SHORT LONG RATIONAL UNDEFINED ... LONG8 SLONG8 IFD8
+# (BigTIFF, TIFF supplement 2)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 16: 8, 17: 8, 18: 8}
 
 
 def packbits_decode(data: bytes) -> bytes:
@@ -288,7 +292,7 @@ def _read_ifd_entries(
     for i in range(int(n_entries)):
         base = entry0 + esize * i
         tag, typ, count = struct.unpack_from(bo + cnt_fmt, data, base)
-        if typ not in (1, 2, 3, 4, 16, 17, 18):
+        if typ not in (1, 2, 3, 4, 7, 16, 17, 18):
             continue
         size = _TYPE_SIZES[typ] * count
         val_base = base + (12 if big else 8)
@@ -301,12 +305,69 @@ def _read_ifd_entries(
                 "utf-8", "replace"
             )
             continue
+        if typ == 7:  # UNDEFINED: raw bytes (e.g. JPEGTables)
+            tags[tag] = data[val_off : val_off + count]
+            continue
         fmt = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 18: "Q"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, val_off))
     (next_off,) = struct.unpack_from(
         bo + off_fmt, data, entry0 + esize * int(n_entries)
     )
     return tags, int(next_off)
+
+
+def _decode_jpeg_ifd(
+    data: bytes, tags: dict[int, object], width: int, height: int, has_tiles: bool
+) -> np.ndarray:
+    """Decode all Compression=7 (new-style JPEG) segments of one IFD →
+    ``(height, width, spp)`` uint8. Each strip/tile is an independent
+    baseline JPEG stream; a ``JPEGTables`` tag (347) contributes shared
+    DQT/DHT via an abbreviated tables-only stream (TTN2), which
+    segment-local tables may override without leaking across segments."""
+    from ome_arrow_spark.sources.jpeg_minimal import (
+        JpegTables,
+        jpeg_decode,
+        parse_tables,
+    )
+
+    base = None
+    tb = tags.get(TAG_JPEG_TABLES)
+    if isinstance(tb, (bytes, bytearray)) and len(tb) >= 4:
+        base = parse_tables(bytes(tb))
+
+    def dec(seg: bytes) -> np.ndarray:
+        st = JpegTables()
+        if base is not None:
+            st.quant = dict(base.quant)
+            st.huff = dict(base.huff)
+            st.restart_interval = base.restart_interval
+        a = jpeg_decode(seg, st)
+        return a[..., np.newaxis] if a.ndim == 2 else a
+
+    if has_tiles:
+        tw = tags[TAG_TILE_WIDTH][0]
+        th = tags[TAG_TILE_LENGTH][0]
+        offsets = tags[TAG_TILE_OFFSETS]
+        counts = tags[TAG_TILE_BYTE_COUNTS]
+        ntx = -(-width // tw)
+        plane = None
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            tile = dec(data[o : o + c])
+            if plane is None:
+                plane = np.zeros((height, width, tile.shape[2]), dtype=np.uint8)
+            ty, tx = divmod(i, ntx)
+            rows = min(th, height - ty * th)
+            cols = min(tw, width - tx * tw)
+            plane[ty * th : ty * th + rows, tx * tw : tx * tw + cols] = tile[
+                :rows, :cols
+            ]
+        if plane is None:
+            raise ValueError("malformed TIFF: JPEG IFD with no tiles")
+        return plane
+    offsets = tags[TAG_STRIP_OFFSETS]
+    counts = tags[TAG_STRIP_BYTE_COUNTS]
+    parts = [dec(data[o : o + c]) for o, c in zip(offsets, counts)]
+    return np.vstack(parts)[:height, :width]
 
 
 def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
@@ -365,11 +426,12 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             COMPRESSION_NONE,
             COMPRESSION_PACKBITS,
             COMPRESSION_LZW,
+            COMPRESSION_JPEG,
             COMPRESSION_DEFLATE,
             COMPRESSION_DEFLATE_OLD,
         ):
             raise NotImplementedError(
-                f"TIFF compression {comp} (e.g. JPEG) is outside the baseline subset"
+                f"TIFF compression {comp} is outside the baseline subset"
             )
         if spp > 1 and any(b != bits for b in bits_list):
             raise NotImplementedError("heterogeneous BitsPerSample unsupported")
@@ -397,7 +459,16 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
         else:
             kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
         dtype = np.dtype(("<" if bo == "<" else ">") + kind)
-        if has_tiles:
+        if comp == COMPRESSION_JPEG:
+            if fmt != 1 or bits != 8:
+                raise NotImplementedError("JPEG-in-TIFF: 8-bit unsigned only")
+            if predictor != 1:
+                raise NotImplementedError("Predictor with JPEG unsupported")
+            if planar == 2 and spp > 1:
+                raise NotImplementedError("planar JPEG-in-TIFF unsupported")
+            plane = _decode_jpeg_ifd(data, tags, width, height, has_tiles)
+            spp = plane.shape[2]
+        elif has_tiles:
             if planar == 2 and spp > 1:
                 raise NotImplementedError("planar tiled TIFF unsupported")
             tw = tags[TAG_TILE_WIDTH][0]
@@ -579,6 +650,7 @@ def encode_tiff_baseline(
     tile: tuple[int, int] | None = None,
     planar: bool = False,
     bigtiff: bool = False,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
     multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
@@ -611,6 +683,16 @@ def encode_tiff_baseline(
             f"unknown compression {compression!r}; built-in codecs: "
             f"{sorted(COMPRESSION_NAMES)}"
         ) from None
+    if comp == COMPRESSION_JPEG:
+        if vol.dtype != np.uint8:
+            raise ValueError(
+                "compression='jpeg' is 8-bit only (and lossy) — pass uint8 "
+                "samples; the OME uint16 pixel model should use a lossless codec"
+            )
+        if predictor:
+            raise NotImplementedError("Predictor with JPEG unsupported")
+        if planar:
+            raise NotImplementedError("planar JPEG-in-TIFF unsupported")
     bo = ">" if big_endian else "<"
     bits = 8 * vol.dtype.itemsize
     if vol.ndim == 3:
@@ -635,6 +717,11 @@ def encode_tiff_baseline(
         off_fmt, off_typ, inline = "I", 4, 4
 
     def _seg_bytes(arr: np.ndarray) -> bytes:
+        if comp == COMPRESSION_JPEG:
+            from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+
+            a = arr[..., 0] if arr.shape[-1] == 1 else arr
+            return jpeg_encode(np.ascontiguousarray(a), quality=jpeg_quality)
         if predictor:
             arr = _hdiff_encode(arr, axis=1)
         return _encode_segment(np.ascontiguousarray(arr).tobytes(), comp)
@@ -669,7 +756,10 @@ def encode_tiff_baseline(
             (TAG_HEIGHT, 4, 1, [height]),
             (TAG_BITS, 3, spp, [bits] * spp),
             (TAG_COMPRESSION, 3, 1, [comp]),
-            (TAG_PHOTOMETRIC, 3, 1, [2 if spp >= 3 else 1]),  # RGB/BlackIsZero
+            # BlackIsZero / RGB / YCbCr (JPEG segments carry the color
+            # transform themselves, TTN2)
+            (TAG_PHOTOMETRIC, 3, 1,
+             [(6 if comp == COMPRESSION_JPEG else 2) if spp >= 3 else 1]),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
         ]
         if tile is not None:

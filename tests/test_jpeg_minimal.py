@@ -1,0 +1,152 @@
+"""The pure-Python baseline JPEG codec (sources/jpeg_minimal.py) and
+its TIFF Compression=7 integration. Correctness bar: encode→decode is
+bounded-error (JPEG is lossy by design), q100 on smooth data is within
+±2 levels, and streams are structurally valid baseline JPEG that any
+external reader opens (SOI/DQT/SOF0/DHT/SOS/EOI with explicit tables).
+Reference reads this class via BioIO/tifffile (ingest.py:321-330)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ome_arrow_spark.sources.jpeg_minimal import (
+    JpegTables,
+    jpeg_decode,
+    jpeg_encode,
+    parse_tables,
+)
+
+
+def _smooth(h, w):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return ((np.sin(yy / 7) + np.cos(xx / 9)) * 60 + 128).astype(np.uint8)
+
+
+def test_gray_q100_near_exact():
+    img = _smooth(40, 52)
+    dec = jpeg_decode(jpeg_encode(img, quality=100))
+    assert dec.shape == (40, 52) and dec.dtype == np.uint8
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_rgb_q100_near_exact():
+    g = _smooth(24, 31)
+    img = np.stack([g, 255 - g, np.roll(g, 5, axis=1)], axis=-1)
+    dec = jpeg_decode(jpeg_encode(img, quality=100))
+    assert dec.shape == (24, 31, 3)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_noisy_bounded_error(quality):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=quality))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # lossy, but the reconstruction must track the signal
+    assert float(err.mean()) < (10 if quality >= 90 else 40)
+
+
+def test_stream_structure():
+    blob = jpeg_encode(_smooth(16, 16), quality=90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    markers = set()
+    i = 2
+    while i < len(blob) - 2:
+        assert blob[i] == 0xFF
+        m = blob[i + 1]
+        markers.add(m)
+        if m == 0xDA:
+            break
+        seglen = int.from_bytes(blob[i + 2 : i + 4], "big")
+        i += 2 + seglen
+    assert {0xDB, 0xC0, 0xC4, 0xDA} <= markers  # DQT, SOF0, DHT, SOS
+
+
+def test_abbreviated_stream_with_external_tables():
+    """TIFF JPEGTables pattern: tables-only stream parsed once, then a
+    scan-only stream decoded against that state."""
+    img = _smooth(16, 24)
+    full = jpeg_encode(img, quality=95)
+    # split: tables (DQT/DHT) → tables stream; rest → abbreviated scan
+    i = 2
+    tables = bytearray(b"\xff\xd8")
+    scan = bytearray(b"\xff\xd8")
+    while i < len(full) - 2:
+        m = full[i + 1]
+        if m == 0xDA:
+            scan.extend(full[i:-2])
+            break
+        seglen = int.from_bytes(full[i + 2 : i + 4], "big")
+        seg = full[i : i + 2 + seglen]
+        (tables if m in (0xDB, 0xC4) else scan).extend(seg)
+        i += 2 + seglen
+    tables.extend(b"\xff\xd9")
+    scan.extend(b"\xff\xd9")
+    state = parse_tables(bytes(tables))
+    dec = jpeg_decode(bytes(scan), state)
+    ref = jpeg_decode(full)
+    np.testing.assert_array_equal(dec, ref)
+    # tables-only stream must reject a scan
+    with pytest.raises(ValueError, match="scan"):
+        parse_tables(full)
+
+
+def test_progressive_rejected():
+    blob = bytearray(jpeg_encode(_smooth(8, 8)))
+    i = 2
+    while blob[i + 1] != 0xC0:
+        i += 2 + int.from_bytes(blob[i + 2 : i + 4], "big")
+    blob[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(bytes(blob))
+
+
+def test_decoder_state_isolation():
+    """Sharing a JpegTables across decodes must not be required —
+    per-stream tables win."""
+    a = jpeg_decode(jpeg_encode(_smooth(8, 8), quality=30), JpegTables())
+    b = jpeg_decode(jpeg_encode(_smooth(8, 8), quality=100), JpegTables())
+    assert a.shape == b.shape == (8, 8)
+
+
+# --- TIFF integration -------------------------------------------------------
+
+
+@pytest.mark.parametrize("layout", ["strips", "tiled"])
+@pytest.mark.parametrize("rgb", [False, True])
+def test_jpeg_in_tiff_roundtrip(layout, rgb):
+    """Compression=7 TIFF: every strip/tile is an independent baseline
+    JPEG stream; multi-page, bounded reconstruction error."""
+    from ome_arrow_spark.sources.tiff_minimal import (
+        decode_tiff_baseline,
+        encode_tiff_baseline,
+    )
+
+    g0, g1 = _smooth(21, 37), _smooth(21, 37).T[:21, :37]
+    if rgb:
+        vol = np.stack(
+            [np.stack([g, 255 - g, np.roll(g, 3, axis=0)], axis=-1)
+             for g in (g0, np.roll(g0, 7, axis=1))]
+        )
+    else:
+        vol = np.stack([g0, np.roll(g0, 7, axis=1)])
+    kw = {"tile": (16, 16)} if layout == "tiled" else {"rows_per_strip": 8}
+    blob = encode_tiff_baseline(vol, compression="jpeg", jpeg_quality=100, **kw)
+    back = decode_tiff_baseline(blob)
+    if rgb:
+        got = np.stack([back[0, s] for s in range(3)], axis=-1)
+    else:
+        got = back[0, 0]
+    assert got.shape == vol.shape
+    assert int(np.abs(got.astype(int) - vol.astype(int)).max()) <= 3
+
+
+def test_jpeg_in_tiff_rejects_uint16():
+    from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
+
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff_baseline(
+            np.zeros((4, 4), dtype=np.uint16), compression="jpeg"
+        )
