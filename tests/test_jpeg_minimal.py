@@ -111,6 +111,99 @@ def test_decoder_state_isolation():
     assert a.shape == b.shape == (8, 8)
 
 
+def test_420_subsampled_decode():
+    """The decoder's chroma-subsampling path: hand-assemble a 4:2:0
+    stream (MCU = 4 Y blocks + 1 Cb + 1 Cr, chroma at half resolution)
+    from the module's own primitives and check the luma reconstructs
+    and chroma upsamples to a bounded error."""
+    import struct
+
+    from ome_arrow_spark.sources.jpeg_minimal import (
+        _AC_LUMA,
+        _DC_LUMA,
+        _BitWriter,
+        _build_encode_table,
+        _fdct,
+        _magnitude,
+        ZIGZAG,
+    )
+
+    h = w = 16
+    g = _smooth(h, w)
+    rgb = np.stack([g, g, g], axis=-1)  # gray-in-RGB → flat chroma (128)
+    y = g.astype(np.float64)
+    cb = np.full((h // 2, w // 2), 128.0)
+    cr = np.full((h // 2, w // 2), 128.0)
+
+    quant = np.ones(64, dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += struct.pack(">BBB", 1, 0x22, 0)  # Y: 2x2 sampling
+    sof += struct.pack(">BBB", 2, 0x11, 0)
+    sof += struct.pack(">BBB", 3, 0x11, 0)
+    seg(0xC0, sof)
+    bits_, vals_ = _DC_LUMA
+    seg(0xC4, bytes([0x00] + bits_) + bytes(vals_))
+    bits_, vals_ = _AC_LUMA
+    seg(0xC4, bytes([0x10] + bits_) + bytes(vals_))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    enc_dc = _build_encode_table(*_DC_LUMA)
+    enc_ac = _build_encode_table(*_AC_LUMA)
+    wtr = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid, block):
+        zz = np.rint(_fdct((block - 128.0).reshape(1, 8, 8))[0].reshape(64))
+        zz = zz.astype(np.int32)[ZIGZAG]
+        diff = int(zz[0]) - pred[cid]
+        pred[cid] = int(zz[0])
+        t, b = _magnitude(diff)
+        code, ln = enc_dc[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(b, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            t, b = _magnitude(v)
+            code, ln = enc_ac[(run << 4) | t]
+            wtr.write(code, ln)
+            wtr.write(b, t)
+            run = 0
+        if run:
+            code, ln = enc_ac[0x00]
+            wtr.write(code, ln)
+
+    # one MCU covers the whole 16x16: 4 Y blocks then Cb, Cr
+    for by in range(2):
+        for bx in range(2):
+            put_block(1, y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+    put_block(2, cb)
+    put_block(3, cr)
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+
+    dec = jpeg_decode(bytes(out))
+    assert dec.shape == (16, 16, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert int(err.max()) <= 3
+
+
 # --- TIFF integration -------------------------------------------------------
 
 
