@@ -15,7 +15,7 @@ reads these via BioIO/tifffile) — when ``tifffile`` is absent; CCITT,
 old-style JPEG (6), floating-point predictor 3 and other exotica still
 require tifffile and raise ``NotImplementedError`` upstream.
 
-Throughput: the LZW paths run ~3-4 MB/s/core (pure-Python, linear in
+Throughput: the LZW paths run ~4-6 MB/s/core (pure-Python, linear in
 input size); PackBits ~400 MB/s and Deflate ~20 MB/s ride C code. On a
 cluster ingesting LZW microscopy sets, per-file parallelism (one task
 per TIFF) absorbs this, and installing tifffile routes decode through
@@ -102,30 +102,41 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_LZW_LITERALS = [bytes([i]) for i in range(256)]
+
+
 def lzw_decode(data: bytes) -> bytes:
     """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12-bit
     codes, ClearCode 256, EndOfInformation 257, and the "early change"
     convention (code width bumps when the table reaches 511/1023/2047,
-    matching libtiff/tifffile)."""
+    matching libtiff/tifffile). Codes are pulled from an int
+    accumulator fed one byte at a time — no per-code slicing."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     nbits = 9
-    bitpos = 0
+    mask = (1 << 9) - 1
+    buf = 0
+    cnt = 0
+    pos = 0
     nbytes = len(data)
     table: list[bytes] = []
     prev: bytes | None = None
     while True:
-        byte = bitpos >> 3
-        if byte >= nbytes:
-            break  # missing EOI: tolerate, stream ended
-        chunk = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "big")
-        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
-        bitpos += nbits
+        while cnt < nbits:
+            if pos >= nbytes:
+                return bytes(out)  # missing EOI: tolerate, stream ended
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            cnt += 8
+        cnt -= nbits
+        code = (buf >> cnt) & mask
+        buf &= (1 << cnt) - 1
         if code == EOI:
             break
         if code == CLEAR:
-            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            table = _LZW_LITERALS + [b"", b""]
             nbits = 9
+            mask = (1 << 9) - 1
             prev = None
             continue
         if prev is None:  # first code after a clear is a literal
@@ -133,15 +144,17 @@ def lzw_decode(data: bytes) -> bytes:
                 raise ValueError("corrupt LZW stream: no leading ClearCode")
             entry = table[code]
         else:
-            if code < len(table):
+            n = len(table)
+            if code < n:
                 entry = table[code]
-            elif code == len(table):  # KwKwK case
+            elif code == n:  # KwKwK case
                 entry = prev + prev[:1]
             else:
                 raise ValueError("corrupt LZW stream: code beyond table")
             table.append(prev + entry[:1])
-            if len(table) == (1 << nbits) - 1 and nbits < 12:
+            if n + 1 == (1 << nbits) - 1 and nbits < 12:
                 nbits += 1
+                mask = (1 << nbits) - 1
         out += entry
         prev = entry
     return bytes(out)

@@ -222,8 +222,9 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Compressed-TIFF ingest in the driver gate: write REAL .tif bytes
 # through the built-in encoder's codec matrix — LZW + Predictor-2
-# striped, Deflate tiled, PackBits big-endian 8-bit — and ingest via
-# the distributed binaryFile+mapInPandas path. Pixels follow a formula
+# striped, Deflate tiled, PackBits big-endian 8-bit, and a BigTIFF
+# (magic 43, 8-byte offsets) LZW variant — and ingest via the
+# distributed binaryFile+mapInPandas path. Pixels follow a formula
 # the DuckDB oracle recomputes arithmetically, so a single wrong byte
 # anywhere in encode→decode breaks the hash. (Reference reads these
 # compressed classes via BioIO/tifffile, ingest.py:321-330; writes them
@@ -242,6 +243,9 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM zz, ii GROUP BY zz.z
            UNION ALL
            SELECT 'packbits_be', zz.z, SUM((zz.z*13 + ii.i) % 199)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           SELECT 'bigtiff_lzw', zz.z, SUM((zz.z*7 + 3*ii.i) % 65536)
            FROM zz, ii GROUP BY zz.z)
     SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
     FROM u
@@ -274,6 +278,11 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([((zi * 13 + i) % 199).reshape(y, x) for zi in range(z)])
             .astype(np.uint8),
             {"compression": "packbits", "big_endian": True, "rows_per_strip": 5},
+        ),
+        "bigtiff_lzw": (
+            np.stack([((zi * 7 + 3 * i) % 65536).reshape(y, x) for zi in range(z)])
+            .astype(np.uint16),
+            {"compression": "lzw", "bigtiff": True, "rows_per_strip": 11},
         ),
     }
     for iid, (vol, kw) in specs.items():
