@@ -139,22 +139,37 @@ class JpegTables:
 
     def __init__(self) -> None:
         self.quant: dict[int, np.ndarray] = {}
-        self.huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        self.huff: dict[tuple[int, int], "_HuffTable"] = {}
         self.restart_interval = 0
 
 
-def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol via canonical Huffman assignment."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    vi = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[vi]
-            vi += 1
-            code += 1
-        code <<= 1
-    return table
+class _HuffTable:
+    """Canonical Huffman decode arrays (ITU T.81 F.2.2.3): mincode/
+    maxcode/valptr per length let one 16-bit peek resolve any symbol
+    without per-bit reads."""
+
+    __slots__ = ("maxcode", "mincode", "valptr", "values")
+
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        self.values = list(values)
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code = 0
+        vi = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = vi
+                self.mincode[length] = code
+                vi += n
+                code += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> _HuffTable:
+    return _HuffTable(bits, values)
 
 
 class _BitReader:
@@ -205,13 +220,20 @@ class _BitReader:
         self.buf &= (1 << self.cnt) - 1
         return v
 
-    def decode_huffman(self, table: dict[tuple[int, int], int]) -> int:
+    def decode_huffman(self, table: "_HuffTable") -> int:
+        if self.cnt < 16:
+            self._fill()
+        peek = (self.buf >> (self.cnt - 16)) & 0xFFFF
         code = 0
+        maxcode = table.maxcode
         for length in range(1, 17):
-            code = (code << 1) | self.receive(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            code = (code << 1) | ((peek >> (16 - length)) & 1)
+            if code <= maxcode[length]:
+                self.cnt -= length
+                self.buf &= (1 << self.cnt) - 1
+                return table.values[
+                    table.valptr[length] + code - table.mincode[length]
+                ]
         raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
 
     def restart(self) -> None:
@@ -334,6 +356,13 @@ def _decode_scan(data, pos, state, frame, scan) -> np.ndarray:
     pred = {cid: 0 for cid, *_ in comps}
     ri = state.restart_interval
     mcu_count = 0
+    # entropy-decode every block's zigzag coefficients first; the
+    # dequant+IDCT then runs ONCE per component, vectorized over all
+    # blocks, instead of one einsum per 8×8 block
+    coef_lists: dict[int, list[list[int]]] = {cid: [] for cid, *_ in comps}
+    origins: dict[int, list[tuple[int, int]]] = {cid: [] for cid, *_ in comps}
+    decode_huffman = reader.decode_huffman
+    receive = reader.receive
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if ri and mcu_count and mcu_count % ri == 0:
@@ -343,36 +372,47 @@ def _decode_scan(data, pos, state, frame, scan) -> np.ndarray:
                 ch, cv, tq = by_id[cid]
                 dc_tbl = state.huff.get((0, td))
                 ac_tbl = state.huff.get((1, ta))
-                quant = state.quant.get(tq)
-                if dc_tbl is None or ac_tbl is None or quant is None:
+                if dc_tbl is None or ac_tbl is None or tq not in state.quant:
                     raise ValueError("corrupt JPEG: missing table for scan")
                 for by in range(cv):
                     for bx in range(ch):
-                        coefs = np.zeros(64, dtype=np.int32)
-                        t = reader.decode_huffman(dc_tbl)
-                        pred[cid] += _extend(reader.receive(t), t)
+                        coefs = [0] * 64
+                        t = decode_huffman(dc_tbl)
+                        pred[cid] += _extend(receive(t), t)
                         coefs[0] = pred[cid]
                         k = 1
                         while k < 64:
-                            rs = reader.decode_huffman(ac_tbl)
-                            r, s = rs >> 4, rs & 15
+                            rs = decode_huffman(ac_tbl)
                             if rs == 0:
                                 break  # EOB
                             if rs == 0xF0:
                                 k += 16
                                 continue
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("corrupt JPEG: AC index overflow")
-                            coefs[k] = _extend(reader.receive(s), s)
+                            s = rs & 15
+                            coefs[k] = _extend(receive(s), s)
                             k += 1
-                        nat = np.zeros(64, dtype=np.int32)
-                        nat[ZIGZAG] = coefs
-                        block = _idct((nat * quant).reshape(1, 8, 8).astype(np.float64))[0]
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+                        coef_lists[cid].append(coefs)
+                        origins[cid].append(
+                            ((my * cv + by) * 8, (mx * ch + bx) * 8)
+                        )
             mcu_count += 1
+    # vectorized dequant + IDCT + placement per component
+    by_id2 = {cid: tq for cid, _ch, _cv, tq in comps}
+    for cid, blocks in coef_lists.items():
+        if not blocks:
+            continue
+        zz = np.asarray(blocks, dtype=np.int32)
+        nat = np.zeros((zz.shape[0], 64), dtype=np.int32)
+        nat[:, ZIGZAG] = zz
+        quant = state.quant[by_id2[cid]]
+        spatial = _idct((nat * quant).reshape(-1, 8, 8).astype(np.float64))
+        plane = planes[cid]
+        for (y0, x0), block in zip(origins[cid], spatial):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = block
+        plane += 128.0
     # crop + upsample each component to full (h, w)
     full = []
     for cid, ch, cv, _tq in comps:
