@@ -240,6 +240,19 @@ class _BitReader:
         """Byte-align and consume the pending RST marker."""
         self.buf = 0
         self.cnt = 0
+        if self.marker is None:
+            # The bit buffer can drain exactly at the segment boundary,
+            # in which case _fill never reached the marker: self.pos
+            # still sits on (or just before) the FF Dx. Entropy data
+            # only ever contains FF as the stuffed pair FF 00, so the
+            # next FF followed by a non-zero byte IS the marker.
+            p, n = self.pos, len(self.data)
+            while p + 1 < n:
+                if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                    self.marker = self.data[p + 1]
+                    self.pos = p
+                    break
+                p += 1
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2  # skip FF Dx
             self.marker = None
@@ -260,17 +273,28 @@ def parse_tables(data: bytes, state: JpegTables | None = None) -> JpegTables:
     return state
 
 
-def jpeg_decode(data: bytes, state: JpegTables | None = None) -> np.ndarray:
-    """Decode one baseline JPEG stream → uint8 (H, W) or (H, W, 3) RGB.
+def jpeg_decode(
+    data: bytes,
+    state: JpegTables | None = None,
+    color_transform: bool = True,
+) -> np.ndarray:
+    """Decode one baseline JPEG stream → uint8 (H, W) or (H, W, 3).
     ``state`` supplies externally-parsed tables for abbreviated
-    streams."""
-    out = _decode_stream(data, state or JpegTables(), tables_only=False)
-    assert out is not None
+    streams. 3-component output is YCbCr→RGB converted unless
+    ``color_transform=False`` (JPEG-in-TIFF with Photometric=2 stores
+    RGB components directly, TIFF 6.0 §22 / TTN2)."""
+    out = _decode_stream(
+        data, state or JpegTables(), tables_only=False,
+        color_transform=color_transform,
+    )
+    if out is None:
+        raise ValueError("JPEG stream contains no scan")
     return out
 
 
 def _decode_stream(
-    data: bytes, state: JpegTables, tables_only: bool
+    data: bytes, state: JpegTables, tables_only: bool,
+    color_transform: bool = True,
 ) -> np.ndarray | None:
     if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -285,7 +309,10 @@ def _decode_stream(
             return None
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
-        (seglen,) = struct.unpack_from(">H", data, pos)
+        try:
+            (seglen,) = struct.unpack_from(">H", data, pos)
+        except struct.error:
+            raise ValueError("truncated JPEG segment") from None
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -311,15 +338,21 @@ def _decode_stream(
                 state.huff[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
-            (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
+            try:
+                (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
+            except struct.error:
+                raise ValueError("truncated JPEG segment") from None
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
-            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            try:
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+            except struct.error:
+                raise ValueError("truncated JPEG segment") from None
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -336,13 +369,15 @@ def _decode_stream(
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(data, pos + seglen, state, frame, scan)
+            return _decode_scan(
+                data, pos + seglen, state, frame, scan, color_transform
+            )
         # APPn / COM / others: skip
         pos += seglen
     raise ValueError("corrupt JPEG: no EOI")
 
 
-def _decode_scan(data, pos, state, frame, scan) -> np.ndarray:
+def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndarray:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -426,6 +461,9 @@ def _decode_scan(data, pos, state, frame, scan) -> np.ndarray:
     if len(full) == 1:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
     if len(full) == 3:
+        if not color_transform:  # components are already RGB
+            raw = np.stack(full, axis=-1)
+            return np.clip(np.rint(raw), 0, 255).astype(np.uint8)
         y, cb, cr = full
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -487,9 +525,19 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, bits
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    color_transform: bool = True,
+) -> bytes:
     """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a baseline
-    sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT)."""
+    sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT).
+    ``restart_interval`` > 0 emits a DRI segment plus RST0-7 markers
+    every that many MCUs (T.81 §B.2.4.4 / E.1.4).
+    ``color_transform=False`` stores the RGB components directly
+    (no YCbCr conversion; all three use the luma tables) — the
+    component layout of a Photometric=2 JPEG-in-TIFF."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8 samples")
@@ -499,6 +547,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     h, w = img.shape[:2]
     if gray:
         comps = [img.astype(np.float64)]
+    elif not color_transform:
+        comps = [img[..., i].astype(np.float64) for i in range(3)]
     else:
         r = img[..., 0].astype(np.float64)
         g = img[..., 1].astype(np.float64)
@@ -507,9 +557,10 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         comps = [y, cb, cr]
+    chroma_tables = (not gray) and color_transform
     ql = scaled_quant(_QUANT_LUMA, quality)
     qc = scaled_quant(_QUANT_CHROMA, quality)
-    quants = [ql] + ([qc, qc] if not gray else [])
+    quants = [ql] * len(comps) if not chroma_tables else [ql, qc, qc]
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -519,31 +570,34 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
 
     # DQT (zigzag order on the wire)
     seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
-    if not gray:
+    if chroma_tables:
         seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for i in range(len(comps)):
-        sof += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+        tq = 1 if (chroma_tables and i) else 0
+        sof += struct.pack(">BBB", i + 1, 0x11, tq)
     seg(0xC0, sof)
-    # DHT ×4 (or ×2 for grayscale)
+    # DHT ×4 (or ×2 for grayscale / untransformed RGB)
     specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
-    if not gray:
+    if chroma_tables:
         specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
     for tc, th, (bits, values) in specs:
         seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     # SOS
     sos = bytes([len(comps)])
     for i in range(len(comps)):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+        sos += bytes([i + 1, 0x11 if (chroma_tables and i) else 0x00])
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
-    enc_dc = [_build_encode_table(*_DC_LUMA)]
-    enc_ac = [_build_encode_table(*_AC_LUMA)]
-    if not gray:
-        enc_dc += [_build_encode_table(*_DC_CHROMA)] * 2
-        enc_ac += [_build_encode_table(*_AC_CHROMA)] * 2
+    enc_dc = [_build_encode_table(*_DC_LUMA)] * len(comps)
+    enc_ac = [_build_encode_table(*_AC_LUMA)] * len(comps)
+    if chroma_tables:
+        enc_dc = enc_dc[:1] + [_build_encode_table(*_DC_CHROMA)] * 2
+        enc_ac = enc_ac[:1] + [_build_encode_table(*_AC_CHROMA)] * 2
 
     # per-component DCT over edge-replicated 8-multiple padding
     bh, bw = -(-h // 8), -(-w // 8)
@@ -561,7 +615,13 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
 
     writer = _BitWriter()
     pred = [0] * len(comps)
+    rst = 0
     for bi in range(bh * bw):  # 4:4:4 → one block per component per MCU
+        if restart_interval and bi and bi % restart_interval == 0:
+            writer.flush()
+            writer.out.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            pred = [0] * len(comps)
         for ci in range(len(comps)):
             zz = coef_blocks[ci][bi]
             diff = int(zz[0]) - pred[ci]

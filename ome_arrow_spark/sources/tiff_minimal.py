@@ -348,13 +348,23 @@ def _decode_jpeg_ifd(
     if isinstance(tb, (bytes, bytearray)) and len(tb) >= 4:
         base = parse_tables(bytes(tb))
 
+    # PhotometricInterpretation decides the color transform (TIFF 6.0
+    # §22 / TTN2): 6 = YCbCr (transform), 2 = RGB-colorspace JPEG
+    # (components stored directly — no transform), 0/1 = grayscale.
+    photo = tags.get(TAG_PHOTOMETRIC, [6])
+    photo = int(photo[0]) if isinstance(photo, list) else int(photo)
+    if photo not in (0, 1, 2, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photo} unsupported"
+        )
+
     def dec(seg: bytes) -> np.ndarray:
         st = JpegTables()
         if base is not None:
             st.quant = dict(base.quant)
             st.huff = dict(base.huff)
             st.restart_interval = base.restart_interval
-        a = jpeg_decode(seg, st)
+        a = jpeg_decode(seg, st, color_transform=(photo != 2))
         return a[..., np.newaxis] if a.ndim == 2 else a
 
     if has_tiles:
@@ -664,6 +674,7 @@ def encode_tiff_baseline(
     planar: bool = False,
     bigtiff: bool = False,
     jpeg_quality: int = 90,
+    jpeg_photometric: str = "ycbcr",
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
     multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
@@ -679,7 +690,11 @@ def encode_tiff_baseline(
     data in PlanarConfiguration=2 (sample-major strip groups);
     ``bigtiff=True`` writes the BigTIFF (magic 43) layout — 8-byte
     offsets, 20-byte IFD entries, LONG8 offset arrays (TIFF supplement
-    2) — for stores past the classic 4 GiB addressing limit."""
+    2) — for stores past the classic 4 GiB addressing limit.
+    ``jpeg_photometric`` ∈ {"ycbcr", "rgb"}: whether JPEG RGB segments
+    are YCbCr-transformed (Photometric=6, the default every encoder
+    writes) or stored as raw RGB components (Photometric=2 — what
+    tifffile emits for ``photometric='rgb'`` + jpeg)."""
     vol = np.asarray(vol)
     if vol.ndim == 2:
         vol = vol[np.newaxis]
@@ -706,6 +721,11 @@ def encode_tiff_baseline(
             raise NotImplementedError("Predictor with JPEG unsupported")
         if planar:
             raise NotImplementedError("planar JPEG-in-TIFF unsupported")
+        if jpeg_photometric not in ("ycbcr", "rgb"):
+            raise ValueError(
+                f"jpeg_photometric must be 'ycbcr' or 'rgb', "
+                f"got {jpeg_photometric!r}"
+            )
     bo = ">" if big_endian else "<"
     bits = 8 * vol.dtype.itemsize
     if vol.ndim == 3:
@@ -734,7 +754,11 @@ def encode_tiff_baseline(
             from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
 
             a = arr[..., 0] if arr.shape[-1] == 1 else arr
-            return jpeg_encode(np.ascontiguousarray(a), quality=jpeg_quality)
+            return jpeg_encode(
+                np.ascontiguousarray(a),
+                quality=jpeg_quality,
+                color_transform=(jpeg_photometric != "rgb"),
+            )
         if predictor:
             arr = _hdiff_encode(arr, axis=1)
         return _encode_segment(np.ascontiguousarray(arr).tobytes(), comp)
@@ -772,7 +796,8 @@ def encode_tiff_baseline(
             # BlackIsZero / RGB / YCbCr (JPEG segments carry the color
             # transform themselves, TTN2)
             (TAG_PHOTOMETRIC, 3, 1,
-             [(6 if comp == COMPRESSION_JPEG else 2) if spp >= 3 else 1]),
+             [(6 if comp == COMPRESSION_JPEG and jpeg_photometric != "rgb"
+               else 2) if spp >= 3 else 1]),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
         ]
         if tile is not None:

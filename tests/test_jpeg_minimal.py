@@ -243,3 +243,121 @@ def test_jpeg_in_tiff_rejects_uint16():
         encode_tiff_baseline(
             np.zeros((4, 4), dtype=np.uint16), compression="jpeg"
         )
+
+
+def test_restart_interval_streams_match_plain_encoding():
+    """RST markers are a re-serialization of the same quantized
+    coefficients (plus DC-pred resets, which are lossless): decoding a
+    restart-interval stream must be bit-identical to decoding the plain
+    stream of the same image. Sweeps many random images/intervals so
+    some streams drain the bit buffer exactly at a restart boundary —
+    the case where _fill never latches the marker and restart() must
+    find it by scanning (ADVICE r5 high)."""
+    rng = np.random.default_rng(123)
+    checked = 0
+    for trial in range(120):
+        h = int(rng.integers(8, 65))
+        w = int(rng.integers(8, 65))
+        rgb = bool(rng.integers(0, 2))
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        q = int(rng.choice([35, 60, 85, 95]))
+        ri = int(rng.choice([1, 2, 3, 4, 5, 7, 11]))
+        plain = jpeg_decode(jpeg_encode(img, quality=q))
+        restarted = jpeg_decode(
+            jpeg_encode(img, quality=q, restart_interval=ri)
+        )
+        assert restarted.shape == plain.shape
+        assert np.array_equal(restarted, plain), (
+            f"trial={trial} h={h} w={w} rgb={rgb} q={q} ri={ri}: "
+            f"max err {np.abs(restarted.astype(int) - plain.astype(int)).max()}"
+        )
+        checked += 1
+    assert checked == 120
+
+
+def test_restart_interval_stream_structure():
+    img = _smooth(32, 32)
+    data = jpeg_encode(img, quality=80, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI segment
+    # 16 MCUs at ri=2 -> RST0..RST6 appear (7 markers)
+    assert data.count(b"\xff\xd0") >= 1
+    assert b"\xff\xd6" in data
+
+
+def test_no_scan_raises_valueerror():
+    # SOI + EOI only: decode must raise the documented ValueError,
+    # not AssertionError
+    with pytest.raises(ValueError, match="no scan"):
+        jpeg_decode(b"\xff\xd8\xff\xd9")
+
+
+def test_truncated_segment_raises_valueerror():
+    data = bytearray(jpeg_encode(_smooth(16, 16)))
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(data[:3]))  # cut inside first segment header
+
+
+def test_rgb_color_transform_flag():
+    """color_transform=False returns raw components (Photometric=2
+    RGB-colorspace JPEG-in-TIFF); with the default the same stream is
+    YCbCr-converted, so the two outputs differ on colorful input."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    data = jpeg_encode(img, quality=95)
+    as_ycc = jpeg_decode(data)
+    raw = jpeg_decode(data, color_transform=False)
+    assert raw.shape == as_ycc.shape == img.shape
+    assert not np.array_equal(raw, as_ycc)
+
+
+def test_jpeg_in_tiff_photometric_rgb():
+    """Photometric=2 JPEG-in-TIFF (tifffile's photometric='rgb' +
+    jpeg): components are raw RGB, so the decoder must skip the YCbCr
+    transform (ADVICE r5 medium). Colors round-trip within JPEG error;
+    decoding the same bytes as if YCbCr would be wildly off."""
+    from ome_arrow_spark.sources.tiff_minimal import (
+        decode_tiff_baseline,
+        encode_tiff_baseline,
+    )
+
+    g = _smooth(24, 32)
+    page = np.stack([g, 255 - g, np.roll(g, 5, axis=1)], axis=-1)
+    vol = page[np.newaxis]
+    blob = encode_tiff_baseline(
+        vol, compression="jpeg", jpeg_quality=100, jpeg_photometric="rgb"
+    )
+    # tag 262 on the wire is 2, not 6
+    from ome_arrow_spark.sources.tiff_minimal import _read_ifd_entries
+    import struct as _s
+    (first_off,) = _s.unpack_from("<I", blob, 4)
+    tags, _ = _read_ifd_entries(blob, "<", first_off, False)
+    assert tags[262] == [2]
+    back = decode_tiff_baseline(blob)
+    got = np.moveaxis(np.asarray(back[0][:, 0]), 0, -1)
+    assert got.shape == page.shape
+    assert int(np.abs(got.astype(int) - page.astype(int)).max()) <= 3
+
+
+def test_jpeg_in_tiff_unknown_photometric_rejected():
+    """Unexpected photometric values raise NotImplementedError so a
+    tifffile-backed reader can take over instead of decoding to wrong
+    colors."""
+    from ome_arrow_spark.sources import tiff_minimal as tm
+
+    g = _smooth(16, 16)
+    vol = np.stack([g, 255 - g, g], axis=-1)[np.newaxis]
+    blob = bytearray(
+        tm.encode_tiff_baseline(vol, compression="jpeg")
+    )
+    # patch tag 262's value from 6 (YCbCr) to 5 (CMYK-ish, unsupported)
+    import struct as _s
+    (first_off,) = _s.unpack_from("<I", blob, 4)
+    (n_entries,) = _s.unpack_from("<H", blob, first_off)
+    for i in range(n_entries):
+        base = first_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", blob, base)
+        if tag == 262:
+            _s.pack_into("<H", blob, base + 8, 5)
+    with pytest.raises(NotImplementedError, match="photometric"):
+        tm.decode_tiff_baseline(bytes(blob))
