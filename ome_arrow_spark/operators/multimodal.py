@@ -61,8 +61,10 @@ def _split(data: bytes, magic: bytes) -> tuple[dict, bytes]:
 
 
 def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
-    """bytes → (kind, array, meta). FMED containers only; real codecs
-    gated."""
+    """bytes → (kind, array, meta). Baseline JPEG decodes through the
+    engine's own codec (sources/jpeg_minimal); FMED containers carry
+    raw test payloads; remaining real formats (PNG/audio/video) gate on
+    PIL/soundfile/av."""
     if data[:6] == FIMG_MAGIC:
         h, payload = _split(data, FIMG_MAGIC)
         arr = np.frombuffer(payload, np.uint8).reshape(h["h"], h["w"], 3)
@@ -74,10 +76,18 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
         h, payload = _split(data, FVID_MAGIC)
         arr = np.frombuffer(payload, np.uint8).reshape(h["f"], h["h"], h["w"], 3)
         return "video", arr, h
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
+
+        arr = jpeg_decode(data)
+        if arr.ndim == 2:  # grayscale → uniform 3-channel layout
+            arr = np.stack([arr] * 3, axis=-1)
+        return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
+                              "format": "jpeg"}
     raise NotImplementedError(
-        "Real image/audio/video codecs (PIL/soundfile/av) are not installed "
-        "in this container; only FMED test containers decode. The operator "
-        "plumbing is codec-agnostic — swap decode_media's body."
+        "Real PNG/audio/video codecs (PIL/soundfile/av) are not installed "
+        "in this container; JPEG and FMED test containers decode built-in. "
+        "The operator plumbing is codec-agnostic — swap decode_media's body."
     )
 
 
@@ -187,8 +197,15 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(fs, schema=schema)
 
 
-def synth_media_df(spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2) -> DataFrame:
-    """Deterministic fake media table for tests/driver queries."""
+def synth_media_df(
+    spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2,
+    n_jpeg: int = 2,
+) -> DataFrame:
+    """Deterministic fake media table for tests/driver queries. Includes
+    real baseline-JPEG blobs (engine-encoded, engine-decoded) alongside
+    the FMED containers so the image path exercises an actual codec."""
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+
     rows = []
     mid = 0
     for i in range(n_images):
@@ -205,6 +222,14 @@ def synth_media_df(spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2)
         f, h, w = 6, 4, 5
         frames = (np.arange(f * h * w * 3).reshape(f, h, w, 3) + i) % 256
         rows.append((mid, "video", bytearray(encode_fvid(frames)), (w, h, f, None, "fvid")))
+        mid += 1
+    # real JPEG blobs go LAST so the FMED ids above stay stable for the
+    # arithmetic oracle; the JPEG rows are pinned by golden decode values
+    for i in range(n_jpeg):
+        h, w = 16 + 8 * i, 24 + 8 * i
+        rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 7 + i * 31) % 256).astype(np.uint8)
+        rows.append((mid, "image", bytearray(jpeg_encode(rgb, quality=90)),
+                     (w, h, None, None, "jpeg")))
         mid += 1
     # coalesce: createDataFrame slices tiny local data across
     # defaultParallelism partitions → dozens of one-row Python-worker

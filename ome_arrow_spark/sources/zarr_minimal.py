@@ -5,16 +5,18 @@ Real, spec-conformant stores with stdlib only (``json`` + ``zlib`` +
 reads what zarr-python writes for the baseline feature set.
 
 * **v2** (``.zgroup``/``.zarray``/``.zattrs``): C-order arrays,
-  ``zlib``/``gzip``/raw chunk compression, ``.``- or ``/``-separated
-  chunk keys, edge-chunk padding, NGFF 0.4 ``multiscales`` attrs.
+  ``zlib``/``gzip``/``blosc``(zlib inner codec + byte-shuffle)/raw
+  chunk compression, ``.``- or ``/``-separated chunk keys, edge-chunk
+  padding, NGFF 0.4 ``multiscales`` attrs.
 * **v3** (``zarr.json`` + ``c/``-prefixed chunk keys): regular chunk
   grid, default chunk-key encoding, ``bytes`` (endian) + optional
   ``gzip`` codec chain, typed fill values, NGFF attributes under the
   group's ``attributes`` key (the v3 layout the reference's exporter
   selects with ``zarr_format=3``, export.py:265-289 + 361).
 
-Blosc/zstd compression and v3 ``sharding_indexed`` still gate on the
-real libraries upstream.
+Blosc frames with zstd/lz4/blosclz inner codecs (and v3 blosc chains)
+still gate on the real libraries upstream — those codecs need C libs;
+the zlib-inner-codec frame is fully decoded/encoded here.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import struct
 import zlib
 from typing import Any
 
@@ -31,10 +34,150 @@ ZARRAY = ".zarray"
 ZGROUP = ".zgroup"
 ZATTRS = ".zattrs"
 
-SUPPORTED_COMPRESSORS = (None, "zlib", "gzip")
+SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc")
 
 
-def _compress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
+# ---------------------------------------------------------------------------
+# Blosc1 frames (c-blosc 1.x wire format, README_HEADER.rst) — the
+# compressor nearly every wild OME-NGFF v2 store uses (zarr-python's
+# default is Blosc(zstd); the reference's exporter passes blosc
+# compressors straight to zarr, export.py:265-289). The zlib inner
+# codec + byte-shuffle filter is fully implementable with the stdlib;
+# blosclz/lz4/zstd inner codecs genuinely need the C libs and keep
+# gating on numcodecs.
+#
+# Frame: 16-byte header (version, versionlz, flags, typesize, nbytes,
+# blocksize, cbytes LE) · uint32 block-start offsets · per-block
+# streams, each prefixed by a uint32 compressed size (csize == block
+# size ⇒ stored raw). flags: bit0 byte-shuffle, bit1 pure-memcpy,
+# bit2 bit-shuffle, bits5-7 inner-codec format id.
+# ---------------------------------------------------------------------------
+
+_BLOSC_FORMATS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_BLOSC_ZLIB_FORMAT = 3
+
+
+def _shuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    """Byte-shuffle: gather byte-lane j of every element contiguously.
+    Trailing (len % typesize) bytes stay unshuffled at the end."""
+    n = len(buf) - (len(buf) % typesize)
+    if n == 0 or typesize <= 1:
+        return buf
+    lanes = np.frombuffer(buf, np.uint8, count=n).reshape(-1, typesize)
+    return lanes.T.tobytes() + buf[n:]
+
+
+def _unshuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    n = len(buf) - (len(buf) % typesize)
+    if n == 0 or typesize <= 1:
+        return buf
+    lanes = np.frombuffer(buf, np.uint8, count=n).reshape(typesize, -1)
+    return lanes.T.tobytes() + buf[n:]
+
+
+def _blosc_block_streams(frame: bytes, off: int, neblock: int, nstreams: int) -> bytes:
+    """Decompress one block's stream list starting at ``off``."""
+    parts = []
+    for _ in range(nstreams):
+        (csize,) = struct.unpack_from("<I", frame, off)
+        seg = frame[off + 4 : off + 4 + csize]
+        ssize = neblock // nstreams
+        parts.append(bytes(seg) if csize == ssize else zlib.decompress(seg))
+        off += 4 + csize
+    return b"".join(parts)
+
+
+def blosc_decode(frame: bytes) -> bytes:
+    """Decode one blosc1 frame (zlib inner codec, optional
+    byte-shuffle). Handles pure-memcpy frames, stored blocks, and both
+    split regimes (c-blosc <1.11 split every codec into per-byte-lane
+    streams; modern c-blosc never splits zlib)."""
+    if len(frame) < 16:
+        raise ValueError("truncated blosc frame")
+    flags, typesize = frame[2], frame[3]
+    nbytes, blocksize, _cbytes = struct.unpack_from("<III", frame, 4)
+    if flags & 0x4:
+        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+    if flags & 0x2:  # pure memcpy: the original buffer stored raw
+        return bytes(frame[16 : 16 + nbytes])
+    fmt = flags >> 5
+    if fmt != _BLOSC_ZLIB_FORMAT:
+        raise NotImplementedError(
+            f"blosc inner codec {_BLOSC_FORMATS.get(fmt, fmt)!r} needs "
+            "numcodecs (built-in: zlib)"
+        )
+    doshuffle = bool(flags & 0x1) and typesize > 1
+    nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
+    bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
+    out = bytearray()
+    for i in range(nblocks):
+        neblock = min(blocksize, nbytes - i * blocksize) if blocksize else nbytes
+        try:
+            block = _blosc_block_streams(frame, bstarts[i], neblock, 1)
+        except zlib.error:
+            # legacy split frame: typesize streams per block
+            if typesize <= 1 or neblock % typesize:
+                raise
+            block = _blosc_block_streams(frame, bstarts[i], neblock, typesize)
+        if len(block) != neblock:
+            raise ValueError("corrupt blosc frame: block size mismatch")
+        if doshuffle:
+            block = _unshuffle_bytes(block, typesize)
+        out += block
+    return bytes(out[:nbytes])
+
+
+def blosc_encode(
+    raw: bytes,
+    typesize: int = 1,
+    clevel: int = 5,
+    shuffle: int = 1,
+    blocksize: int = 0,
+) -> bytes:
+    """Encode a blosc1 frame with the zlib inner codec (modern
+    unsplit layout). ``shuffle``: 0 none, 1 byte-shuffle (2,
+    bit-shuffle, gates on numcodecs). Falls back to the pure-memcpy
+    frame when compression doesn't pay, exactly like c-blosc."""
+    if shuffle == 2:
+        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+    nbytes = len(raw)
+    typesize = typesize if 1 <= typesize <= 255 else 1
+    doshuffle = bool(shuffle) and typesize > 1
+    if not blocksize:
+        blocksize = min(nbytes, 1 << 18)
+    blocksize = max(typesize, blocksize - blocksize % typesize)
+    nblocks = max(1, -(-nbytes // blocksize)) if nbytes else 1
+    streams = []
+    for i in range(nblocks):
+        seg = raw[i * blocksize : i * blocksize + min(blocksize, nbytes - i * blocksize)]
+        if doshuffle:
+            seg = _shuffle_bytes(seg, typesize)
+        comp = zlib.compress(seg, clevel)
+        if len(comp) >= len(seg):
+            comp = seg  # stored block: csize == neblock signals raw
+        streams.append(struct.pack("<I", len(comp)) + comp)
+    data_start = 16 + 4 * nblocks
+    total = data_start + sum(len(s) for s in streams)
+    if total >= nbytes + 16:  # compression doesn't pay → memcpy frame
+        header = struct.pack(
+            "<BBBBIII", 2, 1, 0x2, typesize, nbytes, blocksize, nbytes + 16
+        )
+        return header + raw
+    flags = (0x1 if doshuffle else 0) | (_BLOSC_ZLIB_FORMAT << 5)
+    header = struct.pack(
+        "<BBBBIII", 2, 1, flags, typesize, nbytes, blocksize, total
+    )
+    bstarts = bytearray()
+    off = data_start
+    for s in streams:
+        bstarts += struct.pack("<I", off)
+        off += len(s)
+    return header + bytes(bstarts) + b"".join(streams)
+
+
+def _compress(
+    blob: bytes, compressor: dict[str, Any] | None, typesize: int = 1
+) -> bytes:
     if compressor is None:
         return blob
     cid, level = compressor.get("id"), int(compressor.get("level", 1))
@@ -42,6 +185,20 @@ def _compress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
         return zlib.compress(blob, level)
     if cid == "gzip":
         return gzip.compress(blob, compresslevel=level)
+    if cid == "blosc":
+        cname = compressor.get("cname", "blosclz")
+        if cname != "zlib":
+            raise NotImplementedError(
+                f"blosc cname {cname!r} needs the real zarr/numcodecs "
+                "packages (built-in: zlib)"
+            )
+        return blosc_encode(
+            blob,
+            typesize=typesize,
+            clevel=int(compressor.get("clevel", 5)),
+            shuffle=int(compressor.get("shuffle", 1)),
+            blocksize=int(compressor.get("blocksize", 0) or 0),
+        )
     raise NotImplementedError(
         f"zarr compressor {cid!r} needs the real zarr/numcodecs packages "
         f"(built-in subset: {SUPPORTED_COMPRESSORS})"
@@ -56,6 +213,11 @@ def _decompress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
         return zlib.decompress(blob)
     if cid == "gzip":
         return gzip.decompress(blob)
+    if cid == "blosc":
+        # the frame header is self-describing; unsupported inner codecs
+        # (zstd/lz4/blosclz — what the dict's cname would also say)
+        # raise NotImplementedError inside
+        return blosc_decode(blob)
     raise NotImplementedError(
         f"zarr compressor {cid!r} needs the real zarr/numcodecs packages "
         f"(built-in subset: {SUPPORTED_COMPRESSORS})"
@@ -83,11 +245,15 @@ def write_zarr_array(
         # one chunk per trailing-2D plane: matches how planes are read
         chunks = (1,) * (arr.ndim - 2) + arr.shape[-2:]
     chunks = tuple(int(min(c, s)) for c, s in zip(chunks, arr.shape))
-    comp = (
-        None
-        if compressor is None
-        else {"id": compressor, "level": int(compression_level)}
-    )
+    if compressor is None:
+        comp = None
+    elif compressor == "blosc":  # blosc-zlib + byte-shuffle frames
+        comp = {
+            "id": "blosc", "cname": "zlib",
+            "clevel": int(compression_level), "shuffle": 1, "blocksize": 0,
+        }
+    else:
+        comp = {"id": compressor, "level": int(compression_level)}
     meta = {
         "zarr_format": 2,
         "shape": [int(s) for s in arr.shape],
@@ -117,7 +283,10 @@ def write_zarr_array(
                 full[tuple(slice(0, e) for e in block.shape)] = block
                 block = full
             key = dimension_separator.join(str(i) for i in idx)
-            blob = _compress(np.ascontiguousarray(block).tobytes(), comp)
+            blob = _compress(
+                np.ascontiguousarray(block).tobytes(), comp,
+                typesize=arr.dtype.itemsize,
+            )
             subdir = os.path.join(path, *key.split("/")[:-1]) if "/" in key else path
             os.makedirs(subdir, exist_ok=True)
             with open(os.path.join(path, *key.split("/")), "wb") as f:

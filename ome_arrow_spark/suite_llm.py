@@ -577,6 +577,11 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     channel c = j % 3 → mean_c
 #   audio i (id 4+i): samples t<1600*(i+1): (t*37*(i+1)) % 20000 - 10000
 #   video i (id 7+i): 6×4×5×3 values (j+i) % 256 → mean luma in rms
+#   jpeg  i (id 9+i): REAL baseline-JPEG blob of the (16+8i)×(24+8i)
+#     pattern (j*7 + 31*i) % 256, engine-encoded at q90 and decoded by
+#     sources/jpeg_minimal. JPEG is lossy, so no independent SQL
+#     derivation exists; the oracle pins the decoder's deterministic
+#     channel means as golden literals — codec drift turns the row red.
 # ---------------------------------------------------------------------------
 _MEDIA_ORACLE = """
     WITH img AS (
@@ -610,6 +615,13 @@ _MEDIA_ORACLE = """
            LATERAL (SELECT unnest(generate_series(0, 6*4*5*3 - 1)) AS j) j
       GROUP BY i.i)
     SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+    UNION ALL
+    SELECT * FROM (VALUES
+      (9,  'image', 126.106771, 126.609375, 126.708333,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INT)),
+      (10, 'image', 127.425781, 127.296875, 127.335938,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INT))
+    ) jpg(media_id, kind, mean_r, mean_g, mean_b, duration_s, rms, n_frames)
 """
 
 

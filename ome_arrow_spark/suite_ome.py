@@ -222,9 +222,10 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Compressed-TIFF ingest in the driver gate: write REAL .tif bytes
 # through the built-in encoder's codec matrix — LZW + Predictor-2
-# striped, Deflate tiled, PackBits big-endian 8-bit, and a BigTIFF
-# (magic 43, 8-byte offsets) LZW variant — and ingest via the
-# distributed binaryFile+mapInPandas path. Pixels follow a formula
+# striped, Deflate tiled, PackBits big-endian 8-bit, a BigTIFF
+# (magic 43, 8-byte offsets) LZW variant, and new-style JPEG
+# (Compression=7) strips — and ingest via the distributed
+# binaryFile+mapInPandas path. Pixels follow a formula
 # the DuckDB oracle recomputes arithmetically, so a single wrong byte
 # anywhere in encode→decode breaks the hash. (Reference reads these
 # compressed classes via BioIO/tifffile, ingest.py:321-330; writes them
@@ -246,7 +247,15 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM zz, ii GROUP BY zz.z
            UNION ALL
            SELECT 'bigtiff_lzw', zz.z, SUM((zz.z*7 + 3*ii.i) % 65536)
-           FROM zz, ii GROUP BY zz.z)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           -- new-style JPEG (Compression=7) is lossy: no arithmetic
+           -- derivation exists, so the deterministic decoder's plane
+           -- sums are pinned as golden values (codec drift → red row)
+           SELECT * FROM (VALUES
+             ('jpeg_strips', 0, 195848), ('jpeg_strips', 1, 195910),
+             ('jpeg_strips', 2, 195744), ('jpeg_strips', 3, 195858))
+             jp(image_id, z, s))
     SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
     FROM u
     """,
@@ -283,6 +292,11 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([((zi * 7 + 3 * i) % 65536).reshape(y, x) for zi in range(z)])
             .astype(np.uint16),
             {"compression": "lzw", "bigtiff": True, "rows_per_strip": 11},
+        ),
+        "jpeg_strips": (
+            np.stack([((zi * 13 + 5 * i) % 256).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16},
         ),
     }
     for iid, (vol, kw) in specs.items():
@@ -386,6 +400,66 @@ def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards=(1, 1, 1, 64, 64),
     )
     imgs = from_zarr_manifest(spark, [store], level=1)
+    return plane_stats(imgs).select(
+        F.col("c").cast("int"),
+        "px_sum",
+        F.col("px_min").cast("int"),
+        F.col("px_max").cast("int"),
+    )
+
+
+# Blosc-compressed Zarr v2 round-trip in the driver gate: write a REAL
+# NGFF 0.4 store whose chunks are blosc1 frames (zlib inner codec +
+# byte-shuffle — the layout zarr-python writes for Blosc(cname='zlib'))
+# via the built-in codec, ingest it back through the distributed
+# manifest path, and have DuckDB re-derive the plane stats
+# arithmetically. Covers the wild-store default compressor family the
+# engine previously gated wholesale on the zarr package (reference
+# export.py:265-289 passes blosc straight to zarr).
+@register(
+    "ome_zarr_blosc_roundtrip",
+    """
+    WITH px AS (
+      SELECT cc.c AS c, (cc.c*29 + y.y*96 + x.x) % 65536 AS v
+      FROM (SELECT unnest(generate_series(0, 1)) AS c) cc,
+           (SELECT unnest(generate_series(0, 95)) AS y) y,
+           (SELECT unnest(generate_series(0, 95)) AS x) x)
+    SELECT CAST(c AS INT) AS c, CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY c
+    """,
+)
+def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources.zarr import from_zarr_manifest
+    from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
+
+    yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+    vol = np.stack(
+        [(c * 29 + yy * 96 + xx) % 65536 for c in range(2)]
+    )[np.newaxis, :, np.newaxis].astype("<u2")
+    d = tempfile.mkdtemp(prefix="ome_blosc_q_")
+    store = os.path.join(d, "bloscimg.zarr")
+    write_ngff_store(
+        store,
+        [vol],
+        image_id="bloscimg",
+        channel_names=["C0", "C1"],
+        compressor="blosc",
+        compression_level=5,
+        zarr_format=2,
+        chunks=(1, 1, 1, 32, 32),
+    )
+    # the store really is blosc-framed: magic flags byte carries the
+    # zlib format id on a compressed chunk
+    chunk0 = open(os.path.join(store, "0", "0.0.0.0.0"), "rb").read()
+    assert (chunk0[2] >> 5) == 3 or (chunk0[2] & 0x2)
+    imgs = from_zarr_manifest(spark, [store], level=0)
     return plane_stats(imgs).select(
         F.col("c").cast("int"),
         "px_sum",

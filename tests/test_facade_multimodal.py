@@ -76,7 +76,7 @@ def test_load_pattern_dispatch(spark, tmp_path):
 def test_media_features(spark):
     media = MM.synth_media_df(spark)
     feats = {r["media_id"]: r for r in MM.media_features(media).collect()}
-    assert len(feats) == 9
+    assert len(feats) == 11  # 4 fimg + 3 audio + 2 video + 2 real JPEG
     img0 = feats[0]
     rgb = (np.arange(8 * 10 * 3).reshape(8, 10, 3) * 1) % 256
     assert abs(img0["mean_r"] - rgb.reshape(-1, 3)[:, 0].mean()) < 1e-9
@@ -84,13 +84,20 @@ def test_media_features(spark):
     assert aud["kind"] == "audio" and abs(aud["duration_s"] - 0.1) < 1e-9
     vid = feats[7]
     assert vid["kind"] == "video" and vid["n_frames"] == 6
+    # real JPEG blobs decode through the engine's own codec: lossy but
+    # close to the source pattern's channel means
+    rgb9 = ((np.arange(16 * 24 * 3).reshape(16, 24, 3) * 7) % 256)
+    jpg = feats[9]
+    assert jpg["kind"] == "image"
+    for ch, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert abs(jpg[col] - rgb9.reshape(-1, 3)[:, ch].mean()) < 3.0
 
 
 def test_resize_and_frame_sample(spark):
     media = MM.synth_media_df(spark)
     small = MM.resize_images(media, 5, 4)
     rows = small.collect()
-    assert len(rows) == 4
+    assert len(rows) == 6  # 4 fimg + 2 JPEG images
     kind, arr, meta = MM.decode_media(bytes(rows[0]["content"]))
     assert arr.shape == (4, 5, 3)
 
