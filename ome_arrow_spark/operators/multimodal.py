@@ -84,9 +84,23 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
             arr = np.stack([arr] * 3, axis=-1)
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "jpeg"}
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from ome_arrow_spark.sources.png_minimal import png_decode
+
+        arr = png_decode(data)
+        if arr.dtype == np.uint16:  # media features operate on 8-bit
+            arr = (arr >> 8).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        elif arr.shape[-1] == 2:  # gray+alpha → replicate luma, drop alpha
+            arr = np.stack([arr[..., 0]] * 3, axis=-1)
+        elif arr.shape[-1] == 4:  # RGBA → drop alpha for feature math
+            arr = arr[..., :3]
+        return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
+                              "format": "png"}
     raise NotImplementedError(
-        "Real PNG/audio/video codecs (PIL/soundfile/av) are not installed "
-        "in this container; JPEG and FMED test containers decode built-in. "
+        "Real audio/video codecs (soundfile/av) are not installed in this "
+        "container; JPEG, PNG, and FMED test containers decode built-in. "
         "The operator plumbing is codec-agnostic — swap decode_media's body."
     )
 
@@ -199,12 +213,14 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
 
 def synth_media_df(
     spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2,
-    n_jpeg: int = 2,
+    n_jpeg: int = 2, n_png: int = 1,
 ) -> DataFrame:
     """Deterministic fake media table for tests/driver queries. Includes
-    real baseline-JPEG blobs (engine-encoded, engine-decoded) alongside
-    the FMED containers so the image path exercises an actual codec."""
+    real baseline-JPEG and PNG blobs (engine-encoded, engine-decoded)
+    alongside the FMED containers so the image path exercises actual
+    codecs — PNG being lossless, its features stay SQL-derivable."""
     from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+    from ome_arrow_spark.sources.png_minimal import png_encode
 
     rows = []
     mid = 0
@@ -230,6 +246,12 @@ def synth_media_df(
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 7 + i * 31) % 256).astype(np.uint8)
         rows.append((mid, "image", bytearray(jpeg_encode(rgb, quality=90)),
                      (w, h, None, None, "jpeg")))
+        mid += 1
+    for i in range(n_png):
+        h, w = 20 + 4 * i, 30 + 4 * i
+        rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 11 + 3 + i) % 256).astype(np.uint8)
+        rows.append((mid, "image", bytearray(png_encode(rgb)),
+                     (w, h, None, None, "png")))
         mid += 1
     # coalesce: createDataFrame slices tiny local data across
     # defaultParallelism partitions → dozens of one-row Python-worker

@@ -333,7 +333,8 @@ def crc32c(data: bytes) -> int:
 
 def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int]:
     """``(endian, compressor, level)`` from a v3 array→bytes codec chain
-    (``bytes`` + optional ``gzip``); anything else gates upstream."""
+    (``bytes`` + optional ``gzip``/``blosc``-zlib); anything else gates
+    upstream."""
     endian = "<"
     comp = None
     level = 1
@@ -345,9 +346,20 @@ def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int
         elif name == "gzip":
             comp = "gzip"
             level = int(cfg.get("level", 1))
+        elif name == "blosc":
+            cname = cfg.get("cname", "zstd")
+            if cname != "zlib":
+                raise NotImplementedError(
+                    f"v3 blosc cname {cname!r} needs the zarr package "
+                    "(built-in: zlib)"
+                )
+            if cfg.get("shuffle") == "bitshuffle":
+                raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+            comp = "blosc"
+            level = int(cfg.get("clevel", 5))
         else:
             raise NotImplementedError(
-                f"v3 codec {name!r} (blosc/zstd/transpose) needs the zarr package"
+                f"v3 codec {name!r} (zstd/transpose) needs the zarr package"
             )
     return endian, comp, level
 
@@ -395,9 +407,11 @@ def write_zarr_array_v3(
 ) -> None:
     """Write one Zarr v3 array directory: ``zarr.json`` metadata +
     ``c/``-prefixed chunk files (regular grid, default key encoding,
-    ``bytes``→``gzip`` codec chain). ``compressor`` ∈ {None, "gzip"} —
-    the v3 codec registry has no plain-zlib entry, so "zlib" requests
-    are written as gzip (same DEFLATE stream, framed).
+    ``bytes``→``gzip``/``blosc`` codec chain). ``compressor`` ∈ {None,
+    "gzip", "blosc"} — "blosc" writes blosc1 frames with the zlib inner
+    codec + byte-shuffle; the v3 codec registry has no plain-zlib
+    entry, so "zlib" requests are written as gzip (same DEFLATE
+    stream, framed).
 
     ``shards`` switches on the ``sharding_indexed`` codec: each on-disk
     object is one SHARD of that shape holding a sub-grid of ``chunks``-
@@ -410,9 +424,9 @@ def write_zarr_array_v3(
     ``shard_shape``)."""
     if compressor == "zlib":
         compressor = "gzip"
-    if compressor not in (None, "gzip"):
+    if compressor not in (None, "gzip", "blosc"):
         raise NotImplementedError(
-            f"v3 codec {compressor!r} (blosc/zstd) needs the zarr package"
+            f"v3 codec {compressor!r} (zstd) needs the zarr package"
         )
     arr = np.ascontiguousarray(arr)
     rev = {v: k for k, v in _V3_DTYPES.items()}
@@ -428,6 +442,19 @@ def write_zarr_array_v3(
     if compressor == "gzip":
         inner_codecs.append(
             {"name": "gzip", "configuration": {"level": int(compression_level)}}
+        )
+    elif compressor == "blosc":
+        inner_codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": "zlib",
+                    "clevel": int(compression_level),
+                    "shuffle": "shuffle" if arr.dtype.itemsize > 1 else "noshuffle",
+                    "typesize": int(arr.dtype.itemsize),
+                    "blocksize": 0,
+                },
+            }
         )
     if shards is not None:
         # shard shape must be an inner-chunk multiple (v3 spec)
@@ -480,6 +507,13 @@ def write_zarr_array_v3(
         blob = block.tobytes()
         if compressor == "gzip":
             blob = gzip.compress(blob, compresslevel=int(compression_level))
+        elif compressor == "blosc":
+            blob = blosc_encode(
+                blob,
+                typesize=arr.dtype.itemsize,
+                clevel=int(compression_level),
+                shuffle=1 if arr.dtype.itemsize > 1 else 0,
+            )
         return blob
 
     for idx, starts in _iter_grid(arr.shape, grid_chunk):
@@ -514,9 +548,10 @@ def write_zarr_array_v3(
 
 
 def read_zarr_array_v3(path: str) -> np.ndarray:
-    """Read a Zarr v3 array directory (regular grid, default key
-    encoding, ``bytes`` + optional ``gzip`` codec chain; blosc/zstd/
-    sharding/transpose gate on the zarr package)."""
+    """Read a Zarr v3 array directory (regular grid, default or v2
+    key encoding, ``bytes`` + optional ``gzip``/``blosc``-zlib codec
+    chain, ``sharding_indexed`` shards with CRC-32C indexes; blosc-zstd
+    /lz4 and transpose gate on the zarr package)."""
     with open(os.path.join(path, ZARR_JSON)) as f:
         meta = json.load(f)
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
@@ -563,7 +598,11 @@ def read_zarr_array_v3(path: str) -> np.ndarray:
     out = np.full(shape, fill, dtype=dtype)
 
     def _decode(blob: bytes) -> bytes:
-        return gzip.decompress(blob) if comp == "gzip" else blob
+        if comp == "gzip":
+            return gzip.decompress(blob)
+        if comp == "blosc":
+            return blosc_decode(blob)
+        return blob
 
     def _place(block_bytes: bytes, starts: tuple[int, ...], bshape) -> None:
         block = np.frombuffer(block_bytes, dtype=dtype).reshape(bshape)

@@ -582,6 +582,9 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     sources/jpeg_minimal. JPEG is lossy, so no independent SQL
 #     derivation exists; the oracle pins the decoder's deterministic
 #     channel means as golden literals — codec drift turns the row red.
+#   png (id 11): REAL PNG blob of the 20×30 pattern (j*11 + 3) % 256
+#     (sources/png_minimal). PNG is lossless, so the oracle re-derives
+#     its channel means arithmetically like the fimg rows.
 # ---------------------------------------------------------------------------
 _MEDIA_ORACLE = """
     WITH img AS (
@@ -622,6 +625,13 @@ _MEDIA_ORACLE = """
       (10, 'image', 127.425781, 127.296875, 127.335938,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INT))
     ) jpg(media_id, kind, mean_r, mean_g, mean_b, duration_s, rms, n_frames)
+    UNION ALL
+    SELECT 11 AS media_id, 'image' AS kind,
+           ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (j.j*11 + 3) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*11 + 3) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*11 + 3) % 256 END), 6),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INT)
+    FROM (SELECT unnest(generate_series(0, 20*30*3 - 1)) AS j) j
 """
 
 

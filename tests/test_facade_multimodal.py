@@ -76,7 +76,7 @@ def test_load_pattern_dispatch(spark, tmp_path):
 def test_media_features(spark):
     media = MM.synth_media_df(spark)
     feats = {r["media_id"]: r for r in MM.media_features(media).collect()}
-    assert len(feats) == 11  # 4 fimg + 3 audio + 2 video + 2 real JPEG
+    assert len(feats) == 12  # 4 fimg + 3 audio + 2 video + 2 JPEG + 1 PNG
     img0 = feats[0]
     rgb = (np.arange(8 * 10 * 3).reshape(8, 10, 3) * 1) % 256
     assert abs(img0["mean_r"] - rgb.reshape(-1, 3)[:, 0].mean()) < 1e-9
@@ -91,13 +91,19 @@ def test_media_features(spark):
     assert jpg["kind"] == "image"
     for ch, col in enumerate(["mean_r", "mean_g", "mean_b"]):
         assert abs(jpg[col] - rgb9.reshape(-1, 3)[:, ch].mean()) < 3.0
+    # PNG is lossless: decoded means are exact
+    rgb11 = ((np.arange(20 * 30 * 3).reshape(20, 30, 3) * 11 + 3) % 256)
+    png = feats[11]
+    assert png["kind"] == "image"
+    for ch, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert abs(png[col] - rgb11.reshape(-1, 3)[:, ch].mean()) < 1e-9
 
 
 def test_resize_and_frame_sample(spark):
     media = MM.synth_media_df(spark)
     small = MM.resize_images(media, 5, 4)
     rows = small.collect()
-    assert len(rows) == 6  # 4 fimg + 2 JPEG images
+    assert len(rows) == 7  # 4 fimg + 2 JPEG + 1 PNG images
     kind, arr, meta = MM.decode_media(bytes(rows[0]["content"]))
     assert arr.shape == (4, 5, 3)
 

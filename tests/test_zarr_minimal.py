@@ -87,7 +87,7 @@ def test_ngff_store_attrs_and_pyramid(tmp_path):
     np.testing.assert_array_equal(lv1, levels[1].astype(np.uint16))
 
 
-@pytest.mark.parametrize("compressor", [None, "gzip"])
+@pytest.mark.parametrize("compressor", [None, "gzip", "blosc"])
 def test_v3_array_roundtrip(tmp_path, compressor):
     """Zarr v3 layout: zarr.json metadata, c/-prefixed chunk keys,
     bytes(+gzip) codec chain, edge-chunk padding — all bit-exact on
@@ -115,6 +115,11 @@ def test_v3_array_roundtrip(tmp_path, compressor):
     raw = open(chunk_path, "rb").read()
     if compressor == "gzip":
         raw = _gzip.decompress(raw)
+    elif compressor == "blosc":
+        from ome_arrow_spark.sources.zarr_minimal import blosc_decode
+
+        assert (raw[2] >> 5) == 3 or (raw[2] & 0x2)  # zlib format / memcpy
+        raw = blosc_decode(raw)
     block = np.frombuffer(raw, dtype="<u2").reshape(1, 2, 3, 4, 4)
     np.testing.assert_array_equal(block, arr[:1, :2, :3, :4, :4])
 
@@ -137,7 +142,7 @@ def test_v3_unsupported_codec_gates(tmp_path):
         read_zarr_array_v3(p)
 
 
-@pytest.mark.parametrize("compressor", [None, "gzip"])
+@pytest.mark.parametrize("compressor", [None, "gzip", "blosc"])
 def test_v3_sharding_roundtrip(tmp_path, compressor):
     """sharding_indexed: one on-disk object per SHARD holding a
     sub-grid of inner chunks + a uint64 (offset, nbytes) index with a
