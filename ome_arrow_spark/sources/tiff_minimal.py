@@ -4,7 +4,8 @@ grayscale or RGB/multi-sample (chunky OR planar
 PlanarConfiguration, TIFF 6.0 §12); 8/16-bit integer (signed/unsigned)
 or 32-bit float samples; uncompressed, PackBits (TIFF 6.0 §9), LZW
 (TIFF 6.0 §13), Deflate (Adobe 8 / legacy 32946) or new-style JPEG
-(Compression=7 + JPEGTables, via ``jpeg_minimal``) segments; striped or
+(Compression=7 + JPEGTables, via ``jpeg_minimal``) and CCITT fax
+(Compression=2/3/4, via ``ccitt_minimal``) segments; striped or
 tiled (TIFF 6.0 §15) layout; horizontal-differencing predictor
 (TIFF 6.0 §14). Both directions: :func:`decode_tiff_pages` reads,
 :func:`encode_tiff_baseline` writes (compression/predictor/tile
@@ -53,6 +54,8 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
 TAG_JPEG_TABLES = 347
+TAG_T4_OPTIONS = 292
+TAG_T6_OPTIONS = 293
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
@@ -60,11 +63,19 @@ COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE = 8  # "Adobe" deflate — what tifffile/libtiff write
 COMPRESSION_DEFLATE_OLD = 32946  # legacy deflate code, same byte stream
 COMPRESSION_PACKBITS = 32773
+COMPRESSION_CCITT_MH = 2  # Modified Huffman RLE (TIFF 6.0 §10)
+COMPRESSION_CCITT_G3 = 3  # Group 3 fax (T.4)
+COMPRESSION_CCITT_G4 = 4  # Group 4 fax (T.6 MMR)
+CCITT_COMPRESSIONS = (
+    COMPRESSION_CCITT_MH, COMPRESSION_CCITT_G3, COMPRESSION_CCITT_G4
+)
 
 COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "packbits": COMPRESSION_PACKBITS,
                      "deflate": COMPRESSION_DEFLATE,
                      "zlib": COMPRESSION_DEFLATE,
+                     "ccitt_rle": COMPRESSION_CCITT_MH,
+                     "ccitt_g4": COMPRESSION_CCITT_G4,
                      "jpeg": COMPRESSION_JPEG}
 
 # BYTE ASCII SHORT LONG RATIONAL UNDEFINED ... LONG8 SLONG8 IFD8
@@ -393,6 +404,37 @@ def _decode_jpeg_ifd(
     return np.vstack(parts)[:height, :width]
 
 
+def _decode_ccitt_ifd(
+    data: bytes, tags: dict[int, object], width: int, height: int, comp: int
+) -> np.ndarray:
+    """Decode all CCITT strips of one IFD → ``(height, width)`` pixel
+    values under the file's PhotometricInterpretation (0 WhiteIsZero —
+    the fax convention — or 1 BlackIsZero). Each strip restarts the
+    coder (TIFF 6.0: strips compress independently)."""
+    from ome_arrow_spark.sources.ccitt_minimal import ccitt_decode
+
+    photo = tags.get(TAG_PHOTOMETRIC, [0])
+    photo = int(photo[0]) if isinstance(photo, list) else int(photo)
+    if photo not in (0, 1):
+        raise NotImplementedError(
+            f"CCITT TIFF photometric {photo} unsupported"
+        )
+    t4opts = tags.get(TAG_T4_OPTIONS, [0])[0]
+    rps = tags.get(TAG_ROWS_PER_STRIP, [height])[0]
+    offsets = tags[TAG_STRIP_OFFSETS]
+    counts = tags[TAG_STRIP_BYTE_COUNTS]
+    parts = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        rows = min(rps, height - i * rps)
+        parts.append(
+            ccitt_decode(data[o : o + c], width, rows, comp, int(t4opts))
+        )
+    is_black = np.vstack(parts)[:height]
+    # photometric 0: white pixels are value 0 → value == is_black;
+    # photometric 1: min-is-black → value = 1 - is_black
+    return is_black if photo == 0 else (1 - is_black)
+
+
 def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
     """Decode every page of a TIFF → ``(pages, first-page
     ImageDescription)``. Grayscale pages come back ``(N, Y, X)``;
@@ -452,7 +494,7 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             COMPRESSION_JPEG,
             COMPRESSION_DEFLATE,
             COMPRESSION_DEFLATE_OLD,
-        ):
+        ) and comp not in CCITT_COMPRESSIONS:
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"
             )
@@ -468,6 +510,11 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             if predictor != 1:
                 raise NotImplementedError(
                     "Predictor with float samples (incl. Predictor 3) unsupported"
+                )
+        elif comp in CCITT_COMPRESSIONS:
+            if bits != 1 or spp != 1 or fmt != 1:
+                raise NotImplementedError(
+                    "CCITT TIFF must be 1-bit single-sample unsigned"
                 )
         elif bits not in (8, 16):
             raise NotImplementedError(
@@ -491,6 +538,14 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
                 raise NotImplementedError("planar JPEG-in-TIFF unsupported")
             plane = _decode_jpeg_ifd(data, tags, width, height, has_tiles)
             spp = plane.shape[2]
+        elif comp in CCITT_COMPRESSIONS:
+            if has_tiles:
+                raise NotImplementedError("tiled CCITT TIFF unsupported")
+            if predictor != 1:
+                raise NotImplementedError("Predictor with CCITT unsupported")
+            plane = _decode_ccitt_ifd(data, tags, width, height, comp)[
+                ..., np.newaxis
+            ]
         elif has_tiles:
             if planar == 2 and spp > 1:
                 raise NotImplementedError("planar tiled TIFF unsupported")
@@ -681,9 +736,11 @@ def encode_tiff_baseline(
     TIFF — one IFD per plane, optional ImageDescription on the first IFD
     (the OME-XML carrier). Genuine TIFF bytes that ANY reader opens.
 
-    ``compression`` ∈ {"none", "lzw", "packbits", "deflate"} selects the
-    segment codec (the reference passes the same choice to tifffile,
-    export.py:203-210); ``predictor=True`` adds horizontal differencing
+    ``compression`` ∈ {"none", "lzw", "packbits", "deflate", "jpeg",
+    "ccitt_rle", "ccitt_g4"} selects the segment codec (the reference
+    passes the same choice to tifffile, export.py:203-210); the CCITT
+    codecs are bilevel (pass 0/1 values; written Photometric=0
+    WhiteIsZero per the fax convention); ``predictor=True`` adds horizontal differencing
     (Predictor=2); ``tile=(tile_width, tile_length)`` switches from
     strips to the tiled layout (TIFF 6.0 §15 — multiples of 16 for
     strict-reader compatibility); ``planar=True`` writes multi-sample
@@ -726,8 +783,20 @@ def encode_tiff_baseline(
                 f"jpeg_photometric must be 'ycbcr' or 'rgb', "
                 f"got {jpeg_photometric!r}"
             )
+    ccitt = comp in CCITT_COMPRESSIONS
+    if ccitt:
+        if vol.max(initial=0) > 1:
+            raise ValueError(
+                "CCITT compression is bilevel: pass 0/1 pixel values "
+                "(1 = black under the WhiteIsZero fax convention)"
+            )
+        if predictor or planar or tile is not None:
+            raise NotImplementedError(
+                "predictor/planar/tiled CCITT TIFF unsupported"
+            )
+        vol = vol.astype(np.uint8)
     bo = ">" if big_endian else "<"
-    bits = 8 * vol.dtype.itemsize
+    bits = 1 if ccitt else 8 * vol.dtype.itemsize
     if vol.ndim == 3:
         vol = vol[..., np.newaxis]
     n, height, width, spp = vol.shape
@@ -759,12 +828,22 @@ def encode_tiff_baseline(
                 quality=jpeg_quality,
                 color_transform=(jpeg_photometric != "rgb"),
             )
+        if ccitt:
+            from ome_arrow_spark.sources.ccitt_minimal import (
+                encode_g4,
+                encode_mh,
+            )
+
+            bm = np.ascontiguousarray(arr[..., 0].astype(np.uint8))
+            if comp == COMPRESSION_CCITT_G4:
+                return encode_g4(bm)
+            return encode_mh(bm)
         if predictor:
             arr = _hdiff_encode(arr, axis=1)
         return _encode_segment(np.ascontiguousarray(arr).tobytes(), comp)
 
     for z in range(n):
-        plane = vol[z].astype(bo + ("u1" if bits == 8 else "u2"))
+        plane = vol[z].astype(bo + ("u1" if bits <= 8 else "u2"))
         segments: list[bytes] = []
         if tile is not None:
             tw, th = tile
@@ -793,11 +872,11 @@ def encode_tiff_baseline(
             (TAG_HEIGHT, 4, 1, [height]),
             (TAG_BITS, 3, spp, [bits] * spp),
             (TAG_COMPRESSION, 3, 1, [comp]),
-            # BlackIsZero / RGB / YCbCr (JPEG segments carry the color
-            # transform themselves, TTN2)
+            # WhiteIsZero (CCITT fax) / BlackIsZero / RGB / YCbCr (JPEG
+            # segments carry the color transform themselves, TTN2)
             (TAG_PHOTOMETRIC, 3, 1,
              [(6 if comp == COMPRESSION_JPEG and jpeg_photometric != "rgb"
-               else 2) if spp >= 3 else 1]),
+               else 2) if spp >= 3 else (0 if ccitt else 1)]),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
         ]
         if tile is not None:

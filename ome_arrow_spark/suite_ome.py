@@ -223,9 +223,9 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Compressed-TIFF ingest in the driver gate: write REAL .tif bytes
 # through the built-in encoder's codec matrix — LZW + Predictor-2
 # striped, Deflate tiled, PackBits big-endian 8-bit, a BigTIFF
-# (magic 43, 8-byte offsets) LZW variant, and new-style JPEG
-# (Compression=7) strips — and ingest via the distributed
-# binaryFile+mapInPandas path. Pixels follow a formula
+# (magic 43, 8-byte offsets) LZW variant, new-style JPEG
+# (Compression=7) strips, and CCITT Group 4 bilevel fax — and ingest
+# via the distributed binaryFile+mapInPandas path. Pixels follow a formula
 # the DuckDB oracle recomputes arithmetically, so a single wrong byte
 # anywhere in encode→decode breaks the hash. (Reference reads these
 # compressed classes via BioIO/tifffile, ingest.py:321-330; writes them
@@ -247,6 +247,10 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM zz, ii GROUP BY zz.z
            UNION ALL
            SELECT 'bigtiff_lzw', zz.z, SUM((zz.z*7 + 3*ii.i) % 65536)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           SELECT 'ccitt_g4', zz.z,
+                  SUM(CASE WHEN (zz.z*3 + ii.i) % 7 < 2 THEN 1 ELSE 0 END)
            FROM zz, ii GROUP BY zz.z
            UNION ALL
            -- new-style JPEG (Compression=7) is lossy: no arithmetic
@@ -297,6 +301,11 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([((zi * 13 + 5 * i) % 256).reshape(y, x) for zi in range(z)])
             .astype(np.uint8),
             {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16},
+        ),
+        "ccitt_g4": (
+            np.stack([(((zi * 3 + i) % 7) < 2).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "ccitt_g4", "rows_per_strip": 9},
         ),
     }
     for iid, (vol, kw) in specs.items():
