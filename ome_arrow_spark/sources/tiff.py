@@ -9,11 +9,11 @@ scan parallelism comes from file listing, not file splitting (TIFFs
 aren't splittable).
 
 Codecs: real ``.ome.tif``/``.tif`` bytes decode AND encode built-in via
-``tiff_minimal`` (uncompressed/PackBits/LZW/Deflate/JPEG, striped or
-tiled, Predictor-2, grayscale/RGB chunky+planar, 8/16-bit int +
-float32, either endianness, classic or BigTIFF layout); ``tifffile``,
-when importable, takes over for anything outside that subset (CCITT,
-old-style JPEG, float predictor 3). A
+``tiff_minimal`` (uncompressed/PackBits/LZW/Deflate/JPEG/CCITT-fax,
+striped or tiled, Predictor-2, grayscale/RGB chunky+planar, bilevel +
+8/16-bit int + float32, either endianness, classic or BigTIFF layout);
+``tifffile``, when importable, takes over for anything outside that
+subset (G3-2D, old-style JPEG, float predictor 3). A
 deterministic FTIF container (magic + JSON header + raw uint16 LE
 payload) additionally exercises the Spark plumbing (schema,
 partitioning, UDF signature, Arrow batch shape) in tests.
@@ -165,9 +165,9 @@ def decode_volume_bytes(
         return pages[np.newaxis, np.newaxis], (1.0, 1.0, 1.0), None, {}
     raise NotImplementedError(
         f"Cannot decode {path!r}: not an FTIF container and not a TIFF byte "
-        "stream. CCITT/old-style-JPEG or otherwise exotic TIFFs additionally "
-        "need tifffile (uncompressed/PackBits/LZW/Deflate/JPEG, striped/"
-        "tiled, grayscale/RGB, 8/16-bit/float32 decode built-in)."
+        "stream. G3-2D/old-style-JPEG or otherwise exotic TIFFs additionally "
+        "need tifffile (uncompressed/PackBits/LZW/Deflate/JPEG/CCITT, "
+        "striped/tiled, grayscale/RGB, 1/8/16-bit/float32 decode built-in)."
     )
 
 
@@ -267,7 +267,7 @@ def to_tiff_dir(
     carrying (T,C,Z) dims, channel names, and physical sizes — pages in
     XYCZT order, readable by any OME-aware reader (and re-ingested
     exactly by from_tiff_dir). ``compression`` ∈ {"none", "lzw",
-    "packbits", "deflate"}, ``predictor`` and ``tile=(w, h)`` select the
+    "packbits", "deflate", "jpeg"}, ``predictor`` and ``tile=(w, h)`` select the
     built-in codec matrix — the same options the reference forwards to
     tifffile (export.py:203-210)."""
     from ome_arrow_spark.operators.densify import record_to_numpy
