@@ -3,23 +3,28 @@ Huffman) — the last TIFF compression class (Compression=7, "new-style"
 JPEG-in-TIFF) the built-in path previously gated on tifffile
 (reference ingest.py:321-330 reads it via BioIO/tifffile).
 
-Decoder: baseline sequential 8-bit streams — grayscale or 3-component
-YCbCr with any sampling factors (4:4:4, 4:2:2, 4:2:0 upsampled by
-replication), restart intervals, 16-bit quant tables, abbreviated
-streams whose DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag
-347 carries exactly such a tables-only stream). Progressive/arithmetic/
-12-bit streams raise ``NotImplementedError``.
+Decoder: sequential 8- AND 12-bit streams (SOF0/SOF1) — grayscale or
+3-component YCbCr with any sampling factors (4:4:4, 4:2:2, 4:2:0
+upsampled by replication), restart intervals, 16-bit quant tables,
+Photometric=2 raw-RGB component layouts, abbreviated streams whose
+DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag 347 carries
+exactly such a tables-only stream). 12-bit output is uint16 with a
+2048 level shift per T.81. Progressive/arithmetic streams raise
+``NotImplementedError``.
 
-Encoder: baseline sequential, grayscale or 4:4:4 RGB→YCbCr, Annex-K
-quantization scaled by ``quality`` (libjpeg's 5000/q · 200−2q rule),
-Annex-K Huffman tables emitted as explicit DQT/DHT segments — so the
-decoder reads back exactly what was declared, and any external JPEG
-reader opens the stream.
+Encoder: sequential, grayscale or 4:4:4 RGB→YCbCr (or raw RGB),
+Annex-K quantization scaled by ``quality`` (libjpeg's 5000/q · 200−2q
+rule), Annex-K Huffman tables emitted as explicit DQT/DHT segments —
+so the decoder reads back exactly what was declared, and any external
+JPEG reader opens the stream. ``precision=12`` writes extended
+sequential streams with a 16-category DC table; AC sizes beyond the
+Annex-K range (sharp data at very high quality) raise ``ValueError``
+rather than emitting an undecodable symbol.
 
 IDCT/FDCT are exact orthonormal 8×8 matrix products in float64
 (vectorized over all blocks with numpy); the only loss is
-quantization + uint8 rounding, so a quality-100 round-trip is within
-±2 levels quickly verified by the tests.
+quantization + integer rounding, so a quality-100 8-bit round-trip is
+within ±2 levels quickly verified by the tests.
 
 Throughput is Python-loop bound in the Huffman layer (~1-3 MB/s/core),
 like the LZW fallback: fine for per-file task parallelism, and
@@ -63,6 +68,11 @@ _DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
             list(range(12)))
 _DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
               list(range(12)))
+# 12-bit DC table: T.81 allows categories 0-15 for extended precision;
+# Annex K only covers 0-11, so this is a valid canonical extension
+# (declared in the DHT segment like every other table we emit)
+_DC_12BIT = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0],
+             list(range(16)))
 _AC_LUMA = (
     [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
     [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
@@ -351,9 +361,9 @@ def _decode_stream(
                     comps.append((cid, hv >> 4, hv & 15, tq))
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -378,7 +388,10 @@ def _decode_stream(
 
 
 def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndarray:
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -447,7 +460,7 @@ def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndar
         plane = planes[cid]
         for (y0, x0), block in zip(origins[cid], spatial):
             plane[y0 : y0 + 8, x0 : x0 + 8] = block
-        plane += 128.0
+        plane += level
     # crop + upsample each component to full (h, w)
     full = []
     for cid, ch, cv, _tq in comps:
@@ -459,17 +472,17 @@ def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndar
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(full[0]), 0, maxval).astype(out_dtype)
     if len(full) == 3:
         if not color_transform:  # components are already RGB
             raw = np.stack(full, axis=-1)
-            return np.clip(np.rint(raw), 0, 255).astype(np.uint8)
+            return np.clip(np.rint(raw), 0, maxval).astype(out_dtype)
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - level)
+        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        b = y + 1.772 * (cb - level)
         rgb = np.stack([r, g, b], axis=-1)
-        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(rgb), 0, maxval).astype(out_dtype)
     raise NotImplementedError(f"{len(full)}-component JPEG unsupported")
 
 
@@ -530,6 +543,7 @@ def jpeg_encode(
     quality: int = 90,
     restart_interval: int = 0,
     color_transform: bool = True,
+    precision: int = 8,
 ) -> bytes:
     """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a baseline
     sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT).
@@ -537,14 +551,27 @@ def jpeg_encode(
     every that many MCUs (T.81 §B.2.4.4 / E.1.4).
     ``color_transform=False`` stores the RGB components directly
     (no YCbCr conversion; all three use the luma tables) — the
-    component layout of a Photometric=2 JPEG-in-TIFF."""
+    component layout of a Photometric=2 JPEG-in-TIFF.
+    ``precision=12`` encodes uint16 samples (≤ 4095) as extended
+    sequential 12-bit (SOF1) with a 16-category DC table; AC
+    coefficients that exceed the Annex-K size range (very sharp data
+    at very high quality) raise ``ValueError`` — lower the quality."""
     img = np.asarray(img)
-    if img.dtype != np.uint8:
-        raise ValueError("jpeg_encode expects uint8 samples")
+    if precision == 8:
+        if img.dtype != np.uint8:
+            raise ValueError("jpeg_encode expects uint8 samples")
+    elif precision == 12:
+        if img.dtype != np.uint16:
+            raise ValueError("12-bit jpeg_encode expects uint16 samples")
+        if img.max(initial=0) > 4095:
+            raise ValueError("12-bit samples must be <= 4095")
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("jpeg_encode expects (H, W) or (H, W, 3)")
     h, w = img.shape[:2]
+    level = float(1 << (precision - 1))
     if gray:
         comps = [img.astype(np.float64)]
     elif not color_transform:
@@ -554,8 +581,8 @@ def jpeg_encode(
         g = img[..., 1].astype(np.float64)
         b = img[..., 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
         comps = [y, cb, cr]
     chroma_tables = (not gray) and color_transform
     ql = scaled_quant(_QUANT_LUMA, quality)
@@ -572,16 +599,18 @@ def jpeg_encode(
     seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     if chroma_tables:
         seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
-    # SOF0
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    # SOF0 (baseline) / SOF1 (extended sequential, 12-bit)
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for i in range(len(comps)):
         tq = 1 if (chroma_tables and i) else 0
         sof += struct.pack(">BBB", i + 1, 0x11, tq)
     seg(0xC0, sof)
     # DHT ×4 (or ×2 for grayscale / untransformed RGB)
-    specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    dc_luma = _DC_12BIT if precision == 12 else _DC_LUMA
+    dc_chroma = _DC_12BIT if precision == 12 else _DC_CHROMA
+    specs = [(0, 0, dc_luma), (1, 0, _AC_LUMA)]
     if chroma_tables:
-        specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+        specs += [(0, 1, dc_chroma), (1, 1, _AC_CHROMA)]
     for tc, th, (bits, values) in specs:
         seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
     if restart_interval:
@@ -593,10 +622,10 @@ def jpeg_encode(
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
-    enc_dc = [_build_encode_table(*_DC_LUMA)] * len(comps)
+    enc_dc = [_build_encode_table(*dc_luma)] * len(comps)
     enc_ac = [_build_encode_table(*_AC_LUMA)] * len(comps)
     if chroma_tables:
-        enc_dc = enc_dc[:1] + [_build_encode_table(*_DC_CHROMA)] * 2
+        enc_dc = enc_dc[:1] + [_build_encode_table(*dc_chroma)] * 2
         enc_ac = enc_ac[:1] + [_build_encode_table(*_AC_CHROMA)] * 2
 
     # per-component DCT over edge-replicated 8-multiple padding
@@ -607,7 +636,7 @@ def jpeg_encode(
         blocks = (
             padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
-        coefs = _fdct(blocks - 128.0)
+        coefs = _fdct(blocks - level)
         q = quants[ci].reshape(1, 8, 8)
         coef_blocks.append(
             np.rint(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
@@ -642,6 +671,12 @@ def jpeg_encode(
                     writer.write(code, ln)
                     run -= 16
                 t, bits = _magnitude(v)
+                if t > 10:
+                    raise ValueError(
+                        "AC coefficient too large for the Annex-K size "
+                        "range (12-bit at very high quality) — lower the "
+                        "encode quality"
+                    )
                 code, ln = enc_ac[ci][(run << 4) | t]
                 writer.write(code, ln)
                 writer.write(bits, t)

@@ -361,3 +361,50 @@ def test_jpeg_in_tiff_unknown_photometric_rejected():
             _s.pack_into("<H", blob, base + 8, 5)
     with pytest.raises(NotImplementedError, match="photometric"):
         tm.decode_tiff_baseline(bytes(blob))
+
+
+# --- 12-bit extended sequential ---------------------------------------------
+
+
+def test_12bit_gray_roundtrip():
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    img = ((np.sin(yy / 6) + np.cos(xx / 9)) * 800 + 2048).astype(np.uint16)
+    for q in (60, 75, 85):
+        blob = jpeg_encode(img, quality=q, precision=12)
+        dec = jpeg_decode(blob)
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        # lossy, but must stay within a fraction of a percent of range
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 16
+    # SOF precision byte on the wire is 12
+    sof = blob.find(b"\xff\xc0")
+    assert blob[sof + 4] == 12
+
+
+def test_12bit_rgb_roundtrip():
+    yy, xx = np.meshgrid(np.arange(32), np.arange(40), indexing="ij")
+    g = ((np.sin(yy / 5) + np.cos(xx / 7)) * 700 + 2048).astype(np.uint16)
+    rgb = np.stack([g, 4095 - g, np.roll(g, 5, axis=1)], axis=-1)
+    dec = jpeg_decode(jpeg_encode(rgb, quality=75, precision=12))
+    assert dec.dtype == np.uint16 and dec.shape == rgb.shape
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 40
+
+
+def test_12bit_flat_is_exact():
+    img = np.full((24, 24), 2048, dtype=np.uint16)
+    assert np.array_equal(jpeg_decode(jpeg_encode(img, precision=12)), img)
+
+
+def test_12bit_input_validation():
+    with pytest.raises(ValueError, match="uint16"):
+        jpeg_encode(np.zeros((8, 8), np.uint8), precision=12)
+    with pytest.raises(ValueError, match="4095"):
+        jpeg_encode(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_encode(np.zeros((8, 8), np.uint8), precision=10)
+
+
+def test_12bit_sharp_high_quality_raises_not_corrupts():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    with pytest.raises(ValueError, match="quality"):
+        jpeg_encode(img, quality=100, precision=12)
