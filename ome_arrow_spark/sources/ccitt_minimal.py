@@ -4,13 +4,15 @@ last TIFF compression class the built-in path gated on tifffile
 
 * Compression=2 — "Modified Huffman" RLE: per-row 1D run-length codes,
   every row byte-aligned (TIFF 6.0 §10).
-* Compression=3 — Group 3 1D: MH rows delimited by EOL codes with
-  optional fill bits (T.4 §4.1); 2D (T4Options bit 0) gates.
+* Compression=3 — Group 3: 1D MH rows delimited by EOL codes with
+  optional fill bits (T.4 §4.1), AND 2D (T4Options bit 0) where each
+  EOL carries a 1D/2D mode flag bit (T.4 §4.2.1).
 * Compression=4 — Group 4 / MMR (T.6): full 2D coding — pass,
   horizontal, vertical(±3) modes against the reference line; the
   dominant archival/fax class.
 
-Both directions: the encoder emits MH (Compression=2) and G4
+Both directions: the encoder emits MH (Compression=2), G3-2D
+(Compression=3 with the K-parameter 1D-row cadence), and G4
 (Compression=4) streams any fax-capable TIFF reader opens, which also
 round-trip-proves the decoder against the published code tables.
 
@@ -234,6 +236,25 @@ def decode_g3_1d(data: bytes, width: int, height: int) -> np.ndarray:
     return np.stack(rows)
 
 
+def decode_g3_2d(data: bytes, width: int, height: int) -> np.ndarray:
+    """Compression=3 with 2D coding (T4Options bit 0): every EOL
+    carries a mode flag bit — 1 = the next row is 1D (MH), 0 = 2D
+    against the previous row (T.4 §4.2.1)."""
+    r = _BitReader(data)
+    ref: list[int] = []
+    rows = []
+    for _ in range(height):
+        _skip_to_eol(r)
+        one_dimensional = bool(r.read_bit())
+        if one_dimensional:
+            cur = _decode_mh_row(r, width)
+        else:
+            cur = _decode_2d_row(r, ref, width)
+        rows.append(_row_to_bits(cur, width))
+        ref = cur
+    return np.stack(rows)
+
+
 def _read_mode(r: _BitReader) -> tuple[str, int]:
     """Decode one 2D mode code → (kind, param)."""
     if r.read_bit():
@@ -321,7 +342,7 @@ def ccitt_decode(
         return decode_mh(data, width, height)
     if compression == 3:
         if t4_options & 1:
-            raise NotImplementedError("Group 3 2D (T4Options bit 0) unsupported")
+            return decode_g3_2d(data, width, height)
         return decode_g3_1d(data, width, height)
     if compression == 4:
         return decode_g4(data, width, height)
@@ -395,6 +416,44 @@ def encode_mh(bitmap: np.ndarray) -> bytes:
     return bytes(w.out)
 
 
+def _encode_2d_row(
+    w: _BitWriter, cur: list[int], ref: list[int], width: int
+) -> None:
+    """Emit one 2D-coded row (pass/vertical/horizontal modes)."""
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of next transition > a0
+    while a0 < width:
+        a1 = cur[ci] if ci < len(cur) else width
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if b2 < a1:  # pass mode
+            w.write(*_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:  # vertical mode
+            d = a1 - b1
+            if d == 0:
+                w.write(*_MODE_V0)
+            elif d > 0:
+                w.write(*_MODE_VR[d - 1])
+            else:
+                w.write(*_MODE_VL[-d - 1])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:  # horizontal mode
+            start = a0 if a0 > 0 else 0
+            w.write(*_MODE_H)
+            _write_run(w, a1 - start, black=bool(color))
+            _write_run(w, a2 - a1, black=not bool(color))
+            a0 = a2
+            ci += 2
+
+
 def encode_g4(bitmap: np.ndarray) -> bytes:
     """Compression=4 (T.6) stream for an is_black uint8 (H, W) bitmap,
     EOFB-terminated."""
@@ -403,40 +462,33 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     ref: list[int] = []
     for y in range(h):
         cur = _transitions(bitmap[y])
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of next transition > a0
-        while a0 < width:
-            a1 = cur[ci] if ci < len(cur) else width
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else width
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if b2 < a1:  # pass mode
-                w.write(*_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:  # vertical mode
-                d = a1 - b1
-                if d == 0:
-                    w.write(*_MODE_V0)
-                elif d > 0:
-                    w.write(*_MODE_VR[d - 1])
-                else:
-                    w.write(*_MODE_VL[-d - 1])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:  # horizontal mode
-                start = a0 if a0 > 0 else 0
-                w.write(*_MODE_H)
-                _write_run(w, a1 - start, black=bool(color))
-                _write_run(w, a2 - a1, black=not bool(color))
-                a0 = a2
-                ci += 2
+        _encode_2d_row(w, cur, ref, width)
         ref = cur
     w.write(0b000000000001, 12)  # EOFB
     w.write(0b000000000001, 12)
+    w.byte_align()
+    return bytes(w.out)
+
+
+def encode_g3_2d(bitmap: np.ndarray, k: int = 4) -> bytes:
+    """Compression=3 2D stream (T4Options bit 0): EOL + flag bit per
+    row, a 1D row at least every ``k`` rows (the T.4 K-parameter)."""
+    h, width = bitmap.shape
+    w = _BitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        w.write(0b000000000001, 12)  # EOL
+        one_dimensional = (y % k) == 0
+        w.write(1 if one_dimensional else 0, 1)
+        cur = _transitions(bitmap[y])
+        if one_dimensional:
+            pos, black, ti = 0, False, 0
+            while pos < width:
+                nxt = cur[ti] if ti < len(cur) else width
+                _write_run(w, nxt - pos, black)
+                pos, black, ti = nxt, not black, ti + 1
+        else:
+            _encode_2d_row(w, cur, ref, width)
+        ref = cur
     w.byte_align()
     return bytes(w.out)

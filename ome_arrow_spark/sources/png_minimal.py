@@ -59,9 +59,12 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
         cur = y * stride
         if ft == 0:
             pass
-        elif ft == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 1:  # Sub: per-byte-lane wrapping prefix sum
+            d = np.frombuffer(bytes(line), np.uint8)
+            lanes = d.reshape(-1, bpp)  # stride is a bpp multiple
+            line = bytearray(
+                np.add.accumulate(lanes, axis=0, dtype=np.uint8).tobytes()
+            )
         elif ft == 2:  # Up
             if prev_start >= 0:
                 prior = out[prev_start : prev_start + stride]

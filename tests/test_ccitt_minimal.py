@@ -2,7 +2,7 @@
 TIFF Compression=2/3/4 integration. Correctness bar: lossless
 round-trips across content styles (bilevel coding is exact), published
 code-table spot checks, per-strip coder restarts, photometric
-mapping, honest gates (G3-2D, uncompressed extension, tiles).
+mapping, honest gates (uncompressed extension, tiles).
 Reference reads these classes via BioIO/tifffile (ingest.py:321-330).
 """
 
@@ -181,3 +181,32 @@ def test_ccitt_rejects_nonbilevel_and_tiles():
             np.zeros((16, 16), np.uint8), compression="ccitt_g4",
             tile=(16, 16),
         )
+
+
+def test_g3_2d_roundtrip():
+    """Group 3 2D: EOL + mode-flag bit per row, 1D anchor row every K
+    rows, 2D rows against the previous line."""
+    from ome_arrow_spark.sources.ccitt_minimal import (
+        ccitt_decode,
+        decode_g3_2d,
+        encode_g3_2d,
+    )
+
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 7), (9, 64), (25, 131)]:
+        for style in range(3):
+            if style == 0:
+                bm = (rng.random((h, w)) < 0.5).astype(np.uint8)
+            elif style == 1:
+                bm = np.zeros((h, w), np.uint8)
+                bm[:, : w // 2] = 1
+            else:
+                blocky = (rng.random((h, (w + 7) // 8)) < 0.3).astype(np.uint8)
+                bm = blocky.repeat(8, axis=1)[:, :w]
+            for k in (1, 2, 4):
+                blob = encode_g3_2d(bm, k=k)
+                assert np.array_equal(decode_g3_2d(blob, w, h), bm), (h, w, style, k)
+    # dispatch: compression=3 + T4Options bit 0 routes to the 2D decoder
+    bm = (rng.random((6, 40)) < 0.4).astype(np.uint8)
+    got = ccitt_decode(encode_g3_2d(bm), 40, 6, 3, t4_options=1)
+    assert np.array_equal(got, bm)
