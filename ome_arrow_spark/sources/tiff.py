@@ -13,7 +13,7 @@ Codecs: real ``.ome.tif``/``.tif`` bytes decode AND encode built-in via
 striped or tiled, Predictor-2, grayscale/RGB chunky+planar, bilevel +
 8/16-bit int + float32, either endianness, classic or BigTIFF layout);
 ``tifffile``, when importable, takes over for anything outside that
-subset (old-style JPEG, float predictor 3). A
+subset (old-style-JPEG table fragments, tiled/planar predictor-3). A
 deterministic FTIF container (magic + JSON header + raw uint16 LE
 payload) additionally exercises the Spark plumbing (schema,
 partitioning, UDF signature, Arrow batch shape) in tests.
@@ -165,7 +165,7 @@ def decode_volume_bytes(
         return pages[np.newaxis, np.newaxis], (1.0, 1.0, 1.0), None, {}
     raise NotImplementedError(
         f"Cannot decode {path!r}: not an FTIF container and not a TIFF byte "
-        "stream. Old-style-JPEG or otherwise exotic TIFFs additionally "
+        "stream. Exotic TIFF corners (old-style-JPEG table fragments) "
         "need tifffile (uncompressed/PackBits/LZW/Deflate/JPEG/CCITT, "
         "striped/tiled, grayscale/RGB, 1/8/16-bit/float32 decode built-in)."
     )

@@ -4,17 +4,21 @@ grayscale or RGB/multi-sample (chunky OR planar
 PlanarConfiguration, TIFF 6.0 §12); 8/16-bit integer (signed/unsigned)
 or 32-bit float samples; uncompressed, PackBits (TIFF 6.0 §9), LZW
 (TIFF 6.0 §13), Deflate (Adobe 8 / legacy 32946) or new-style JPEG
-(Compression=7 + JPEGTables, via ``jpeg_minimal``) and CCITT fax
-(Compression=2/3/4, via ``ccitt_minimal``) segments; striped or
-tiled (TIFF 6.0 §15) layout; horizontal-differencing predictor
-(TIFF 6.0 §14). Both directions: :func:`decode_tiff_pages` reads,
+(Compression=7 + JPEGTables, via ``jpeg_minimal``), old-style JPEG
+(Compression=6 through the JPEGInterchangeFormat tags — the dominant
+wild layout) and CCITT fax (Compression=2/3/4, via ``ccitt_minimal``)
+segments; striped or tiled (TIFF 6.0 §15) layout;
+horizontal-differencing predictor (TIFF 6.0 §14) and the
+floating-point predictor 3 (TIFF TechNote 3, striped chunky). Both
+directions: :func:`decode_tiff_pages` reads,
 :func:`encode_tiff_baseline` writes (compression/predictor/tile
 selectable). This is the no-dependency path that lets ``from_tiff_dir``
 ingest REAL ``.tif`` bytes — including the LZW-compressed output that
 microscopes/CellProfiler commonly emit (reference ingest.py:321-330
-reads these via BioIO/tifffile) — when ``tifffile`` is absent; CCITT,
-old-style JPEG (6), floating-point predictor 3 and other exotica still
-require tifffile and raise ``NotImplementedError`` upstream.
+reads these via BioIO/tifffile) — when ``tifffile`` is absent;
+old-style JPEG table-fragment layouts (tags 519-521), tiled/planar
+predictor-3 and other exotica still require tifffile and raise
+``NotImplementedError`` upstream.
 
 Throughput: the LZW paths run ~4-6 MB/s/core (pure-Python, linear in
 input size); PackBits ~400 MB/s and Deflate ~20 MB/s ride C code. On a
@@ -56,9 +60,12 @@ TAG_SAMPLE_FORMAT = 339
 TAG_JPEG_TABLES = 347
 TAG_T4_OPTIONS = 292
 TAG_T6_OPTIONS = 293
+TAG_JPEG_INTERCHANGE = 513  # old-style JPEG: offset of a full stream
+TAG_JPEG_INTERCHANGE_LEN = 514
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG_OLD = 6  # "old-style" JPEG (TIFF 6.0 §22, deprecated)
 COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE = 8  # "Adobe" deflate — what tifffile/libtiff write
 COMPRESSION_DEFLATE_OLD = 32946  # legacy deflate code, same byte stream
@@ -472,8 +479,11 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             and TAG_TILE_WIDTH in tags
             and TAG_TILE_LENGTH in tags
         )
+        has_jpeg_interchange = (
+            TAG_JPEG_INTERCHANGE in tags and TAG_JPEG_INTERCHANGE_LEN in tags
+        )
         if TAG_WIDTH not in tags or TAG_HEIGHT not in tags or not (
-            has_strips or has_tiles
+            has_strips or has_tiles or has_jpeg_interchange
         ):
             raise ValueError("malformed TIFF: IFD lacks required baseline tags")
         width = tags[TAG_WIDTH][0]
@@ -494,9 +504,15 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             COMPRESSION_JPEG,
             COMPRESSION_DEFLATE,
             COMPRESSION_DEFLATE_OLD,
-        ) and comp not in CCITT_COMPRESSIONS:
+        ) and comp not in CCITT_COMPRESSIONS and comp != COMPRESSION_JPEG_OLD:
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"
+            )
+        if comp == COMPRESSION_JPEG_OLD and not has_jpeg_interchange:
+            # table-fragment old-style layouts (tags 519-521) are the
+            # broken corner of TIFF 6.0 §22 — genuinely tifffile-only
+            raise NotImplementedError(
+                "old-style JPEG without JPEGInterchangeFormat unsupported"
             )
         if spp > 1 and any(b != bits for b in bits_list):
             raise NotImplementedError("heterogeneous BitsPerSample unsupported")
@@ -507,9 +523,13 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
                 raise NotImplementedError(
                     f"{bits}-bit float samples unsupported (only float32)"
                 )
-            if predictor != 1:
+            if predictor not in (1, 3):
                 raise NotImplementedError(
-                    "Predictor with float samples (incl. Predictor 3) unsupported"
+                    "Predictor 2 with float samples unsupported"
+                )
+            if predictor == 3 and (has_tiles or planar == 2):
+                raise NotImplementedError(
+                    "tiled/planar float-predictor TIFF unsupported"
                 )
         elif comp in CCITT_COMPRESSIONS:
             if bits != 1 or spp != 1 or fmt != 1:
@@ -520,8 +540,8 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             raise NotImplementedError(
                 f"{bits}-bit samples are outside the baseline subset"
             )
-        if predictor not in (1, 2):
-            raise NotImplementedError(f"Predictor {predictor} (float) unsupported")
+        if predictor not in (1, 2) and not (predictor == 3 and fmt == 3):
+            raise NotImplementedError(f"Predictor {predictor} unsupported")
         if planar not in (1, 2):
             raise ValueError(f"malformed TIFF: PlanarConfiguration {planar}")
         if fmt == 3:
@@ -537,6 +557,26 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             if planar == 2 and spp > 1:
                 raise NotImplementedError("planar JPEG-in-TIFF unsupported")
             plane = _decode_jpeg_ifd(data, tags, width, height, has_tiles)
+            spp = plane.shape[2]
+        elif comp == COMPRESSION_JPEG_OLD:
+            # dominant wild layout: tags 513/514 point at ONE complete
+            # JPEG interchange stream for the whole page
+            from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
+
+            off = int(tags[TAG_JPEG_INTERCHANGE][0])
+            ln = int(tags[TAG_JPEG_INTERCHANGE_LEN][0])
+            photo = tags.get(TAG_PHOTOMETRIC, [6])
+            photo = int(photo[0]) if isinstance(photo, list) else int(photo)
+            if photo not in (0, 1, 2, 6):
+                raise NotImplementedError(
+                    f"old-style JPEG photometric {photo} unsupported"
+                )
+            arr = jpeg_decode(
+                data[off : off + ln], color_transform=(photo != 2)
+            )
+            plane = (arr[..., np.newaxis] if arr.ndim == 2 else arr)[
+                :height, :width
+            ]
             spp = plane.shape[2]
         elif comp in CCITT_COMPRESSIONS:
             if has_tiles:
@@ -590,6 +630,26 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
                 if predictor == 2:
                     plane = _hdiff_decode(plane, axis=2)
                 plane = plane.transpose(1, 2, 0)
+            elif predictor == 3:
+                # floating-point predictor (TIFF TechNote 3): per row,
+                # byte-planes of the big-endian floats (all MSBs first)
+                # with horizontal byte differencing over the row
+                rowbytes = width * spp * 4
+                rows_u8 = np.frombuffer(
+                    raw, np.uint8, count=height * rowbytes
+                ).reshape(height, rowbytes)
+                acc = np.add.accumulate(rows_u8, axis=1, dtype=np.uint8)
+                be = (
+                    acc.reshape(height, 4, width * spp)
+                    .transpose(0, 2, 1)
+                    .reshape(-1, 4)
+                )
+                plane = (
+                    np.ascontiguousarray(be)
+                    .view(">f4")
+                    .astype("<f4")
+                    .reshape(height, width, spp)
+                )
             else:
                 plane = np.frombuffer(
                     raw, dtype=dtype, count=width * height * spp

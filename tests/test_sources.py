@@ -164,12 +164,12 @@ def test_tiff_decode_gates():
     from ome_arrow_spark.sources.tiff_minimal import encode_tiff_baseline
 
     blob = encode_tiff_baseline(np.zeros((4, 4), dtype=np.uint16))
-    # flip Compression=1 to 6 (old-style JPEG) — PackBits/LZW/Deflate/
-    # JPEG/CCITT are now built-in, so the gate must trip on a codec the
-    # minimal decoder really lacks
+    # flip Compression=1 to 9 (JBIG, TIFF/IT) — PackBits/LZW/Deflate/
+    # JPEG/CCITT/old-style-JPEG are now built-in, so the gate must trip
+    # on a codec the minimal decoder really lacks
     ccitt = blob.replace(
         b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00\x00\x00",
-        b"\x03\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00",
+        b"\x03\x01\x03\x00\x01\x00\x00\x00\x09\x00\x00\x00",
     )
     assert ccitt != blob
     with pytest.raises(NotImplementedError, match="compression"):

@@ -402,3 +402,99 @@ def test_ome_tiff_4d_roundtrip(spark, tmp_path, sink_kw):
         np.testing.assert_array_equal(
             np.asarray(r["pixels"]).reshape(9, 11), vol[r["t"], r["c"], r["z"]]
         )
+
+
+def _build_classic_tiff(tags_list, trailing=b""):
+    """Hand-build a little-endian classic TIFF: header + one IFD whose
+    out-of-line values/payloads the caller placed in ``trailing`` at
+    offsets relative to its start (returned base)."""
+    import struct as _s
+
+    n = len(tags_list)
+    ifd_off = 8
+    trailing_base = 8 + 2 + 12 * n + 4
+    out = bytearray(b"II*\x00" + _s.pack("<I", ifd_off))
+    out += _s.pack("<H", n)
+    for tag, typ, cnt, val in sorted(tags_list):
+        out += _s.pack("<HHI", tag, typ, cnt)
+        out += _s.pack("<I", val)
+    out += _s.pack("<I", 0)  # next IFD
+    out += trailing
+    return bytes(out), trailing_base
+
+
+def test_old_style_jpeg_interchange_decodes():
+    """Compression=6 with JPEGInterchangeFormat (tags 513/514) — the
+    dominant wild old-style layout: one complete JPEG stream per page."""
+    import numpy as np
+
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    g = ((np.arange(24 * 32) * 5) % 256).reshape(24, 32).astype(np.uint8)
+    stream = jpeg_encode(g, quality=100)
+    tags = [
+        (256, 3, 1, 32), (257, 3, 1, 24), (258, 3, 1, 8),
+        (259, 3, 1, 6), (262, 3, 1, 1), (277, 3, 1, 1),
+    ]
+    blob, base = _build_classic_tiff(
+        tags + [(513, 4, 1, 0), (514, 4, 1, len(stream))], trailing=stream
+    )
+    # patch 513's value to the real trailing offset
+    blob = blob.replace(
+        (513).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (0).to_bytes(4, "little"),
+        (513).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + base.to_bytes(4, "little"),
+    )
+    pages, _ = decode_tiff_pages(blob)
+    assert pages.shape == (1, 24, 32)
+    assert int(np.abs(pages[0] - g.astype(int)).max()) <= 2
+
+
+def test_old_style_jpeg_without_interchange_gates():
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    tags = [
+        (256, 3, 1, 8), (257, 3, 1, 8), (258, 3, 1, 8),
+        (259, 3, 1, 6), (262, 3, 1, 1), (277, 3, 1, 1),
+        (273, 4, 1, 200), (279, 4, 1, 10),
+    ]
+    blob, _ = _build_classic_tiff(tags, trailing=bytes(300))
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff_pages(blob)
+
+
+def test_float_predictor3_decodes():
+    """Predictor=3 (TIFF TechNote 3): per-row byte-plane split of the
+    big-endian floats + horizontal byte differencing. Build the wire
+    layout by hand (independent inverse) and decode."""
+    import numpy as np
+
+    from ome_arrow_spark.sources.tiff_minimal import decode_tiff_pages
+
+    rng = np.random.default_rng(13)
+    h, w = 6, 9
+    img = (rng.random((h, w)).astype("<f4") * 100 - 50).astype("<f4")
+    # forward transform: big-endian bytes -> byte planes -> row diffs
+    be = img.astype(">f4").view(np.uint8).reshape(h, w, 4)
+    planes = be.transpose(0, 2, 1).reshape(h, 4 * w).astype(np.int16)
+    diffed = planes.copy()
+    diffed[:, 1:] = (planes[:, 1:] - planes[:, :-1]) % 256
+    payload = diffed.astype(np.uint8).tobytes()
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (278, 3, 1, h), (317, 3, 1, 3), (339, 3, 1, 3),
+        (273, 4, 1, 0), (279, 4, 1, len(payload)),
+    ]
+    blob, base = _build_classic_tiff(tags, trailing=payload)
+    blob = blob.replace(
+        (273).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (0).to_bytes(4, "little"),
+        (273).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + base.to_bytes(4, "little"),
+    )
+    pages, _ = decode_tiff_pages(blob)
+    assert pages.dtype == np.float32 and pages.shape == (1, h, w)
+    np.testing.assert_array_equal(pages[0], img)
