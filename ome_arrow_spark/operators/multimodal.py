@@ -105,6 +105,45 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
     )
 
 
+def media_table_from_dir(
+    spark, path: str, glob: str = "*", id_from_name: bool = True
+) -> DataFrame:
+    """Build a media table from a directory of real media files via a
+    distributed ``binaryFile`` scan — the ingest path a training
+    pipeline actually uses (one task per file; no driver-side reads).
+    ``kind`` is sniffed from magic bytes as a pure Catalyst expression
+    (no UDF): JPEG/PNG/FMED-image → ``image``, FAUD → ``audio``,
+    FVID → ``video``, else ``unknown``. ``media_id`` comes from the
+    numeric file stem when ``id_from_name`` (deterministic across
+    runs/machines — path hashes are not), else from ``xxhash64(path)``."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    kind = (
+        F.when(F.substring("content", 1, 2) == F.lit(b"\xff\xd8"), "image")
+        .when(F.substring("content", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
+        .when(F.substring("content", 1, 6) == F.lit(FIMG_MAGIC), "image")
+        .when(F.substring("content", 1, 6) == F.lit(FAUD_MAGIC), "audio")
+        .when(F.substring("content", 1, 6) == F.lit(FVID_MAGIC), "video")
+        .otherwise("unknown")
+    )
+    if id_from_name:
+        media_id = F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"(\d+)", 1
+        ).cast("long")
+    else:
+        media_id = F.xxhash64("path")
+    return df.select(
+        media_id.alias("media_id"),
+        kind.alias("kind"),
+        "content",
+        "path",
+    )
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Per-item features: images → per-channel means; audio → duration
     + RMS; video → frame count + mean luma. One Arrow batch per task;

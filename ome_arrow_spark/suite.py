@@ -74,7 +74,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "time_hierarchy_rollup", "udtf_sentences",
     # first-ever gradeable + round-6 codec rows
     "agg_approx_distinct", "ome_zarr_blosc_roundtrip",
-    "ome_tiff_codec_ingest",
+    "ome_tiff_codec_ingest", "media_dir_ingest",
     # flagship re-verification (TPC-H core, join battery, ANN trio,
     # near-dedup pipeline, streaming, OME format operators)
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
@@ -83,7 +83,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_distinct", "dedup_exact", "neardup_lsh", "near_dedup_full",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
     "kmeans_embeddings", "dedup_components", "decontamination",
-    "stream_tumbling", "stream_session", "ome_describe",
+    "stream_tumbling", "ome_describe",
     "ome_slice_crop", "ome_stack_ingest", "ome_zarr_v3_roundtrip",
 )
 

@@ -650,6 +650,55 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real media-file directory ingest: JPEG/PNG files written to disk,
+# scanned distributed via binaryFile, kind sniffed from magic bytes in
+# pure Catalyst, ids from file stems, decoded by the engine's own
+# codecs. The blobs reuse the synth formulas (jpeg ids 9/10, png id
+# 11), so the oracle is the same golden/arithmetic rows.
+# ---------------------------------------------------------------------------
+@register(
+    "media_dir_ingest",
+    """
+    SELECT * FROM (VALUES
+      (CAST(9 AS BIGINT),  'image', 126.106771, 126.609375, 126.708333),
+      (CAST(10 AS BIGINT), 'image', 127.425781, 127.296875, 127.335938)
+    ) jpg(media_id, kind, mean_r, mean_g, mean_b)
+    UNION ALL
+    SELECT CAST(11 AS BIGINT), 'image',
+           ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (j.j*11 + 3) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*11 + 3) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*11 + 3) % 256 END), 6)
+    FROM (SELECT unnest(generate_series(0, 20*30*3 - 1)) AS j) j
+    """,
+)
+def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+    from ome_arrow_spark.sources.png_minimal import png_encode
+
+    d = tempfile.mkdtemp(prefix="media_dir_q_")
+    for i in range(2):
+        h, w = 16 + 8 * i, 24 + 8 * i
+        rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 7 + i * 31) % 256).astype(np.uint8)
+        with open(os.path.join(d, f"{9 + i}.jpg"), "wb") as f:
+            f.write(jpeg_encode(rgb, quality=90))
+    rgb = ((np.arange(20 * 30 * 3).reshape(20, 30, 3) * 11 + 3) % 256).astype(np.uint8)
+    with open(os.path.join(d, "11.png"), "wb") as f:
+        f.write(png_encode(rgb))
+    media = MM.media_table_from_dir(spark, d, glob="*.{jpg,png}")
+    feats = MM.media_features(media)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return feats.select(
+        "media_id", "kind", r6("mean_r"), r6("mean_g"), r6("mean_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship composed pipeline: full near-dedup (LSH candidates → exact
 # Jaccard verify → connected components → representatives) on the
 # planted-dup corpus. The oracle recomposes every stage in SQL —

@@ -115,3 +115,31 @@ def test_resize_and_frame_sample(spark):
 def test_real_codec_gated():
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"\x89PNG\r\n....")
+
+
+def test_media_table_from_dir(spark, tmp_path):
+    """binaryFile directory ingest: magic-byte kind sniffing in pure
+    Catalyst, ids from file stems, engine codecs decode the blobs."""
+    import os
+
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+    from ome_arrow_spark.sources.png_minimal import png_encode
+
+    g = ((np.arange(12 * 16) * 3) % 256).reshape(12, 16).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g], axis=-1)
+    d = str(tmp_path)
+    open(os.path.join(d, "7.jpg"), "wb").write(jpeg_encode(rgb))
+    open(os.path.join(d, "8.png"), "wb").write(png_encode(rgb))
+    open(os.path.join(d, "9.bin"), "wb").write(b"\x00garbage")
+    media = MM.media_table_from_dir(spark, d)
+    rows = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert rows == {7: "image", 8: "image", 9: "unknown"}
+    feats = {
+        r["media_id"]: r
+        for r in MM.media_features(
+            media.filter("kind = 'image'")
+        ).collect()
+    }
+    want = rgb.reshape(-1, 3)[:, 0].mean()
+    assert abs(feats[8]["mean_r"] - want) < 1e-9  # PNG lossless
+    assert abs(feats[7]["mean_r"] - want) < 3.0   # JPEG lossy-bounded
