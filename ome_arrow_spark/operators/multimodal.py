@@ -98,10 +98,18 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
             arr = arr[..., :3]
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "png"}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        from ome_arrow_spark.sources.wav_minimal import wav_decode
+
+        arr, sr = wav_decode(data)
+        if arr.ndim == 2:  # downmix so duration/RMS are per-frame
+            arr = arr.mean(axis=1)
+        return "audio", arr, {"n": int(arr.size), "sr": sr, "format": "wav"}
     raise NotImplementedError(
-        "Real audio/video codecs (soundfile/av) are not installed in this "
-        "container; JPEG, PNG, and FMED test containers decode built-in. "
-        "The operator plumbing is codec-agnostic — swap decode_media's body."
+        "Compressed audio / video codecs (soundfile/av) are not installed "
+        "in this container; JPEG, PNG, WAV-PCM, and FMED test containers "
+        "decode built-in. The operator plumbing is codec-agnostic — swap "
+        "decode_media's body."
     )
 
 
@@ -127,6 +135,11 @@ def media_table_from_dir(
         .when(F.substring("content", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
         .when(F.substring("content", 1, 6) == F.lit(FIMG_MAGIC), "image")
         .when(F.substring("content", 1, 6) == F.lit(FAUD_MAGIC), "audio")
+        .when(
+            (F.substring("content", 1, 4) == F.lit(b"RIFF"))
+            & (F.substring("content", 9, 4) == F.lit(b"WAVE")),
+            "audio",
+        )
         .when(F.substring("content", 1, 6) == F.lit(FVID_MAGIC), "video")
         .otherwise("unknown")
     )
@@ -252,14 +265,16 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
 
 def synth_media_df(
     spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2,
-    n_jpeg: int = 2, n_png: int = 1,
+    n_jpeg: int = 2, n_png: int = 1, n_wav: int = 1,
 ) -> DataFrame:
     """Deterministic fake media table for tests/driver queries. Includes
-    real baseline-JPEG and PNG blobs (engine-encoded, engine-decoded)
-    alongside the FMED containers so the image path exercises actual
-    codecs — PNG being lossless, its features stay SQL-derivable."""
+    real baseline-JPEG, PNG, and WAV blobs (engine-encoded,
+    engine-decoded) alongside the FMED containers so the image and
+    audio paths exercise actual codecs — PNG/WAV being lossless, their
+    features stay SQL-derivable."""
     from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
     from ome_arrow_spark.sources.png_minimal import png_encode
+    from ome_arrow_spark.sources.wav_minimal import wav_encode
 
     rows = []
     mid = 0
@@ -291,6 +306,12 @@ def synth_media_df(
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * 11 + 3 + i) % 256).astype(np.uint8)
         rows.append((mid, "image", bytearray(png_encode(rgb)),
                      (w, h, None, None, "png")))
+        mid += 1
+    for i in range(n_wav):
+        n = 2000 * (i + 1)
+        samples = ((np.arange(n) * 37) % 20000 - 10000).astype(np.int16)
+        rows.append((mid, "audio", bytearray(wav_encode(samples, 16000)),
+                     (None, None, None, 16000, "wav")))
         mid += 1
     # coalesce: createDataFrame slices tiny local data across
     # defaultParallelism partitions → dozens of one-row Python-worker

@@ -585,6 +585,8 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   png (id 11): REAL PNG blob of the 20×30 pattern (j*11 + 3) % 256
 #     (sources/png_minimal). PNG is lossless, so the oracle re-derives
 #     its channel means arithmetically like the fimg rows.
+#   wav (id 12): REAL 16-bit PCM WAV of 2000 samples (t*37)%20000-10000
+#     at 16 kHz (sources/wav_minimal) — lossless, fully SQL-derivable.
 # ---------------------------------------------------------------------------
 _MEDIA_ORACLE = """
     WITH img AS (
@@ -632,6 +634,14 @@ _MEDIA_ORACLE = """
            ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*11 + 3) % 256 END), 6),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INT)
     FROM (SELECT unnest(generate_series(0, 20*30*3 - 1)) AS j) j
+    UNION ALL
+    SELECT 12, 'audio',
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(2000 / 16000.0, 6),
+           ROUND(SQRT(AVG(CAST((t.t*37) % 20000 - 10000 AS DOUBLE)
+                          * CAST((t.t*37) % 20000 - 10000 AS DOUBLE))), 6),
+           CAST(NULL AS INT)
+    FROM (SELECT unnest(generate_series(0, 1999)) AS t) t
 """
 
 
