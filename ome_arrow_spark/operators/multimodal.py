@@ -98,6 +98,12 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
             arr = arr[..., :3]
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "png"}
+    if data[:2] == b"BM":
+        from ome_arrow_spark.sources.png_minimal import bmp_decode
+
+        arr = bmp_decode(data)
+        return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
+                              "format": "bmp"}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         from ome_arrow_spark.sources.wav_minimal import wav_decode
 
@@ -133,6 +139,7 @@ def media_table_from_dir(
     kind = (
         F.when(F.substring("content", 1, 2) == F.lit(b"\xff\xd8"), "image")
         .when(F.substring("content", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
+        .when(F.substring("content", 1, 2) == F.lit(b"BM"), "image")
         .when(F.substring("content", 1, 6) == F.lit(FIMG_MAGIC), "image")
         .when(F.substring("content", 1, 6) == F.lit(FAUD_MAGIC), "audio")
         .when(

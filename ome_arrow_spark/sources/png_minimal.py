@@ -16,7 +16,9 @@ zlib IDAT.
 The media-table operators (operators/multimodal.py) route ``.png``
 blobs here, mirroring how the reference's promise of media as
 queryable table columns (README.md:20-22) is met for JPEG via
-``jpeg_minimal``. Throughput is zlib-bound (C speed) — the filter
+``jpeg_minimal``. A minimal BMP decoder (24/32-bit + 8-bit palette —
+the other header-plus-raw-rows format endemic to web scrapes) rides
+along at the bottom of the module. Throughput is zlib-bound (C speed) — the filter
 pass is vectorized except the inherently sequential Sub/Paeth
 scanline recurrences.
 """
@@ -217,6 +219,47 @@ def _filter_scanlines(arr2d: np.ndarray, bpp: int) -> bytes:
         out.append(int(best[y]))
         out += cand[best[y], y].tobytes()
     return bytes(out)
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Minimal BMP (Windows DIB) decoder — 24/32-bit uncompressed and
+    8-bit palette, bottom-up or top-down rows. Returns uint8 (H, W, 3).
+    Compressed (RLE) or 16-bit BMPs raise ``NotImplementedError``.
+    BMP shows up constantly in web-scrape corpora; the format is
+    header + raw rows, so it rides here beside PNG rather than in its
+    own module."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP stream")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 8:
+        ncolors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(
+            data, np.uint8, count=4 * ncolors, offset=14 + hdr_size
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA → RGB
+    stride = ((width * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        data, np.uint8, count=height * stride, offset=pix_off
+    ).reshape(height, stride)
+    if bpp == 8:
+        idx = rows[:, :width]
+        rgb = pal[idx]
+    else:
+        nb = bpp // 8
+        px = rows[:, : width * nb].reshape(height, width, nb)
+        rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
 
 
 def png_encode(img: np.ndarray, compress_level: int = 6) -> bytes:

@@ -169,3 +169,81 @@ def test_interlace_gates():
 def test_not_png_rejected():
     with pytest.raises(ValueError, match="signature"):
         png_decode(b"\x89PNG\r\n\x1a\x00garbage")
+
+
+# --- BMP --------------------------------------------------------------------
+
+
+def _build_bmp(rgb, bpp=24, top_down=False, palette=None, idx=None):
+    h, w = (idx.shape if idx is not None else rgb.shape[:2])
+    nb = bpp // 8
+    stride = ((w * nb) + 3) & ~3
+    pal_bytes = b""
+    ncolors = 0
+    if bpp == 8:
+        ncolors = len(palette)
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette
+        )
+    pix_off = 14 + 40 + len(pal_bytes)
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        if bpp == 8:
+            row = bytes(idx[y])
+        elif bpp == 24:
+            row = rgb[y, :, ::-1].tobytes()
+        else:
+            row = np.column_stack(
+                [rgb[y, :, ::-1], np.full(w, 255, np.uint8)]
+            ).tobytes()
+        rows.append(row + bytes(stride - len(row)))
+    payload = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(payload), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(payload), 2835, 2835, ncolors, 0,
+    )
+    return hdr + dib + pal_bytes + payload
+
+
+def test_bmp_24_and_32bit():
+    from ome_arrow_spark.sources.png_minimal import bmp_decode
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    for bpp in (24, 32):
+        for td in (False, True):
+            got = bmp_decode(_build_bmp(rgb, bpp=bpp, top_down=td))
+            assert np.array_equal(got, rgb), (bpp, td)
+
+
+def test_bmp_8bit_palette():
+    from ome_arrow_spark.sources.png_minimal import bmp_decode
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], np.uint8)
+    got = bmp_decode(_build_bmp(None, bpp=8, palette=palette, idx=idx))
+    assert got.shape == (2, 4, 3)
+    assert got[0, 0].tolist() == [255, 0, 0] and got[1, 0].tolist() == [9, 8, 7]
+
+
+def test_bmp_gates():
+    from ome_arrow_spark.sources.png_minimal import bmp_decode
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    blob = bytearray(_build_bmp(rgb))
+    struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        bmp_decode(bytes(blob))
+    with pytest.raises(ValueError, match="BMP"):
+        bmp_decode(b"XXnot a bitmap")
+
+
+def test_decode_media_routes_bmp():
+    from ome_arrow_spark.operators.multimodal import decode_media
+
+    rgb = ((np.arange(6 * 8 * 3).reshape(6, 8, 3) * 5) % 256).astype(np.uint8)
+    kind, arr, meta = decode_media(_build_bmp(rgb))
+    assert kind == "image" and meta["format"] == "bmp"
+    assert np.array_equal(arr, rgb)
