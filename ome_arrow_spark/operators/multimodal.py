@@ -98,6 +98,15 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
             arr = arr[..., :3]
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "png"}
+    if data[:4] == b"GIF8":
+        from ome_arrow_spark.sources.gif_minimal import gif_decode
+
+        frames, gmeta = gif_decode(data)
+        if frames.shape[0] == 1:
+            arr = frames[0]
+            return "image", arr, {"w": gmeta["w"], "h": gmeta["h"],
+                                  "format": "gif"}
+        return "video", frames, {**gmeta, "format": "gif"}
     if data[:2] == b"BM":
         from ome_arrow_spark.sources.png_minimal import bmp_decode
 
@@ -140,6 +149,7 @@ def media_table_from_dir(
         F.when(F.substring("content", 1, 2) == F.lit(b"\xff\xd8"), "image")
         .when(F.substring("content", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
         .when(F.substring("content", 1, 2) == F.lit(b"BM"), "image")
+        .when(F.substring("content", 1, 4) == F.lit(b"GIF8"), "image")
         .when(F.substring("content", 1, 6) == F.lit(FIMG_MAGIC), "image")
         .when(F.substring("content", 1, 6) == F.lit(FAUD_MAGIC), "audio")
         .when(
