@@ -7,12 +7,14 @@ to executors which each open one store locally (shared filesystem /
 object store mount — the standard cluster layout for NGFF).
 
 Codecs: REAL Zarr v2 AND v3 / OME-NGFF stores read and write built-in
-via ``zarr_minimal`` — v2 C-order arrays with raw/zlib/gzip/blosc-zlib
-chunks (blosc1 frames incl. byte-shuffle), v3 ``zarr.json`` layouts
-with the bytes+gzip/blosc-zlib codec chain and ``sharding_indexed``
-shards (CRC-32C indexes), multiscale group attrs in either layout — no
-zarr package needed; blosc frames with zstd/lz4/blosclz inner codecs
-still gate on the real libraries with ``NotImplementedError``. The
+via ``zarr_minimal`` — v2 C-order arrays with raw/zlib/gzip/zstd/lz4/
+blosc chunks (blosc1 frames with zlib/zstd/lz4/snappy inner codecs,
+byte-shuffle, both split regimes — zstd/lz4/snappy ride pyarrow's
+bundled C codecs, already a hard engine dependency), v3 ``zarr.json``
+layouts with bytes+gzip/zstd/blosc codec chains and
+``sharding_indexed`` shards (CRC-32C indexes), multiscale group attrs
+in either layout — no zarr package needed; only blosclz inner codecs
+and bit-shuffle still gate with ``NotImplementedError``. The
 legacy FZARR test container (``header.json`` + one ``.bin`` per plane)
 remains readable.
 
@@ -159,9 +161,9 @@ def decode_store(store_path: str, level: int = 0) -> dict[str, Any]:
         )
     raise NotImplementedError(
         f"Cannot decode {store_path!r}: not an FZARR store and not a Zarr "
-        "v2/v3 store root (blosc-zstd/lz4 compressed stores need the zarr "
-        "package; v2 raw/zlib/gzip/blosc-zlib and v3 bytes+gzip/blosc-zlib "
-        "incl. sharded decode built-in)."
+        "v2/v3 store root (blosclz-compressed stores need the zarr "
+        "package; v2 raw/zlib/gzip/zstd/lz4/blosc and v3 "
+        "bytes+gzip/zstd/blosc incl. sharded decode built-in)."
     )
 
 
@@ -253,9 +255,9 @@ def to_zarr_dir(
     ``store_format="ngff"`` (default) writes REAL Zarr / OME-NGFF stores
     via the built-in codec — ``zarr_format`` ∈ {2, 3} picks the store
     layout (the reference's exporter exposes the same switch,
-    export.py:361), ``compressor`` ∈ {None, "zlib", "gzip", "blosc"} and
-    ``chunks`` select the codec matrix (blosc writes zlib-inner-codec
-    frames built-in; zstd/lz4 inner codecs gate upstream); "fzarr" keeps the legacy test
+    export.py:361), ``compressor`` ∈ {None, "zlib", "gzip", "blosc", "zstd", "lz4"}
+    and ``chunks`` select the codec matrix (blosc writes
+    zlib-inner-codec frames; zstd/lz4 ride pyarrow's bundled codecs); "fzarr" keeps the legacy test
     container."""
     from ome_arrow_spark.operators.densify import record_to_numpy
     from ome_arrow_spark.sources.zarr_minimal import write_ngff_store

@@ -14,9 +14,11 @@ reads what zarr-python writes for the baseline feature set.
   group's ``attributes`` key (the v3 layout the reference's exporter
   selects with ``zarr_format=3``, export.py:265-289 + 361).
 
-Blosc frames with zstd/lz4/blosclz inner codecs (and v3 blosc chains)
-still gate on the real libraries upstream — those codecs need C libs;
-the zlib-inner-codec frame is fully decoded/encoded here.
+Blosc frames decode/encode with zlib (stdlib) AND zstd/lz4/snappy
+inner codecs (pyarrow's bundled C codecs — pyarrow is already a hard
+engine dependency); plain numcodecs-framed zstd/lz4 v2 compressors and
+v3 zstd codec chains ride the same route. Only blosclz inner codecs
+and bit-shuffle still gate on numcodecs.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ ZARRAY = ".zarray"
 ZGROUP = ".zgroup"
 ZATTRS = ".zattrs"
 
-SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc")
+SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lz4")
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +57,54 @@ SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc")
 
 _BLOSC_FORMATS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _BLOSC_ZLIB_FORMAT = 3
+_BLOSC_CNAME_TO_FORMAT = {"lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3,
+                          "zstd": 4}
+
+
+def _pa_codec(name: str):
+    """pyarrow's bundled C codecs (zstd/lz4_raw/snappy) — pyarrow is
+    already a hard dependency of the engine, so these are free. Returns
+    None when the codec is genuinely unavailable."""
+    try:
+        import pyarrow as pa
+
+        return pa.Codec(name)
+    except Exception:
+        return None
+
+
+def _inner_decompress(fmt: int, seg: bytes, out_size: int) -> bytes:
+    """Decompress one blosc inner-codec stream of known decoded size."""
+    if fmt == _BLOSC_ZLIB_FORMAT:
+        return zlib.decompress(seg)
+    if fmt == 4:  # zstd: standard frames (c-blosc uses ZSTD_compress)
+        codec = _pa_codec("zstd")
+        if codec is not None:
+            return bytes(codec.decompress(seg, decompressed_size=out_size))
+    elif fmt == 1:  # lz4/lz4hc: raw block format, size carried outside
+        codec = _pa_codec("lz4_raw")
+        if codec is not None:
+            return bytes(codec.decompress(seg, decompressed_size=out_size))
+    elif fmt == 2:  # snappy: raw format
+        codec = _pa_codec("snappy")
+        if codec is not None:
+            return bytes(codec.decompress(seg, decompressed_size=out_size))
+    raise NotImplementedError(
+        f"blosc inner codec {_BLOSC_FORMATS.get(fmt, fmt)!r} unavailable "
+        "(blosclz needs numcodecs; zstd/lz4/snappy need pyarrow)"
+    )
+
+
+def _inner_compress(fmt: int, seg: bytes, clevel: int) -> bytes:
+    if fmt == _BLOSC_ZLIB_FORMAT:
+        return zlib.compress(seg, clevel)
+    name = {1: "lz4_raw", 2: "snappy", 4: "zstd"}.get(fmt)
+    codec = _pa_codec(name) if name else None
+    if codec is None:
+        raise NotImplementedError(
+            f"blosc inner codec {_BLOSC_FORMATS.get(fmt, fmt)!r} unavailable"
+        )
+    return bytes(codec.compress(seg))
 
 
 def _shuffle_bytes(buf: bytes, typesize: int) -> bytes:
@@ -75,23 +125,41 @@ def _unshuffle_bytes(buf: bytes, typesize: int) -> bytes:
     return lanes.T.tobytes() + buf[n:]
 
 
-def _blosc_block_streams(frame: bytes, off: int, neblock: int, nstreams: int) -> bytes:
+def _blosc_block_streams(
+    frame: bytes, off: int, neblock: int, nstreams: int, fmt: int
+) -> bytes:
     """Decompress one block's stream list starting at ``off``."""
     parts = []
+    ssize = neblock // nstreams
     for _ in range(nstreams):
         (csize,) = struct.unpack_from("<I", frame, off)
         seg = frame[off + 4 : off + 4 + csize]
-        ssize = neblock // nstreams
-        parts.append(bytes(seg) if csize == ssize else zlib.decompress(seg))
+        parts.append(
+            bytes(seg) if csize == ssize else _inner_decompress(fmt, seg, ssize)
+        )
         off += 4 + csize
     return b"".join(parts)
 
 
+def _blosc_stream_span(frame: bytes, off: int, nstreams: int) -> int:
+    """End offset of an ``nstreams``-stream chain, or -1 if the chain
+    walks off the frame — used to pick the split regime structurally."""
+    for _ in range(nstreams):
+        if off + 4 > len(frame):
+            return -1
+        (csize,) = struct.unpack_from("<I", frame, off)
+        off += 4 + csize
+        if off > len(frame):
+            return -1
+    return off
+
+
 def blosc_decode(frame: bytes) -> bytes:
-    """Decode one blosc1 frame (zlib inner codec, optional
-    byte-shuffle). Handles pure-memcpy frames, stored blocks, and both
+    """Decode one blosc1 frame — zlib inner codec via the stdlib;
+    zstd/lz4/snappy via pyarrow's bundled C codecs; optional
+    byte-shuffle. Handles pure-memcpy frames, stored blocks, and both
     split regimes (c-blosc <1.11 split every codec into per-byte-lane
-    streams; modern c-blosc never splits zlib)."""
+    streams; modern c-blosc splits only blosclz/lz4)."""
     if len(frame) < 16:
         raise ValueError("truncated blosc frame")
     flags, typesize = frame[2], frame[3]
@@ -101,24 +169,28 @@ def blosc_decode(frame: bytes) -> bytes:
     if flags & 0x2:  # pure memcpy: the original buffer stored raw
         return bytes(frame[16 : 16 + nbytes])
     fmt = flags >> 5
-    if fmt != _BLOSC_ZLIB_FORMAT:
-        raise NotImplementedError(
-            f"blosc inner codec {_BLOSC_FORMATS.get(fmt, fmt)!r} needs "
-            "numcodecs (built-in: zlib)"
-        )
     doshuffle = bool(flags & 0x1) and typesize > 1
     nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
+    # each block is either ONE stream or typesize per-byte-lane streams
+    # (modern c-blosc splits blosclz/lz4; pre-1.11 split everything).
+    # The regime is picked structurally: the stream chain must end
+    # exactly at the next block's start (or the frame's end).
+    ends = [bstarts[i + 1] for i in range(nblocks - 1)] + [len(frame)]
     out = bytearray()
     for i in range(nblocks):
         neblock = min(blocksize, nbytes - i * blocksize) if blocksize else nbytes
-        try:
-            block = _blosc_block_streams(frame, bstarts[i], neblock, 1)
-        except zlib.error:
-            # legacy split frame: typesize streams per block
-            if typesize <= 1 or neblock % typesize:
-                raise
-            block = _blosc_block_streams(frame, bstarts[i], neblock, typesize)
+        nstreams = 1
+        if typesize > 1 and neblock % typesize == 0:
+            span1 = _blosc_stream_span(frame, bstarts[i], 1)
+            span_t = _blosc_stream_span(frame, bstarts[i], typesize)
+            if span1 != ends[i] and span_t == ends[i]:
+                nstreams = typesize
+            elif span1 == ends[i] and span_t == ends[i]:
+                # ambiguous (possible only for tiny blocks): modern
+                # c-blosc splits lz4/blosclz, never zlib/zstd/snappy
+                nstreams = typesize if fmt in (0, 1) else 1
+        block = _blosc_block_streams(frame, bstarts[i], neblock, nstreams, fmt)
         if len(block) != neblock:
             raise ValueError("corrupt blosc frame: block size mismatch")
         if doshuffle:
@@ -133,13 +205,18 @@ def blosc_encode(
     clevel: int = 5,
     shuffle: int = 1,
     blocksize: int = 0,
+    cname: str = "zlib",
 ) -> bytes:
-    """Encode a blosc1 frame with the zlib inner codec (modern
-    unsplit layout). ``shuffle``: 0 none, 1 byte-shuffle (2,
+    """Encode a blosc1 frame (modern unsplit layout). ``cname`` ∈
+    {"zlib"} via the stdlib, {"zstd", "lz4", "snappy"} via pyarrow's
+    bundled codecs. ``shuffle``: 0 none, 1 byte-shuffle (2,
     bit-shuffle, gates on numcodecs). Falls back to the pure-memcpy
     frame when compression doesn't pay, exactly like c-blosc."""
     if shuffle == 2:
         raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+    if cname not in _BLOSC_CNAME_TO_FORMAT:
+        raise NotImplementedError(f"blosc cname {cname!r} unsupported")
+    fmt = _BLOSC_CNAME_TO_FORMAT[cname]
     nbytes = len(raw)
     typesize = typesize if 1 <= typesize <= 255 else 1
     doshuffle = bool(shuffle) and typesize > 1
@@ -152,7 +229,7 @@ def blosc_encode(
         seg = raw[i * blocksize : i * blocksize + min(blocksize, nbytes - i * blocksize)]
         if doshuffle:
             seg = _shuffle_bytes(seg, typesize)
-        comp = zlib.compress(seg, clevel)
+        comp = _inner_compress(fmt, seg, clevel)
         if len(comp) >= len(seg):
             comp = seg  # stored block: csize == neblock signals raw
         streams.append(struct.pack("<I", len(comp)) + comp)
@@ -163,7 +240,7 @@ def blosc_encode(
             "<BBBBIII", 2, 1, 0x2, typesize, nbytes, blocksize, nbytes + 16
         )
         return header + raw
-    flags = (0x1 if doshuffle else 0) | (_BLOSC_ZLIB_FORMAT << 5)
+    flags = (0x1 if doshuffle else 0) | (fmt << 5)
     header = struct.pack(
         "<BBBBIII", 2, 1, flags, typesize, nbytes, blocksize, total
     )
@@ -186,26 +263,31 @@ def _compress(
     if cid == "gzip":
         return gzip.compress(blob, compresslevel=level)
     if cid == "blosc":
-        cname = compressor.get("cname", "blosclz")
-        if cname != "zlib":
-            raise NotImplementedError(
-                f"blosc cname {cname!r} needs the real zarr/numcodecs "
-                "packages (built-in: zlib)"
-            )
         return blosc_encode(
             blob,
             typesize=typesize,
             clevel=int(compressor.get("clevel", 5)),
             shuffle=int(compressor.get("shuffle", 1)),
             blocksize=int(compressor.get("blocksize", 0) or 0),
+            cname=compressor.get("cname", "zstd"),
         )
+    if cid == "zstd":  # numcodecs Zstd: one standard zstd frame
+        codec = _pa_codec("zstd")
+        if codec is not None:
+            return bytes(codec.compress(blob))
+    if cid == "lz4":  # numcodecs LZ4: uint32-LE original size + raw block
+        codec = _pa_codec("lz4_raw")
+        if codec is not None:
+            return struct.pack("<I", len(blob)) + bytes(codec.compress(blob))
     raise NotImplementedError(
         f"zarr compressor {cid!r} needs the real zarr/numcodecs packages "
         f"(built-in subset: {SUPPORTED_COMPRESSORS})"
     )
 
 
-def _decompress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
+def _decompress(
+    blob: bytes, compressor: dict[str, Any] | None, out_size: int | None = None
+) -> bytes:
     if compressor is None:
         return blob
     cid = compressor.get("id")
@@ -214,10 +296,18 @@ def _decompress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
     if cid == "gzip":
         return gzip.decompress(blob)
     if cid == "blosc":
-        # the frame header is self-describing; unsupported inner codecs
-        # (zstd/lz4/blosclz — what the dict's cname would also say)
-        # raise NotImplementedError inside
+        # the frame header is self-describing; the one unsupported
+        # inner codec (blosclz) raises NotImplementedError inside
         return blosc_decode(blob)
+    if cid == "zstd":
+        codec = _pa_codec("zstd")
+        if codec is not None and out_size is not None:
+            return bytes(codec.decompress(blob, decompressed_size=out_size))
+    if cid == "lz4":
+        codec = _pa_codec("lz4_raw")
+        if codec is not None:
+            (n,) = struct.unpack_from("<I", blob, 0)
+            return bytes(codec.decompress(blob[4:], decompressed_size=n))
     raise NotImplementedError(
         f"zarr compressor {cid!r} needs the real zarr/numcodecs packages "
         f"(built-in subset: {SUPPORTED_COMPRESSORS})"
@@ -348,18 +438,21 @@ def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int
             level = int(cfg.get("level", 1))
         elif name == "blosc":
             cname = cfg.get("cname", "zstd")
-            if cname != "zlib":
+            if cname not in ("zlib", "zstd", "lz4", "lz4hc", "snappy"):
                 raise NotImplementedError(
-                    f"v3 blosc cname {cname!r} needs the zarr package "
-                    "(built-in: zlib)"
+                    f"v3 blosc cname {cname!r} needs the zarr package"
                 )
             if cfg.get("shuffle") == "bitshuffle":
                 raise NotImplementedError("blosc bit-shuffle needs numcodecs")
             comp = "blosc"
             level = int(cfg.get("clevel", 5))
+        elif name == "zstd":
+            comp = "zstd"
+            level = int(cfg.get("level", 0))
         else:
             raise NotImplementedError(
-                f"v3 codec {name!r} (zstd/transpose) needs the zarr package"
+                f"v3 codec {name!r} (transpose/sharding-inner) needs the "
+                "zarr package"
             )
     return endian, comp, level
 
@@ -424,9 +517,9 @@ def write_zarr_array_v3(
     ``shard_shape``)."""
     if compressor == "zlib":
         compressor = "gzip"
-    if compressor not in (None, "gzip", "blosc"):
+    if compressor not in (None, "gzip", "blosc", "zstd"):
         raise NotImplementedError(
-            f"v3 codec {compressor!r} (zstd) needs the zarr package"
+            f"v3 codec {compressor!r} needs the zarr package"
         )
     arr = np.ascontiguousarray(arr)
     rev = {v: k for k, v in _V3_DTYPES.items()}
@@ -455,6 +548,12 @@ def write_zarr_array_v3(
                     "blocksize": 0,
                 },
             }
+        )
+    elif compressor == "zstd":
+        inner_codecs.append(
+            {"name": "zstd",
+             "configuration": {"level": int(compression_level),
+                               "checksum": False}}
         )
     if shards is not None:
         # shard shape must be an inner-chunk multiple (v3 spec)
@@ -514,6 +613,11 @@ def write_zarr_array_v3(
                 clevel=int(compression_level),
                 shuffle=1 if arr.dtype.itemsize > 1 else 0,
             )
+        elif compressor == "zstd":
+            codec = _pa_codec("zstd")
+            if codec is None:
+                raise NotImplementedError("zstd codec unavailable")
+            blob = bytes(codec.compress(blob))
         return blob
 
     for idx, starts in _iter_grid(arr.shape, grid_chunk):
@@ -602,6 +706,16 @@ def read_zarr_array_v3(path: str) -> np.ndarray:
             return gzip.decompress(blob)
         if comp == "blosc":
             return blosc_decode(blob)
+        if comp == "zstd":
+            codec = _pa_codec("zstd")
+            if codec is None:
+                raise NotImplementedError("zstd codec unavailable")
+            nel = 1
+            for c_ in (inner_chunks if sharded else chunks):
+                nel *= int(c_)
+            return bytes(
+                codec.decompress(blob, decompressed_size=nel * dtype.itemsize)
+            )
         return blob
 
     def _place(block_bytes: bytes, starts: tuple[int, ...], bshape) -> None:
@@ -682,7 +796,10 @@ def read_zarr_array(path: str) -> np.ndarray:
             p = os.path.join(path, *key.split("/")) if sep == "/" else os.path.join(path, key)
             if not os.path.exists(p):
                 return  # missing chunk = fill_value per spec
-            raw = _decompress(open(p, "rb").read(), comp)
+            raw = _decompress(
+                open(p, "rb").read(), comp,
+                out_size=int(np.prod(chunks)) * dtype.itemsize,
+            )
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             sl = tuple(
                 slice(st, min(st + c, s)) for st, c, s in zip(starts, chunks, shape)

@@ -417,13 +417,14 @@ def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Blosc-compressed Zarr v2 round-trip in the driver gate: write a REAL
-# NGFF 0.4 store whose chunks are blosc1 frames (zlib inner codec +
-# byte-shuffle — the layout zarr-python writes for Blosc(cname='zlib'))
-# via the built-in codec, ingest it back through the distributed
-# manifest path, and have DuckDB re-derive the plane stats
-# arithmetically. Covers the wild-store default compressor family the
-# engine previously gated wholesale on the zarr package (reference
+# Blosc- and zstd-compressed Zarr v2 round-trips in the driver gate:
+# write REAL NGFF 0.4 stores — one with blosc1-framed chunks (zlib
+# inner codec + byte-shuffle, the layout zarr-python writes for
+# Blosc(cname='zlib')), one with bare numcodecs-zstd frames (pyarrow's
+# bundled C codec) — ingest both back through the distributed manifest
+# path, and have DuckDB re-derive the plane stats arithmetically.
+# Covers the wild-store default compressor families the engine
+# previously gated wholesale on the zarr package (reference
 # export.py:265-289 passes blosc straight to zarr).
 @register(
     "ome_zarr_blosc_roundtrip",
@@ -432,11 +433,14 @@ def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cc.c AS c, (cc.c*29 + y.y*96 + x.x) % 65536 AS v
       FROM (SELECT unnest(generate_series(0, 1)) AS c) cc,
            (SELECT unnest(generate_series(0, 95)) AS y) y,
-           (SELECT unnest(generate_series(0, 95)) AS x) x)
-    SELECT CAST(c AS INT) AS c, CAST(SUM(v) AS BIGINT) AS px_sum,
-           CAST(MIN(v) AS INT) AS px_min,
-           CAST(MAX(v) AS INT) AS px_max
-    FROM px GROUP BY c
+           (SELECT unnest(generate_series(0, 95)) AS x) x),
+    stats AS (
+      SELECT CAST(c AS INT) AS c, CAST(SUM(v) AS BIGINT) AS px_sum,
+             CAST(MIN(v) AS INT) AS px_min,
+             CAST(MAX(v) AS INT) AS px_max
+      FROM px GROUP BY c)
+    SELECT codec, c, px_sum, px_min, px_max
+    FROM (SELECT unnest(['blosc-zlib', 'zstd']) AS codec) k, stats
     """,
 )
 def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,28 +457,35 @@ def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c * 29 + yy * 96 + xx) % 65536 for c in range(2)]
     )[np.newaxis, :, np.newaxis].astype("<u2")
     d = tempfile.mkdtemp(prefix="ome_blosc_q_")
-    store = os.path.join(d, "bloscimg.zarr")
-    write_ngff_store(
-        store,
-        [vol],
-        image_id="bloscimg",
-        channel_names=["C0", "C1"],
-        compressor="blosc",
-        compression_level=5,
-        zarr_format=2,
-        chunks=(1, 1, 1, 32, 32),
-    )
-    # the store really is blosc-framed: magic flags byte carries the
-    # zlib format id on a compressed chunk
-    chunk0 = open(os.path.join(store, "0", "0.0.0.0.0"), "rb").read()
-    assert (chunk0[2] >> 5) == 3 or (chunk0[2] & 0x2)
-    imgs = from_zarr_manifest(spark, [store], level=0)
-    return plane_stats(imgs).select(
-        F.col("c").cast("int"),
-        "px_sum",
-        F.col("px_min").cast("int"),
-        F.col("px_max").cast("int"),
-    )
+    outs = []
+    for codec, comp in (("blosc-zlib", "blosc"), ("zstd", "zstd")):
+        store = os.path.join(d, f"img_{comp}.zarr")
+        write_ngff_store(
+            store,
+            [vol],
+            image_id=f"img_{comp}",
+            channel_names=["C0", "C1"],
+            compressor=comp,
+            compression_level=5,
+            zarr_format=2,
+            chunks=(1, 1, 1, 32, 32),
+        )
+        chunk0 = open(os.path.join(store, "0", "0.0.0.0.0"), "rb").read()
+        if comp == "blosc":  # blosc1 frame, zlib format id (or memcpy)
+            assert (chunk0[2] >> 5) == 3 or (chunk0[2] & 0x2)
+        else:  # bare zstd frame magic
+            assert chunk0[:4] == b"\x28\xb5\x2f\xfd"
+        imgs = from_zarr_manifest(spark, [store], level=0)
+        outs.append(
+            plane_stats(imgs).select(
+                F.lit(codec).alias("codec"),
+                F.col("c").cast("int"),
+                "px_sum",
+                F.col("px_min").cast("int"),
+                F.col("px_max").cast("int"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 # V1 plane lookup + autoscale: exact (t,c,z) plane of multi-channel-z.
