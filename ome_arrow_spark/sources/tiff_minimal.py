@@ -70,6 +70,7 @@ COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE = 8  # "Adobe" deflate — what tifffile/libtiff write
 COMPRESSION_DEFLATE_OLD = 32946  # legacy deflate code, same byte stream
 COMPRESSION_PACKBITS = 32773
+COMPRESSION_ZSTD = 50000  # registered zstd code (tifffile/imagecodecs)
 COMPRESSION_CCITT_MH = 2  # Modified Huffman RLE (TIFF 6.0 §10)
 COMPRESSION_CCITT_G3 = 3  # Group 3 fax (T.4)
 COMPRESSION_CCITT_G4 = 4  # Group 4 fax (T.6 MMR)
@@ -83,6 +84,7 @@ COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "zlib": COMPRESSION_DEFLATE,
                      "ccitt_rle": COMPRESSION_CCITT_MH,
                      "ccitt_g4": COMPRESSION_CCITT_G4,
+                     "zstd": COMPRESSION_ZSTD,
                      "jpeg": COMPRESSION_JPEG}
 
 # BYTE ASCII SHORT LONG RATIONAL UNDEFINED ... LONG8 SLONG8 IFD8
@@ -258,6 +260,33 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _zstd_content_size(blob: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1).
+    pyarrow/imagecodecs always embed it; frames without it raise."""
+    if blob[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = blob[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    did = (0, 1, 2, 4)[fhd & 3]
+    pos = 5 + (0 if single else 1) + did
+    if fcs_flag == 0:
+        if single:
+            return blob[pos]
+        raise NotImplementedError("zstd frame without embedded content size")
+    if fcs_flag == 1:
+        return int.from_bytes(blob[pos : pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(blob[pos : pos + 4], "little")
+    return int.from_bytes(blob[pos : pos + 8], "little")
+
+
+def _zstd_codec():
+    import pyarrow as pa
+
+    return pa.Codec("zstd")
+
+
 def _decode_segment(seg: bytes, comp: int) -> bytes:
     if comp == COMPRESSION_NONE:
         return seg
@@ -265,6 +294,12 @@ def _decode_segment(seg: bytes, comp: int) -> bytes:
         return packbits_decode(seg)
     if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
         return zlib.decompress(seg)
+    if comp == COMPRESSION_ZSTD:
+        return bytes(
+            _zstd_codec().decompress(
+                seg, decompressed_size=_zstd_content_size(seg)
+            )
+        )
     return lzw_decode(seg)
 
 
@@ -275,6 +310,8 @@ def _encode_segment(seg: bytes, comp: int) -> bytes:
         return packbits_encode(seg)
     if comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
         return zlib.compress(seg, 6)
+    if comp == COMPRESSION_ZSTD:
+        return bytes(_zstd_codec().compress(seg))
     return lzw_encode(seg)
 
 
@@ -504,6 +541,7 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             COMPRESSION_JPEG,
             COMPRESSION_DEFLATE,
             COMPRESSION_DEFLATE_OLD,
+            COMPRESSION_ZSTD,
         ) and comp not in CCITT_COMPRESSIONS and comp != COMPRESSION_JPEG_OLD:
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"

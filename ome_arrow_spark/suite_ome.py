@@ -224,8 +224,9 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through the built-in encoder's codec matrix — LZW + Predictor-2
 # striped, Deflate tiled, PackBits big-endian 8-bit, a BigTIFF
 # (magic 43, 8-byte offsets) LZW variant, new-style JPEG
-# (Compression=7) strips, and CCITT Group 4 bilevel fax — and ingest
-# via the distributed binaryFile+mapInPandas path. Pixels follow a formula
+# (Compression=7) strips, CCITT Group 4 bilevel fax, and Zstd
+# (Compression=50000, the modern tifffile default) + Predictor-2 — and
+# ingest via the distributed binaryFile+mapInPandas path. Pixels follow a formula
 # the DuckDB oracle recomputes arithmetically, so a single wrong byte
 # anywhere in encode→decode breaks the hash. (Reference reads these
 # compressed classes via BioIO/tifffile, ingest.py:321-330; writes them
@@ -251,6 +252,9 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNION ALL
            SELECT 'ccitt_g4', zz.z,
                   SUM(CASE WHEN (zz.z*3 + ii.i) % 7 < 2 THEN 1 ELSE 0 END)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
+           SELECT 'zstd_pred', zz.z, SUM((zz.z*11 + 4*ii.i) % 65536)
            FROM zz, ii GROUP BY zz.z
            UNION ALL
            -- new-style JPEG (Compression=7) is lossy: no arithmetic
@@ -306,6 +310,11 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([(((zi * 3 + i) % 7) < 2).reshape(y, x) for zi in range(z)])
             .astype(np.uint8),
             {"compression": "ccitt_g4", "rows_per_strip": 9},
+        ),
+        "zstd_pred": (
+            np.stack([((zi * 11 + 4 * i) % 65536).reshape(y, x) for zi in range(z)])
+            .astype(np.uint16),
+            {"compression": "zstd", "predictor": True, "rows_per_strip": 14},
         ),
     }
     for iid, (vol, kw) in specs.items():

@@ -498,3 +498,29 @@ def test_float_predictor3_decodes():
     pages, _ = decode_tiff_pages(blob)
     assert pages.dtype == np.float32 and pages.shape == (1, h, w)
     np.testing.assert_array_equal(pages[0], img)
+
+
+@pytest.mark.parametrize("layout", ["strips", "tiled", "predictor", "bigtiff"])
+def test_zstd_tiff_roundtrip(layout):
+    """Compression=50000 (zstd, the registered code tifffile writes):
+    segments are standard zstd frames decompressed via the embedded
+    Frame_Content_Size."""
+    from ome_arrow_spark.sources.tiff_minimal import (
+        decode_tiff_pages,
+        encode_tiff_baseline,
+    )
+
+    rng = np.random.default_rng(3)
+    vol = rng.integers(0, 65536, (3, 40, 61), dtype=np.uint16)
+    kw = {
+        "strips": {"rows_per_strip": 13},
+        "tiled": {"tile": (16, 16)},
+        "predictor": {"rows_per_strip": 9, "predictor": True},
+        "bigtiff": {"bigtiff": True, "rows_per_strip": 40},
+    }[layout]
+    blob = encode_tiff_baseline(vol, compression="zstd", **kw)
+    pages, _ = decode_tiff_pages(blob)
+    assert np.array_equal(pages, vol)
+    if layout == "strips":
+        # strip bytes on the wire are genuine zstd frames
+        assert b"\x28\xb5\x2f\xfd" in blob
