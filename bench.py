@@ -103,6 +103,44 @@ def bench_tiff_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_zarr_ingest(
+    spark, n_stores: int = 30, side: int = 512
+) -> tuple[float, float]:
+    """Distributed NGFF-store ingest throughput: write n real Zarr v2
+    stores (blosc-zlib chunks — the wild-store compressor family) once,
+    time the manifest fan-out + built-in chunk decode to materialized
+    plane stats."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.operators.views import plane_stats
+    from ome_arrow_spark.sources.zarr import from_zarr_manifest
+    from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
+
+    d = tempfile.mkdtemp(prefix="bench_zarr_")
+    try:
+        base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(
+            1, 1, 1, side, side
+        )
+        stores = []
+        for i in range(n_stores):
+            vol = ((base + i) % 65536).astype("<u2")
+            store = os.path.join(d, f"img{i:04d}.zarr")
+            write_ngff_store(
+                store, [vol], image_id=f"img{i:04d}",
+                compressor="blosc", chunks=(1, 1, 1, 256, 256),
+            )
+            stores.append(store)
+        action = lambda: plane_stats(from_zarr_manifest(spark, stores)).count()
+        action()  # untimed warmup (same rationale as bench_tiff_ingest)
+        dt = min(_timed(action) for _ in range(REPEATS))
+        return dt, n_stores / dt
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _timed(action) -> float:
     t0 = time.perf_counter()
     action()
@@ -146,6 +184,11 @@ def main() -> None:
     times["ometiff_ingest_100x512"] = round(ome_s, 4)
     total += ome_s
     print(f"# ometiff_ingest_100x512: {ome_s:.3f}s ({ome_rate:.1f} img/s)", file=sys.stderr)
+
+    zarr_s, zarr_rate = bench_zarr_ingest(spark)
+    times["zarr_ingest_30x512"] = round(zarr_s, 4)
+    total += zarr_s
+    print(f"# zarr_ingest_30x512: {zarr_s:.3f}s ({zarr_rate:.1f} stores/s)", file=sys.stderr)
 
     print(
         json.dumps(
