@@ -660,11 +660,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real media-file directory ingest: JPEG/PNG files written to disk,
-# scanned distributed via binaryFile, kind sniffed from magic bytes in
-# pure Catalyst, ids from file stems, decoded by the engine's own
-# codecs. The blobs reuse the synth formulas (jpeg ids 9/10, png id
-# 11), so the oracle is the same golden/arithmetic rows.
+# Real media-file directory ingest: JPEG/PNG/GIF/BMP files written to
+# disk, scanned distributed via binaryFile, kind sniffed from magic
+# bytes in pure Catalyst, ids from file stems, decoded by the engine's
+# own codecs. The jpeg/png blobs reuse the synth formulas (ids 9/10/11
+# → same golden/arithmetic rows); gif id 12 and bmp id 13 are lossless
+# with fully arithmetic oracles.
 # ---------------------------------------------------------------------------
 @register(
     "media_dir_ingest",
@@ -679,6 +680,20 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*11 + 3) % 256 END), 6),
            ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*11 + 3) % 256 END), 6)
     FROM (SELECT unnest(generate_series(0, 20*30*3 - 1)) AS j) j
+    UNION ALL
+    -- GIF (lossless palette): gray pattern v = (i*7) % 256, all three
+    -- channel means equal
+    SELECT CAST(12 AS BIGINT), 'image',
+           ROUND(AVG((i.i*7) % 256), 6), ROUND(AVG((i.i*7) % 256), 6),
+           ROUND(AVG((i.i*7) % 256), 6)
+    FROM (SELECT unnest(generate_series(0, 18*22 - 1)) AS i) i
+    UNION ALL
+    -- BMP (lossless raw rows): interleaved pattern (j*5 + 1) % 256
+    SELECT CAST(13 AS BIGINT), 'image',
+           ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (j.j*5 + 1) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*5 + 1) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*5 + 1) % 256 END), 6)
+    FROM (SELECT unnest(generate_series(0, 14*19*3 - 1)) AS j) j
     """,
 )
 def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +715,25 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rgb = ((np.arange(20 * 30 * 3).reshape(20, 30, 3) * 11 + 3) % 256).astype(np.uint8)
     with open(os.path.join(d, "11.png"), "wb") as f:
         f.write(png_encode(rgb))
-    media = MM.media_table_from_dir(spark, d, glob="*.{jpg,png}")
+    from ome_arrow_spark.sources.gif_minimal import gif_encode
+
+    gray = ((np.arange(18 * 22).reshape(18, 22) * 7) % 256).astype(np.uint8)
+    with open(os.path.join(d, "12.gif"), "wb") as f:
+        f.write(gif_encode(np.stack([gray] * 3, axis=-1)))
+    import struct as _s
+
+    bgr = ((np.arange(14 * 19 * 3).reshape(14, 19, 3) * 5 + 1) % 256).astype(np.uint8)
+    stride = (19 * 3 + 3) & ~3
+    rows = b"".join(
+        bgr[y, :, ::-1].tobytes() + bytes(stride - 19 * 3)
+        for y in range(13, -1, -1)
+    )
+    bmp = (b"BM" + _s.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + _s.pack("<IiiHHIIiiII", 40, 19, 14, 1, 24, 0, len(rows),
+                     2835, 2835, 0, 0) + rows)
+    with open(os.path.join(d, "13.bmp"), "wb") as f:
+        f.write(bmp)
+    media = MM.media_table_from_dir(spark, d, glob="*.{jpg,png,gif,bmp}")
     feats = MM.media_features(media)
     r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
     return feats.select(
