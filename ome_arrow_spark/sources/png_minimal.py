@@ -4,9 +4,8 @@
 Decoder: 8- and 16-bit grayscale / grayscale+alpha / truecolor (RGB) /
 truecolor+alpha (RGBA), 8-bit palette (PLTE, with optional tRNS
 alpha), 1/2/4-bit grayscale and palette, all five scanline filters
-(None/Sub/Up/Average/Paeth), multi-IDAT streams, CRC validation.
-Adam7 interlace raises ``NotImplementedError`` (rare in archives;
-PIL takes over when installed).
+(None/Sub/Up/Average/Paeth), multi-IDAT streams, CRC validation,
+Adam7 interlace (pass-by-pass sub-image decode).
 
 Encoder: 8-bit grayscale / RGB / RGBA and 16-bit grayscale / RGB,
 per-scanline filter heuristic (minimum-sum-of-absolute-differences
@@ -34,6 +33,12 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type → samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grids: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -114,11 +119,34 @@ def _unpack_subbyte(row_bytes: np.ndarray, bit_depth: int, width: int) -> np.nda
     return vals[..., :width]
 
 
+def _scanlines_to_samples(
+    raw: bytes, pos: int, w: int, h: int, bit_depth: int, channels: int
+) -> tuple[np.ndarray, int]:
+    """Consume ``h`` filtered scanlines of a ``w``-wide (sub)image →
+    ``(h, w, channels)`` sample array + new offset."""
+    bits_pp = bit_depth * channels
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    need = h * (stride + 1)
+    if len(raw) - pos < need:
+        raise ValueError("corrupt PNG: IDAT size mismatch")
+    flat = _unfilter(raw[pos : pos + need], h, stride, bpp)
+    rows = np.frombuffer(bytes(flat), np.uint8).reshape(h, stride)
+    if bit_depth == 16:
+        arr = rows.reshape(h, -1).view(">u2").astype(np.uint16)
+        arr = arr.reshape(h, w, channels)
+    elif bit_depth == 8:
+        arr = rows.reshape(h, w, channels)
+    else:
+        arr = _unpack_subbyte(rows, bit_depth, w)[..., np.newaxis]
+    return arr, pos + need
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode PNG bytes → uint8/uint16 array ``(H, W)`` grayscale,
     ``(H, W, 2)`` gray+alpha, ``(H, W, 3)`` RGB, or ``(H, W, 4)``
     RGBA. Palette images come back expanded to RGB (or RGBA with
-    tRNS)."""
+    tRNS). Adam7-interlaced streams decode pass-by-pass."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream (bad signature)")
     pos = 8
@@ -150,8 +178,8 @@ def png_decode(data: bytes) -> np.ndarray:
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG: unknown compression/filter method")
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG needs PIL")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"corrupt PNG: color type {color_type}")
     channels = _CHANNELS[color_type]
@@ -160,22 +188,28 @@ def png_decode(data: bytes) -> np.ndarray:
     ):
         raise ValueError(f"invalid PNG bit depth {bit_depth} for color {color_type}")
     raw = zlib.decompress(bytes(idat))
-    bits_pp = bit_depth * channels
-    stride = (width * bits_pp + 7) // 8
-    bpp = max(1, bits_pp // 8)
-    if len(raw) != height * (stride + 1):
-        raise ValueError("corrupt PNG: IDAT size mismatch")
-    flat = _unfilter(raw, height, stride, bpp)
-    rows = np.frombuffer(bytes(flat), np.uint8).reshape(height, stride)
-    if bit_depth == 16:
-        arr = rows.reshape(height, -1).view(">u2").astype(np.uint16)
-        arr = arr.reshape(height, width, channels)
-    elif bit_depth == 8:
-        arr = rows.reshape(height, width, channels)
+    if interlace == 1:
+        dt = np.uint16 if bit_depth == 16 else np.uint8
+        arr = np.zeros((height, width, channels), dtype=dt)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            sub, pos = _scanlines_to_samples(
+                raw, pos, pw, ph, bit_depth, channels
+            )
+            arr[y0::ys, x0::xs] = sub
     else:
-        arr = _unpack_subbyte(rows, bit_depth, width)[..., np.newaxis]
-        if color_type == 0:  # scale sub-byte gray to full 8-bit range
-            arr = (arr * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        arr, pos = _scanlines_to_samples(
+            raw, 0, width, height, bit_depth, channels
+        )
+    if pos != len(raw):
+        raise ValueError("corrupt PNG: IDAT size mismatch")
+    if bit_depth < 8 and color_type == 0:
+        # scale sub-byte gray to the full 8-bit range
+        arr = (arr * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if color_type == 3:
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
