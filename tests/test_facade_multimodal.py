@@ -127,13 +127,23 @@ def test_media_table_from_dir(spark, tmp_path):
 
     g = ((np.arange(12 * 16) * 3) % 256).reshape(12, 16).astype(np.uint8)
     rgb = np.stack([g, 255 - g, g], axis=-1)
+    from ome_arrow_spark.sources.gif_minimal import gif_encode
+    from ome_arrow_spark.sources.wav_minimal import wav_encode
+
     d = str(tmp_path)
     open(os.path.join(d, "7.jpg"), "wb").write(jpeg_encode(rgb))
     open(os.path.join(d, "8.png"), "wb").write(png_encode(rgb))
     open(os.path.join(d, "9.bin"), "wb").write(b"\x00garbage")
+    open(os.path.join(d, "10.gif"), "wb").write(
+        gif_encode((rgb // 32 * 32).astype(np.uint8))
+    )
+    open(os.path.join(d, "11.wav"), "wb").write(
+        wav_encode(np.zeros(160, np.int16), 16000)
+    )
     media = MM.media_table_from_dir(spark, d)
     rows = {r["media_id"]: r["kind"] for r in media.collect()}
-    assert rows == {7: "image", 8: "image", 9: "unknown"}
+    assert rows == {7: "image", 8: "image", 9: "unknown",
+                    10: "image", 11: "audio"}
     feats = {
         r["media_id"]: r
         for r in MM.media_features(
