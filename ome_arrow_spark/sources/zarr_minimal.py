@@ -4,10 +4,11 @@ Real, spec-conformant stores with stdlib only (``json`` + ``zlib`` +
 ``gzip``): any zarr/ome-zarr client opens what this writes, and this
 reads what zarr-python writes for the baseline feature set.
 
-* **v2** (``.zgroup``/``.zarray``/``.zattrs``): C-order arrays,
-  ``zlib``/``gzip``/``blosc``(zlib inner codec + byte-shuffle)/raw
-  chunk compression, ``.``- or ``/``-separated chunk keys, edge-chunk
-  padding, NGFF 0.4 ``multiscales`` attrs.
+* **v2** (``.zgroup``/``.zarray``/``.zattrs``): C- or F-order arrays,
+  ``zlib``/``gzip``/``zstd``/``lz4``/``blosc``/raw chunk compression,
+  numcodecs ``delta``/``shuffle`` filter chains, ``.``- or
+  ``/``-separated chunk keys, edge-chunk padding, NGFF 0.4
+  ``multiscales`` attrs.
 * **v3** (``zarr.json`` + ``c/``-prefixed chunk keys): regular chunk
   grid, default chunk-key encoding, ``bytes`` (endian) + optional
   ``gzip`` codec chain, typed fill values, NGFF attributes under the
@@ -43,10 +44,9 @@ SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lz4")
 # Blosc1 frames (c-blosc 1.x wire format, README_HEADER.rst) — the
 # compressor nearly every wild OME-NGFF v2 store uses (zarr-python's
 # default is Blosc(zstd); the reference's exporter passes blosc
-# compressors straight to zarr, export.py:265-289). The zlib inner
-# codec + byte-shuffle filter is fully implementable with the stdlib;
-# blosclz/lz4/zstd inner codecs genuinely need the C libs and keep
-# gating on numcodecs.
+# compressors straight to zarr, export.py:265-289). zlib inner codecs
+# ride the stdlib; zstd/lz4/snappy ride pyarrow's bundled C codecs;
+# only blosclz (blosc's own LZ) keeps gating on numcodecs.
 #
 # Frame: 16-byte header (version, versionlz, flags, typesize, nbytes,
 # blocksize, cbytes LE) · uint32 block-start offsets · per-block
@@ -766,10 +766,35 @@ def read_zarr_array_v3(path: str) -> np.ndarray:
     return out
 
 
+def _apply_filters_inv(
+    raw: bytes, filters: list[dict[str, Any]], dtype: np.dtype
+) -> bytes:
+    """Undo a numcodecs v2 filter chain (applied encode-order, so
+    inverted in reverse): ``delta`` (cumulative sum over the flat
+    chunk) and ``shuffle`` (byte-shuffle with an explicit
+    elementsize). Anything else gates."""
+    for f in reversed(filters or []):
+        fid = f.get("id")
+        if fid == "delta":
+            dt = np.dtype(f.get("dtype", dtype.str))
+            arr = np.frombuffer(raw, dtype=dt)
+            raw = np.cumsum(arr, dtype=dt).astype(
+                np.dtype(f.get("astype", dt.str))
+            ).tobytes()
+        elif fid == "shuffle":
+            raw = _unshuffle_bytes(raw, int(f.get("elementsize", 4)))
+        else:
+            raise NotImplementedError(
+                f"zarr v2 filter {fid!r} needs the zarr/numcodecs packages"
+            )
+    return raw
+
+
 def read_zarr_array(path: str) -> np.ndarray:
     """Read a Zarr array directory written by this module or by
-    zarr-python — v2 (baseline subset: C-order, no filters,
-    raw/zlib/gzip) or v3 (dispatched to :func:`read_zarr_array_v3`)."""
+    zarr-python — v2 (C or F order, delta/shuffle filters,
+    raw/zlib/gzip/zstd/lz4/blosc) or v3 (dispatched to
+    :func:`read_zarr_array_v3`)."""
     if not os.path.exists(os.path.join(path, ZARRAY)) and os.path.exists(
         os.path.join(path, ZARR_JSON)
     ):
@@ -778,8 +803,10 @@ def read_zarr_array(path: str) -> np.ndarray:
         meta = json.load(f)
     if meta.get("zarr_format") != 2:
         raise NotImplementedError("only zarr v2/v3 arrays decode built-in")
-    if meta.get("order", "C") != "C" or meta.get("filters"):
-        raise NotImplementedError("F-order/filtered zarr arrays need the zarr package")
+    order = meta.get("order", "C")
+    if order not in ("C", "F"):
+        raise ValueError(f"malformed .zarray: order {order!r}")
+    filters = meta.get("filters") or []
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
@@ -800,7 +827,10 @@ def read_zarr_array(path: str) -> np.ndarray:
                 open(p, "rb").read(), comp,
                 out_size=int(np.prod(chunks)) * dtype.itemsize,
             )
-            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+            raw = _apply_filters_inv(raw, filters, dtype)
+            block = np.frombuffer(raw, dtype=dtype).reshape(
+                chunks, order=order
+            )
             sl = tuple(
                 slice(st, min(st + c, s)) for st, c, s in zip(starts, chunks, shape)
             )

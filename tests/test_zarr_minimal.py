@@ -508,3 +508,49 @@ def test_v2_zstd_and_lz4_numcodecs_framing(tmp_path):
             assert n == arr.nbytes
             got = bytes(pa.Codec("lz4_raw").decompress(blob[4:], decompressed_size=n))
             assert got == arr.tobytes()
+
+
+def test_v2_delta_and_shuffle_filters(tmp_path):
+    """numcodecs v2 filter chains: build chunks with Delta and Shuffle
+    applied encode-order by hand; the reader must invert in reverse."""
+    import struct as _s
+
+    from ome_arrow_spark.sources.zarr_minimal import _shuffle_bytes
+
+    arr = (np.arange(48, dtype="<i4") * 7).reshape(6, 8)
+    p = str(tmp_path / "filt")
+    os.makedirs(p)
+    delta = np.diff(arr.ravel(), prepend=arr.ravel()[:1]).astype("<i4")
+    blob = zlib.compress(_shuffle_bytes(delta.tobytes(), 4))
+    meta = {
+        "zarr_format": 2, "shape": [6, 8], "chunks": [6, 8],
+        "dtype": "<i4", "order": "C",
+        "compressor": {"id": "zlib", "level": 1},
+        "filters": [{"id": "delta", "dtype": "<i4"},
+                    {"id": "shuffle", "elementsize": 4}],
+        "fill_value": 0,
+    }
+    json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    open(os.path.join(p, "0.0"), "wb").write(blob)
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
+    # unknown filters still gate
+    meta["filters"] = [{"id": "quantize"}]
+    json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="quantize"):
+        read_zarr_array(p)
+
+
+def test_v2_fortran_order(tmp_path):
+    arr = np.arange(24, dtype="<u2").reshape(4, 6)
+    p = str(tmp_path / "forder")
+    os.makedirs(p)
+    meta = {
+        "zarr_format": 2, "shape": [4, 6], "chunks": [4, 6],
+        "dtype": "<u2", "order": "F", "compressor": None,
+        "filters": None, "fill_value": 0,
+    }
+    json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
+    open(os.path.join(p, "0.0"), "wb").write(
+        np.asfortranarray(arr).tobytes(order="F")
+    )
+    np.testing.assert_array_equal(read_zarr_array(p), arr)
