@@ -185,6 +185,21 @@ def main() -> None:
     total += ome_s
     print(f"# ometiff_ingest_100x512: {ome_s:.3f}s ({ome_rate:.1f} img/s)", file=sys.stderr)
 
+    # Steady-state ingest: 100 images under-amortize job-level fixed
+    # cost (scan planning + stage scheduling, ~0.7 s on this box and
+    # ambient-load dependent — the r3→r5 100-image swings of 181→106→128
+    # img/s were this constant moving, not the decode path). 800 images
+    # hold the fixed cost to <15% of wall, so this metric tracks the
+    # MARGINAL per-image cost that determines 100 TB behavior
+    # (measured ~5 ms/img wall on local[32]).
+    steady_s, steady_rate = bench_tiff_ingest(spark, n_images=800)
+    times["tiff_ingest_steady_800"] = round(steady_s, 4)
+    total += steady_s
+    print(
+        f"# tiff_ingest_steady_800: {steady_s:.3f}s ({steady_rate:.1f} img/s)",
+        file=sys.stderr,
+    )
+
     zarr_s, zarr_rate = bench_zarr_ingest(spark)
     times["zarr_ingest_30x512"] = round(zarr_s, 4)
     total += zarr_s
@@ -199,6 +214,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "tiff_ingest_images_per_sec": round(ingest_rate, 2),
+                "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
             }
         )
     )
