@@ -1,0 +1,670 @@
+"""Atomic transaction-log table format over plain parquet.
+
+The reference keeps one parquet file per image and delegates table
+semantics to the filesystem (export.py:377-422); this engine's
+``upsert_ome_parquet`` / ``compact_ome_parquet`` (ome_parquet.py)
+upgraded that to crash-safe staged-swap MERGE-by-rewrite.  This module
+closes the remaining gap (README "Table format" design note) with a
+self-contained Delta/Iceberg-style commit log — no external library —
+so table mutations are **atomic**, readers get **snapshot isolation**
+and **time travel**, and scans get **manifest-based file skipping**
+instead of directory listing:
+
+* ``_ome_log/{version:020d}.json`` — one JSON commit per version with
+  ``add`` / ``remove`` file actions.  Commits are published with an
+  atomic hard-link (``os.link`` fails with EEXIST if the version is
+  taken), which is exactly optimistic concurrency control: two racing
+  writers serialize, the loser raises :class:`ConcurrentCommit` and
+  can retry on the new snapshot.  On an object store this maps to a
+  conditional PUT (S3 ``If-None-Match``) or a commit service — the
+  protocol is unchanged.
+* Data files are immutable and uniquely named
+  (``part-{version}-{seq}-{token}.parquet``); a "delete" is a log
+  action, not an ``unlink``, so every historical snapshot stays
+  readable until :func:`vacuum_table` reclaims unreferenced files.
+* Each ``add`` carries row count, byte size, and per-column min/max /
+  null-count harvested from the parquet **footer** (no data scan).
+  :func:`read_table` prunes files against a predicate before Spark
+  ever lists them — at 100 TB on object storage this manifest pruning
+  is the single biggest scan-planning win (no O(files) LIST, no
+  footer fetch for skipped files).
+* Every ``CHECKPOINT_EVERY``-th commit also writes a checkpoint (the
+  fully-replayed live-file set), so snapshot resolution reads one
+  checkpoint + a bounded log suffix instead of replaying the whole
+  history — commit count no longer degrades planning.
+
+MERGE (:func:`upsert_table`) rewrites only the files whose key
+min/max range can contain an update key; untouched files are carried
+by reference.  That is the Delta ``MERGE INTO`` file-pruning shape:
+cost scales with the touched fraction of the table, not table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any, Iterable, Sequence
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_ome_log"
+CHECKPOINT_EVERY = 10
+# Columns of these Spark types get min/max stats in the manifest.
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    T.BooleanType,
+)
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer committed this version first — reload and retry."""
+
+
+class TableLogError(RuntimeError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(os.path.abspath(table), LOG_DIR)
+
+
+def _version_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:020d}.json")
+
+
+def _checkpoint_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:020d}.checkpoint.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            stem = name[: -len(".json")]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def current_version(table: str) -> int | None:
+    versions = _list_versions(table)
+    return versions[-1] if versions else None
+
+
+def _atomic_publish(tmp: str, final: str) -> None:
+    """Create-if-absent publish: hard-link then unlink the temp name.
+    ``os.link`` is atomic and fails with EEXIST when the version was
+    taken by a racing writer — the optimistic-concurrency primitive."""
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommit(
+            f"version file {os.path.basename(final)} already committed"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
+    log = _log_path(table)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(entry, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    _atomic_publish(tmp, _version_file(table, version))
+    if version % CHECKPOINT_EVERY == 0 and version > 0:
+        # Checkpoints are derived state: best-effort, never raced over
+        # (a duplicate write produces identical content).
+        snap = _resolve_snapshot(table, version, _replay=True)
+        with open(_checkpoint_file(table, version) + ".tmp", "w") as f:
+            json.dump(snap, f, separators=(",", ":"))
+        os.replace(
+            _checkpoint_file(table, version) + ".tmp",
+            _checkpoint_file(table, version),
+        )
+
+
+def _read_entry(table: str, version: int) -> dict[str, Any]:
+    with open(_version_file(table, version)) as f:
+        return json.load(f)
+
+
+def _resolve_snapshot(
+    table: str, version: int | None = None, _replay: bool = False
+) -> dict[str, Any]:
+    """Live state at ``version`` (default: latest): schema JSON, table
+    properties, and the live ``add`` actions keyed by relative path.
+    Reads the newest checkpoint ≤ version and replays only the log
+    suffix, so resolution cost is bounded by ``CHECKPOINT_EVERY``."""
+    versions = _list_versions(table)
+    if not versions:
+        raise TableLogError(f"not a log table (no {LOG_DIR}): {table}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise TableLogError(f"version {version} does not exist in {table}")
+
+    start = 0
+    state: dict[str, Any] = {"schema": None, "properties": {}, "files": {}}
+    if not _replay:
+        for v in sorted(versions, reverse=True):
+            if v <= version and os.path.exists(_checkpoint_file(table, v)):
+                with open(_checkpoint_file(table, v)) as f:
+                    state = json.load(f)
+                start = v + 1
+                break
+    for v in versions:
+        if v < start or v > version:
+            continue
+        entry = _read_entry(table, v)
+        if entry.get("schema"):
+            state["schema"] = entry["schema"]
+        if entry.get("properties"):
+            state["properties"].update(entry["properties"])
+        for action in entry["actions"]:
+            if "add" in action:
+                state["files"][action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                state["files"].pop(action["remove"]["path"], None)
+    state["version"] = version
+    return state
+
+
+def table_history(table: str) -> list[dict[str, Any]]:
+    """One row per commit: version, operation, counts."""
+    out = []
+    for v in _list_versions(table):
+        e = _read_entry(table, v)
+        adds = sum(1 for a in e["actions"] if "add" in a)
+        removes = sum(1 for a in e["actions"] if "remove" in a)
+        out.append(
+            {
+                "version": v,
+                "operation": e.get("operation", "unknown"),
+                "added_files": adds,
+                "removed_files": removes,
+                "added_rows": sum(
+                    a["add"].get("rows", 0) for a in e["actions"] if "add" in a
+                ),
+            }
+        )
+    return out
+
+
+def table_properties(table: str) -> dict[str, str]:
+    return dict(_resolve_snapshot(table)["properties"])
+
+
+# ---------------------------------------------------------------------------
+# Data-file writing + footer stats
+# ---------------------------------------------------------------------------
+
+
+def _stats_columns(schema: T.StructType) -> list[str]:
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)
+    ]
+
+
+def _json_safe(v: Any, direction: int = 0) -> Any:
+    """JSON-encodable stat value.  Dates/timestamps become ISO strings
+    (lexicographic order == temporal order, so pruning literals are
+    ISO strings too); decimals become floats widened OUTWARD by one
+    ulp in ``direction`` (-1 for a min, +1 for a max) so the stored
+    range remains a valid bound after rounding."""
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, direction * math.inf) if direction else f
+    if isinstance(v, bytes):
+        return None  # binary min/max not useful for pruning
+    return v
+
+
+def _footer_stats(path: str, columns: Sequence[str]) -> dict[str, Any]:
+    """Per-file stats from the parquet footer only — no data pages are
+    read.  (On a cluster these would be harvested executor-side during
+    the write and shipped back through the commit — the numbers are
+    identical because they come from the same footers.)"""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+    stats: dict[str, dict[str, Any]] = {}
+    for col in columns:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        mins, maxs, nulls = [], [], 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mins.append(s.min)
+            maxs.append(s.max)
+            nulls += s.null_count or 0
+        if ok and mins:
+            stats[col] = {
+                "min": _json_safe(min(mins), -1),
+                "max": _json_safe(max(maxs), +1),
+                "nulls": nulls,
+            }
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "columns": stats,
+    }
+
+
+def _write_data_files(
+    df: DataFrame, table: str, version: int
+) -> list[dict[str, Any]]:
+    """Write ``df`` as immutable uniquely-named parquet files inside
+    the table directory and return their ``add`` actions.  The Spark
+    job lands in a staging dir first; files are then renamed in (same
+    filesystem, so renames are metadata-only).  A crash before commit
+    leaves only unreferenced files, which vacuum reclaims — readers
+    are never exposed to a partial write."""
+    table = os.path.abspath(table)
+    os.makedirs(table, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, f".staging-{token}")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+    cols = _stats_columns(df.schema)
+    adds: list[dict[str, Any]] = []
+    try:
+        parts = sorted(
+            n for n in os.listdir(staging) if n.endswith(".parquet")
+        )
+        for i, name in enumerate(parts):
+            final = f"part-{version:08d}-{i:05d}-{token}.parquet"
+            os.rename(os.path.join(staging, name), os.path.join(table, final))
+            adds.append({"path": final, **_footer_stats(os.path.join(table, final), cols)})
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _check_schema(df: DataFrame, snap: dict[str, Any], table: str) -> None:
+    want = T.StructType.fromJson(json.loads(snap["schema"]))
+    got = df.schema
+    if {(f.name, f.dataType.simpleString()) for f in want.fields} != {
+        (f.name, f.dataType.simpleString()) for f in got.fields
+    }:
+        raise TableLogError(
+            f"schema mismatch writing to {table}: table has "
+            f"{want.simpleString()}, dataframe has {got.simpleString()}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Write operations
+# ---------------------------------------------------------------------------
+
+
+def create_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    properties: dict[str, str] | None = None,
+    overwrite: bool = False,
+) -> int:
+    """Commit version 0: data files + schema + table properties (the
+    idiomatic carrier for the reference's ``ome.arrow.type/version``
+    parquet key-value tags, export.py:405-414, at table scale)."""
+    if current_version(table) is not None:
+        if not overwrite:
+            raise TableLogError(f"table already exists: {table}")
+        shutil.rmtree(table, ignore_errors=True)
+    adds = _write_data_files(df, table, 0)
+    _commit(
+        table,
+        0,
+        {
+            "version": 0,
+            "operation": "create",
+            "schema": df.schema.json(),
+            "properties": dict(properties or {}),
+            "actions": [{"add": a} for a in adds],
+        },
+    )
+    return 0
+
+
+def append_table(spark: SparkSession, df: DataFrame, table: str) -> int:
+    """Atomic append: new files + one commit; never rewrites data."""
+    snap = _resolve_snapshot(table)
+    _check_schema(df, snap, table)
+    version = snap["version"] + 1
+    adds = _write_data_files(df, table, version)
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "append",
+            "actions": [{"add": a} for a in adds],
+        },
+    )
+    return version
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    key: str,
+) -> int:
+    """MERGE by key with manifest pruning: only files whose footer
+    ``[min,max]`` range on ``key`` can contain an update key are
+    rewritten (kept-rows anti-join ∪ updates); every other file is
+    carried by reference.  Over-selection is harmless (non-matching
+    rows survive the anti-join); under-selection cannot happen because
+    any matching key is inside its file's min/max.  Cost scales with
+    the touched fraction of the table, not table size — the Delta
+    ``MERGE INTO`` shape (README design note, item 1)."""
+    snap = _resolve_snapshot(table)
+    _check_schema(updates, snap, table)
+    version = snap["version"] + 1
+
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    # Same encoding as the stored stats, so comparisons are type-safe.
+    lo, hi = _json_safe(bounds["lo"], -1), _json_safe(bounds["hi"], +1)
+
+    touched: list[str] = []
+    carried: list[str] = []
+    for path, add in snap["files"].items():
+        st = add.get("columns", {}).get(key)
+        if lo is None:  # empty updates: nothing can match
+            carried.append(path)
+        elif st is None or st["min"] is None:
+            touched.append(path)  # no stats → must assume overlap
+        elif st["max"] < lo or st["min"] > hi:
+            carried.append(path)
+        else:
+            touched.append(path)
+
+    actions: list[dict[str, Any]] = []
+    if touched:
+        existing = spark.read.schema(
+            T.StructType.fromJson(json.loads(snap["schema"]))
+        ).parquet(*[os.path.join(table, p) for p in touched])
+        kept = existing.join(
+            updates.select(F.col(key).alias("__uk")).distinct(),
+            existing[key] == F.col("__uk"),
+            "left_anti",
+        )
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    if lo is not None or touched:
+        adds = _write_data_files(merged, table, version)
+        actions += [{"add": a} for a in adds]
+        actions += [{"remove": {"path": p}} for p in touched]
+    _commit(
+        table,
+        version,
+        {"version": version, "operation": "upsert", "actions": actions},
+    )
+    return version
+
+
+def delete_from_table(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    prune_predicates: Iterable[tuple[str, str, Any]] | None = None,
+) -> int:
+    """Delete rows matching a SQL ``predicate``.  When the caller also
+    supplies the predicate's stats-checkable conjuncts as
+    ``prune_predicates`` (same ``(col, op, literal)`` form as
+    :func:`read_table`), files whose footer stats prove they contain
+    NO matching row are carried by reference untouched; only the
+    surviving candidates are rewritten with the predicate inverted."""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    touched = _prune(snap["files"], prune_predicates)
+    actions: list[dict[str, Any]] = []
+    if touched:
+        existing = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in touched]
+        )
+        remaining = existing.filter(f"NOT ({predicate})")
+        adds = _write_data_files(remaining, table, version)
+        actions += [{"add": a} for a in adds]
+        actions += [{"remove": {"path": p}} for p in touched]
+    _commit(
+        table,
+        version,
+        {"version": version, "operation": "delete", "actions": actions},
+    )
+    return version
+
+
+def compact_table(
+    spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction as a metadata swap: rewrite the live set
+    into ~``target_bytes`` files, commit remove(old)+add(new).  Readers
+    on older snapshots are unaffected (old files stay until vacuum)."""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    files = list(snap["files"])
+    total = sum(a.get("bytes", 0) for a in snap["files"].values())
+    n = max(1, -(-total // target_bytes))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in files]
+    )
+    adds = _write_data_files(df.repartition(n), table, version)
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "compact",
+            "actions": [{"add": a} for a in adds]
+            + [{"remove": {"path": p}} for p in files],
+        },
+    )
+    return version
+
+
+# ---------------------------------------------------------------------------
+# Read path
+# ---------------------------------------------------------------------------
+
+_OPS = ("<=", ">=", "=", "<", ">")
+
+
+def _prune(
+    files: dict[str, dict[str, Any]],
+    predicates: Iterable[tuple[str, str, Any]] | None,
+) -> list[str]:
+    """Manifest file skipping: drop a file only when its footer stats
+    PROVE no row can satisfy an AND-ed ``(column, op, literal)``
+    conjunct; missing stats keep the file (conservative)."""
+    if not predicates:
+        return list(files)
+    out = []
+    for path, add in files.items():
+        keep = True
+        for col, op, lit in predicates:
+            if op not in _OPS:
+                raise TableLogError(f"unsupported prune op: {op}")
+            st = add.get("columns", {}).get(col)
+            if st is None or st["min"] is None or st["max"] is None:
+                continue
+            lo, hi = st["min"], st["max"]
+            if (
+                (op == "=" and (lit < lo or lit > hi))
+                or (op in ("<", "<=") and (lo > lit or (op == "<" and lo == lit)))
+                or (op in (">", ">=") and (hi < lit or (op == ">" and hi == lit)))
+            ):
+                keep = False
+                break
+        if keep:
+            out.append(path)
+    return out
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    predicates: Iterable[tuple[str, str, Any]] | None = None,
+) -> DataFrame:
+    """Snapshot read (optionally time-traveled to ``version``) with
+    manifest pruning.  The returned plan scans ONLY the surviving
+    files — Spark never lists the directory, so planning cost is
+    O(log suffix), not O(files); parquet row-group pushdown still
+    applies inside each file.  ``predicates`` prune files; they do NOT
+    filter rows — apply the same condition with ``.filter`` on the
+    result (see ``table_prune_scan`` for the composed idiom)."""
+    snap = _resolve_snapshot(table, version)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    live = _prune(snap["files"], predicates)
+    if not live:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in live]
+    )
+
+
+def pruned_file_count(
+    table: str,
+    predicates: Iterable[tuple[str, str, Any]] | None = None,
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(surviving, total) live-file counts for a predicate — the
+    observable for pruning tests and skew/cost reports."""
+    snap = _resolve_snapshot(table, version)
+    return len(_prune(snap["files"], predicates)), len(snap["files"])
+
+
+# ---------------------------------------------------------------------------
+# OME images on the log
+# ---------------------------------------------------------------------------
+
+
+def create_ome_table(
+    spark: SparkSession,
+    images: DataFrame,
+    table: str,
+    column: str = "ome_arrow",
+    overwrite: bool = False,
+) -> int:
+    """OME images table on the commit log.  The reference's
+    ``ome.arrow.type``/``ome.arrow.version`` parquet file tags
+    (export.py:405-414) ride as TABLE PROPERTIES — set once in the
+    log, survive every rewrite, no per-file sidecar.  ``image_id`` is
+    lifted to a top-level column so the manifest carries min/max id
+    stats per file and :func:`upsert_ome_table` merges touch only the
+    files whose id range overlaps the batch."""
+    from ome_arrow_spark.meta import (
+        META_KEY_TYPE,
+        META_KEY_VERSION,
+        OME_ARROW_TYPE,
+        OME_ARROW_VERSION,
+    )
+
+    flat = images.select(
+        F.col(f"{column}.id").alias("image_id"), F.col(column)
+    )
+    return create_table(
+        spark,
+        flat,
+        table,
+        properties={
+            META_KEY_TYPE: OME_ARROW_TYPE,
+            META_KEY_VERSION: OME_ARROW_VERSION,
+        },
+        overwrite=overwrite,
+    )
+
+
+def upsert_ome_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    column: str = "ome_arrow",
+) -> int:
+    flat = updates.select(
+        F.col(f"{column}.id").alias("image_id"), F.col(column)
+    )
+    return upsert_table(spark, flat, table, key="image_id")
+
+
+def read_ome_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    image_ids: Sequence[str] | None = None,
+    column: str = "ome_arrow",
+) -> DataFrame:
+    """Snapshot read of the images table; an ``image_ids`` point-lookup
+    list prunes files by id range before the scan."""
+    preds = None
+    if image_ids:
+        preds = [
+            ("image_id", ">=", min(image_ids)),
+            ("image_id", "<=", max(image_ids)),
+        ]
+    df = read_table(spark, table, version=version, predicates=preds)
+    if image_ids:
+        df = df.filter(F.col("image_id").isin(list(image_ids)))
+    return df.select(column)
+
+
+def vacuum_table(table: str, keep_versions: int = 1) -> list[str]:
+    """Reclaim data files referenced by NO retained snapshot (the last
+    ``keep_versions`` versions stay readable; earlier time travel is
+    given up).  Orphans from crashed pre-commit writes are removed by
+    the same sweep.  Returns the deleted file names."""
+    table = os.path.abspath(table)
+    versions = _list_versions(table)
+    if not versions:
+        raise TableLogError(f"not a log table: {table}")
+    keep = versions[-max(1, keep_versions):]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_resolve_snapshot(table, v)["files"])
+    deleted = []
+    for name in os.listdir(table):
+        if name == LOG_DIR or name in referenced:
+            continue
+        full = os.path.join(table, name)
+        if name.startswith(".staging-"):
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(name)
+        elif name.endswith(".parquet"):
+            os.unlink(full)
+            deleted.append(name)
+    return sorted(deleted)

@@ -83,8 +83,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_distinct", "dedup_exact", "neardup_lsh", "near_dedup_full",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
     "kmeans_embeddings", "dedup_components", "decontamination",
-    "stream_tumbling", "ome_describe",
-    "ome_slice_crop", "ome_stack_ingest", "ome_zarr_v3_roundtrip",
+    "stream_tumbling",
+    # round-6 transaction-log table format (first driver rows; replaces
+    # three r4-green OME re-verification slots — ome_describe,
+    # ome_slice_crop, ome_stack_ingest keep their driver-prior rows)
+    "table_log_merge", "table_time_travel", "ome_table_log",
+    "ome_zarr_v3_roundtrip",
 )
 
 

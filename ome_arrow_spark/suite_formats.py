@@ -279,3 +279,171 @@ def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("o_custkey"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log table format (sources/table_log.py): the same CDC
+# content as merge_incremental but executed AGAINST THE REAL ON-DISK
+# LOG — create (v0, range-partitioned files), append (v1), MERGE with
+# manifest key-range pruning (v2) — then aggregated from the committed
+# current snapshot. Hash-matching the from-orders oracle proves the
+# commit protocol, file-action replay, and pruned rewrite reproduce
+# exact MERGE semantics.
+# ---------------------------------------------------------------------------
+def _build_log_table(spark: SparkSession, sf_dir: str) -> str:
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "tlog")
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    hit = F.col("o_orderkey") % 101 == 0
+    ins = base.filter(hit).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    upd = base.filter(hit).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    tl.create_table(
+        spark,
+        base.repartitionByRange(8, "o_orderkey"),
+        path,
+        overwrite=True,
+    )
+    tl.append_table(spark, ins.coalesce(1), path)
+    tl.upsert_table(spark, upd, path, key="o_orderkey")
+    return path
+
+
+_TLOG_MERGED_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 0),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
+             o_totalprice
+      FROM base WHERE o_orderkey % 101 = 0),
+    upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM base WHERE o_orderkey % 101 = 0),
+    merged AS (
+      SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM upd)
+"""
+
+
+@register(
+    "table_log_merge",
+    _TLOG_MERGED_SQL
+    + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def table_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _build_log_table(spark, sf_dir)
+    cur = tl.read_table(spark, path)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# Time travel: the SAME query at version 0 (pre-append, pre-merge) and
+# at the current version out of one log — snapshot isolation made
+# observable. The oracle derives both states independently from orders.
+@register(
+    "table_time_travel",
+    _TLOG_MERGED_SQL
+    + """
+    SELECT * FROM (
+      SELECT 0 AS version, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      FROM base
+      UNION ALL
+      SELECT 2 AS version, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      FROM merged)
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _build_log_table(spark, sf_dir)
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(version).alias("version"), "n", "sum_price")
+
+    return _agg(tl.read_table(spark, path, version=0), 0).unionByName(
+        _agg(tl.read_table(spark, path), 2)
+    )
+
+
+# OME images on the log: ome.arrow.* tags as TABLE PROPERTIES, image_id
+# lifted for manifest stats, one create + one upsert (replace z-series,
+# insert multi-channel), then per-image plane counts and the
+# first-plane pixel sum from the committed snapshot. The oracle
+# re-derives the sums arithmetically from the FIXTURES.md pixel
+# formula ((base + i) % 65536 with base 0 for the t0/c0/z0 plane).
+@register(
+    "ome_table_log",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(i.i % 65536) AS BIGINT) AS psum
+      FROM (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i)
+    SELECT * FROM (
+      SELECT 'multi-channel' AS image_id, CAST(3 AS INT) AS n_planes,
+             psum AS first_plane_sum FROM s
+      UNION ALL SELECT 'single-channel', CAST(1 AS INT), psum FROM s
+      UNION ALL SELECT 'z-series', CAST(5 AS INT), psum FROM s)
+    """,
+)
+def ome_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark import synth
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "ome_tlog")
+    tl.create_ome_table(
+        spark,
+        synth.golden_images_df(
+            spark, ids=["z-series", "single-channel"], include_conftest=False
+        ),
+        path,
+        overwrite=True,
+    )
+    tl.upsert_ome_table(
+        spark,
+        synth.golden_images_df(
+            spark, ids=["multi-channel", "z-series"], include_conftest=False
+        ),
+        path,
+    )
+    imgs = tl.read_ome_table(spark, path)
+    return imgs.select(
+        F.col("ome_arrow.id").alias("image_id"),
+        F.size("ome_arrow.planes").alias("n_planes"),
+        F.aggregate(
+            F.element_at("ome_arrow.planes", 1).pixels,
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("first_plane_sum"),
+    )

@@ -1,0 +1,290 @@
+"""Transaction-log table format (sources/table_log.py): atomic
+commits, snapshot isolation + time travel, manifest file skipping,
+MERGE pruning, compaction, vacuum, and the OME-table property carrier
+(reference export.py:405-414 tags at table scale)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.sources import table_log as tl
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+@pytest.fixture(scope="module")
+def ome_images_df(spark):
+    from ome_arrow_spark import synth
+
+    return synth.golden_images_df(
+        spark, ids=["z-series", "single-channel", "multi-channel"]
+    )
+
+
+def _base(spark, n=1000):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("row-"), F.format_string("%06d", F.col("id"))).alias(
+            "s"
+        ),
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestCommitProtocol:
+    def test_create_read_roundtrip(self, spark, tdir):
+        df = _base(spark).repartition(4)
+        assert tl.create_table(spark, df, tdir) == 0
+        assert _sorted(tl.read_table(spark, tdir)) == _sorted(df)
+        assert tl.current_version(tdir) == 0
+
+    def test_create_refuses_existing(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        with pytest.raises(tl.TableLogError, match="already exists"):
+            tl.create_table(spark, _base(spark, 10), tdir)
+        tl.create_table(spark, _base(spark, 5), tdir, overwrite=True)
+        assert tl.read_table(spark, tdir).count() == 5
+
+    def test_concurrent_commit_loses_cleanly(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        # Simulate a racing writer that claimed version 1 first.
+        with open(tl._version_file(tdir, 1), "w") as f:
+            json.dump({"version": 1, "operation": "append", "actions": []}, f)
+        with pytest.raises(tl.ConcurrentCommit):
+            tl._commit(tdir, 1, {"version": 1, "operation": "x", "actions": []})
+        # The loser's temp file is cleaned up; log dir has no .tmp-*.
+        assert not [
+            n
+            for n in os.listdir(tl._log_path(tdir))
+            if n.startswith(".tmp-")
+        ]
+
+    def test_partial_write_invisible_to_readers(self, spark, tdir):
+        """Files landed before a crash (no commit) are ignored by reads
+        and reclaimed by vacuum."""
+        tl.create_table(spark, _base(spark, 100), tdir)
+        orphan = os.path.join(tdir, "part-99999999-00000-deadbeef.parquet")
+        _base(spark, 7).coalesce(1).write.mode("overwrite").parquet(
+            orphan + ".dir"
+        )
+        part = next(
+            n for n in os.listdir(orphan + ".dir") if n.endswith(".parquet")
+        )
+        os.rename(os.path.join(orphan + ".dir", part), orphan)
+        shutil.rmtree(orphan + ".dir")
+        assert tl.read_table(spark, tdir).count() == 100
+        deleted = tl.vacuum_table(tdir)
+        assert os.path.basename(orphan) in deleted
+        assert tl.read_table(spark, tdir).count() == 100
+
+
+class TestSnapshots:
+    def test_append_and_time_travel(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100), tdir)
+        tl.append_table(spark, _base(spark, 150).filter("k >= 100"), tdir)
+        assert tl.read_table(spark, tdir, version=0).count() == 100
+        assert tl.read_table(spark, tdir, version=1).count() == 150
+        assert tl.read_table(spark, tdir).count() == 150
+
+    def test_append_schema_enforced(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        bad = spark.range(5).select(F.col("id").alias("k"))
+        with pytest.raises(tl.TableLogError, match="schema mismatch"):
+            tl.append_table(spark, bad, tdir)
+
+    def test_history(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(2), tdir)
+        tl.append_table(spark, _base(spark, 110).filter("k >= 100").coalesce(1), tdir)
+        hist = tl.table_history(tdir)
+        assert [h["operation"] for h in hist] == ["create", "append"]
+        assert hist[0]["added_files"] == 2
+        assert hist[1]["added_rows"] == 10
+
+    def test_checkpoint_resolution(self, spark, tdir):
+        """Past CHECKPOINT_EVERY commits, snapshot resolution reads the
+        checkpoint + suffix and still matches a full replay."""
+        tl.create_table(spark, _base(spark, 20).coalesce(1), tdir)
+        for i in range(12):
+            tl.append_table(
+                spark,
+                spark.range(100 + i, 101 + i).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 2).alias("v"),
+                    F.lit(f"app-{i}").alias("s"),
+                ).coalesce(1),
+                tdir,
+            )
+        assert os.path.exists(tl._checkpoint_file(tdir, tl.CHECKPOINT_EVERY))
+        fast = tl._resolve_snapshot(tdir)
+        full = tl._resolve_snapshot(tdir, tl.current_version(tdir), _replay=True)
+        assert fast["files"].keys() == full["files"].keys()
+        assert tl.read_table(spark, tdir).count() == 32
+
+
+class TestMerge:
+    def test_upsert_values_and_inserts(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 1000).repartition(8), tdir)
+        upd = spark.range(0, 30).union(spark.range(2000, 2010)).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+            F.lit("upd").alias("s"),
+        )
+        tl.upsert_table(spark, upd, tdir, key="k")
+        cur = tl.read_table(spark, tdir)
+        assert cur.count() == 1010
+        assert cur.filter("v = -1").count() == 40
+        # untouched rows intact
+        assert _sorted(cur.filter("k >= 30 AND k < 2000")) == _sorted(
+            _base(spark, 1000).filter("k >= 30")
+        )
+
+    def test_upsert_prunes_disjoint_files(self, spark, tdir):
+        """Range-partitioned files disjoint from the update key range
+        are carried by reference, not rewritten."""
+        base = _base(spark, 1000).repartitionByRange(10, "k")
+        tl.create_table(spark, base, tdir)
+        before = set(tl._resolve_snapshot(tdir)["files"])
+        upd = spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("v"),
+            F.lit("u").alias("s"),
+        )
+        tl.upsert_table(spark, upd, tdir, key="k")
+        entry = tl._read_entry(tdir, 1)
+        removed = {
+            a["remove"]["path"] for a in entry["actions"] if "remove" in a
+        }
+        # only the file(s) covering k∈[0,5) were rewritten
+        assert 1 <= len(removed) <= 2
+        assert removed < before
+        assert tl.read_table(spark, tdir).count() == 1000
+
+    def test_empty_update_batch(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 50), tdir)
+        tl.upsert_table(
+            spark, _base(spark, 50).filter("k < 0"), tdir, key="k"
+        )
+        assert tl.read_table(spark, tdir).count() == 50
+        assert tl.table_history(tdir)[-1]["removed_files"] == 0
+
+    def test_delete_with_pruning(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark, 1000).repartitionByRange(10, "k"), tdir
+        )
+        tl.delete_from_table(
+            spark, tdir, "k >= 900", prune_predicates=[("k", ">=", 900)]
+        )
+        cur = tl.read_table(spark, tdir)
+        assert cur.count() == 900
+        assert cur.agg(F.max("k")).collect()[0][0] == 899
+        entry = tl._read_entry(tdir, 1)
+        removed = [a for a in entry["actions"] if "remove" in a]
+        assert 1 <= len(removed) <= 2  # only the tail file(s) rewritten
+
+
+class TestPruning:
+    def test_stats_prune_matches_full_filter(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark, 1000).repartitionByRange(10, "k"), tdir
+        )
+        pruned = tl.read_table(
+            spark, tdir, predicates=[("k", ">=", 250), ("k", "<", 400)]
+        ).filter("k >= 250 AND k < 400")
+        full = tl.read_table(spark, tdir).filter("k >= 250 AND k < 400")
+        assert _sorted(pruned) == _sorted(full)
+        surviving, total = tl.pruned_file_count(
+            tdir, [("k", ">=", 250), ("k", "<", 400)]
+        )
+        assert total == 10 and surviving <= 3
+
+    def test_string_stats_prune(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark, 1000).repartitionByRange(10, "s"), tdir
+        )
+        surviving, total = tl.pruned_file_count(
+            tdir, [("s", "=", "row-000500")]
+        )
+        assert total == 10 and surviving == 1
+
+    def test_boundary_ops_conservative(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark, 100).repartitionByRange(4, "k"), tdir
+        )
+        for op, lit, expect_rows in [
+            ("<", 0, 0), ("<=", 0, 1), (">", 99, 0), (">=", 99, 1),
+            ("=", 50, 1),
+        ]:
+            df = tl.read_table(spark, tdir, predicates=[("k", op, lit)])
+            got = df.filter(f"k {'==' if op == '=' else op} {lit}").count()
+            assert got == expect_rows, (op, lit)
+
+    def test_missing_stats_keep_file(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10).coalesce(1), tdir)
+        snap = tl._resolve_snapshot(tdir)
+        # array columns / stats-less files must never be pruned away
+        assert tl._prune(
+            {"f": {"columns": {}}}, [("k", "=", 5)]
+        ) == ["f"]
+        assert len(tl._prune(snap["files"], [("missing_col", "=", 1)])) == 1
+
+
+class TestMaintenance:
+    def test_compact_then_vacuum(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 500).repartition(16), tdir)
+        tl.compact_table(spark, tdir)
+        _, total = tl.pruned_file_count(tdir)
+        assert total == 1
+        # old snapshot still readable before vacuum
+        assert tl.read_table(spark, tdir, version=0).count() == 500
+        deleted = tl.vacuum_table(tdir, keep_versions=1)
+        assert len(deleted) == 16
+        assert tl.read_table(spark, tdir).count() == 500
+
+    def test_vacuum_keeps_retained_versions(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
+        tl.compact_table(spark, tdir)
+        assert tl.vacuum_table(tdir, keep_versions=2) == []
+        assert tl.read_table(spark, tdir, version=0).count() == 100
+
+
+class TestOmeTable:
+    def test_properties_and_upsert(self, spark, tdir, ome_images_df):
+        from ome_arrow_spark.meta import (
+            META_KEY_TYPE,
+            META_KEY_VERSION,
+            OME_ARROW_TYPE,
+            OME_ARROW_VERSION,
+        )
+
+        tl.create_ome_table(spark, ome_images_df, tdir)
+        props = tl.table_properties(tdir)
+        assert props[META_KEY_TYPE] == OME_ARROW_TYPE
+        assert props[META_KEY_VERSION] == OME_ARROW_VERSION
+        n0 = tl.read_ome_table(spark, tdir).count()
+        # upsert the same images: count unchanged, new version
+        tl.upsert_ome_table(spark, ome_images_df, tdir)
+        assert tl.read_ome_table(spark, tdir).count() == n0
+        assert tl.current_version(tdir) == 1
+
+    def test_point_lookup_prunes(self, spark, tdir, ome_images_df):
+        tl.create_ome_table(
+            spark,
+            ome_images_df.repartitionByRange(2, F.col("ome_arrow.id")),
+            tdir,
+        )
+        ids = [r[0] for r in ome_images_df.select("ome_arrow.id").collect()]
+        one = tl.read_ome_table(spark, tdir, image_ids=[min(ids)])
+        assert one.count() == 1
+        assert one.select("ome_arrow.id").collect()[0][0] == min(ids)
