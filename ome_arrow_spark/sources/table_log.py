@@ -378,6 +378,7 @@ def upsert_table(
     updates: DataFrame,
     table: str,
     key: str,
+    order_by: str | Sequence[str] | None = None,
 ) -> int:
     """MERGE by key with manifest pruning: only files whose footer
     ``[min,max]`` range on ``key`` can contain an update key are
@@ -386,7 +387,15 @@ def upsert_table(
     rows survive the anti-join); under-selection cannot happen because
     any matching key is inside its file's min/max.  Cost scales with
     the touched fraction of the table, not table size — the Delta
-    ``MERGE INTO`` shape (README design note, item 1)."""
+    ``MERGE INTO`` shape (README design note, item 1).
+
+    ``order_by`` makes the merge CONDITIONAL (Delta ``WHEN MATCHED AND
+    s.ord > t.ord``): per key, the row with the greatest ``order_by``
+    tuple wins, update rows beating existing rows on exact ties.  With
+    it, out-of-order update batches (late CDC events, replayed
+    micro-batches) converge to the same final state regardless of
+    arrival order — the idempotence streaming ``foreachBatch`` sinks
+    need.  The update batch must be key-unique either way."""
     snap = _resolve_snapshot(table)
     _check_schema(updates, snap, table)
     version = snap["version"] + 1
@@ -415,12 +424,28 @@ def upsert_table(
         existing = spark.read.schema(
             T.StructType.fromJson(json.loads(snap["schema"]))
         ).parquet(*[os.path.join(table, p) for p in touched])
-        kept = existing.join(
-            updates.select(F.col(key).alias("__uk")).distinct(),
-            existing[key] == F.col("__uk"),
-            "left_anti",
-        )
-        merged = kept.unionByName(updates)
+        if order_by is None:
+            kept = existing.join(
+                updates.select(F.col(key).alias("__uk")).distinct(),
+                existing[key] == F.col("__uk"),
+                "left_anti",
+            )
+            merged = kept.unionByName(updates)
+        else:
+            from pyspark.sql.window import Window
+
+            ords = [order_by] if isinstance(order_by, str) else list(order_by)
+            staged = existing.withColumn("__src", F.lit(0)).unionByName(
+                updates.withColumn("__src", F.lit(1))
+            )
+            w = Window.partitionBy(key).orderBy(
+                *[F.col(c).desc() for c in ords], F.col("__src").desc()
+            )
+            merged = (
+                staged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
     else:
         merged = updates
     if lo is not None or touched:

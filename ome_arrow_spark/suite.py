@@ -88,7 +88,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # three r4-green OME re-verification slots — ome_describe,
     # ome_slice_crop, ome_stack_ingest keep their driver-prior rows)
     "table_log_merge", "table_time_travel", "ome_table_log",
-    "ome_zarr_v3_roundtrip",
+    "stream_cdc_upsert",
 )
 
 

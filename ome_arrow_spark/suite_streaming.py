@@ -6,6 +6,8 @@ lag/cumsum sessionization)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,4 +151,71 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = EV.run_available_now(user_running_stats(ev), output_mode="update")
     return out.select(
         "user_id", "n_events", F.round("sum_value", 6).alias("sum_value"), "last_ts"
+    )
+
+
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the transaction-log table: foreachBatch
+    reduces each micro-batch to its latest row per user and MERGEs it
+    into the log (sources/table_log.py) keyed on user_id with a
+    conditional (ts, event_id) winner — so replayed or out-of-order
+    batches converge to the same snapshot (the Delta `WHEN MATCHED AND
+    s.ts > t.ts` streaming-sink idiom). The driver then aggregates the
+    COMMITTED current snapshot; matching the oracle's global
+    latest-per-user proves the whole chain: stream → batch reduce →
+    pruned conditional MERGE → atomic commit → snapshot read."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = f"/tmp/ome_arrow_rt_cdc_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = EV.read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if tl.current_version(path) is None:
+            tl.create_table(
+                spark, latest.repartitionByRange(4, "user_id"), path
+            )
+        else:
+            tl.upsert_table(
+                spark, latest, path, key="user_id",
+                order_by=("ts", "event_id"),
+            )
+
+    EV.run_foreach_batch(ev, merge_batch, output_mode="append")
+    cur = tl.read_table(spark, path)
+    return cur.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
     )

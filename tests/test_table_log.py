@@ -171,6 +171,31 @@ class TestMerge:
         assert removed < before
         assert tl.read_table(spark, tdir).count() == 1000
 
+    def test_conditional_upsert_out_of_order(self, spark, tdir):
+        """order_by merge: batches applied in ANY order converge to the
+        per-key max-ordinal row (replayed/late CDC batches are safe)."""
+        rows = [(k, ver, f"v{ver}-k{k}") for k in range(20) for ver in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "k long, ord long, s string")
+        tl.create_table(spark, df.filter("ord = 2").select("k", "ord", "s"), tdir)
+        # apply the NEWEST batch first, then an older one
+        for ver in (3, 1):
+            batch = df.filter(F.col("ord") == ver).select("k", "ord", "s")
+            tl.upsert_table(spark, batch, tdir, key="k", order_by="ord")
+        cur = tl.read_table(spark, tdir)
+        assert cur.count() == 20
+        assert cur.filter("ord = 3").count() == 20  # newest always wins
+
+    def test_conditional_upsert_tie_prefers_update(self, spark, tdir):
+        df = spark.createDataFrame(
+            [(1, 5, "old")], "k long, ord long, s string"
+        )
+        tl.create_table(spark, df, tdir)
+        upd = spark.createDataFrame(
+            [(1, 5, "new")], "k long, ord long, s string"
+        )
+        tl.upsert_table(spark, upd, tdir, key="k", order_by="ord")
+        assert tl.read_table(spark, tdir).collect()[0]["s"] == "new"
+
     def test_empty_update_batch(self, spark, tdir):
         tl.create_table(spark, _base(spark, 50), tdir)
         tl.upsert_table(
