@@ -255,6 +255,18 @@ class TestPruning:
             got = df.filter(f"k {'==' if op == '=' else op} {lit}").count()
             assert got == expect_rows, (op, lit)
 
+    def test_scan_plan_reads_only_pruned_files(self, spark, tdir):
+        """The physical scan's file list IS the pruned manifest — Spark
+        never lists the directory, and skipped files never reach the
+        executor (the object-store planning win at 100 TB)."""
+        tl.create_table(
+            spark, _base(spark, 1000).repartitionByRange(10, "k"), tdir
+        )
+        preds = [("k", "<", 100)]
+        df = tl.read_table(spark, tdir, predicates=preds)
+        surviving, total = tl.pruned_file_count(tdir, preds)
+        assert len(df.inputFiles()) == surviving < total
+
     def test_missing_stats_keep_file(self, spark, tdir):
         tl.create_table(spark, _base(spark, 10).coalesce(1), tdir)
         snap = tl._resolve_snapshot(tdir)
