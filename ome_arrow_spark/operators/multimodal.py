@@ -113,6 +113,12 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
         arr = bmp_decode(data)
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "bmp"}
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ome_arrow_spark.sources.avi_minimal import avi_decode
+
+        frames, vmeta = avi_decode(data)
+        return "video", frames, {**vmeta, "format": "avi",
+                                 "f": vmeta["n_frames"]}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         from ome_arrow_spark.sources.wav_minimal import wav_decode
 
@@ -156,6 +162,11 @@ def media_table_from_dir(
             (F.substring("content", 1, 4) == F.lit(b"RIFF"))
             & (F.substring("content", 9, 4) == F.lit(b"WAVE")),
             "audio",
+        )
+        .when(
+            (F.substring("content", 1, 4) == F.lit(b"RIFF"))
+            & (F.substring("content", 9, 4) == F.lit(b"AVI ")),
+            "video",
         )
         .when(F.substring("content", 1, 6) == F.lit(FVID_MAGIC), "video")
         .otherwise("unknown")
@@ -210,6 +221,58 @@ def media_features(media: DataFrame) -> DataFrame:
                     row.update(n_frames=int(arr.shape[0]), rms=float(luma))
                 rows.append(row)
             yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(extract, schema=schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio analysis beyond the basic features: sample count,
+    duration, RMS, absolute peak, zero-crossing count (strict sign
+    flips, ``x[t-1]*x[t] < 0``), and FFT spectral centroid in Hz.
+    Everything except the centroid is integer/exact arithmetic and thus
+    SQL-oracle-able; the centroid depends on float summation order, so
+    driver queries pin it separately or drop it. Non-audio rows are
+    skipped (not errors) so the operator composes with mixed tables."""
+    schema = (
+        "media_id long, n_samples long, sample_rate int, "
+        "duration_s double, rms double, peak double, "
+        "zero_crossings long, spectral_centroid_hz double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                kind, arr, meta = decode_media(bytes(blob))
+                if kind != "audio":
+                    continue
+                x = arr.astype(np.float64)
+                sr = int(meta["sr"])
+                zc = int(np.count_nonzero(x[:-1] * x[1:] < 0))
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+                denom = float(spec.sum())
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": int(x.size),
+                        "sample_rate": sr,
+                        "duration_s": float(x.size / sr),
+                        "rms": float(np.sqrt(np.mean(x * x))) if x.size else 0.0,
+                        "peak": float(np.abs(x).max()) if x.size else 0.0,
+                        "zero_crossings": zc,
+                        "spectral_centroid_hz": (
+                            float((spec * freqs).sum() / denom) if denom else 0.0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate", "duration_s",
+                    "rms", "peak", "zero_crossings", "spectral_centroid_hz",
+                ],
+            )
 
     return media.select("media_id", "content").mapInPandas(extract, schema=schema)
 
@@ -282,13 +345,14 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
 
 def synth_media_df(
     spark, n_images: int = 4, n_audio: int = 3, n_video: int = 2,
-    n_jpeg: int = 2, n_png: int = 1, n_wav: int = 1,
+    n_jpeg: int = 2, n_png: int = 1, n_wav: int = 1, n_avi: int = 1,
 ) -> DataFrame:
     """Deterministic fake media table for tests/driver queries. Includes
-    real baseline-JPEG, PNG, and WAV blobs (engine-encoded,
-    engine-decoded) alongside the FMED containers so the image and
-    audio paths exercise actual codecs — PNG/WAV being lossless, their
-    features stay SQL-derivable."""
+    real baseline-JPEG, PNG, WAV, and raw-DIB AVI blobs (engine-encoded,
+    engine-decoded) alongside the FMED containers so the image, audio,
+    and video paths exercise actual codecs — PNG/WAV/raw-AVI being
+    lossless, their features stay SQL-derivable."""
+    from ome_arrow_spark.sources.avi_minimal import avi_encode
     from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
     from ome_arrow_spark.sources.png_minimal import png_encode
     from ome_arrow_spark.sources.wav_minimal import wav_encode
@@ -329,6 +393,12 @@ def synth_media_df(
         samples = ((np.arange(n) * 37) % 20000 - 10000).astype(np.int16)
         rows.append((mid, "audio", bytearray(wav_encode(samples, 16000)),
                      (None, None, None, 16000, "wav")))
+        mid += 1
+    for i in range(n_avi):
+        f, h, w = 5, 6, 8
+        frames = ((np.arange(f * h * w * 3).reshape(f, h, w, 3) * 13 + i) % 256).astype(np.uint8)
+        rows.append((mid, "video", bytearray(avi_encode(frames, fps=10)),
+                     (w, h, f, None, "avi")))
         mid += 1
     # coalesce: createDataFrame slices tiny local data across
     # defaultParallelism partitions → dozens of one-row Python-worker

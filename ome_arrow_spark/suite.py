@@ -77,8 +77,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ome_tiff_codec_ingest", "media_dir_ingest",
     # flagship re-verification (TPC-H core, join battery, ANN trio,
     # near-dedup pipeline, streaming, OME format operators)
+    # round-6 multimodal additions (real AVI video + audio battery)
+    "media_video_frames", "media_audio_features",
+    # flagship re-verification tail
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
-    "q4_order_priority", "q17_small_quantity", "q21_waiting_supplier",
+    "q21_waiting_supplier",
     "join_semi", "join_anti", "join_range", "window_rank", "sort_topk",
     "agg_distinct", "dedup_exact", "neardup_lsh", "near_dedup_full",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",

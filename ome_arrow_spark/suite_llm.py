@@ -587,6 +587,9 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     its channel means arithmetically like the fimg rows.
 #   wav (id 12): REAL 16-bit PCM WAV of 2000 samples (t*37)%20000-10000
 #     at 16 kHz (sources/wav_minimal) — lossless, fully SQL-derivable.
+#   avi (id 13): REAL raw-DIB AVI (sources/avi_minimal) of 5×6×8×3
+#     frames (j*13) % 256 — uncompressed BGR rows round-trip
+#     bit-exactly, so mean luma + frame count stay SQL-derivable.
 # ---------------------------------------------------------------------------
 _MEDIA_ORACLE = """
     WITH img AS (
@@ -642,6 +645,13 @@ _MEDIA_ORACLE = """
                           * CAST((t.t*37) % 20000 - 10000 AS DOUBLE))), 6),
            CAST(NULL AS INT)
     FROM (SELECT unnest(generate_series(0, 1999)) AS t) t
+    UNION ALL
+    SELECT 13, 'video',
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           ROUND(AVG(CAST((j.j*13) % 256 AS DOUBLE)), 6),
+           5
+    FROM (SELECT unnest(generate_series(0, 5*6*8*3 - 1)) AS j) j
 """
 
 
@@ -1594,4 +1604,105 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_kept"),
             F.max("cum").cast("long").alias("budget_used"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling pipeline: sample_frames over the video rows
+# (FVID containers ids 7-8 AND the real raw-DIB AVI id 13), then the
+# sampled frame blobs are fed BACK through media_features — composing
+# two mapInPandas stages over re-keyed ids (media_id*100+frame_idx).
+# Raw AVI is lossless, so every sampled frame's channel means re-derive
+# arithmetically from the generator formulas.
+# ---------------------------------------------------------------------------
+@register(
+    "media_video_frames",
+    """
+    WITH fv AS (
+      SELECT (7 + i.i) * 100 + f.f AS frame_id,
+             ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (f.f*60 + j.j + i.i) % 256 END), 6) AS mean_r,
+             ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (f.f*60 + j.j + i.i) % 256 END), 6) AS mean_g,
+             ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (f.f*60 + j.j + i.i) % 256 END), 6) AS mean_b
+      FROM (SELECT unnest(generate_series(0, 1)) AS i) i,
+           (SELECT unnest([0, 2, 4]) AS f) f,
+           (SELECT unnest(generate_series(0, 59)) AS j) j
+      GROUP BY i.i, f.f),
+    av AS (
+      SELECT 1300 + f.f AS frame_id,
+             ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN ((f.f*144 + j.j)*13) % 256 END), 6) AS mean_r,
+             ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN ((f.f*144 + j.j)*13) % 256 END), 6) AS mean_g,
+             ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN ((f.f*144 + j.j)*13) % 256 END), 6) AS mean_b
+      FROM (SELECT unnest([0, 2, 4]) AS f) f,
+           (SELECT unnest(generate_series(0, 143)) AS j) j
+      GROUP BY f.f)
+    SELECT * FROM fv UNION ALL SELECT * FROM av
+    """,
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark).filter(F.col("kind") == "video")
+    frames = MM.sample_frames(media, every=2)
+    reid = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        "content",
+    )
+    feats = MM.media_features(reid)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return feats.select(
+        F.col("media_id").alias("frame_id"),
+        r6("mean_r"), r6("mean_g"), r6("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio analysis battery (operators/multimodal.audio_features) over the
+# FAUD clips (ids 4-6) and the real PCM WAV (id 12): sample counts,
+# duration, RMS, absolute peak, and strict-sign zero-crossing counts —
+# all integer-exact arithmetic the oracle replays from the generator
+# formula v(t) = (t*37*k) % 20000 - 10000. The FFT spectral centroid
+# stays out of the driver row (float summation order); pytest covers it
+# against a sine-tone ground truth.
+# ---------------------------------------------------------------------------
+@register(
+    "media_audio_features",
+    """
+    WITH faud AS (
+      SELECT 4 + i.i AS media_id,
+             CAST(1600*(i.i+1) AS BIGINT) AS n_samples,
+             ROUND(1600*(i.i+1) / 16000.0, 6) AS duration_s,
+             ROUND(SQRT(AVG(CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE)
+                            * CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE))), 6) AS rms,
+             CAST(MAX(ABS((t.t*37*(i.i+1)) % 20000 - 10000)) AS DOUBLE) AS peak,
+             CAST(SUM(CASE WHEN t.t >= 1
+                           AND ((((t.t-1)*37*(i.i+1)) % 20000 - 10000)
+                                * ((t.t*37*(i.i+1)) % 20000 - 10000)) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (SELECT unnest(generate_series(0, 2)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, 1600*(i.i+1) - 1)) AS t) t
+      GROUP BY i.i),
+    wav AS (
+      SELECT 12 AS media_id,
+             CAST(2000 AS BIGINT) AS n_samples,
+             ROUND(2000 / 16000.0, 6) AS duration_s,
+             ROUND(SQRT(AVG(CAST((t.t*37) % 20000 - 10000 AS DOUBLE)
+                            * CAST((t.t*37) % 20000 - 10000 AS DOUBLE))), 6) AS rms,
+             CAST(MAX(ABS((t.t*37) % 20000 - 10000)) AS DOUBLE) AS peak,
+             CAST(SUM(CASE WHEN t.t >= 1
+                           AND ((((t.t-1)*37) % 20000 - 10000)
+                                * ((t.t*37) % 20000 - 10000)) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (SELECT unnest(generate_series(0, 1999)) AS t) t)
+    SELECT * FROM faud UNION ALL SELECT * FROM wav
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark).filter(F.col("kind") == "audio")
+    feats = MM.audio_features(media)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return feats.select(
+        "media_id", "n_samples", r6("duration_s"), r6("rms"),
+        F.col("peak").cast("double").alias("peak"), "zero_crossings",
     )

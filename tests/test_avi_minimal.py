@@ -1,0 +1,164 @@
+"""AVI container codec (sources/avi_minimal.py) and the media-table
+video/audio operators that consume it."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ome_arrow_spark.sources.avi_minimal import avi_decode, avi_encode
+
+
+def _frames(f=5, h=12, w=17, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(f, h, w, 3), dtype=np.uint8)
+
+
+class TestRawDib:
+    def test_roundtrip_bit_exact(self):
+        fr = _frames()
+        dec, meta = avi_decode(avi_encode(fr, fps=24))
+        assert np.array_equal(dec, fr)
+        assert meta == {"w": 17, "h": 12, "fps": 24, "n_frames": 5,
+                        "codec": "raw"}
+
+    def test_row_padding_widths(self):
+        # strides 3*w ∈ {15,18,21,24} exercise every pad remainder
+        for w in (5, 6, 7, 8):
+            fr = _frames(f=2, h=4, w=w, seed=w)
+            dec, _ = avi_decode(avi_encode(fr))
+            assert np.array_equal(dec, fr), f"w={w}"
+
+    def test_single_frame(self):
+        fr = _frames(f=1)
+        dec, meta = avi_decode(avi_encode(fr, fps=1))
+        assert np.array_equal(dec, fr) and meta["n_frames"] == 1
+
+    def test_32bit_dib_decode(self):
+        """Third-party writers emit 32-bit BGRX frames; decode drops X."""
+        fr = _frames(f=2, h=3, w=4)
+        blob = bytearray(avi_encode(fr))
+        # patch biBitCount 24→32 and rebuild frames as BGRX bottom-up
+        i = blob.find(b"strf")
+        assert blob[i + 8 + 14] == 24
+        blob[i + 8 + 14] = 32
+        bgrx = np.zeros((2, 3, 4, 4), np.uint8)
+        bgrx[..., :3] = fr[:, ::-1, :, ::-1]
+        j = blob.find(b"00db")
+        new = b"".join(
+            b"00db" + struct.pack("<I", 48) + bgrx[k].tobytes()
+            for k in range(2)
+        )
+        old_frame = 8 + 3 * 12  # hdr + h*stride (w=4 → stride 12)
+        end = j + 2 * old_frame
+        dec, _ = avi_decode(bytes(blob[:j]) + new + bytes(blob[end:]))
+        assert np.array_equal(dec, fr)
+
+
+class TestMjpeg:
+    def test_decode_close_and_meta(self):
+        grad = np.zeros((3, 24, 32, 3), np.uint8)
+        for i in range(3):
+            grad[i] = (
+                np.arange(24)[:, None, None] * 4
+                + np.arange(32)[None, :, None] + i * 16
+            ) % 220
+        dec, meta = avi_decode(avi_encode(grad, fps=8, codec="mjpeg"))
+        assert meta["codec"] == "mjpeg" and meta["n_frames"] == 3
+        assert dec.shape == grad.shape
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() < 24
+
+    def test_deterministic(self):
+        fr = _frames(f=2, h=16, w=16)
+        assert avi_encode(fr, codec="mjpeg") == avi_encode(fr, codec="mjpeg")
+
+
+class TestTolerantParsing:
+    def test_junk_chunk_and_missing_idx1(self):
+        fr = _frames(f=2)
+        blob = avi_encode(fr)
+        # strip idx1, inject a JUNK chunk before movi
+        stripped = blob[: blob.find(b"idx1")]
+        junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+        j = blob.find(b"LIST", 12)
+        # insert junk right after hdrl LIST ends
+        hd_size = struct.unpack_from("<I", blob, j + 4)[0]
+        cut = j + 8 + hd_size
+        patched = blob[:cut] + junk + stripped[cut:]
+        patched = (
+            patched[:4]
+            + struct.pack("<I", len(patched) - 8)
+            + patched[8:]
+        )
+        dec, _ = avi_decode(patched)
+        assert np.array_equal(dec, fr)
+
+    def test_not_avi_raises(self):
+        with pytest.raises(ValueError, match="not an AVI"):
+            avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
+        with pytest.raises(ValueError, match="no video frames"):
+            avi_decode(b"RIFF\x04\x00\x00\x00AVI ")
+
+    def test_bad_input_shapes(self):
+        with pytest.raises(ValueError, match="frames must be"):
+            avi_encode(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(ValueError, match="unknown codec"):
+            avi_encode(_frames(f=1), codec="h264")
+
+
+class TestMediaIntegration:
+    def test_decode_media_and_sample_frames(self, spark):
+        from ome_arrow_spark.operators import multimodal as MM
+
+        fr = _frames(f=6, h=8, w=10)
+        kind, arr, meta = MM.decode_media(avi_encode(fr, fps=10))
+        assert kind == "video" and np.array_equal(arr, fr)
+        assert meta["format"] == "avi" and meta["f"] == 6
+
+        media = MM.synth_media_df(spark)
+        avi_rows = MM.sample_frames(
+            media.filter("media_id = 13"), every=2
+        ).collect()
+        assert [r["frame_idx"] for r in avi_rows] == [0, 2, 4]
+        assert all(r["meta"]["width"] == 8 for r in avi_rows)
+
+    def test_dir_scan_sniffs_avi_video(self, spark, tmp_path):
+        from ome_arrow_spark.operators import multimodal as MM
+
+        (tmp_path / "7.avi").write_bytes(avi_encode(_frames(f=2)))
+        got = MM.media_table_from_dir(spark, str(tmp_path)).collect()
+        assert got[0]["kind"] == "video" and got[0]["media_id"] == 7
+
+    def test_audio_features_centroid_sine(self, spark):
+        """Pure sine at f0 → spectral centroid ≈ f0 and the textbook
+        zero-crossing count 2*f0*duration."""
+        from ome_arrow_spark.operators import multimodal as MM
+
+        # 441 shares no factor with 8000, so no sample lands exactly on
+        # zero and the strict-sign count equals the textbook 2*f0
+        sr, f0, dur = 8000, 441, 1.0
+        t = np.arange(int(sr * dur))
+        tone = (10000 * np.sin(2 * np.pi * f0 * t / sr)).astype(np.int16)
+        from ome_arrow_spark.sources.wav_minimal import wav_encode
+
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav_encode(tone, sr)), (None, None, None, sr, "wav"))],
+            MM.MEDIA_SCHEMA,
+        )
+        row = MM.audio_features(df).collect()[0]
+        assert row["sample_rate"] == sr
+        assert row["duration_s"] == pytest.approx(1.0)
+        assert row["rms"] == pytest.approx(10000 / np.sqrt(2), rel=1e-3)
+        assert row["peak"] == pytest.approx(10000, abs=1.0)
+        assert row["zero_crossings"] == pytest.approx(2 * f0, abs=2)
+        assert row["spectral_centroid_hz"] == pytest.approx(f0, rel=0.02)
+
+    def test_audio_features_skips_non_audio(self, spark):
+        from ome_arrow_spark.operators import multimodal as MM
+
+        media = MM.synth_media_df(spark)
+        out = MM.audio_features(media)
+        kinds = {r["media_id"] for r in out.collect()}
+        assert kinds == {4, 5, 6, 12}  # only the audio rows survive

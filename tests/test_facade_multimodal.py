@@ -76,7 +76,7 @@ def test_load_pattern_dispatch(spark, tmp_path):
 def test_media_features(spark):
     media = MM.synth_media_df(spark)
     feats = {r["media_id"]: r for r in MM.media_features(media).collect()}
-    assert len(feats) == 13  # 4 fimg + 3 audio + 2 video + 2 JPEG + 1 PNG + 1 WAV
+    assert len(feats) == 14  # 4 fimg + 3 audio + 2 video + 2 JPEG + 1 PNG + 1 WAV + 1 AVI
     img0 = feats[0]
     rgb = (np.arange(8 * 10 * 3).reshape(8, 10, 3) * 1) % 256
     assert abs(img0["mean_r"] - rgb.reshape(-1, 3)[:, 0].mean()) < 1e-9
