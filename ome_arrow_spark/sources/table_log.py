@@ -214,6 +214,74 @@ def table_properties(table: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filters (point-lookup file skipping)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits per file per column (1 KiB serialized)
+_BLOOM_K = 6
+BLOOM_PROP = "table.bloom.columns"
+
+
+def _bloom_hashes(v: Any) -> tuple[int, int] | None:
+    """Two stable 64-bit hashes (double hashing h1 + i*h2).  Python's
+    ``hash()`` is per-process randomized for str, so never used."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, str, bytes)):
+        return None
+    if isinstance(v, int):
+        x = v & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        y = (v & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+        y ^= y >> 29
+        return x, y | 1
+    data = v.encode() if isinstance(v, str) else v
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,
+    )
+
+
+def _build_bloom(values) -> str | None:
+    """Values → base64 bitset, or None when any value is unhashable
+    (absent bloom = conservative keep, never a wrong skip)."""
+    import base64
+
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        hs = _bloom_hashes(v)
+        if hs is None:
+            if v is None:
+                continue  # nulls never probed (stats carry null counts)
+            return None
+        h1, h2 = hs
+        for i in range(_BLOOM_K):
+            pos = (h1 + i * h2) % _BLOOM_M
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_might_contain(b64: str, v: Any) -> bool:
+    import base64
+
+    hs = _bloom_hashes(v)
+    if hs is None:
+        return True
+    bits = base64.b64decode(b64)
+    h1, h2 = hs
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) % _BLOOM_M
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # Data-file writing + footer stats
 # ---------------------------------------------------------------------------
 
@@ -281,7 +349,10 @@ def _footer_stats(path: str, columns: Sequence[str]) -> dict[str, Any]:
 
 
 def _write_data_files(
-    df: DataFrame, table: str, version: int
+    df: DataFrame,
+    table: str,
+    version: int,
+    bloom_columns: Sequence[str] = (),
 ) -> list[dict[str, Any]]:
     """Write ``df`` as immutable uniquely-named parquet files inside
     the table directory and return their ``add`` actions.  The Spark
@@ -300,10 +371,26 @@ def _write_data_files(
         parts = sorted(
             n for n in os.listdir(staging) if n.endswith(".parquet")
         )
+        names = {f.name for f in df.schema.fields}
         for i, name in enumerate(parts):
             final = f"part-{version:08d}-{i:05d}-{token}.parquet"
-            os.rename(os.path.join(staging, name), os.path.join(table, final))
-            adds.append({"path": final, **_footer_stats(os.path.join(table, final), cols)})
+            full = os.path.join(table, final)
+            os.rename(os.path.join(staging, name), full)
+            add = {"path": final, **_footer_stats(full, cols)}
+            blooms = {}
+            for bc in bloom_columns:
+                if bc not in names:
+                    continue
+                # one-column columnar read — pages of every other
+                # column stay untouched (executor-side during the
+                # write on a cluster; same bits either way)
+                vals = pq.read_table(full, columns=[bc]).column(0).to_pylist()
+                b = _build_bloom(vals)
+                if b is not None:
+                    blooms[bc] = {"m": _BLOOM_M, "k": _BLOOM_K, "bits": b}
+            if blooms:
+                add["bloom"] = blooms
+            adds.append(add)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
@@ -332,15 +419,24 @@ def create_table(
     table: str,
     properties: dict[str, str] | None = None,
     overwrite: bool = False,
+    bloom_columns: Sequence[str] | None = None,
 ) -> int:
     """Commit version 0: data files + schema + table properties (the
     idiomatic carrier for the reference's ``ome.arrow.type/version``
-    parquet key-value tags, export.py:405-414, at table scale)."""
+    parquet key-value tags, export.py:405-414, at table scale).
+    ``bloom_columns`` become a table property: every data file written
+    by any later operation carries a per-file Bloom filter on them, so
+    point lookups and MERGEs on high-cardinality keys skip files whose
+    key RANGE overlaps but whose key SET provably misses — min/max
+    stats alone cannot do that on uuid-like keys."""
     if current_version(table) is not None:
         if not overwrite:
             raise TableLogError(f"table already exists: {table}")
         shutil.rmtree(table, ignore_errors=True)
-    adds = _write_data_files(df, table, 0)
+    props = dict(properties or {})
+    if bloom_columns:
+        props[BLOOM_PROP] = json.dumps(sorted(bloom_columns))
+    adds = _write_data_files(df, table, 0, bloom_columns or ())
     _commit(
         table,
         0,
@@ -348,11 +444,16 @@ def create_table(
             "version": 0,
             "operation": "create",
             "schema": df.schema.json(),
-            "properties": dict(properties or {}),
+            "properties": props,
             "actions": [{"add": a} for a in adds],
         },
     )
     return 0
+
+
+def _bloom_cols(snap: dict[str, Any]) -> tuple[str, ...]:
+    raw = snap.get("properties", {}).get(BLOOM_PROP)
+    return tuple(json.loads(raw)) if raw else ()
 
 
 def append_table(spark: SparkSession, df: DataFrame, table: str) -> int:
@@ -360,7 +461,7 @@ def append_table(spark: SparkSession, df: DataFrame, table: str) -> int:
     snap = _resolve_snapshot(table)
     _check_schema(df, snap, table)
     version = snap["version"] + 1
-    adds = _write_data_files(df, table, version)
+    adds = _write_data_files(df, table, version, _bloom_cols(snap))
     _commit(
         table,
         version,
@@ -419,6 +520,32 @@ def upsert_table(
         else:
             touched.append(path)
 
+    # Bloom phase: range overlap is a weak test on high-cardinality
+    # keys (every file of uuid-like ids spans the whole key space).
+    # When the update batch is small enough to enumerate and the table
+    # carries blooms on the key, drop candidates whose bloom rejects
+    # EVERY update key — a wrong drop is impossible (blooms have no
+    # false negatives), a false positive just rewrites one extra file.
+    _BLOOM_KEY_CAP = 10_000
+    if key in _bloom_cols(snap) and touched:
+        bloomed = [
+            p for p in touched if snap["files"][p].get("bloom", {}).get(key)
+        ]
+        if bloomed:
+            ukeys = [
+                r[0]
+                for r in updates.select(key)
+                .distinct()
+                .limit(_BLOOM_KEY_CAP + 1)
+                .collect()
+            ]
+            if len(ukeys) <= _BLOOM_KEY_CAP:
+                for p in bloomed:
+                    bits = snap["files"][p]["bloom"][key]["bits"]
+                    if not any(_bloom_might_contain(bits, k) for k in ukeys):
+                        touched.remove(p)
+                        carried.append(p)
+
     actions: list[dict[str, Any]] = []
     if touched:
         existing = spark.read.schema(
@@ -449,7 +576,7 @@ def upsert_table(
     else:
         merged = updates
     if lo is not None or touched:
-        adds = _write_data_files(merged, table, version)
+        adds = _write_data_files(merged, table, version, _bloom_cols(snap))
         actions += [{"add": a} for a in adds]
         actions += [{"remove": {"path": p}} for p in touched]
     _commit(
@@ -482,7 +609,7 @@ def delete_from_table(
             *[os.path.join(table, p) for p in touched]
         )
         remaining = existing.filter(f"NOT ({predicate})")
-        adds = _write_data_files(remaining, table, version)
+        adds = _write_data_files(remaining, table, version, _bloom_cols(snap))
         actions += [{"add": a} for a in adds]
         actions += [{"remove": {"path": p}} for p in touched]
     _commit(
@@ -508,7 +635,7 @@ def compact_table(
     df = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in files]
     )
-    adds = _write_data_files(df.repartition(n), table, version)
+    adds = _write_data_files(df.repartition(n), table, version, _bloom_cols(snap))
     _commit(
         table,
         version,
@@ -534,8 +661,9 @@ def _prune(
     predicates: Iterable[tuple[str, str, Any]] | None,
 ) -> list[str]:
     """Manifest file skipping: drop a file only when its footer stats
-    PROVE no row can satisfy an AND-ed ``(column, op, literal)``
-    conjunct; missing stats keep the file (conservative)."""
+    (or, for equality, its per-file Bloom filter) PROVE no row can
+    satisfy an AND-ed ``(column, op, literal)`` conjunct; missing
+    stats/bloom keep the file (conservative)."""
     if not predicates:
         return list(files)
     out = []
@@ -545,16 +673,20 @@ def _prune(
             if op not in _OPS:
                 raise TableLogError(f"unsupported prune op: {op}")
             st = add.get("columns", {}).get(col)
-            if st is None or st["min"] is None or st["max"] is None:
-                continue
-            lo, hi = st["min"], st["max"]
-            if (
-                (op == "=" and (lit < lo or lit > hi))
-                or (op in ("<", "<=") and (lo > lit or (op == "<" and lo == lit)))
-                or (op in (">", ">=") and (hi < lit or (op == ">" and hi == lit)))
-            ):
-                keep = False
-                break
+            if st is not None and st["min"] is not None and st["max"] is not None:
+                lo, hi = st["min"], st["max"]
+                if (
+                    (op == "=" and (lit < lo or lit > hi))
+                    or (op in ("<", "<=") and (lo > lit or (op == "<" and lo == lit)))
+                    or (op in (">", ">=") and (hi < lit or (op == ">" and hi == lit)))
+                ):
+                    keep = False
+                    break
+            if op == "=":
+                bl = add.get("bloom", {}).get(col)
+                if bl is not None and not _bloom_might_contain(bl["bits"], lit):
+                    keep = False
+                    break
         if keep:
             out.append(path)
     return out
@@ -594,6 +726,82 @@ def pruned_file_count(
     return len(_prune(snap["files"], predicates)), len(snap["files"])
 
 
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    zorder_by: Sequence[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    bits_per_col: int = 8,
+) -> int:
+    """Compaction with optional multi-column Z-ORDER clustering.
+
+    Min/max file skipping only works on columns the file layout is
+    sorted by; a table range-partitioned on ``a`` prunes nothing for a
+    predicate on ``b``.  Z-ordering interleaves the bits of
+    quantile-bucketed column ranks into one clustering key, so files
+    end up tight on EVERY listed column at once and the same footer
+    min/max stats prune multi-dimensionally — the Delta ``OPTIMIZE
+    ZORDER BY`` shape.
+
+    Scale notes: bucket boundaries come from ``approxQuantile`` (one
+    pass, driver gets ``2^bits_per_col`` floats per column — never
+    data); the z-value is a pure Catalyst bit-weave expression; the
+    rewrite is one ``repartitionByRange`` shuffle on the z-value plus
+    a within-partition sort.  No global single-partition window
+    anywhere (``ntile`` over the whole table would be one)."""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    files = list(snap["files"])
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in files]
+    )
+    total = sum(a.get("bytes", 0) for a in snap["files"].values())
+    n = max(1, -(-total // target_bytes))
+    if zorder_by:
+        n_buckets = 1 << bits_per_col
+        zcols = []
+        for col in zorder_by:
+            # quantile boundaries → equal-population buckets even on
+            # skewed columns (plain min/max scaling would collapse)
+            qs = df.stat.approxQuantile(
+                col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+            )
+            bucket = F.lit(0)
+            for b in qs:  # rank = #boundaries below the value
+                bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+            zcols.append(bucket.cast("long"))
+        weave = F.lit(0).cast("long")
+        for bit in range(bits_per_col):
+            for ci, zc in enumerate(zcols):
+                weave = weave.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(zc, bit).bitwiseAND(F.lit(1)),
+                        bit * len(zcols) + ci,
+                    )
+                )
+        clustered = (
+            df.withColumn("__z", weave)
+            .repartitionByRange(max(n, 2), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        clustered = df.repartition(n)
+    adds = _write_data_files(clustered, table, version, _bloom_cols(snap))
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "zorder" if zorder_by else "compact",
+            "actions": [{"add": a} for a in adds]
+            + [{"remove": {"path": p}} for p in files],
+        },
+    )
+    return version
+
+
 # ---------------------------------------------------------------------------
 # OME images on the log
 # ---------------------------------------------------------------------------
@@ -611,8 +819,10 @@ def create_ome_table(
     (export.py:405-414) ride as TABLE PROPERTIES — set once in the
     log, survive every rewrite, no per-file sidecar.  ``image_id`` is
     lifted to a top-level column so the manifest carries min/max id
-    stats per file and :func:`upsert_ome_table` merges touch only the
-    files whose id range overlaps the batch."""
+    stats AND a per-file Bloom filter, so :func:`upsert_ome_table`
+    merges and :func:`read_ome_table` point lookups touch only files
+    that can actually contain the ids (id strings are
+    high-cardinality, where range stats alone prune poorly)."""
     from ome_arrow_spark.meta import (
         META_KEY_TYPE,
         META_KEY_VERSION,
@@ -632,6 +842,7 @@ def create_ome_table(
             META_KEY_VERSION: OME_ARROW_VERSION,
         },
         overwrite=overwrite,
+        bloom_columns=["image_id"],
     )
 
 
@@ -655,17 +866,23 @@ def read_ome_table(
     column: str = "ome_arrow",
 ) -> DataFrame:
     """Snapshot read of the images table; an ``image_ids`` point-lookup
-    list prunes files by id range before the scan."""
-    preds = None
-    if image_ids:
-        preds = [
-            ("image_id", ">=", min(image_ids)),
-            ("image_id", "<=", max(image_ids)),
-        ]
-    df = read_table(spark, table, version=version, predicates=preds)
-    if image_ids:
-        df = df.filter(F.col("image_id").isin(list(image_ids)))
-    return df.select(column)
+    list prunes files per id (range stats + Bloom filters, OR-ed
+    across ids) before the scan — a k-image lookup on a million-image
+    table reads k files, not the table."""
+    if not image_ids:
+        return read_table(spark, table, version=version).select(column)
+    snap = _resolve_snapshot(table, version)
+    live: set[str] = set()
+    for iid in image_ids:
+        live.update(_prune(snap["files"], [("image_id", "=", iid)]))
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not live:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in sorted(live)]
+        )
+    return df.filter(F.col("image_id").isin(list(image_ids))).select(column)
 
 
 def vacuum_table(table: str, keep_versions: int = 1) -> list[str]:

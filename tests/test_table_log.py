@@ -277,6 +277,121 @@ class TestPruning:
         assert len(tl._prune(snap["files"], [("missing_col", "=", 1)])) == 1
 
 
+class TestZOrder:
+    def test_zorder_enables_multicolumn_pruning(self, spark):
+        """Laid out by `a` alone, predicates on `b` prune nothing;
+        after OPTIMIZE ZORDER BY (a, b) the same footer stats prune
+        BOTH dimensions, and the data is unchanged."""
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="zorder_") + "/t"
+        # b is a decorrelated permutation of a (multiplicative shuffle)
+        df = spark.range(0, 4096).select(
+            F.col("id").alias("a"),
+            ((F.col("id") * 1597) % 4096).alias("b"),
+            (F.col("id") % 7).alias("payload"),
+        )
+        tl.create_table(spark, df.repartitionByRange(16, "a"), tdir)
+        before = _sorted(tl.read_table(spark, tdir))
+        b_pred = [("b", "<", 256)]
+        surv_b0, total0 = tl.pruned_file_count(tdir, b_pred)
+        assert surv_b0 == total0  # every file spans ~full b range
+        # ~32 output files ≈ 5 z MSBs; a 1/16-selective predicate on
+        # either column then fixes 2 of them → ~1/4 of files survive
+        # (pruning power grows with file count on a Z-curve)
+        live_bytes = sum(
+            a["bytes"] for a in tl._resolve_snapshot(tdir)["files"].values()
+        )
+        tl.optimize_table(spark, tdir, zorder_by=["a", "b"],
+                          target_bytes=max(1, live_bytes // 32))
+        assert _sorted(tl.read_table(spark, tdir)) == before
+        surv_a, total = tl.pruned_file_count(tdir, [("a", "<", 256)])
+        surv_b, _ = tl.pruned_file_count(tdir, b_pred)
+        assert total >= 24
+        assert surv_a < total / 2 and surv_b < total / 2
+
+    def test_optimize_without_zorder_is_compact(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 200).repartition(8), tdir)
+        tl.optimize_table(spark, tdir)
+        assert tl.table_history(tdir)[-1]["operation"] == "compact"
+        assert tl.read_table(spark, tdir).count() == 200
+
+
+class TestBloom:
+    def test_bloom_prunes_absent_point_lookup(self, spark, tdir):
+        """String keys with interleaved ranges: min/max overlap keeps
+        every file, the bloom rejects the ones without the key."""
+        df = spark.range(0, 2000).select(
+            F.concat(F.lit("doc-"), F.format_string("%05d", F.col("id"))).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        tl.create_table(
+            spark,
+            df.repartition(8),  # round-robin → all ranges overlap
+            tdir,
+            bloom_columns=["k"],
+        )
+        present = "doc-00042"
+        absent = "doc-99999"
+        surv_p, total = tl.pruned_file_count(tdir, [("k", "=", present)])
+        surv_a, _ = tl.pruned_file_count(tdir, [("k", "=", absent)])
+        assert total == 8
+        assert surv_a == 0  # bloom proves absence everywhere
+        assert 1 <= surv_p <= 2  # the owning file (+ rare fp)
+        got = tl.read_table(
+            spark, tdir, predicates=[("k", "=", present)]
+        ).filter(F.col("k") == present)
+        assert got.count() == 1
+
+    def test_bloom_survives_rewrites(self, spark, tdir):
+        tl.create_table(
+            spark,
+            _base(spark, 500).repartition(4),
+            tdir,
+            bloom_columns=["k", "s"],
+        )
+        tl.upsert_table(
+            spark,
+            _base(spark, 500).filter("k < 10"),
+            tdir,
+            key="k",
+        )
+        snap = tl._resolve_snapshot(tdir)
+        assert all("bloom" in a and set(a["bloom"]) == {"k", "s"}
+                   for a in snap["files"].values())
+
+    def test_bloom_merge_skips_disjoint_keysets(self, spark, tdir):
+        """Files whose id RANGE overlaps the batch but whose id SET is
+        disjoint are carried, not rewritten (uuid-key MERGE shape)."""
+        evens = spark.range(0, 1000).select(
+            (F.col("id") * 2).alias("k"), F.col("id").alias("v"),
+            F.lit("x").alias("s"),
+        )
+        tl.create_table(spark, evens.repartition(6), tdir,
+                        bloom_columns=["k"])
+        odd_updates = spark.range(0, 50).select(
+            (F.col("id") * 2 + 1).alias("k"),
+            F.lit(-1).cast("long").alias("v"), F.lit("u").alias("s"),
+        )
+        tl.upsert_table(spark, odd_updates, tdir, key="k")
+        hist = tl.table_history(tdir)[-1]
+        assert hist["removed_files"] == 0  # every even-only file carried
+        assert tl.read_table(spark, tdir).count() == 1050
+
+    def test_bloom_hash_stability(self):
+        """Serialized blooms must be probe-able by any later process —
+        pin the hash functions with golden positions."""
+        h1, h2 = tl._bloom_hashes(12345)
+        assert (h1, h2) == (17540659726606785873, 11613906227481706999)
+        h1s, h2s = tl._bloom_hashes("doc-00042")
+        assert (h1s, h2s) == (16226788219323896761, 17343288595532086069)
+        b = tl._build_bloom([1, "two", b"three"])
+        assert b is not None
+        for v in (1, "two", b"three"):
+            assert tl._bloom_might_contain(b, v)
+        assert not tl._bloom_might_contain(b, 999999)
+
+
 class TestMaintenance:
     def test_compact_then_vacuum(self, spark, tdir):
         tl.create_table(spark, _base(spark, 500).repartition(16), tdir)
