@@ -1,0 +1,147 @@
+"""Model-based property test: arbitrary operation sequences against the
+transaction log must match a plain in-memory dict model, and every
+historical version must replay to what the model said at that point.
+
+Spark jobs are slow, so the example budget is small but each example
+exercises a full random op sequence (append/upsert/conditional-upsert/
+delete/compact/zorder/vacuum) — the interleavings are where log-replay
+bugs live, not in any single op."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.sources import table_log as tl
+
+KEYS = st.integers(min_value=0, max_value=40)
+
+
+def _rows_strategy():
+    return st.dictionaries(KEYS, st.integers(0, 100), min_size=1, max_size=12)
+
+
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows_strategy()),
+    st.tuples(st.just("upsert"), _rows_strategy()),
+    st.tuples(st.just("upsert_ordered"), _rows_strategy(),
+              st.integers(0, 3)),
+    st.tuples(st.just("delete"), KEYS),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("zorder")),
+)
+
+
+def _df(spark, rows: dict[int, int], ords: dict[int, int] | None = None):
+    data = [(k, v, (ords or {}).get(k, 0)) for k, v in sorted(rows.items())]
+    return spark.createDataFrame(data, "k long, v long, ord long")
+
+
+def _materialize(spark, tdir, version=None):
+    return {
+        r["k"]: (r["v"], r["ord"])
+        for r in tl.read_table(spark, tdir, version=version).collect()
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    initial=_rows_strategy(),
+    ops=st.lists(_op, min_size=1, max_size=5),
+)
+def test_ops_match_model(spark, tmp_path_factory, initial, ops):
+    tdir = str(tmp_path_factory.mktemp("prop") / "t")
+    model: dict[int, tuple[int, int]] = {
+        k: (v, 0) for k, v in initial.items()
+    }
+    history = [dict(model)]
+    tl.create_table(
+        spark, _df(spark, initial).repartition(3), tdir, bloom_columns=["k"]
+    )
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            # appends must be key-disjoint from the table (append is
+            # not a merge); restrict to unseen keys
+            fresh = {
+                k + 100: v for k, v in op[1].items() if k + 100 not in model
+            }
+            if not fresh:
+                fresh = {max(model, default=0) + 1000: 1}
+            tl.append_table(spark, _df(spark, fresh), tdir)
+            model.update({k: (v, 0) for k, v in fresh.items()})
+        elif kind == "upsert":
+            tl.upsert_table(spark, _df(spark, op[1]), tdir, key="k")
+            model.update({k: (v, 0) for k, v in op[1].items()})
+        elif kind == "upsert_ordered":
+            rows, ordv = op[1], op[2]
+            ords = {k: ordv for k in rows}
+            tl.upsert_table(
+                spark, _df(spark, rows, ords), tdir, key="k",
+                order_by="ord",
+            )
+            for k, v in rows.items():
+                if k not in model or ordv >= model[k][1]:
+                    model[k] = (v, ordv)
+        elif kind == "delete":
+            key = op[1]
+            tl.delete_from_table(
+                spark, tdir, f"k = {key}",
+                prune_predicates=[("k", "=", key)],
+            )
+            model.pop(key, None)
+        elif kind == "compact":
+            tl.compact_table(spark, tdir, target_bytes=1 << 20)
+        elif kind == "zorder":
+            tl.optimize_table(spark, tdir, zorder_by=["k", "v"],
+                              bits_per_col=4)
+        history.append(dict(model))
+        assert _materialize(spark, tdir) == model, f"after {kind}"
+
+    # every historical snapshot still replays exactly
+    for version, expected in enumerate(history):
+        assert _materialize(spark, tdir, version=version) == expected, (
+            f"time travel to v{version}"
+        )
+    # pruning invariant: for any key, the pruned point read equals the
+    # model regardless of which files survived
+    for k in list(model)[:3]:
+        got = (
+            tl.read_table(spark, tdir, predicates=[("k", "=", k)])
+            .filter(F.col("k") == k)
+            .collect()
+        )
+        assert {(r["k"], r["v"], r["ord"]) for r in got} == {
+            (k, *model[k])
+        }
+    # vacuum keeps the current snapshot intact
+    tl.vacuum_table(tdir, keep_versions=1)
+    assert _materialize(spark, tdir) == model
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_interleaved_writers_serialize(spark, tmp_path, seed):
+    """Two writers racing for the same version: exactly one commit
+    wins; the loser retries on the fresh snapshot and both batches
+    land."""
+    tdir = str(tmp_path / f"race{seed}")
+    tl.create_table(spark, _df(spark, {1: 1}), tdir)
+    a = _df(spark, {2: 2})
+    b = _df(spark, {3: 3})
+    # writer A commits v1 under writer B's feet
+    tl.append_table(spark, a, tdir)
+    with pytest.raises(tl.ConcurrentCommit):
+        # B computed against v0 and tries to publish v1 directly
+        tl._commit(
+            tdir, 1, {"version": 1, "operation": "append", "actions": []}
+        )
+    tl.append_table(spark, b, tdir)  # retry path: re-resolve, commit v2
+    assert _materialize(spark, tdir) == {
+        1: (1, 0), 2: (2, 0), 3: (3, 0)
+    }
