@@ -726,6 +726,42 @@ def pruned_file_count(
     return len(_prune(snap["files"], predicates)), len(snap["files"])
 
 
+def add_table_column(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    ddl_type: str,
+) -> int:
+    """Metadata-only schema evolution: ADD COLUMN commits a new schema
+    and touches ZERO data files.  Readers apply the snapshot schema to
+    every live file; parquet files written before the evolution simply
+    lack the column and Spark's schema-on-read fills it with null —
+    so the commit is O(1) regardless of table size, exactly the
+    Delta/Iceberg ``ALTER TABLE ADD COLUMN`` contract.  Writes after
+    the evolution must carry the new column (schema check unchanged);
+    time travel before it sees the old schema, because snapshot
+    resolution replays schema updates in commit order."""
+    snap = _resolve_snapshot(table)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if name in schema.fieldNames():
+        raise TableLogError(f"column already exists: {name}")
+    new_schema = T.StructType(
+        schema.fields + list(T.StructType.fromDDL(f"`{name}` {ddl_type}").fields)
+    )
+    version = snap["version"] + 1
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "add_column",
+            "schema": new_schema.json(),
+            "actions": [],
+        },
+    )
+    return version
+
+
 def optimize_table(
     spark: SparkSession,
     table: str,

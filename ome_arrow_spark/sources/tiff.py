@@ -234,6 +234,50 @@ def from_tiff_dir(
     return bin_df.mapInPandas(decode_batches, schema=schema)
 
 
+def from_tiff_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tif*",
+    column: str = "ome_arrow",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`from_tiff_dir`: a ``readStream``
+    binaryFile source watches the directory and every new TIFF becomes
+    one decoded OME row in the micro-batch — continuous microscope
+    ingest.  Pair with ``foreachBatch`` + the transaction-log table
+    (``table_log.upsert_ome_table``) for an end-to-end acquisition
+    pipeline with atomic, re-ingest-safe commits; Structured
+    Streaming's source log tracks which files were already processed,
+    so restarts neither drop nor double-ingest images.
+    ``max_files_per_trigger`` bounds micro-batch size (decode memory ∝
+    files per batch, not directory size)."""
+    from pyspark.sql.types import StructField, StructType
+
+    src_schema = StructType.fromDDL(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(src_schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_df = reader.load(path).select("path", "content")
+
+    out_schema = StructType([StructField(column, ome_arrow_struct())])
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records = [
+                _record_to_row(decode_image_bytes(p, bytes(b)))
+                for p, b in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame({column: records})
+
+    return bin_df.mapInPandas(decode_batches, schema=out_schema)
+
+
 def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:
     """Arrow-friendly normalization: pixels stay numpy int32 arrays —
     pyarrow converts them zero-boxing, where ``.tolist()`` would

@@ -219,3 +219,91 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "stream_ome_ingest",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(i.i % 65536) AS BIGINT) AS psum
+      FROM (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i)
+    SELECT * FROM (
+      SELECT 'multi-channel' AS image_id, CAST(3 AS INT) AS n_planes,
+             psum AS first_plane_sum FROM s
+      UNION ALL SELECT 'single-channel', CAST(1 AS INT), psum FROM s
+      UNION ALL SELECT 'z-series', CAST(5 AS INT), psum FROM s)
+    """,
+)
+def stream_ome_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous microscopy ingest, end to end: golden OME-TIFF files
+    land in a watched directory → streaming binaryFile source +
+    mapInPandas decode (sources/tiff.from_tiff_stream, one file per
+    micro-batch) → foreachBatch MERGEs each batch into the
+    transaction-log images table (Bloom-pruned by image_id) → the
+    driver aggregates the committed snapshot. The oracle re-derives
+    the plane sums from the FIXTURES.md pixel formula, so a hash match
+    proves the whole chain: encode → stream → decode → atomic upsert →
+    snapshot read."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark import synth
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import from_tiff_stream
+    from ome_arrow_spark.sources.tiff_minimal import (
+        build_ome_xml,
+        encode_tiff_baseline,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_ome_src_")
+    table = f"/tmp/ome_arrow_rt_stream_ome_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    shapes = [
+        ("z-series", 1, 1, 5, 167, 439),
+        ("single-channel", 1, 1, 1, 167, 439),
+        ("multi-channel", 1, 3, 1, 167, 439),
+    ]
+    try:
+        for image_id, t, c, z, y, x in shapes:
+            pages = np.stack(
+                [
+                    synth.pixel_plane(ti, ci, zi, y, x).reshape(y, x)
+                    for ti in range(t)
+                    for ci in range(c)
+                    for zi in range(z)
+                ]
+            ).astype(np.uint16)
+            xml = build_ome_xml(
+                image_id=image_id, name=None, size_t=t, size_c=c,
+                size_z=z, size_y=y, size_x=x,
+            )
+            with open(os.path.join(src, f"{image_id}.ome.tif"), "wb") as f:
+                f.write(encode_tiff_baseline(pages, description=xml))
+
+        stream = from_tiff_stream(
+            spark, src, glob="*.ome.tif", max_files_per_trigger=1
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if tl.current_version(table) is None:
+                tl.create_ome_table(spark, batch_df, table)
+            else:
+                tl.upsert_ome_table(spark, batch_df, table)
+
+        EV.run_foreach_batch(stream, merge_batch, output_mode="append")
+        imgs = tl.read_ome_table(spark, table)
+        return imgs.select(
+            F.col("ome_arrow.id").alias("image_id"),
+            F.size("ome_arrow.planes").alias("n_planes"),
+            F.aggregate(
+                F.element_at("ome_arrow.planes", 1).pixels,
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("first_plane_sum"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -277,6 +277,46 @@ class TestPruning:
         assert len(tl._prune(snap["files"], [("missing_col", "=", 1)])) == 1
 
 
+class TestSchemaEvolution:
+    def test_add_column_metadata_only(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(2), tdir)
+        files_before = set(tl._resolve_snapshot(tdir)["files"])
+        tl.add_table_column(spark, tdir, "score", "double")
+        # zero data files touched
+        assert set(tl._resolve_snapshot(tdir)["files"]) == files_before
+        cur = tl.read_table(spark, tdir)
+        assert cur.schema["score"].dataType.simpleString() == "double"
+        assert cur.filter("score IS NULL").count() == 100
+
+    def test_writes_after_evolution_carry_column(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 50).coalesce(1), tdir)
+        tl.add_table_column(spark, tdir, "score", "double")
+        with pytest.raises(tl.TableLogError, match="schema mismatch"):
+            tl.append_table(spark, _base(spark, 60).filter("k >= 50"), tdir)
+        evolved = _base(spark, 60).filter("k >= 50").withColumn(
+            "score", F.col("k") * 1.5
+        )
+        tl.append_table(spark, evolved, tdir)
+        upd = _base(spark, 5).withColumn("score", F.lit(9.0))
+        tl.upsert_table(spark, upd, tdir, key="k")
+        cur = tl.read_table(spark, tdir)
+        assert cur.count() == 60
+        assert cur.filter("score = 9.0").count() == 5
+        assert cur.filter("score IS NULL").count() == 45  # old rows
+
+    def test_time_travel_sees_old_schema(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        tl.add_table_column(spark, tdir, "score", "double")
+        v0 = tl.read_table(spark, tdir, version=0)
+        assert "score" not in v0.columns
+        assert "score" in tl.read_table(spark, tdir).columns
+
+    def test_duplicate_column_rejected(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        with pytest.raises(tl.TableLogError, match="already exists"):
+            tl.add_table_column(spark, tdir, "k", "long")
+
+
 class TestZOrder:
     def test_zorder_enables_multicolumn_pruning(self, spark):
         """Laid out by `a` alone, predicates on `b` prune nothing;
