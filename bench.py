@@ -192,9 +192,11 @@ def main() -> None:
     # hold the fixed cost to <15% of wall, so this metric tracks the
     # MARGINAL per-image cost that determines 100 TB behavior
     # (measured ~5 ms/img wall on local[32]).
+    # NOT added to suite_total_wall: 8× the r1 fixture size would make
+    # the total incomparable to BASELINE's 100-image-era numbers; the
+    # throughput field below carries the signal.
     steady_s, steady_rate = bench_tiff_ingest(spark, n_images=800)
     times["tiff_ingest_steady_800"] = round(steady_s, 4)
-    total += steady_s
     print(
         f"# tiff_ingest_steady_800: {steady_s:.3f}s ({steady_rate:.1f} img/s)",
         file=sys.stderr,
