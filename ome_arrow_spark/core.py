@@ -45,6 +45,10 @@ _EXPORT_ALIASES = {
     "ome-zarr": "ome-zarr",
     "omezarr": "ome-zarr",
     "zarr": "ome-zarr",
+    "ome-table": "ome-table",
+    "ometable": "ome-table",
+    "table": "ome-table",
+    "delta": "ome-table",
 }
 
 
@@ -83,6 +87,10 @@ class OmeImages:
                 from ome_arrow_spark.sources.zarr import from_zarr_manifest
 
                 return cls(from_zarr_manifest(spark, [path], **kw))
+            if os.path.isdir(os.path.join(path, "_ome_log")):
+                from ome_arrow_spark.sources.table_log import read_ome_table
+
+                return cls(read_ome_table(spark, path, **kw))
             if low.endswith((".parquet", ".pq")) or os.path.isdir(path):
                 from ome_arrow_spark.sources.ome_parquet import read_ome_parquet
 
@@ -187,6 +195,19 @@ class OmeImages:
             from ome_arrow_spark.sources.zarr import to_zarr_dir
 
             return to_zarr_dir(self.df, out, self.column, **kw)
+        if mode == "ome-table":
+            # Transaction-log table: create when absent, MERGE by
+            # image id when present (atomic either way).
+            from ome_arrow_spark.sources import table_log as tl
+
+            spark = self.df.sparkSession
+            if tl.current_version(out) is None:
+                return tl.create_ome_table(
+                    spark, self.df, out, column=self.column, **kw
+                )
+            return tl.upsert_ome_table(
+                spark, self.df, out, column=self.column, **kw
+            )
         raise AssertionError("unreachable")
 
     def count(self) -> int:

@@ -470,6 +470,21 @@ class TestOmeTable:
         assert tl.read_ome_table(spark, tdir).count() == n0
         assert tl.current_version(tdir) == 1
 
+    def test_facade_dispatch(self, spark, tdir, ome_images_df):
+        """OmeImages.export(how='table') creates then MERGEs; load()
+        auto-detects the log dir and round-trips (K5 dispatch parity
+        extended to the log format)."""
+        from ome_arrow_spark.core import OmeImages
+
+        imgs = OmeImages(ome_images_df)
+        assert imgs.export("table", out=tdir) == 0
+        assert imgs.export("ome-table", out=tdir) == 1  # second call MERGEs
+        back = OmeImages.load(spark, tdir)
+        assert back.count() == ome_images_df.count()
+        assert sorted(
+            r[0] for r in back.df.select("ome_arrow.id").collect()
+        ) == sorted(r[0] for r in ome_images_df.select("ome_arrow.id").collect())
+
     def test_point_lookup_prunes(self, spark, tdir, ome_images_df):
         tl.create_ome_table(
             spark,
