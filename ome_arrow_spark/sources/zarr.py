@@ -13,8 +13,9 @@ byte-shuffle, both split regimes — zstd/lz4/snappy ride pyarrow's
 bundled C codecs, already a hard engine dependency), v3 ``zarr.json``
 layouts with bytes+gzip/zstd/blosc codec chains and
 ``sharding_indexed`` shards (CRC-32C indexes), multiscale group attrs
-in either layout — no zarr package needed; only blosclz inner codecs
-and bit-shuffle still gate with ``NotImplementedError``. The
+in either layout — no zarr package needed; byte- AND bit-shuffle
+filters both directions; only blosclz inner codecs still gate with
+``NotImplementedError``. The
 legacy FZARR test container (``header.json`` + one ``.bin`` per plane)
 remains readable.
 

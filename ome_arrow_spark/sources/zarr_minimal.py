@@ -17,9 +17,10 @@ reads what zarr-python writes for the baseline feature set.
 
 Blosc frames decode/encode with zlib (stdlib) AND zstd/lz4/snappy
 inner codecs (pyarrow's bundled C codecs — pyarrow is already a hard
-engine dependency); plain numcodecs-framed zstd/lz4 v2 compressors and
-v3 zstd codec chains ride the same route. Only blosclz inner codecs
-and bit-shuffle still gate on numcodecs.
+engine dependency), with byte-shuffle AND bit-shuffle filters both
+directions; plain numcodecs-framed zstd/lz4 v2 compressors and v3
+zstd codec chains ride the same route. Only blosclz inner codecs
+still gate on numcodecs.
 """
 
 from __future__ import annotations
@@ -46,7 +47,11 @@ SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lz4")
 # default is Blosc(zstd); the reference's exporter passes blosc
 # compressors straight to zarr, export.py:265-289). zlib inner codecs
 # ride the stdlib; zstd/lz4/snappy ride pyarrow's bundled C codecs;
-# only blosclz (blosc's own LZ) keeps gating on numcodecs.
+# only blosclz (blosc's own LZ) keeps gating on numcodecs. Bit-shuffle
+# (flag 0x4) is implemented from the bitshuffle scalar reference
+# algorithm; cross-library fixtures can't be generated in this
+# container (no numcodecs/bitshuffle), so tests pin the layout against
+# an independent per-bit model plus round-trips.
 #
 # Frame: 16-byte header (version, versionlz, flags, typesize, nbytes,
 # blocksize, cbytes LE) · uint32 block-start offsets · per-block
@@ -125,6 +130,42 @@ def _unshuffle_bytes(buf: bytes, typesize: int) -> bytes:
     return lanes.T.tobytes() + buf[n:]
 
 
+def _bitshuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    """Bit-shuffle (c-blosc flag 0x4): the bitshuffle library's
+    ``bshuf_trans_bit_elem`` layout — byte-lane transpose, then per
+    lane eight bit-planes, plane k holding bit k of every element with
+    element i of each 8-group at bit position i (little-endian
+    packing; scalar reference: trans_byte_elem → trans_bit_byte →
+    trans_bitrow_eight).  Elements past the largest multiple of 8 stay
+    raw at the tail, matching c-blosc's leftover memcpy."""
+    unit = typesize * 8
+    n = len(buf) - (len(buf) % unit)
+    if n == 0 or typesize < 1:
+        return buf
+    lanes = np.frombuffer(buf, np.uint8, count=n).reshape(-1, typesize).T
+    bits = np.unpackbits(lanes, axis=1, bitorder="little")
+    bits = bits.reshape(typesize, -1, 8).transpose(0, 2, 1)
+    return (
+        np.packbits(bits, axis=2, bitorder="little").tobytes() + buf[n:]
+    )
+
+
+def _bitunshuffle_bytes(buf: bytes, typesize: int) -> bytes:
+    unit = typesize * 8
+    n = len(buf) - (len(buf) % unit)
+    if n == 0 or typesize < 1:
+        return buf
+    nelem = n // typesize
+    planes = np.frombuffer(buf, np.uint8, count=n).reshape(
+        typesize, 8, nelem // 8
+    )
+    bits = np.unpackbits(planes, axis=2, bitorder="little")
+    lanes = np.packbits(
+        bits.transpose(0, 2, 1), axis=2, bitorder="little"
+    ).reshape(typesize, nelem)
+    return lanes.T.tobytes() + buf[n:]
+
+
 def _blosc_block_streams(
     frame: bytes, off: int, neblock: int, nstreams: int, fmt: int
 ) -> bytes:
@@ -164,12 +205,11 @@ def blosc_decode(frame: bytes) -> bytes:
         raise ValueError("truncated blosc frame")
     flags, typesize = frame[2], frame[3]
     nbytes, blocksize, _cbytes = struct.unpack_from("<III", frame, 4)
-    if flags & 0x4:
-        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
     if flags & 0x2:  # pure memcpy: the original buffer stored raw
         return bytes(frame[16 : 16 + nbytes])
     fmt = flags >> 5
     doshuffle = bool(flags & 0x1) and typesize > 1
+    dobitshuffle = bool(flags & 0x4)
     nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
     # each block is either ONE stream or typesize per-byte-lane streams
@@ -193,7 +233,9 @@ def blosc_decode(frame: bytes) -> bytes:
         block = _blosc_block_streams(frame, bstarts[i], neblock, nstreams, fmt)
         if len(block) != neblock:
             raise ValueError("corrupt blosc frame: block size mismatch")
-        if doshuffle:
+        if dobitshuffle:
+            block = _bitunshuffle_bytes(block, typesize)
+        elif doshuffle:
             block = _unshuffle_bytes(block, typesize)
         out += block
     return bytes(out[:nbytes])
@@ -209,11 +251,10 @@ def blosc_encode(
 ) -> bytes:
     """Encode a blosc1 frame (modern unsplit layout). ``cname`` ∈
     {"zlib"} via the stdlib, {"zstd", "lz4", "snappy"} via pyarrow's
-    bundled codecs. ``shuffle``: 0 none, 1 byte-shuffle (2,
-    bit-shuffle, gates on numcodecs). Falls back to the pure-memcpy
-    frame when compression doesn't pay, exactly like c-blosc."""
-    if shuffle == 2:
-        raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+    bundled codecs. ``shuffle``: 0 none, 1 byte-shuffle, 2
+    bit-shuffle (bshuf_trans_bit_elem layout). Falls back to the
+    pure-memcpy frame when compression doesn't pay, exactly like
+    c-blosc."""
     if cname not in _BLOSC_CNAME_TO_FORMAT:
         raise NotImplementedError(f"blosc cname {cname!r} unsupported")
     fmt = _BLOSC_CNAME_TO_FORMAT[cname]
@@ -227,7 +268,9 @@ def blosc_encode(
     streams = []
     for i in range(nblocks):
         seg = raw[i * blocksize : i * blocksize + min(blocksize, nbytes - i * blocksize)]
-        if doshuffle:
+        if shuffle == 2:
+            seg = _bitshuffle_bytes(seg, typesize)
+        elif doshuffle:
             seg = _shuffle_bytes(seg, typesize)
         comp = _inner_compress(fmt, seg, clevel)
         if len(comp) >= len(seg):
@@ -240,7 +283,7 @@ def blosc_encode(
             "<BBBBIII", 2, 1, 0x2, typesize, nbytes, blocksize, nbytes + 16
         )
         return header + raw
-    flags = (0x1 if doshuffle else 0) | (fmt << 5)
+    flags = (0x4 if shuffle == 2 else (0x1 if doshuffle else 0)) | (fmt << 5)
     header = struct.pack(
         "<BBBBIII", 2, 1, flags, typesize, nbytes, blocksize, total
     )
@@ -442,8 +485,8 @@ def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int
                 raise NotImplementedError(
                     f"v3 blosc cname {cname!r} needs the zarr package"
                 )
-            if cfg.get("shuffle") == "bitshuffle":
-                raise NotImplementedError("blosc bit-shuffle needs numcodecs")
+            # shuffle/bitshuffle need no gate: the blosc frame's own
+            # flag bits drive the decoder, whatever the config says
             comp = "blosc"
             level = int(cfg.get("clevel", 5))
         elif name == "zstd":
