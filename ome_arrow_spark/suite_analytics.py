@@ -749,3 +749,97 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_1h"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the trade graph (customer-nation → supplier-nation
+# edges from realized lineitems): the canonical iterative graph
+# algorithm beyond connected components / k-means. Three damped
+# iterations (d = 0.85, simplified dangling handling) from a uniform
+# start; the oracle unrolls the same three steps as CTEs. Scale shape:
+# edge extraction is the q7-style join; each iteration is one
+# contributions aggregation with the (nodes-sized, here 25-row) rank
+# table BROADCAST — rank state never shuffles the edge list twice.
+# ---------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+    e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS cnt FROM nation)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT n.n_nationkey AS id,
+             0.15 / nn.cnt + 0.85 * COALESCE(SUM({prev}.r / od.deg), 0) AS r
+      FROM nation n
+      CROSS JOIN nn
+      LEFT JOIN e ON e.dst = n.n_nationkey
+      LEFT JOIN od ON od.src = e.src
+      LEFT JOIN {prev} ON {prev}.id = e.src
+      GROUP BY n.n_nationkey, nn.cnt)
+    """
+
+
+@register(
+    "pagerank_nations",
+    "WITH " + _PR_EDGES_SQL + ","
+    + "r0 AS (SELECT n_nationkey AS id, 1.0 / cnt AS r FROM nation, nn),"
+    + _pr_iter_sql("r0", "r1") + ","
+    + _pr_iter_sql("r1", "r2") + ","
+    + _pr_iter_sql("r2", "r3")
+    + """
+    SELECT n.n_name AS nation, ROUND(r3.r, 9) AS pagerank
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.id
+    """,
+)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()  # 3 iterations reuse the edge list; cut lineage
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = nation.count()
+    ranks = nation.select(
+        F.col("n_nationkey").alias("id"), F.lit(1.0 / n_nodes).alias("r")
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(F.broadcast(out_deg), "src")
+            .join(F.broadcast(ranks), edges["src"] == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nation.join(
+                contribs, nation["n_nationkey"] == contribs["dst"], "left"
+            )
+            .select(
+                F.col("n_nationkey").alias("id"),
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.join(
+        nation, ranks["id"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.round("r", 9).alias("pagerank"))

@@ -1706,3 +1706,78 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_samples", r6("duration_s"), r6("rms"),
         F.col("peak").cast("double").alias("peak"), "zero_crossings",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram language-model scoring — the classic cheap
+# quality/outlier signal for pretraining curation (perplexity-style
+# filtering without a neural LM): train add-one-smoothed bigram
+# probabilities ON the corpus itself, then score every document by its
+# mean log-probability. Low scores = surprising/garbled text.
+# Scale shape: two corpus-level count aggregations (vocab-sized →
+# broadcast) + one explode-join-agg over documents; no driver loops.
+# ---------------------------------------------------------------------------
+@register(
+    "lm_bigram_score",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      WHERE len({_TOKS_SQL}) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+    un AS (
+      SELECT tok, COUNT(*) AS cu
+      FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+      GROUP BY tok),
+    v AS (SELECT COUNT(*) AS vocab FROM un),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((bc.cb + 1.0) / (un.cu + v.vocab))), 6) AS avg_logprob
+    FROM bg
+    JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+    JOIN un ON un.tok = bg.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    un = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = un.agg(F.count("*").alias("vocab"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    return (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(un), bg["w1"] == un["tok"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cb") + F.lit(1.0))
+                        / (F.col("cu") + F.col("vocab"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
