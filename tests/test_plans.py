@@ -243,3 +243,26 @@ def test_cluster_means_dim_independent_plan(spark, sf_dir):
     ep = _final_plan(cm)
     shuffles = ep.count("Exchange") - ep.count("BroadcastExchange")
     assert shuffles <= 2, f"update = one (cluster,pos) shuffle + tiny reassembly, got {shuffles}"
+
+
+def test_pagerank_broadcasts_rank_state(spark, sf_dir):
+    """Each PageRank iteration must broadcast the (nodes-sized) rank
+    table against the edge list — a SortMergeJoin there would shuffle
+    the full edge list once per iteration at scale."""
+    from ome_arrow_spark import suite_analytics
+
+    df = suite_analytics.pagerank_nations(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_bigram_broadcasts_count_tables(spark, sf_dir):
+    """The vocab-sized unigram/bigram count tables join broadcast; the
+    only shuffles are the count aggregations + the final doc agg."""
+    from ome_arrow_spark import suite_llm
+
+    df = suite_llm.lm_bigram_score(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
