@@ -460,6 +460,7 @@ def append_table(spark: SparkSession, df: DataFrame, table: str) -> int:
     """Atomic append: new files + one commit; never rewrites data."""
     snap = _resolve_snapshot(table)
     _check_schema(df, snap, table)
+    _enforce_constraints(df, snap, table)
     version = snap["version"] + 1
     adds = _write_data_files(df, table, version, _bloom_cols(snap))
     _commit(
@@ -499,6 +500,7 @@ def upsert_table(
     need.  The update batch must be key-unique either way."""
     snap = _resolve_snapshot(table)
     _check_schema(updates, snap, table)
+    _enforce_constraints(updates, snap, table)
     version = snap["version"] + 1
 
     bounds = updates.agg(
@@ -724,6 +726,61 @@ def pruned_file_count(
     observable for pruning tests and skew/cost reports."""
     snap = _resolve_snapshot(table, version)
     return len(_prune(snap["files"], predicates)), len(snap["files"])
+
+
+CONSTRAINT_PROP_PREFIX = "table.constraint."
+
+
+def add_table_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """Delta-style CHECK constraint: a SQL boolean expression every row
+    of every FUTURE write must satisfy (existing rows are validated
+    once, here and now).  Stored as a table property; enforced by
+    :func:`_enforce_constraints` before any data lands, so a violating
+    batch commits nothing."""
+    snap = _resolve_snapshot(table)
+    key = CONSTRAINT_PROP_PREFIX + name
+    if key in snap["properties"]:
+        raise TableLogError(f"constraint already exists: {name}")
+    current = read_table(spark, table)
+    bad = current.filter(f"NOT ({expr})").count()
+    if bad:
+        raise TableLogError(
+            f"cannot add constraint {name!r}: {bad} existing rows violate ({expr})"
+        )
+    version = snap["version"] + 1
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "add_constraint",
+            "properties": {key: expr},
+            "actions": [],
+        },
+    )
+    return version
+
+
+def _enforce_constraints(df: DataFrame, snap: dict[str, Any], table: str) -> None:
+    """One validation pass over the incoming batch BEFORE any file is
+    written — a violation aborts with zero on-disk effects.  (The extra
+    scan is the price of write-time guarantees; Delta pays the same.)"""
+    checks = {
+        k[len(CONSTRAINT_PROP_PREFIX):]: v
+        for k, v in snap.get("properties", {}).items()
+        if k.startswith(CONSTRAINT_PROP_PREFIX)
+    }
+    if not checks:
+        return
+    combined = " AND ".join(f"({v})" for v in checks.values())
+    bad = df.filter(f"NOT ({combined})").count()
+    if bad:
+        raise TableLogError(
+            f"write to {table} violates constraint(s) "
+            f"{sorted(checks)}: {bad} row(s) rejected"
+        )
 
 
 def add_table_column(

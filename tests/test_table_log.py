@@ -317,6 +317,39 @@ class TestSchemaEvolution:
             tl.add_table_column(spark, tdir, "k", "long")
 
 
+class TestConstraints:
+    def test_violating_write_commits_nothing(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 20), tdir)
+        tl.add_table_constraint(spark, tdir, "v_nonneg", "v >= 0")
+        bad = spark.createDataFrame(
+            [(100, -5, "x")], "k long, v long, s string"
+        )
+        files_before = set(tl._resolve_snapshot(tdir)["files"])
+        with pytest.raises(tl.TableLogError, match="violates constraint"):
+            tl.append_table(spark, bad, tdir)
+        with pytest.raises(tl.TableLogError, match="violates constraint"):
+            tl.upsert_table(spark, bad, tdir, key="k")
+        # no version bump, no new files, table readable and unchanged
+        assert tl.current_version(tdir) == 1
+        assert set(tl._resolve_snapshot(tdir)["files"]) == files_before
+        assert tl.read_table(spark, tdir).count() == 20
+
+    def test_conforming_write_passes(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        tl.add_table_constraint(spark, tdir, "v_nonneg", "v >= 0")
+        tl.add_table_constraint(spark, tdir, "s_prefix", "s LIKE 'row-%'")
+        tl.append_table(spark, _base(spark, 15).filter("k >= 10"), tdir)
+        assert tl.read_table(spark, tdir).count() == 15
+
+    def test_add_rejects_when_existing_rows_violate(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        with pytest.raises(tl.TableLogError, match="existing rows violate"):
+            tl.add_table_constraint(spark, tdir, "impossible", "k > 5")
+        with pytest.raises(tl.TableLogError, match="already exists"):
+            tl.add_table_constraint(spark, tdir, "ok", "k >= 0")
+            tl.add_table_constraint(spark, tdir, "ok", "k >= 0")
+
+
 class TestZOrder:
     def test_zorder_enables_multicolumn_pruning(self, spark):
         """Laid out by `a` alone, predicates on `b` prune nothing;
