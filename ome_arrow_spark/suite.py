@@ -1859,8 +1859,8 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_view_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_view_click_purchase"))))
     )
 
 

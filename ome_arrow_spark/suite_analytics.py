@@ -324,7 +324,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     ne = edges.agg(F.count("*").alias("n_edges"))
-    return ne.crossJoin(tri)
+    return ne.crossJoin(F.broadcast(tri))
 
 
 # ---------------------------------------------------------------------------

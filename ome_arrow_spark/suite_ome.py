@@ -827,7 +827,7 @@ def ome_timelapse_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = per_t.agg(
         ((k * stm - st * sm) / (k * stt - st * st)).alias("slope")
     )
-    return per_t.crossJoin(fit).select(
+    return per_t.crossJoin(F.broadcast(fit)).select(
         "t",
         "px_sum",
         F.round("m", 6).alias("mean_intensity"),
