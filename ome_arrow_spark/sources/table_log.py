@@ -896,6 +896,95 @@ def optimize_table(
 
 
 # ---------------------------------------------------------------------------
+# Incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def version_delta_files(
+    table: str, from_version: int, to_version: int
+) -> tuple[list[str], list[str]]:
+    """Net (added, removed) data files across commits in
+    ``(from_version, to_version]``.  A file both added and removed
+    inside the range cancels to nothing; a removed file that predates
+    the range lands in ``removed`` (it is still on disk until vacuum,
+    which is exactly why vacuum retention must cover the refresh
+    horizon)."""
+    versions = _list_versions(table)
+    if from_version not in versions or to_version not in versions:
+        raise TableLogError(
+            f"delta range ({from_version}, {to_version}] not in log"
+        )
+    net: dict[str, int] = {}
+    for v in versions:
+        if v <= from_version or v > to_version:
+            continue
+        for action in _read_entry(table, v)["actions"]:
+            if "add" in action:
+                net[action["add"]["path"]] = net.get(action["add"]["path"], 0) + 1
+            elif "remove" in action:
+                net[action["remove"]["path"]] = (
+                    net.get(action["remove"]["path"], 0) - 1
+                )
+    added = sorted(p for p, n in net.items() if n > 0)
+    removed = sorted(p for p, n in net.items() if n < 0)
+    return added, removed
+
+
+def incremental_agg_delta(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str],
+    decimal_out: bool = False,
+) -> DataFrame:
+    """Delta of associative aggregates (COUNT + SUMs) between two
+    snapshots, computed from CHANGED FILES ONLY: rows in net-added
+    files count positive, rows in net-removed files negative.  Because
+    every mutation is expressed as file adds/removes, ``old state +
+    this delta == full recompute`` for ANY operation mix
+    (append/upsert/delete/compact — compaction's adds and removes
+    cancel row-for-row).  Refresh cost scales with the churned
+    fraction of the table, not table size — the materialized-view
+    maintenance story at 100 TB.  Returns one row per group:
+    ``d_count`` plus ``d_<alias>`` per requested sum."""
+    snap = _resolve_snapshot(table, to_version)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    added, removed = version_delta_files(table, from_version, to_version)
+
+    def _signed(paths: list[str], sign: int) -> DataFrame | None:
+        if not paths:
+            return None
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+        return df.withColumn("__sign", F.lit(sign))
+
+    parts = [d for d in (_signed(added, 1), _signed(removed, -1)) if d is not None]
+    if not parts:
+        empty = T.StructType(
+            [schema[c] for c in group_cols]
+            + [T.StructField("d_count", T.LongType())]
+            + [T.StructField(f"d_{a}", T.DoubleType()) for a in sum_cols]
+        )
+        return spark.createDataFrame([], empty)
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    def _out(c):  # decimal_out lets callers defer the double cast so
+        return c if decimal_out else c.cast("double")  # state+delta adds stay exact
+
+    aggs = [F.sum("__sign").cast("long").alias("d_count")] + [
+        _out(F.sum(F.col(col).cast("decimal(30,6)") * F.col("__sign"))).alias(
+            f"d_{alias}"
+        )
+        for alias, col in sum_cols.items()
+    ]
+    return staged.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # OME images on the log
 # ---------------------------------------------------------------------------
 

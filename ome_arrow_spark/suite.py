@@ -82,9 +82,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship re-verification tail
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
     "q21_waiting_supplier",
-    "join_semi", "join_anti", "join_range",
+    "join_semi", "join_anti",
     # round-6 analytics additions (first driver rows)
-    "lm_bigram_score", "pagerank_nations",
+    "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
     "stream_ome_ingest", "dedup_exact", "neardup_lsh", "near_dedup_full",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
     "kmeans_embeddings", "dedup_components", "decontamination",

@@ -447,3 +447,57 @@ def ome_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v,
         ).alias("first_plane_sum"),
     )
+
+
+# Incremental view maintenance from the commit log: a materialized
+# per-status aggregate built at v0 is brought current by reading ONLY
+# the files the v0→v2 commits touched (added rows positive, removed
+# rows negative — correct for any append/upsert/delete/compact mix
+# because mutations are expressed as whole-file adds/removes). The
+# result must hash-match the oracle's from-scratch aggregation of the
+# final MERGE state; refresh cost scales with churn, not table size.
+@register(
+    "table_incremental_agg",
+    _TLOG_MERGED_SQL
+    + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _build_log_table(spark, sf_dir)
+    state0 = (
+        tl.read_table(spark, path, version=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("s0"),
+        )
+    )
+    delta = tl.incremental_agg_delta(
+        spark, path, 0, 2,
+        group_cols=["o_orderstatus"],
+        sum_cols={"price": "o_totalprice"},
+        decimal_out=True,
+    )
+    return (
+        state0.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("d_count"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("s0"), F.lit(0).cast("decimal(30,6)"))
+                + F.coalesce(F.col("d_price"), F.lit(0).cast("decimal(30,6)"))
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .filter(F.col("n") > 0)
+    )

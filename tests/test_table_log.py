@@ -465,6 +465,57 @@ class TestBloom:
         assert not tl._bloom_might_contain(b, 999999)
 
 
+class TestIncrementalAgg:
+    def test_delta_matches_full_recompute_across_op_mix(self, spark, tdir):
+        """append + upsert + delete + compact: state(v0) + delta equals
+        a from-scratch aggregate at head, and compaction's add/remove
+        pairs cancel instead of inflating the delta."""
+        tl.create_table(spark, _base(spark, 400).repartitionByRange(4, "k"), tdir)
+        v0_agg = {
+            r["g"]: (r["n"], r["s"])
+            for r in tl.read_table(spark, tdir, version=0)
+            .groupBy((F.col("k") % 3).alias("g"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        tl.append_table(spark, _base(spark, 450).filter("k >= 400"), tdir)
+        tl.upsert_table(
+            spark,
+            _base(spark, 20).withColumn("v", F.lit(-7).cast("long")),
+            tdir, key="k",
+        )
+        tl.delete_from_table(spark, tdir, "k >= 440",
+                             prune_predicates=[("k", ">=", 440)])
+        tl.compact_table(spark, tdir)
+        head = tl.current_version(tdir)
+        delta_df = tl.incremental_agg_delta(
+            spark, tdir, 0, head, ["s"], {"v": "v"}
+        )
+        # state0 + delta == full recompute (rolled up to totals)
+        tot0 = sum(n for n, _ in v0_agg.values()), sum(s for _, s in v0_agg.values())
+        d = delta_df.agg(
+            F.sum("d_count").alias("dn"), F.sum("d_v").alias("dv")
+        ).collect()[0]
+        cur = tl.read_table(spark, tdir).agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        assert tot0[0] + d["dn"] == cur["n"]
+        assert float(tot0[1]) + float(d["dv"]) == pytest.approx(float(cur["s"]))
+        # compaction contributed nothing: delta from pre- to
+        # post-compact version is empty
+        added, removed = tl.version_delta_files(tdir, head - 1, head)
+        assert added and removed  # compact did add+remove files…
+        empty = tl.incremental_agg_delta(
+            spark, tdir, head - 1, head, ["s"], {"v": "v"}
+        )
+        assert empty.filter("d_count != 0 OR d_v != 0").count() == 0  # …that cancel
+
+    def test_delta_range_validation(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        with pytest.raises(tl.TableLogError, match="not in log"):
+            tl.version_delta_files(tdir, 0, 99)
+
+
 class TestMaintenance:
     def test_compact_then_vacuum(self, spark, tdir):
         tl.create_table(spark, _base(spark, 500).repartition(16), tdir)
