@@ -220,16 +220,23 @@ def stream_stream_interval_join(
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
-def run_foreach_batch(df: DataFrame, batch_fn, output_mode: str = "update") -> None:
+def run_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+) -> None:
     """foreachBatch sink: apply an arbitrary batch function (upserts,
     MERGEs, multi-sink fan-out) per micro-batch — the pattern for
     streaming into plain-parquet/lakehouse tables where no native
-    streaming sink exists."""
+    streaming sink exists.  Pass a stable ``checkpoint`` dir to get
+    exactly-once across restarts: the source log remembers processed
+    files, so a rerun ingests only what arrived since."""
     spark = df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     if int(prev_parts) > STREAM_PARTITIONS:
         spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
-    ckpt = tempfile.mkdtemp(prefix="ckpt_feb_")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_feb_")
     q = (
         df.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)

@@ -191,3 +191,55 @@ def test_cluster_defaults_shape():
     assert conf["spark.sql.shuffle.partitions"] == "16000"
     assert conf["spark.dynamicAllocation.maxExecutors"] == "1000"
     assert conf["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_tiff_stream_exactly_once_restart(spark, tmp_path):
+    """from_tiff_stream + a STABLE checkpoint: a restarted run MERGEs
+    only files that arrived since the last run (no re-decode, no
+    double-ingest), and the log-table version history shows it."""
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_stream
+    from ome_arrow_spark.streaming.events import run_foreach_batch
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    table = str(tmp_path / "log_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = from_tiff_stream(spark, str(src), glob="*.ftif")
+
+        def merge(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            if tl.current_version(table) is None:
+                tl.create_ome_table(spark, batch_df, table)
+            else:
+                tl.upsert_ome_table(spark, batch_df, table)
+
+        run_foreach_batch(
+            stream, merge, output_mode="append", checkpoint=ckpt
+        )
+
+    for i in range(3):
+        vol = np.full((1, 1, 1, 4, 4), i, dtype=np.int32)
+        (src / f"acq_{i}.ftif").write_bytes(encode_ftif(vol, image_id=f"acq{i}"))
+    run_once()
+    assert tl.read_ome_table(spark, table).count() == 3
+    v_after_first = tl.current_version(table)
+
+    # restart with nothing new: no commits at all
+    run_once()
+    assert tl.current_version(table) == v_after_first
+
+    # two late arrivals: exactly one incremental merge batch
+    for i in (3, 4):
+        vol = np.full((1, 1, 1, 4, 4), i, dtype=np.int32)
+        (src / f"acq_{i}.ftif").write_bytes(encode_ftif(vol, image_id=f"acq{i}"))
+    run_once()
+    imgs = tl.read_ome_table(spark, table)
+    assert imgs.count() == 5
+    assert sorted(
+        r[0] for r in imgs.select("ome_arrow.id").collect()
+    ) == [f"acq{i}" for i in range(5)]
+    assert tl.current_version(table) == v_after_first + 1
