@@ -72,6 +72,20 @@ class TableLogError(RuntimeError):
     pass
 
 
+def retry_on_conflict(fn, attempts: int = 3):
+    """Optimistic-concurrency retry loop: every write op re-resolves
+    the snapshot on entry, so re-invoking it after a
+    :class:`ConcurrentCommit` recomputes against the winner's state and
+    claims the next version — e.g.
+    ``retry_on_conflict(lambda: append_table(spark, df, t))``."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except ConcurrentCommit:
+            if i == attempts - 1:
+                raise
+
+
 # ---------------------------------------------------------------------------
 # Commit protocol
 # ---------------------------------------------------------------------------
@@ -578,6 +592,17 @@ def upsert_table(
     else:
         merged = updates
     if lo is not None or touched:
+        # Rewrite range-clustered on the merge key: the touched files'
+        # replacements keep tight key min/max (and Bloom) stats, so the
+        # NEXT merge prunes as well as this one did — without this,
+        # every upsert would progressively destroy the clustering that
+        # makes manifest pruning work.  Sized to the churned bytes,
+        # ~128 MB per output file.
+        touched_bytes = sum(
+            snap["files"][p].get("bytes", 0) for p in touched
+        )
+        n_out = max(1, -(-touched_bytes // (128 * 1024 * 1024)))
+        merged = merged.repartitionByRange(n_out, key)
         adds = _write_data_files(merged, table, version, _bloom_cols(snap))
         actions += [{"add": a} for a in adds]
         actions += [{"remove": {"path": p}} for p in touched]
@@ -623,16 +648,30 @@ def delete_from_table(
 
 
 def compact_table(
-    spark: SparkSession, table: str, target_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
 ) -> int:
-    """Small-file compaction as a metadata swap: rewrite the live set
-    into ~``target_bytes`` files, commit remove(old)+add(new).  Readers
-    on older snapshots are unaffected (old files stay until vacuum)."""
+    """Small-file compaction as a metadata swap: rewrite ONLY files
+    under ``small_file_bytes`` (default: under ``target_bytes``, the
+    Delta ``OPTIMIZE`` rule) into ~``target_bytes`` files; files
+    already at target size are carried by reference — at 100 TB a
+    compaction that rewrites the whole table would be the bug, not the
+    maintenance.  Commit is remove(small)+add(new); readers on older
+    snapshots are unaffected (old files stay until vacuum).  Returns
+    the new version, or the current one unchanged when nothing
+    qualifies."""
     snap = _resolve_snapshot(table)
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
-    files = list(snap["files"])
-    total = sum(a.get("bytes", 0) for a in snap["files"].values())
+    threshold = target_bytes if small_file_bytes is None else small_file_bytes
+    files = [
+        p for p, a in snap["files"].items() if a.get("bytes", 0) < threshold
+    ]
+    if len(files) < 2:  # nothing to gain from rewriting 0-1 files
+        return snap["version"]
+    total = sum(snap["files"][p].get("bytes", 0) for p in files)
     n = max(1, -(-total // target_bytes))
     df = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in files]

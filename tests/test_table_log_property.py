@@ -60,7 +60,7 @@ def test_ops_match_model(spark, tmp_path_factory, initial, ops):
     model: dict[int, tuple[int, int]] = {
         k: (v, 0) for k, v in initial.items()
     }
-    history = [dict(model)]
+    history = [(0, dict(model))]
     tl.create_table(
         spark, _df(spark, initial).repartition(3), tdir, bloom_columns=["k"]
     )
@@ -101,11 +101,12 @@ def test_ops_match_model(spark, tmp_path_factory, initial, ops):
         elif kind == "zorder":
             tl.optimize_table(spark, tdir, zorder_by=["k", "v"],
                               bits_per_col=4)
-        history.append(dict(model))
+        history.append((tl.current_version(tdir), dict(model)))
         assert _materialize(spark, tdir) == model, f"after {kind}"
 
-    # every historical snapshot still replays exactly
-    for version, expected in enumerate(history):
+    # every historical snapshot still replays exactly (compaction may
+    # no-op below 2 small files, so versions come from the log itself)
+    for version, expected in history:
         assert _materialize(spark, tdir, version=version) == expected, (
             f"time travel to v{version}"
         )
@@ -141,7 +142,8 @@ def test_interleaved_writers_serialize(spark, tmp_path, seed):
         tl._commit(
             tdir, 1, {"version": 1, "operation": "append", "actions": []}
         )
-    tl.append_table(spark, b, tdir)  # retry path: re-resolve, commit v2
+    # retry helper re-invokes against the fresh snapshot and lands v2
+    tl.retry_on_conflict(lambda: tl.append_table(spark, b, tdir))
     assert _materialize(spark, tdir) == {
         1: (1, 0), 2: (2, 0), 3: (3, 0)
     }
