@@ -134,9 +134,19 @@ def _decode_dib(payload: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def avi_decode(data: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """AVI bytes → ((F,H,W,3) uint8 RGB, meta{w,h,fps,n_frames,codec})."""
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+    """AVI bytes → ((F,H,W,3) uint8 RGB, meta{w,h,fps,n_frames,codec}).
+    Malformed/truncated input raises ``ValueError`` (never a raw
+    ``struct.error``/``IndexError``), matching the decode contract of
+    the other built-in codecs."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') stream")
+    try:
+        return _avi_decode_inner(data)
+    except (struct.error, IndexError):
+        raise ValueError("truncated AVI stream") from None
+
+
+def _avi_decode_inner(data: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
 
     w = h = fps = 0

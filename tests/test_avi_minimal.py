@@ -101,6 +101,18 @@ class TestTolerantParsing:
         with pytest.raises(ValueError, match="no video frames"):
             avi_decode(b"RIFF\x04\x00\x00\x00AVI ")
 
+    def test_truncation_fuzz_raises_valueerror_only(self):
+        """Every prefix of a valid file either decodes or raises
+        ValueError — raw struct.error/IndexError never escape the
+        documented contract."""
+        for codec in ("raw", "mjpeg"):
+            blob = avi_encode(_frames(f=3, h=8, w=8), codec=codec)
+            for cut in range(0, len(blob), 97):
+                try:
+                    avi_decode(blob[:cut])
+                except ValueError:
+                    pass
+
     def test_bad_input_shapes(self):
         with pytest.raises(ValueError, match="frames must be"):
             avi_encode(np.zeros((4, 4, 3), np.uint8))
