@@ -132,9 +132,18 @@ def _lzw_encode_gif(indices: list[int], min_code_size: int) -> bytes:
 
 
 def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """GIF bytes → ``((F, H, W, 3) uint8 RGB frames, meta)``."""
+    """GIF bytes → ``((F, H, W, 3) uint8 RGB frames, meta)``.
+    Truncated or malformed input raises ``ValueError``, never a raw
+    struct/index error."""
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF stream")
+    try:
+        return _gif_decode_inner(data)
+    except (struct.error, IndexError):
+        raise ValueError("truncated GIF stream") from None
+
+
+def _gif_decode_inner(data: bytes) -> tuple[np.ndarray, dict]:
     width, height, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None

@@ -146,9 +146,18 @@ def png_decode(data: bytes) -> np.ndarray:
     """Decode PNG bytes → uint8/uint16 array ``(H, W)`` grayscale,
     ``(H, W, 2)`` gray+alpha, ``(H, W, 3)`` RGB, or ``(H, W, 4)``
     RGBA. Palette images come back expanded to RGB (or RGBA with
-    tRNS). Adam7-interlaced streams decode pass-by-pass."""
+    tRNS). Adam7-interlaced streams decode pass-by-pass. Truncated or
+    malformed input raises ``ValueError``, never a raw struct/index
+    error."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream (bad signature)")
+    try:
+        return _png_decode_inner(data)
+    except (struct.error, IndexError, zlib.error):
+        raise ValueError("truncated PNG stream") from None
+
+
+def _png_decode_inner(data: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     plte = None

@@ -174,3 +174,27 @@ class TestMediaIntegration:
         out = MM.audio_features(media)
         kinds = {r["media_id"] for r in out.collect()}
         assert kinds == {4, 5, 6, 12}  # only the audio rows survive
+
+
+class TestDecodeContracts:
+    @pytest.mark.parametrize("codec", ["png", "gif", "wav"])
+    def test_media_codec_truncation_contract(self, codec):
+        """Truncated media blobs raise ValueError across every built-in
+        codec — mapInPandas error handling depends on the type."""
+        from ome_arrow_spark.sources.gif_minimal import gif_decode, gif_encode
+        from ome_arrow_spark.sources.png_minimal import png_decode, png_encode
+        from ome_arrow_spark.sources.wav_minimal import wav_decode, wav_encode
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        samples = rng.integers(-1000, 1000, 500).astype(np.int16)
+        blob, dec = {
+            "png": (png_encode(img), png_decode),
+            "gif": (gif_encode(img), gif_decode),
+            "wav": (wav_encode(samples, 8000), wav_decode),
+        }[codec]
+        for cut in range(0, len(blob), 7):
+            try:
+                dec(blob[:cut])
+            except ValueError:
+                pass  # the one allowed failure type
