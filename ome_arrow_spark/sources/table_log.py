@@ -891,6 +891,20 @@ def optimize_table(
     total = sum(a.get("bytes", 0) for a in snap["files"].values())
     n = max(1, -(-total // target_bytes))
     if zorder_by:
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        for col in zorder_by:
+            if col not in schema.fieldNames() or not isinstance(
+                schema[col].dataType, numeric
+            ):
+                raise TableLogError(
+                    f"zorder_by column {col!r} must be a numeric table "
+                    "column (quantile bucketing); cluster strings via a "
+                    "numeric surrogate (e.g. xxhash64) or plain "
+                    "repartitionByRange before create"
+                )
         n_buckets = 1 << bits_per_col
         zcols = []
         for col in zorder_by:

@@ -383,6 +383,13 @@ class TestZOrder:
         assert total >= 24
         assert surv_a < total / 2 and surv_b < total / 2
 
+    def test_zorder_rejects_non_numeric_column(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 50), tdir)
+        with pytest.raises(tl.TableLogError, match="must be a numeric"):
+            tl.optimize_table(spark, tdir, zorder_by=["s"])
+        with pytest.raises(tl.TableLogError, match="must be a numeric"):
+            tl.optimize_table(spark, tdir, zorder_by=["missing"])
+
     def test_optimize_without_zorder_is_compact(self, spark, tdir):
         tl.create_table(spark, _base(spark, 200).repartition(8), tdir)
         tl.optimize_table(spark, tdir)
