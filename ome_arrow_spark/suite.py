@@ -85,7 +85,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_semi", "join_anti",
     # round-6 analytics additions (first driver rows)
     "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
-    "stream_ome_ingest", "dedup_exact", "neardup_lsh", "near_dedup_full",
+    "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
     "kmeans_embeddings", "dedup_components", "decontamination",
     "stream_tumbling",

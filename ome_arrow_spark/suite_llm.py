@@ -1781,3 +1781,110 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-corpus pipeline in ONE query — the composition
+# a curation team actually runs: mutated corpus (originals + near-dup
+# variants) → token-count quality gate → exact dedup (min doc_id per
+# identical text) → MinHash-LSH near-dedup keeping representatives →
+# deterministic-shuffle token-budget pack → per-bucket corpus stats.
+# Every stage reuses the operator the standalone queries verify; the
+# oracle chains the SAME CTE fragments (shingles, MinHash aggs, band
+# join, recursive components) over the staged base, so a hash match
+# certifies the whole composition, not just the parts.
+# ---------------------------------------------------------------------------
+@register(
+    "pretrain_pipeline",
+    f"""
+    WITH RECURSIVE corpus AS ({_MUTATED_SQL}),
+    tok0 AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
+    q AS (SELECT * FROM tok0 WHERE len(toks) BETWEEN 5 AND 5000),
+    x AS (SELECT doc_id, text, toks,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM q),
+    t AS (SELECT doc_id, toks FROM x WHERE rn = 1),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+    ej AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM s),
+    verified AS (
+      SELECT p.id_a, p.id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               COUNT(*) AS inter
+        FROM ej a JOIN ej b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4) p
+      JOIN cand USING (id_a, id_b)
+      WHERE p.inter / (p.na + p.nb - p.inter) >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e2.u, w.label FROM edges e2 JOIN walk w ON e2.v = w.node
+      WHERE w.label < e2.u),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    reps AS (SELECT t.doc_id, len(t.toks) AS n_tok FROM t
+             LEFT JOIN comp ON comp.node = t.doc_id
+             WHERE COALESCE(comp.component, t.doc_id) = t.doc_id),
+    packed AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM reps)
+    SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM packed WHERE cum <= 20000
+    GROUP BY bucket
+    """,
+)
+def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.operators.pipeline import near_dedup
+
+    docs = _mutated_docs(spark, sf_dir)
+    q = docs.withColumn("toks", TX.tokens(F.col("text"))).filter(
+        (F.size("toks") >= 5) & (F.size("toks") <= 5000)
+    )
+    x = (
+        q.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", F.size("toks").alias("n_tok"))
+    )
+    reps = (
+        near_dedup(x.select("doc_id", "text"), jaccard_threshold=0.5)
+        .filter(F.col("is_representative"))
+        .select("doc_id")
+        .join(x.select("doc_id", "n_tok"), "doc_id")
+    )
+    packed = reps.withColumn(
+        "cum",
+        F.sum("n_tok").over(
+            Window.orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            ).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(F.col("cum") <= 20000)
+    return packed.groupBy(
+        (F.col("doc_id") % 7).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
