@@ -185,10 +185,19 @@ def media_table_from_dir(
     )
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def media_features(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """Per-item features: images → per-channel means; audio → duration
     + RMS; video → frame count + mean luma. One Arrow batch per task;
-    the UDF never sees more than a batch of payloads."""
+    the UDF never sees more than a batch of payloads.
+
+    ``on_error`` governs per-item decode failures (truncated blob,
+    unsupported codec): ``"fail"`` propagates (exact-pipeline default),
+    ``"row"`` emits a ``kind='error'`` row with null features so one
+    corrupt blob out of 10⁹ costs one row instead of the job, ``"skip"``
+    drops the item silently.  At 100 TB, "row" is the mode you want —
+    the error rows ARE the corruption report (`WHERE kind = 'error'`)."""
+    if on_error not in ("fail", "row", "skip"):
+        raise ValueError(f"on_error must be fail/row/skip, got {on_error!r}")
     schema = (
         "media_id long, kind string, n_bytes long, "
         "mean_r double, mean_g double, mean_b double, "
@@ -199,7 +208,23 @@ def media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                kind, arr, meta = decode_media(bytes(blob))
+                try:
+                    kind, arr, meta = decode_media(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "row":
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "kind": "error",
+                                "n_bytes": len(blob),
+                                "mean_r": None, "mean_g": None,
+                                "mean_b": None, "duration_s": None,
+                                "rms": None, "n_frames": None,
+                            }
+                        )
+                    continue
                 row = {
                     "media_id": int(mid),
                     "kind": kind,
@@ -220,7 +245,13 @@ def media_features(media: DataFrame) -> DataFrame:
                     luma = arr.astype(np.float64).mean()
                     row.update(n_frames=int(arr.shape[0]), rms=float(luma))
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "mean_r", "mean_g",
+                    "mean_b", "duration_s", "rms", "n_frames",
+                ],
+            )
 
     return media.select("media_id", "content").mapInPandas(extract, schema=schema)
 

@@ -198,3 +198,28 @@ class TestDecodeContracts:
                 dec(blob[:cut])
             except ValueError:
                 pass  # the one allowed failure type
+
+    def test_media_features_error_isolation(self, spark):
+        """A corrupt blob among good ones: on_error='row' reports it as
+        kind='error' and decodes the rest; 'skip' drops it; default
+        'fail' propagates."""
+        from ome_arrow_spark.operators import multimodal as MM
+
+        good = MM.synth_media_df(spark, n_images=1, n_audio=0, n_video=0,
+                                 n_jpeg=0, n_png=0, n_wav=0, n_avi=0)
+        corrupt = spark.createDataFrame(
+            [(99, "image", bytearray(b"\xff\xd8garbage"),
+              (None, None, None, None, "jpeg"))],
+            MM.MEDIA_SCHEMA,
+        )
+        mixed = good.unionByName(corrupt)
+        rows = {r["media_id"]: r for r in
+                MM.media_features(mixed, on_error="row").collect()}
+        assert rows[99]["kind"] == "error" and rows[99]["mean_r"] is None
+        assert rows[0]["kind"] == "image" and rows[0]["mean_r"] is not None
+        skipped = MM.media_features(mixed, on_error="skip").collect()
+        assert [r["media_id"] for r in skipped] == [0]
+        with pytest.raises(Exception):
+            MM.media_features(mixed).collect()  # default: fail
+        with pytest.raises(ValueError, match="on_error"):
+            MM.media_features(mixed, on_error="bogus")
