@@ -205,33 +205,56 @@ def from_tiff_dir(
     path: str,
     glob: str = "*.tif*",
     column: str = "ome_arrow",
+    on_error: str = "fail",
 ) -> DataFrame:
     """binaryFile scan + mapInPandas decode → images table.
 
     Scale: ``binaryFile`` gives (path, length, content) rows; Spark
     packs small files per task (maxPartitionBytes) and Arrow ships each
     batch to the Python worker once. Decode output is one struct row
-    per file — no driver involvement."""
+    per file — no driver involvement.
+
+    ``on_error="skip"`` drops undecodable files (truncated/unsupported)
+    instead of failing the job — at archive scale one corrupt file must
+    cost one row, not the ingest; pair with a separate
+    ``media_table_from_dir`` + ``media_features(on_error="row")`` pass
+    to INVENTORY the corrupt files when you need the report."""
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
-    out_schema = ome_arrow_struct()
+    return bin_df.mapInPandas(
+        _decode_batches_fn(column, on_error),
+        schema=_decode_out_schema(column),
+    )
+
+
+def _decode_out_schema(column: str):
     from pyspark.sql.types import StructField, StructType
 
-    schema = StructType([StructField(column, out_schema)])
+    return StructType([StructField(column, ome_arrow_struct())])
+
+
+def _decode_batches_fn(column: str, on_error: str):
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail/skip, got {on_error!r}")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            records = [
-                _record_to_row(decode_image_bytes(p, bytes(b)))
-                for p, b in zip(pdf["path"], pdf["content"])
-            ]
-            yield pd.DataFrame({column: records})
+            records = []
+            for p, b in zip(pdf["path"], pdf["content"]):
+                try:
+                    records.append(_record_to_row(decode_image_bytes(p, bytes(b))))
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+            # dtype=object keeps the empty batch struct-typed (a bare
+            # [] infers float64, which Arrow rejects for struct cols)
+            yield pd.DataFrame({column: pd.Series(records, dtype=object)})
 
-    return bin_df.mapInPandas(decode_batches, schema=schema)
+    return decode_batches
 
 
 def from_tiff_stream(
@@ -240,6 +263,7 @@ def from_tiff_stream(
     glob: str = "*.tif*",
     column: str = "ome_arrow",
     max_files_per_trigger: int | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Streaming twin of :func:`from_tiff_dir`: a ``readStream``
     binaryFile source watches the directory and every new TIFF becomes
@@ -264,18 +288,10 @@ def from_tiff_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     bin_df = reader.load(path).select("path", "content")
-
-    out_schema = StructType([StructField(column, ome_arrow_struct())])
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            records = [
-                _record_to_row(decode_image_bytes(p, bytes(b)))
-                for p, b in zip(pdf["path"], pdf["content"])
-            ]
-            yield pd.DataFrame({column: records})
-
-    return bin_df.mapInPandas(decode_batches, schema=out_schema)
+    return bin_df.mapInPandas(
+        _decode_batches_fn(column, on_error),
+        schema=_decode_out_schema(column),
+    )
 
 
 def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:

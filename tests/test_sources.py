@@ -360,3 +360,29 @@ def test_events_micros_generation(spark, sf_dir):
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     rows = df.select("ts").limit(5).collect()
     assert len(rows) == 5 and all(r["ts"] is not None for r in rows)
+
+
+def test_from_tiff_dir_error_isolation(spark, tmp_path):
+    """on_error='skip': a corrupt file in the directory costs its row,
+    not the scan; default keeps the fail-fast contract."""
+    import numpy as np
+
+    from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_dir
+
+    for i in range(3):
+        vol = np.full((1, 1, 1, 4, 4), i, dtype=np.int32)
+        (tmp_path / f"ok_{i}.ftif").write_bytes(
+            encode_ftif(vol, image_id=f"ok{i}")
+        )
+    (tmp_path / "bad.ftif").write_bytes(b"FTIF1\n{broken json")
+    good = from_tiff_dir(spark, str(tmp_path), glob="*.ftif", on_error="skip")
+    ids = sorted(r[0] for r in good.select("ome_arrow.id").collect())
+    assert ids == ["ok0", "ok1", "ok2"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        from_tiff_dir(spark, str(tmp_path), glob="*.ftif").select(
+            "ome_arrow.id"
+        ).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        from_tiff_dir(spark, str(tmp_path), glob="*.ftif", on_error="x")
