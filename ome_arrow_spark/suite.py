@@ -82,7 +82,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship re-verification tail
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
     "q21_waiting_supplier",
-    "join_semi", "join_anti",
+    "join_semi", "ome_pipeline",
     # round-6 analytics additions (first driver rows)
     "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
     "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",

@@ -1029,3 +1029,48 @@ def ome_threshold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         above.alias("n_above"),
         F.round(above * F.lit(1.0) / F.count("*"), 6).alias("frac_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed imaging pipeline in ONE query: T1 slice (crop + z keep-list
+# + dense reindex) → max-intensity projection over the SLICED volume →
+# projection statistics. Each stage is individually driver-verified
+# (`ome_slice_crop`, `ome_mip`); this row certifies they compose — the
+# oracle re-derives the crop-then-project arithmetic from the pixel
+# formula (nviz-1ch-stack: v(z,y,x) = z*7 + y*128 + x, no 65536 wrap
+# inside the cropped range, so max over kept z∈[2,12] is z=12).
+# ---------------------------------------------------------------------------
+@register(
+    "ome_pipeline",
+    """
+    WITH yy AS (SELECT unnest(generate_series(10, 59)) AS y),
+         xx AS (SELECT unnest(generate_series(20, 99)) AS x),
+         mip AS (SELECT 12*7 + yy.y*128 + xx.x AS v FROM yy, xx)
+    SELECT 'nviz-1ch-stack' AS image_id,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS mip_sum,
+           CAST(MIN(v) AS INT) AS mip_min,
+           CAST(MAX(v) AS INT) AS mip_max
+    FROM mip
+    """,
+)
+def ome_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.view_ops import max_intensity_projection
+
+    imgs = synth.golden_images_df(
+        spark, ids=["nviz-1ch-stack"], include_conftest=False
+    )
+    sliced = slice_images(
+        imgs, 20, 100, 10, 60,
+        t_indices=None, c_indices=None, z_indices=list(range(2, 13)),
+    )
+    mip = max_intensity_projection(sliced, c=0, t=0)
+    return mip.select(
+        "image_id",
+        F.size("mip").alias("n_px"),
+        F.aggregate("mip", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "mip_sum"
+        ),
+        F.array_min("mip").alias("mip_min"),
+        F.array_max("mip").alias("mip_max"),
+    )
