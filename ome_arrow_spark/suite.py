@@ -86,7 +86,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # round-6 analytics additions (first driver rows)
     "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
     "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",
-    "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
+    "stream_zarr_ingest", "knn_cosine_lsh", "knn_cosine_ivf",
     "kmeans_embeddings", "dedup_components", "decontamination",
     "stream_tumbling",
     # round-6 transaction-log table format (first driver rows; replaces

@@ -307,3 +307,85 @@ def stream_ome_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "stream_zarr_ingest",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(i.i % 65536) AS BIGINT) AS psum
+      FROM (SELECT unnest(generate_series(0, 96*128 - 1)) AS i) i)
+    SELECT * FROM (
+      SELECT 'zs-stream' AS image_id, CAST(4 AS INT) AS n_planes,
+             psum AS first_plane_sum FROM s
+      UNION ALL SELECT 'sc-stream', CAST(1 AS INT), psum FROM s)
+    """,
+)
+def stream_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NGFF-store ingest via a MANIFEST stream — Zarr stores
+    are directories, so the control plane streams (a text source of
+    newly-landed store paths, the pattern an acquisition system or
+    object-store notification feed produces) while the data plane runs
+    the batch manifest fan-out per micro-batch, MERGEd into the
+    transaction-log images table. Completes the streaming×format
+    matrix next to `stream_ome_ingest`'s binaryFile TIFF path; the
+    oracle re-derives plane sums from the store pixel formula."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.zarr import from_zarr_manifest
+    from ome_arrow_spark.sources.zarr_minimal import write_ngff_store
+
+    base_dir = tempfile.mkdtemp(prefix="stream_zarr_src_")
+    manifest_dir = os.path.join(base_dir, "manifest")
+    os.makedirs(manifest_dir)
+    table = f"/tmp/ome_arrow_rt_stream_zarr_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    y, x = 96, 128
+    plane = (np.arange(y * x, dtype=np.int64) % 65536).reshape(y, x)
+    try:
+        for i, (image_id, z) in enumerate([("zs-stream", 4), ("sc-stream", 1)]):
+            vol = np.stack(
+                [(plane + zi * 7) % 65536 for zi in range(z)]
+            ).astype("<u2")[np.newaxis, np.newaxis]
+            store = os.path.join(base_dir, f"{image_id}.zarr")
+            write_ngff_store(
+                store, [vol], image_id=image_id, compressor="blosc",
+                chunks=(1, 1, 1, 64, 64),
+            )
+            # one manifest file per store → one micro-batch per arrival
+            with open(os.path.join(manifest_dir, f"m{i}.txt"), "w") as f:
+                f.write(store + "\n")
+
+        paths_stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(manifest_dir)
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            paths = [r["value"].strip() for r in batch_df.collect() if r["value"].strip()]
+            if not paths:
+                return
+            imgs = from_zarr_manifest(spark, paths)
+            if tl.current_version(table) is None:
+                tl.create_ome_table(spark, imgs, table)
+            else:
+                tl.upsert_ome_table(spark, imgs, table)
+
+        EV.run_foreach_batch(paths_stream, merge_batch, output_mode="append")
+        imgs = tl.read_ome_table(spark, table)
+        return imgs.select(
+            F.col("ome_arrow.id").alias("image_id"),
+            F.size("ome_arrow.planes").alias("n_planes"),
+            F.aggregate(
+                F.element_at("ome_arrow.planes", 1).pixels,
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("first_plane_sum"),
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
