@@ -470,23 +470,41 @@ def _bloom_cols(snap: dict[str, Any]) -> tuple[str, ...]:
     return tuple(json.loads(raw)) if raw else ()
 
 
-def append_table(spark: SparkSession, df: DataFrame, table: str) -> int:
-    """Atomic append: new files + one commit; never rewrites data."""
+def append_table(
+    spark: SparkSession, df: DataFrame, table: str, commit_attempts: int = 20
+) -> int:
+    """Atomic append: new files + one commit; never rewrites data.
+
+    Appends are READ-INDEPENDENT: the new files don't depend on the
+    snapshot they were computed against, so a lost commit race is
+    resolved by re-reading the head and re-committing the SAME file
+    actions at the next version — no data rewrite, no starvation under
+    contention (Delta's blind-append conflict rule).  Schema and
+    constraints are re-validated against each fresh head in case a
+    concurrent commit evolved them."""
     snap = _resolve_snapshot(table)
     _check_schema(df, snap, table)
     _enforce_constraints(df, snap, table)
     version = snap["version"] + 1
     adds = _write_data_files(df, table, version, _bloom_cols(snap))
-    _commit(
-        table,
-        version,
-        {
-            "version": version,
-            "operation": "append",
-            "actions": [{"add": a} for a in adds],
-        },
-    )
-    return version
+    entry = {
+        "operation": "append",
+        "actions": [{"add": a} for a in adds],
+    }
+    for attempt in range(commit_attempts):
+        try:
+            _commit(table, version, {"version": version, **entry})
+            return version
+        except ConcurrentCommit:
+            if attempt == commit_attempts - 1:
+                raise
+            prev = snap
+            snap = _resolve_snapshot(table)
+            _check_schema(df, snap, table)
+            if snap["properties"] != prev["properties"]:
+                _enforce_constraints(df, snap, table)
+            version = snap["version"] + 1
+    raise AssertionError("unreachable")
 
 
 def upsert_table(

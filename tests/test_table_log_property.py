@@ -147,3 +147,35 @@ def test_interleaved_writers_serialize(spark, tmp_path, seed):
     assert _materialize(spark, tdir) == {
         1: (1, 0), 2: (2, 0), 3: (3, 0)
     }
+
+
+def test_threaded_append_race_no_starvation(spark, tmp_path):
+    """Four writer threads × 3 appends against one table: blind-append
+    conflict resolution re-commits the already-written files at the
+    next version, so every writer finishes, every batch lands exactly
+    once, and the log has exactly one commit per append."""
+    import threading
+
+    tdir = str(tmp_path / "race")
+    tl.create_table(spark, _df(spark, {0: 0}), tdir)
+    errors = []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(3):
+                rows = {offset + i * 10 + j: j for j in range(5)}
+                tl.append_table(spark, _df(spark, rows), tdir)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((offset, exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(off,))
+        for off in (100, 200, 300, 400)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert tl.read_table(spark, tdir).count() == 1 + 4 * 3 * 5
+    assert tl.current_version(tdir) == 12
