@@ -1888,3 +1888,84 @@ def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First BPE training iteration: most frequent adjacent CHARACTER pairs
+# inside word tokens (the merge candidates a byte-pair-encoding
+# tokenizer trainer would pick first). Complements token_pmi (word
+# collocations) and token_count_bpe (pre-tokenizer counts): this is
+# the vocabulary-LEARNING primitive. One explode over (word, char
+# pairs); ties broken lexically for determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_pair_merge",
+    f"""
+    WITH w AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    pairs AS (
+      SELECT word[i] || word[i + 1] AS pair
+      FROM w, LATERAL (SELECT unnest(generate_series(1, strlen(word) - 1)) AS i) g)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-interleaved training order: round-robin the
+# corpus across sources in hash-shuffled per-source order — the
+# curriculum/data-ordering primitive (every source contributes evenly
+# at every training prefix until it runs dry). Pure window functions,
+# one shuffle; fully SQL-derivable.
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_interleave",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, source, rn,
+             ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS pos
+      FROM ranked)
+    SELECT pos, doc_id, source FROM ordered WHERE pos <= 100
+    """,
+)
+def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    ordered = ranked.withColumn(
+        "pos",
+        F.row_number().over(Window.orderBy("rn", "source", "doc_id")),
+    )
+    return ordered.filter(F.col("pos") <= 100).select("pos", "doc_id", "source")
