@@ -1968,4 +1968,6 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.row_number().over(Window.orderBy("rn", "source", "doc_id")),
     )
-    return ordered.filter(F.col("pos") <= 100).select("pos", "doc_id", "source")
+    return ordered.filter(F.col("pos") <= 100).select(
+        F.col("pos").cast("bigint").alias("pos"), "doc_id", "source"
+    )
