@@ -843,3 +843,48 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         nation, ranks["id"] == nation["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), F.round("r", 9).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average per user (α = 0.3): the
+# recursive smoother s_t = αx_t + (1-α)s_{t-1} evaluated through its
+# closed form Σ α(1-α)^(n-rn) x_rn (+ the (1-α)^(n-1) seed term), so
+# both engines compute identical POWER/SUM arithmetic instead of a
+# sequential fold — recursion made window-function-parallel, the same
+# trick that makes time-decay features feasible at 100 TB (one shuffle
+# on user_id, no per-row state).
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_user_value",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE user_id % 20 = 0)
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.7, n - 1) * value
+                          ELSE 0.3 * POWER(0.7, n - rn) * value END), 6) AS ewma
+    FROM r GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.7), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(0.3) * F.pow(F.lit(0.7), F.col("n") - F.col("rn")) * F.col("value")
+    )
+    return r.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.round(F.sum(term), 6).alias("ewma"),
+    )

@@ -1971,3 +1971,47 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.filter(F.col("pos") <= 100).select(
         F.col("pos").cast("bigint").alias("pos"), "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension corpus normalization of the embedding table (feature
+# scaling before clustering/ANN): dimension-wise mean/std over the
+# corpus, z-score every vector, output each vector's normalized L2
+# norm. One posexplode + a dims-sized broadcast join — the embedding
+# preprocessing shape at scale (stats are O(dim), never the corpus).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_normalize",
+    """
+    WITH u AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    stats AS (
+      SELECT d, AVG(v) AS m, STDDEV_SAMP(v) AS s FROM u GROUP BY d),
+    z AS (
+      SELECT u.vec_id, (u.v - stats.m) / stats.s AS zv
+      FROM u JOIN stats USING (d))
+    SELECT vec_id, ROUND(SQRT(SUM(zv * zv)), 6) AS znorm
+    FROM z GROUP BY vec_id
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "v0"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    stats = u.groupBy("d").agg(
+        F.avg("v").alias("m"), F.stddev_samp("v").alias("s")
+    )
+    z = u.join(F.broadcast(stats), "d").select(
+        "vec_id", ((F.col("v") - F.col("m")) / F.col("s")).alias("zv")
+    )
+    return z.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("zv") * F.col("zv"))), 6).alias("znorm")
+    )
