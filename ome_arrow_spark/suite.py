@@ -53,16 +53,19 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-6 rotation — the FOURTH distinct 50-query window. Head: the
-    # final 20 queries that have NEVER had a driver-grade CORRECTNESS
-    # row (after this window every registered operator has one), plus
-    # agg_approx_distinct's first-ever gradeable run (reshaped to an
-    # exact count + in-engine within-5% verdict) and the round-6 codec
-    # additions/changes (blosc-zlib Zarr v2 round-trip; the JPEG-strips
-    # fixture added to ome_tiff_codec_ingest; media_features now decodes
-    # real JPEG blobs). Tail: re-verification of flagship rows whose
-    # last green predates several rounds of codec/suite churn. Names
-    # not yet registered are skipped, so partial imports stay safe.
+    # Round-6 rotation — the FOURTH distinct 50-query window, composed
+    # so that after this round EVERY registered query (169) has at
+    # least one driver-grade CORRECTNESS row across r1–r6: the 20
+    # never-checked pre-r6 queries, agg_approx_distinct's first-ever
+    # gradeable run (exact count + in-engine within-5% verdict), every
+    # round-6 addition (transaction-log table format, streaming
+    # CDC/TIFF/NGFF ingest, AVI/audio multimodal, LM scoring, PageRank,
+    # composed pipelines, EWMA, embedding normalization, BPE mining,
+    # interleave), and a small flagship re-verification tail (q1, q21,
+    # join_semi, the near-dedup pair, kmeans, components,
+    # decontamination, stream_tumbling, the changed
+    # ome_tiff_codec_ingest). Names not yet registered are skipped, so
+    # partial imports stay safe.
     #
     # the final 20 never-driver-checked queries
     "agg_bitwise", "curation_crossmodal", "data_profile",
@@ -80,13 +83,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # round-6 multimodal additions (real AVI video + audio battery)
     "media_video_frames", "media_audio_features",
     # flagship re-verification tail
-    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q1_pricing_summary", "ewma_user_value", "embedding_normalize",
     "q21_waiting_supplier",
     "join_semi", "ome_pipeline",
     # round-6 analytics additions (first driver rows)
     "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
     "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",
-    "stream_zarr_ingest", "knn_cosine_lsh", "knn_cosine_ivf",
+    "stream_zarr_ingest", "bpe_pair_merge", "dataset_interleave",
     "kmeans_embeddings", "dedup_components", "decontamination",
     "stream_tumbling",
     # round-6 transaction-log table format (first driver rows; replaces
