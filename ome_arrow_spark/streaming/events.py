@@ -115,6 +115,11 @@ def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        # this wrapper owns the throwaway checkpoint — don't let
+        # repeated runs accumulate state dirs under /tmp
+        shutil.rmtree(ckpt, ignore_errors=True)
     # Materialize and drop the memory-sink table immediately: the sink
     # holds every run's result on the driver otherwise (one leaked table
     # per call in long-lived sessions).
@@ -248,3 +253,7 @@ def run_foreach_batch(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if checkpoint is None:  # throwaway checkpoint: reclaim it
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
