@@ -380,34 +380,68 @@ def _write_data_files(
     staging = os.path.join(table, f".staging-{token}")
     df.write.mode("overwrite").option("compression", "zstd").parquet(staging)
     cols = _stats_columns(df.schema)
-    adds: list[dict[str, Any]] = []
+    bc_present = [
+        bc for bc in bloom_columns
+        if bc in {f.name for f in df.schema.fields}
+    ]
     try:
         parts = sorted(
             n for n in os.listdir(staging) if n.endswith(".parquet")
         )
-        names = {f.name for f in df.schema.fields}
+        finals = []
         for i, name in enumerate(parts):
             final = f"part-{version:08d}-{i:05d}-{token}.parquet"
-            full = os.path.join(table, final)
-            os.rename(os.path.join(staging, name), full)
-            add = {"path": final, **_footer_stats(full, cols)}
-            blooms = {}
-            for bc in bloom_columns:
-                if bc not in names:
-                    continue
-                # one-column columnar read — pages of every other
-                # column stay untouched (executor-side during the
-                # write on a cluster; same bits either way)
-                vals = pq.read_table(full, columns=[bc]).column(0).to_pylist()
-                b = _build_bloom(vals)
-                if b is not None:
-                    blooms[bc] = {"m": _BLOOM_M, "k": _BLOOM_K, "bits": b}
-            if blooms:
-                add["bloom"] = blooms
-            adds.append(add)
+            os.rename(os.path.join(staging, name), os.path.join(table, final))
+            finals.append(final)
+        # Manifest stats: a footer read + (for bloom columns) a
+        # one-column read per file.  Past a handful of files this is
+        # driver-bound work, so fan it out as a Spark job over the file
+        # list — the executors return only the small stat dicts
+        # (exactly how a cluster harvests write-side stats; same bytes
+        # either way because both paths read the same footers).
+        if len(finals) > _DISTRIBUTED_STATS_THRESHOLD:
+            sc = df.sparkSession.sparkContext
+            adds = (
+                sc.parallelize(finals, min(len(finals), 64))
+                .map(
+                    lambda fn, _t=table, _c=tuple(cols), _b=tuple(bc_present):
+                        _file_add_action(_t, fn, _c, _b)
+                )
+                .collect()
+            )
+            adds.sort(key=lambda a: a["path"])
+        else:
+            adds = [
+                _file_add_action(table, fn, tuple(cols), tuple(bc_present))
+                for fn in finals
+            ]
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return adds
+
+
+_DISTRIBUTED_STATS_THRESHOLD = 32
+
+
+def _file_add_action(
+    table: str,
+    final: str,
+    cols: Sequence[str],
+    bloom_columns: Sequence[str],
+) -> dict[str, Any]:
+    """One file's complete ``add`` action (footer stats + blooms) —
+    pure function of the file, safe to evaluate on any executor."""
+    full = os.path.join(table, final)
+    add = {"path": final, **_footer_stats(full, list(cols))}
+    blooms = {}
+    for bc in bloom_columns:
+        vals = pq.read_table(full, columns=[bc]).column(0).to_pylist()
+        b = _build_bloom(vals)
+        if b is not None:
+            blooms[bc] = {"m": _BLOOM_M, "k": _BLOOM_K, "bits": b}
+    if blooms:
+        add["bloom"] = blooms
+    return add
 
 
 def _check_schema(df: DataFrame, snap: dict[str, Any], table: str) -> None:

@@ -523,6 +523,23 @@ class TestIncrementalAgg:
             tl.version_delta_files(tdir, 0, 99)
 
 
+class TestDistributedStats:
+    def test_many_file_manifest_matches_driver_path(self, spark, tdir):
+        """Above the threshold the stat harvest runs as a Spark job;
+        the manifest must be byte-identical to the driver-side path
+        (same footers in, same actions out)."""
+        df = _base(spark, 2000).repartition(40)  # > threshold files
+        tl.create_table(spark, df, tdir, bloom_columns=["k"])
+        snap = tl._resolve_snapshot(tdir)
+        assert len(snap["files"]) == 40
+        for path, add in snap["files"].items():
+            recomputed = tl._file_add_action(tdir, path, ("k", "v", "s"), ("k",))
+            assert recomputed == add
+        # pruning works off the distributed-harvested stats
+        surviving, total = tl.pruned_file_count(tdir, [("k", "=", 5)])
+        assert surviving < total
+
+
 class TestMaintenance:
     def test_compact_then_vacuum(self, spark, tdir):
         tl.create_table(spark, _base(spark, 500).repartition(16), tdir)
