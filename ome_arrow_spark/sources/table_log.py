@@ -794,18 +794,29 @@ def read_table(
     """Snapshot read (optionally time-traveled to ``version``) with
     manifest pruning.  The returned plan scans ONLY the surviving
     files — Spark never lists the directory, so planning cost is
-    O(log suffix), not O(files); parquet row-group pushdown still
-    applies inside each file.  ``predicates`` prune files; they do NOT
-    filter rows — apply the same condition with ``.filter`` on the
-    result (see ``table_prune_scan`` for the composed idiom)."""
+    O(log suffix), not O(files).  Each ``(column, op, literal)``
+    predicate both PRUNES files via manifest stats/blooms and is
+    applied as a row filter on the scan (where Catalyst additionally
+    pushes it into parquet row-group pruning) — callers get complete
+    predicate semantics from one argument."""
     snap = _resolve_snapshot(table, version)
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
-    live = _prune(snap["files"], predicates)
+    preds = list(predicates) if predicates else []
+    live = _prune(snap["files"], preds)
     if not live:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in live]
-    )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in live]
+        )
+    _OP_FN = {
+        "=": lambda c, v: c == v, "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    for col, op, lit in preds:
+        df = df.filter(_OP_FN[op](F.col(col), F.lit(lit)))
+    return df
 
 
 def pruned_file_count(
