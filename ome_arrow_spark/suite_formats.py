@@ -290,10 +290,12 @@ def cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # commit protocol, file-action replay, and pruned rewrite reproduce
 # exact MERGE semantics.
 # ---------------------------------------------------------------------------
-def _build_log_table(spark: SparkSession, sf_dir: str) -> str:
+def _build_log_table(spark: SparkSession, sf_dir: str, tag: str = "tlog") -> str:
+    """Each caller gets its OWN table dir (tag) so queries stay
+    independent even if a runner executes them concurrently."""
     from ome_arrow_spark.sources import table_log as tl
 
-    path = _rt_dir(sf_dir, "tlog")
+    path = _rt_dir(sf_dir, tag)
     base = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 10 == 0)
@@ -353,7 +355,7 @@ _TLOG_MERGED_SQL = """
 def table_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.sources import table_log as tl
 
-    path = _build_log_table(spark, sf_dir)
+    path = _build_log_table(spark, sf_dir, "tlog_merge")
     cur = tl.read_table(spark, path)
     return cur.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
@@ -383,7 +385,7 @@ def table_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.sources import table_log as tl
 
-    path = _build_log_table(spark, sf_dir)
+    path = _build_log_table(spark, sf_dir, "tlog_tt")
 
     def _agg(df: DataFrame, version: int) -> DataFrame:
         return df.agg(
@@ -469,7 +471,7 @@ def ome_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.sources import table_log as tl
 
-    path = _build_log_table(spark, sf_dir)
+    path = _build_log_table(spark, sf_dir, "tlog_inc")
     state0 = (
         tl.read_table(spark, path, version=0)
         .groupBy("o_orderstatus")
