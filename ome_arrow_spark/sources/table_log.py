@@ -1183,11 +1183,14 @@ def read_ome_table(
     return df.filter(F.col("image_id").isin(list(image_ids))).select(column)
 
 
-def vacuum_table(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum_table(
+    table: str, keep_versions: int = 1, dry_run: bool = False
+) -> list[str]:
     """Reclaim data files referenced by NO retained snapshot (the last
     ``keep_versions`` versions stay readable; earlier time travel is
     given up).  Orphans from crashed pre-commit writes are removed by
-    the same sweep.  Returns the deleted file names."""
+    the same sweep.  ``dry_run=True`` only REPORTS what would go —
+    nothing is touched.  Returns the (to-be-)deleted file names."""
     table = os.path.abspath(table)
     versions = _list_versions(table)
     if not versions:
@@ -1202,9 +1205,41 @@ def vacuum_table(table: str, keep_versions: int = 1) -> list[str]:
             continue
         full = os.path.join(table, name)
         if name.startswith(".staging-"):
-            shutil.rmtree(full, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
             deleted.append(name)
         elif name.endswith(".parquet"):
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             deleted.append(name)
     return sorted(deleted)
+
+
+def table_details(table: str) -> dict[str, Any]:
+    """One-call observability: current version, live file count/bytes/
+    rows, total versions, properties, constraint and bloom config —
+    everything an operator dashboards about a table, from the manifest
+    alone (no data scan)."""
+    snap = _resolve_snapshot(table)
+    files = snap["files"]
+    props = snap["properties"]
+    return {
+        "version": snap["version"],
+        "num_versions": len(_list_versions(table)),
+        "num_files": len(files),
+        "total_bytes": sum(a.get("bytes", 0) for a in files.values()),
+        "total_rows": sum(a.get("rows", 0) for a in files.values()),
+        "properties": {
+            k: v for k, v in props.items()
+            if not k.startswith(CONSTRAINT_PROP_PREFIX)
+        },
+        "constraints": {
+            k[len(CONSTRAINT_PROP_PREFIX):]: v
+            for k, v in props.items()
+            if k.startswith(CONSTRAINT_PROP_PREFIX)
+        },
+        "bloom_columns": list(_bloom_cols(snap)),
+        "stats_columns": sorted(
+            {c for a in files.values() for c in a.get("columns", {})}
+        ),
+    }

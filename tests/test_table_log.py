@@ -552,6 +552,30 @@ class TestMaintenance:
         assert len(deleted) == 16
         assert tl.read_table(spark, tdir).count() == 500
 
+    def test_vacuum_dry_run_touches_nothing(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).repartition(4), tdir)
+        tl.compact_table(spark, tdir)
+        would = tl.vacuum_table(tdir, keep_versions=1, dry_run=True)
+        assert len(would) == 4
+        # dry run left the old snapshot fully readable
+        assert tl.read_table(spark, tdir, version=0).count() == 100
+        assert tl.vacuum_table(tdir, keep_versions=1) == would
+
+    def test_table_details(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark, 200).repartition(3), tdir,
+            properties={"owner": "imaging"}, bloom_columns=["k"],
+        )
+        tl.add_table_constraint(spark, tdir, "v_nonneg", "v >= 0")
+        d = tl.table_details(tdir)
+        assert d["version"] == 1 and d["num_versions"] == 2
+        assert d["num_files"] == 3 and d["total_rows"] == 200
+        assert d["total_bytes"] > 0
+        assert d["properties"] == {"owner": "imaging"}
+        assert d["constraints"] == {"v_nonneg": "v >= 0"}
+        assert d["bloom_columns"] == ["k"]
+        assert set(d["stats_columns"]) == {"k", "v", "s"}
+
     def test_vacuum_keeps_retained_versions(self, spark, tdir):
         tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
         tl.compact_table(spark, tdir)
