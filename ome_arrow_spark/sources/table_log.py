@@ -1231,7 +1231,7 @@ def table_details(table: str) -> dict[str, Any]:
         "total_rows": sum(a.get("rows", 0) for a in files.values()),
         "properties": {
             k: v for k, v in props.items()
-            if not k.startswith(CONSTRAINT_PROP_PREFIX)
+            if not k.startswith(CONSTRAINT_PROP_PREFIX) and k != BLOOM_PROP
         },
         "constraints": {
             k[len(CONSTRAINT_PROP_PREFIX):]: v
