@@ -308,9 +308,38 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(extract, schema=schema)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Nearest-neighbor resize of image items → new media table rows.
-    (PIL-quality resampling plugs in where the index math is.)"""
+def bilinear_resize(arr: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Vectorized (H,W,C) uint8 bilinear resample with half-pixel
+    centers (the PIL/OpenCV convention: src = (dst + 0.5) * scale -
+    0.5, edges clamped) — training-grade downsampling without any
+    imaging dependency."""
+    h, w = arr.shape[:2]
+    fy = (np.arange(height) + 0.5) * (h / height) - 0.5
+    fx = (np.arange(width) + 0.5) * (w / width) - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, method: str = "bilinear"
+) -> DataFrame:
+    """Resize image items → new media table rows.  ``method``:
+    ``"bilinear"`` (half-pixel-center resample, the training-pipeline
+    default) or ``"nearest"`` (index math, bit-predictable)."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"method must be bilinear/nearest, got {method!r}")
     schema = MEDIA_SCHEMA
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -320,9 +349,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 kind, arr, _ = decode_media(bytes(blob))
                 if kind != "image":
                     continue
-                ys = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
-                xs = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
-                out = arr[ys][:, xs]
+                if method == "bilinear":
+                    out = bilinear_resize(arr.astype(np.uint8), height, width)
+                else:
+                    ys = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
+                    xs = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
+                    out = arr[ys][:, xs]
                 rows.append(
                     {
                         "media_id": int(mid),

@@ -153,3 +153,27 @@ def test_media_table_from_dir(spark, tmp_path):
     want = rgb.reshape(-1, 3)[:, 0].mean()
     assert abs(feats[8]["mean_r"] - want) < 1e-9  # PNG lossless
     assert abs(feats[7]["mean_r"] - want) < 3.0   # JPEG lossy-bounded
+
+
+def test_bilinear_resize_math():
+    """Golden checks for the half-pixel-center bilinear kernel:
+    identity at same size, exact midpoint average on a 2x upscale of a
+    step edge, constant images stay constant."""
+    import numpy as np
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(MM.bilinear_resize(img, 4, 6), img)  # identity
+    const = np.full((5, 7, 3), 99, np.uint8)
+    assert np.array_equal(MM.bilinear_resize(const, 11, 3), np.full((11, 3, 3), 99))
+    # 1D step [0, 100] upscaled 2x: centers at src -0.25/0.25/0.75/1.25
+    # → clamped edge, 25/75 blends, clamped edge
+    step = np.array([[[0], [100]]], np.uint8).repeat(3, axis=2).reshape(1, 2, 3)
+    out = MM.bilinear_resize(step, 1, 4)
+    assert out[0, :, 0].tolist() == [0, 25, 75, 100]
+
+def test_resize_method_guard(spark):
+    import pytest as _pytest
+
+    media = MM.synth_media_df(spark)
+    with _pytest.raises(ValueError, match="method"):
+        MM.resize_images(media, 5, 4, method="lanczos")
