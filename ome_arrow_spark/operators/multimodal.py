@@ -372,6 +372,45 @@ def resize_images(
     return media.select("media_id", "content").mapInPandas(rs, schema=schema)
 
 
+def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
+    """Linear-interpolation resample of audio items to ``target_sr`` →
+    new media rows (FAUD containers).  Linear interp is the
+    dependency-free baseline (a windowed-sinc kernel slots into the
+    same np.interp call site); non-audio rows are skipped so the
+    operator composes with mixed tables."""
+    schema = MEDIA_SCHEMA
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                kind, arr, meta = decode_media(bytes(blob))
+                if kind != "audio":
+                    continue
+                sr = int(meta["sr"])
+                x = arr.astype(np.float64)
+                n_out = max(1, int(round(x.size * target_sr / sr)))
+                t_in = np.arange(x.size) / sr
+                t_out = np.arange(n_out) / target_sr
+                y = np.interp(t_out, t_in, x)
+                out = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "content": encode_faud(out, sample_rate=target_sr),
+                        "meta": {
+                            "width": None, "height": None,
+                            "n_frames": None, "sample_rate": target_sr,
+                            "format": "faud",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(rs, schema=schema)
+
+
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     """Video → one image row per sampled frame (frame_idx % every == 0)."""
     schema = (

@@ -223,3 +223,32 @@ class TestDecodeContracts:
             MM.media_features(mixed).collect()  # default: fail
         with pytest.raises(ValueError, match="on_error"):
             MM.media_features(mixed, on_error="bogus")
+
+    def test_resample_audio_preserves_tone(self, spark):
+        """440 Hz sine at 16 kHz resampled to 8 kHz: duration kept,
+        spectral centroid still ≈440 Hz, RMS within 1%."""
+        from ome_arrow_spark.operators import multimodal as MM
+        from ome_arrow_spark.sources.wav_minimal import wav_encode
+
+        sr = 16000
+        t = np.arange(sr)  # 1 s
+        tone = (9000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav_encode(tone, sr)),
+              (None, None, None, sr, "wav"))],
+            MM.MEDIA_SCHEMA,
+        )
+        out = MM.resample_audio(df, 8000)
+        feats = MM.audio_features(out).collect()[0]
+        assert feats["sample_rate"] == 8000
+        assert feats["n_samples"] == 8000
+        assert feats["duration_s"] == pytest.approx(1.0)
+        assert feats["rms"] == pytest.approx(9000 / np.sqrt(2), rel=0.01)
+        assert feats["spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
+
+    def test_resample_audio_skips_non_audio(self, spark):
+        from ome_arrow_spark.operators import multimodal as MM
+
+        media = MM.synth_media_df(spark)
+        got = {r["media_id"] for r in MM.resample_audio(media, 8000).collect()}
+        assert got == {4, 5, 6, 12}
