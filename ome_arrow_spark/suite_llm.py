@@ -11,6 +11,8 @@ empty (trivially matching) result.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2015,3 +2017,32 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.groupBy("vec_id").agg(
         F.round(F.sqrt(F.sum(F.col("zv") * F.col("zv"))), 6).alias("znorm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index as a transaction-log table
+# (operators/ann_index.py): the inverted lists MATERIALIZED with
+# centroid_id-clustered files (manifest stats = inverted-list seeks)
+# and the trained quantizer in table properties. Search probes the
+# stored centroids and scans only the pruned list files. The oracle is
+# the SAME unrolled-kmeans IVF derivation the transient knn_cosine_ivf
+# uses — a hash match proves build→persist→probe→scan reproduces the
+# in-plan computation exactly.
+# ---------------------------------------------------------------------------
+@register("ann_index_search", _ivf_oracle())
+def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    table = f"/tmp/ome_arrow_rt_ivfidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    AI.build_ivf_index(spark, c, table, n_centroids=8, overwrite=True)
+    return AI.ivf_index_search(spark, table, q, k=3, n_probe=3)

@@ -1,0 +1,86 @@
+"""Persistent IVF index on the log table (operators/ann_index.py):
+build → probe-pruned search → incremental maintenance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.operators import ann_index as AI
+from ome_arrow_spark.operators.similarity import cosine_topk
+from ome_arrow_spark.sources import table_log as tl
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return q, c
+
+
+@pytest.fixture()
+def index(spark, tmp_path, corpus_and_queries):
+    _, c = corpus_and_queries
+    t = str(tmp_path / "ivf")
+    AI.build_ivf_index(spark, c, t, n_centroids=8)
+    return t
+
+
+def test_full_probe_equals_brute_force(spark, index, corpus_and_queries):
+    q, c = corpus_and_queries
+    got = sorted(
+        tuple(r)
+        for r in AI.ivf_index_search(spark, index, q, k=3, n_probe=8)
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk(q, c, k=3).select("qid", "cid", "cos_sim").collect()
+    )
+    assert got == want
+
+
+def test_partial_probe_prunes_files(spark, index, corpus_and_queries):
+    q, _ = corpus_and_queries
+    one_q = q.limit(1)
+    res = AI.ivf_index_search(spark, index, one_q, k=3, n_probe=2)
+    assert res.count() == 3
+    cents = AI._stored_centroids(index)
+    # any 2-centroid probe must read fewer files than the whole index
+    read, total = AI.ivf_index_file_stats(index, set(list(cents)[:2]))
+    assert read < total
+
+
+def test_incremental_add_found_by_search(spark, index):
+    # a vector identical to a stored centroid: after MERGE it must be
+    # the top hit for a query at that same point
+    cents = AI._stored_centroids(index)
+    cid0, ctr = sorted(cents.items())[0]
+    new = spark.createDataFrame(
+        [(999_999, [float(x) for x in ctr])], "cid long, embedding array<float>"
+    )
+    AI.add_to_ivf_index(spark, new, index)
+    q = spark.createDataFrame(
+        [(1, [float(x) for x in ctr])], "qid long, embedding array<float>"
+    )
+    top = (
+        AI.ivf_index_search(spark, index, q, k=1, n_probe=1)
+        .select("cid", "cos_sim")
+        .collect()[0]
+    )
+    assert top["cid"] == 999_999 and top["cos_sim"] == pytest.approx(1.0)
+    # maintenance went through the log: a new version exists
+    assert tl.current_version(index) == 1
+
+
+def test_non_index_table_rejected(spark, tmp_path):
+    t = str(tmp_path / "plain")
+    tl.create_table(spark, spark.range(5).select(F.col("id").alias("k")), t)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        AI._stored_centroids(t)
