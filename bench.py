@@ -198,7 +198,7 @@ def main() -> None:
     # NOT added to suite_total_wall: 8× the r1 fixture size would make
     # the total incomparable to BASELINE's 100-image-era numbers; the
     # throughput field below carries the signal.
-    steady_s, steady_rate = bench_tiff_ingest(spark, n_images=800)
+    steady_s, steady_rate = bench_tiff_ingest(spark, n_images=800, repeats=3)
     times["tiff_ingest_steady_800"] = round(steady_s, 4)
     print(
         f"# tiff_ingest_steady_800: {steady_s:.3f}s ({steady_rate:.1f} img/s)",
