@@ -124,7 +124,9 @@ def add_to_ivf_index(
         "cid",
         F.col("__v").alias("embedding"),
     )
-    return tl.upsert_table(spark, rows, table, key="cid")
+    return tl.upsert_table(
+        spark, rows, table, key="cid", cluster_by="centroid_id"
+    )
 
 
 def ivf_index_search(

@@ -547,6 +547,7 @@ def upsert_table(
     table: str,
     key: str,
     order_by: str | Sequence[str] | None = None,
+    cluster_by: str | None = None,
 ) -> int:
     """MERGE by key with manifest pruning: only files whose footer
     ``[min,max]`` range on ``key`` can contain an update key are
@@ -563,7 +564,13 @@ def upsert_table(
     it, out-of-order update batches (late CDC events, replayed
     micro-batches) converge to the same final state regardless of
     arrival order — the idempotence streaming ``foreachBatch`` sinks
-    need.  The update batch must be key-unique either way."""
+    need.  The update batch must be key-unique either way.
+
+    ``cluster_by`` overrides which column the REWRITTEN files are
+    range-clustered on (default: the merge key).  Tables whose scan
+    pruning rides a different column than the merge key — e.g. an IVF
+    index merged by vector id but probed by centroid — keep their
+    read-side clustering through maintenance."""
     snap = _resolve_snapshot(table)
     _check_schema(updates, snap, table)
     _enforce_constraints(updates, snap, table)
@@ -654,7 +661,7 @@ def upsert_table(
             snap["files"][p].get("bytes", 0) for p in touched
         )
         n_out = max(1, -(-touched_bytes // (128 * 1024 * 1024)))
-        merged = merged.repartitionByRange(n_out, key)
+        merged = merged.repartitionByRange(n_out, cluster_by or key)
         adds = _write_data_files(merged, table, version, _bloom_cols(snap))
         actions += [{"add": a} for a in adds]
         actions += [{"remove": {"path": p}} for p in touched]

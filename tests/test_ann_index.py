@@ -79,6 +79,22 @@ def test_incremental_add_found_by_search(spark, index):
     assert tl.current_version(index) == 1
 
 
+def test_maintenance_preserves_centroid_clustering(spark, index):
+    """Incremental adds MERGE by cid but must keep files clustered on
+    centroid_id — otherwise every maintenance pass would erode the
+    pruning that makes probes cheap."""
+    cents = AI._stored_centroids(index)
+    some = sorted(cents.items())[:2]
+    new = spark.createDataFrame(
+        [(10_000_000 + i, [float(x) for x in ctr]) for i, (_, ctr) in enumerate(some)],
+        "cid long, embedding array<float>",
+    )
+    AI.add_to_ivf_index(spark, new, index)
+    # after the rewrite, a single-centroid probe still skips files
+    read, total = AI.ivf_index_file_stats(index, {some[0][0]})
+    assert read < total
+
+
 def test_non_index_table_rejected(spark, tmp_path):
     t = str(tmp_path / "plain")
     tl.create_table(spark, spark.range(5).select(F.col("id").alias("k")), t)
