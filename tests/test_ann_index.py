@@ -100,3 +100,21 @@ def test_non_index_table_rejected(spark, tmp_path):
     tl.create_table(spark, spark.range(5).select(F.col("id").alias("k")), t)
     with pytest.raises(ValueError, match="not an IVF index"):
         AI._stored_centroids(t)
+
+
+def test_search_scans_only_probed_files(spark, index, corpus_and_queries):
+    """The physical scan behind a search reads exactly the pruned
+    inverted-list files — the seek is a property of the plan."""
+    q, _ = corpus_and_queries
+    one_q = q.limit(1)
+    res = AI.ivf_index_search(spark, index, one_q, k=3, n_probe=2)
+    cents = AI._stored_centroids(index)
+    import numpy as np
+
+    qv = np.array(one_q.collect()[0]["embedding"], dtype=np.float64)
+    ids = sorted(cents)
+    d2 = [((np.array(cents[c]) - qv) ** 2).sum() for c in ids]
+    probed = {c for _, c in sorted(zip(d2, ids))[:2]}
+    expected, total = AI.ivf_index_file_stats(index, probed)
+    files = [f for f in res.inputFiles() if index in f]
+    assert len(files) == expected < total
