@@ -90,7 +90,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
     "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",
     "stream_zarr_ingest", "bpe_pair_merge", "dataset_interleave",
-    "ann_index_search", "dedup_components", "decontamination",
+    "ann_index_search", "dedup_components", "table_evolution",
     "stream_tumbling",
     # round-6 transaction-log table format (first driver rows; replaces
     # three r4-green OME re-verification slots — ome_describe,

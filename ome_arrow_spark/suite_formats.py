@@ -503,3 +503,63 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 0)
     )
+
+
+# Schema evolution + predicate delete on the log, driver-grade: create
+# (v0) → metadata-only ADD COLUMN (v1, zero files touched) → append a
+# batch CARRYING the new column (v2) → pruned DELETE (v3). The final
+# aggregate proves schema-on-read null fill (old rows), the evolved
+# write path, and the delete rewrite in one hash-checked row set.
+@register(
+    "table_evolution",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey % 25 = 0),
+    appended AS (
+      SELECT o_orderkey + 200000000 AS o_orderkey, o_totalprice,
+             o_totalprice * 0.1 AS discount
+      FROM base WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS discount FROM base
+      UNION ALL SELECT * FROM appended),
+    kept AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           ROUND(SUM(COALESCE(discount, 0)), 6) AS sum_discount
+    FROM kept
+    """,
+)
+def table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "tlog_evo")
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 25 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tl.create_table(
+        spark, base.repartitionByRange(4, "o_orderkey"), path, overwrite=True
+    )
+    tl.add_table_column(spark, path, "discount", "double")
+    appended = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.1).alias("discount"),
+    )
+    tl.append_table(spark, appended, path)
+    tl.delete_from_table(spark, path, "o_orderkey % 7 = 0")
+    cur = tl.read_table(spark, path)
+    return cur.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("discount").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_legacy"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.sum(F.coalesce(F.col("discount"), F.lit(0.0))), 6).alias(
+            "sum_discount"
+        ),
+    )
