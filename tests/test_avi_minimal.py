@@ -252,3 +252,24 @@ class TestDecodeContracts:
         media = MM.synth_media_df(spark)
         got = {r["media_id"] for r in MM.resample_audio(media, 8000).collect()}
         assert got == {4, 5, 6, 12}
+
+    def test_mjpeg_avi_through_media_features(self, spark):
+        """A Motion-JPEG AVI blob flows through the media table like
+        any other video: sniffed, decoded via the in-repo JPEG codec,
+        frame count + mean luma extracted."""
+        from ome_arrow_spark.operators import multimodal as MM
+
+        grad = np.zeros((4, 16, 16, 3), np.uint8)
+        for i in range(4):
+            grad[i] = (np.arange(16)[:, None, None] * 8 + i * 5) % 200
+        blob = avi_encode(grad, fps=4, codec="mjpeg")
+        df = spark.createDataFrame(
+            [(77, "video", bytearray(blob), (16, 16, 4, None, "avi"))],
+            MM.MEDIA_SCHEMA,
+        )
+        row = MM.media_features(df).collect()[0]
+        assert row["kind"] == "video" and row["n_frames"] == 4
+        # lossy decode: mean luma within a few levels of the source
+        assert row["rms"] == pytest.approx(float(grad.mean()), abs=4.0)
+        frames = MM.sample_frames(df, every=2).collect()
+        assert [f["frame_idx"] for f in frames] == [0, 2]
