@@ -165,11 +165,20 @@ def ivf_index_search(
             probe_pairs.append((r[query_id], cent_ids[i]))
             needed.add(cent_ids[i])
 
+    if not probe_pairs:  # empty query set → empty, correctly-typed result
+        return spark.createDataFrame(
+            [], f"{query_id} long, cid long, cos_sim double, rk int"
+        )
+
     snap = tl._resolve_snapshot(table)
     live: set[str] = set()
     for c in sorted(needed):
         live.update(tl._prune(snap["files"], [("centroid_id", "=", c)]))
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not live:  # probed lists currently hold no files
+        return spark.createDataFrame(
+            [], f"{query_id} long, cid long, cos_sim double, rk int"
+        )
     lists = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in sorted(live)]
     )
