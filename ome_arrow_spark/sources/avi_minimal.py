@@ -36,11 +36,13 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
-def _bgr_dib(frame: np.ndarray) -> bytes:
-    """(H,W,3) RGB uint8 → bottom-up BGR rows, stride padded to 4."""
+def _bgr_dib(frame: np.ndarray, top_down: bool = False) -> bytes:
+    """(H,W,3) RGB uint8 → BGR rows, stride padded to 4. Bottom-up
+    row order by default; ``top_down`` keeps natural order (pairs with
+    a negative biHeight in strf)."""
     h, w, _ = frame.shape
     stride = (w * 3 + 3) & ~3
-    bgr = frame[::-1, :, ::-1]  # bottom-up + channel swap
+    bgr = frame[:, :, ::-1] if top_down else frame[::-1, :, ::-1]
     rows = np.zeros((h, stride), np.uint8)
     rows[:, : w * 3] = bgr.reshape(h, w * 3)
     return rows.tobytes()
@@ -51,21 +53,30 @@ def avi_encode(
     fps: int = 10,
     codec: str = "raw",
     jpeg_quality: int = 90,
+    jpeg_restart_interval: int = 0,
+    top_down: bool = False,
 ) -> bytes:
-    """(F,H,W,3) uint8 RGB → AVI bytes."""
+    """(F,H,W,3) uint8 RGB → AVI bytes. ``top_down=True`` writes the
+    raw codec with negative biHeight (top-down DIB rows, the Windows
+    capture-tool convention); ``jpeg_restart_interval`` adds DRI+RST
+    markers to each MJPEG frame."""
     if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
         raise ValueError("frames must be (F,H,W,3) uint8")
     f, h, w, _ = frames.shape
     if codec == "raw":
         handler, compression = b"DIB ", 0
-        payloads = [_bgr_dib(fr) for fr in frames]
+        payloads = [_bgr_dib(fr, top_down) for fr in frames]
         frame_cc = b"00db"
     elif codec == "mjpeg":
         from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
 
         handler = b"MJPG"
         compression = struct.unpack("<I", b"MJPG")[0]
-        payloads = [jpeg_encode(fr, quality=jpeg_quality) for fr in frames]
+        payloads = [
+            jpeg_encode(fr, quality=jpeg_quality,
+                        restart_interval=jpeg_restart_interval)
+            for fr in frames
+        ]
         frame_cc = b"00dc"
     else:
         raise ValueError(f"unknown codec: {codec!r} (raw, mjpeg)")
@@ -92,7 +103,8 @@ def avi_encode(
         )
     )
     strf = struct.pack(
-        "<I2i2H6I", 40, w, h, 1, 24, compression,
+        "<I2i2H6I", 40, w, (-h if top_down and codec == "raw" else h),
+        1, 24, compression,
         len(payloads[0]), 0, 0, 0, 0,
     )
     hdrl = _list(
@@ -121,15 +133,21 @@ def _walk(data: bytes, start: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def _decode_dib(payload: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+def _decode_dib(
+    payload: bytes, w: int, h: int, bpp: int, top_down: bool = False
+) -> np.ndarray:
+    """One uncompressed DIB frame → (H,W,3) RGB. Bottom-up rows (the
+    positive-biHeight default) are flipped; ``top_down=True`` (negative
+    biHeight, common from Windows capture tools) keeps row order."""
     stride = ((w * bpp // 8) + 3) & ~3
     rows = np.frombuffer(payload[: stride * h], np.uint8).reshape(h, stride)
+    flip = slice(None) if top_down else slice(None, None, -1)
     if bpp == 24:
         bgr = rows[:, : w * 3].reshape(h, w, 3)
-        return bgr[::-1, :, ::-1].copy()
+        return bgr[flip, :, ::-1].copy()
     if bpp == 32:
         bgrx = rows[:, : w * 4].reshape(h, w, 4)
-        return bgrx[::-1, :, 2::-1].copy()
+        return bgrx[flip, :, 2::-1].copy()
     raise ValueError(f"unsupported DIB bit depth: {bpp}")
 
 
@@ -151,10 +169,11 @@ def _avi_decode_inner(data: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 
     w = h = fps = 0
     bpp, compression, handler = 24, 0, b""
+    top_down = False
     frames: list[bytes] = []
 
     def walk_list(start: int, stop: int) -> None:
-        nonlocal w, h, fps, bpp, compression, handler
+        nonlocal w, h, fps, bpp, compression, handler, top_down
         for fourcc, p, n in _walk(data, start, stop):
             if fourcc == b"LIST":
                 walk_list(p + 4, p + n)
@@ -173,7 +192,9 @@ def _avi_decode_inner(data: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 _sz, bw, bh, _pl, bc, comp = struct.unpack_from(
                     "<I2i2HI", data, p
                 )
+                # negative biHeight = top-down row order (no flip)
                 w, h, bpp, compression = abs(bw), abs(bh), bc, comp
+                top_down = bh < 0
             elif fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
                 frames.append(bytes(data[p : p + n]))
 
@@ -192,7 +213,7 @@ def _avi_decode_inner(data: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 arr = np.stack([arr] * 3, axis=-1)
             out.append(arr.astype(np.uint8))
         else:
-            out.append(_decode_dib(payload, w, h, bpp))
+            out.append(_decode_dib(payload, w, h, bpp, top_down))
     stacked = np.stack(out)
     return stacked, {
         "w": int(stacked.shape[2]),

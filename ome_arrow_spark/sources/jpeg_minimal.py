@@ -344,6 +344,8 @@ def _decode_stream(
                 tc, th = seg[p] >> 4, seg[p] & 15
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
+                if len(bits) < 16 or p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 values = list(seg[p + 17 : p + 17 + n])
                 state.huff[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + n
@@ -358,6 +360,10 @@ def _decode_stream(
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                    if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                        raise ValueError(
+                            "corrupt JPEG: sampling factor out of range"
+                        )
                     comps.append((cid, hv >> 4, hv & 15, tq))
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
@@ -374,7 +380,11 @@ def _decode_stream(
                 raise ValueError("JPEGTables stream must not contain a scan")
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if not seg:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -417,6 +427,10 @@ def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndar
                 reader.restart()
                 pred = {cid: 0 for cid in pred}
             for cid, td, ta in scan:
+                if cid not in by_id:
+                    raise ValueError(
+                        "corrupt JPEG: scan references unknown component"
+                    )
                 ch, cv, tq = by_id[cid]
                 dc_tbl = state.huff.get((0, td))
                 ac_tbl = state.huff.get((1, ta))

@@ -828,6 +828,7 @@ def encode_tiff_baseline(
     bigtiff: bool = False,
     jpeg_quality: int = 90,
     jpeg_photometric: str = "ycbcr",
+    jpeg_restart_interval: int = 0,
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
     multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
@@ -925,6 +926,7 @@ def encode_tiff_baseline(
                 np.ascontiguousarray(a),
                 quality=jpeg_quality,
                 color_transform=(jpeg_photometric != "rgb"),
+                restart_interval=jpeg_restart_interval,
             )
         if ccitt:
             from ome_arrow_spark.sources.ccitt_minimal import (

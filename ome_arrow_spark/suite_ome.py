@@ -262,7 +262,11 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- sums are pinned as golden values (codec drift → red row)
            SELECT * FROM (VALUES
              ('jpeg_strips', 0, 195848), ('jpeg_strips', 1, 195910),
-             ('jpeg_strips', 2, 195744), ('jpeg_strips', 3, 195858))
+             ('jpeg_strips', 2, 195744), ('jpeg_strips', 3, 195858),
+             -- restart-interval variant (DRI + RST0-7 markers): pins the
+             -- _BitReader.restart() drain-at-boundary path (ADVICE r6)
+             ('jpeg_restart', 0, 195836), ('jpeg_restart', 1, 195796),
+             ('jpeg_restart', 2, 195866), ('jpeg_restart', 3, 195812))
              jp(image_id, z, s))
     SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
     FROM u
@@ -305,6 +309,12 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([((zi * 13 + 5 * i) % 256).reshape(y, x) for zi in range(z)])
             .astype(np.uint8),
             {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16},
+        ),
+        "jpeg_restart": (
+            np.stack([((zi * 19 + 7 * i) % 256).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16,
+             "jpeg_restart_interval": 2},
         ),
         "ccitt_g4": (
             np.stack([(((zi * 3 + i) % 7) < 2).reshape(y, x) for zi in range(z)])

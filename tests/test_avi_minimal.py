@@ -273,3 +273,29 @@ class TestDecodeContracts:
         assert row["rms"] == pytest.approx(float(grad.mean()), abs=4.0)
         frames = MM.sample_frames(df, every=2).collect()
         assert [f["frame_idx"] for f in frames] == [0, 2]
+
+
+def test_top_down_dib_roundtrip():
+    """Negative biHeight = top-down rows (Windows capture convention):
+    decode must NOT flip. Both orientations decode to identical RGB."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (3, 10, 14, 3), dtype=np.uint8)
+    td, meta = avi_decode(avi_encode(frames, codec="raw", top_down=True))
+    bu, _ = avi_decode(avi_encode(frames, codec="raw"))
+    assert np.array_equal(td, frames)
+    assert np.array_equal(bu, frames)
+    assert meta["codec"] == "raw"
+
+
+def test_mjpeg_restart_interval_frames():
+    """MJPEG frames carrying DRI+RST markers decode identically to
+    plain MJPEG (restart markers are structural, not lossy)."""
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (3, 12, 16, 3), dtype=np.uint8)
+    plain, _ = avi_decode(avi_encode(frames, codec="mjpeg", jpeg_quality=85))
+    rst, meta = avi_decode(
+        avi_encode(frames, codec="mjpeg", jpeg_quality=85,
+                   jpeg_restart_interval=2)
+    )
+    assert meta["codec"] == "mjpeg"
+    assert np.array_equal(plain, rst)

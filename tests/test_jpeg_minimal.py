@@ -408,3 +408,35 @@ def test_12bit_sharp_high_quality_raises_not_corrupts():
     img = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
     with pytest.raises(ValueError, match="quality"):
         jpeg_encode(img, quality=100, precision=12)
+
+
+def test_prefix_fuzz_only_valueerror_escapes():
+    """Every truncation point of a valid stream must raise the
+    documented ValueError/NotImplementedError contract (never
+    IndexError/struct.error/KeyError), so decode_tiff_pages
+    on_error="row"/"skip" isolation can catch it."""
+    for ch in (1, 3):
+        shape = (16, 24) if ch == 1 else (16, 24, 3)
+        img = np.random.default_rng(1).integers(0, 256, shape, dtype=np.uint8)
+        good = jpeg_encode(img, quality=80, restart_interval=2)
+        for n in range(2, len(good)):
+            try:
+                jpeg_decode(good[:n])
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_mutation_fuzz_only_valueerror_escapes():
+    """Random byte corruption must never leak KeyError /
+    ZeroDivisionError / IndexError out of jpeg_decode."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    good = bytearray(jpeg_encode(img, quality=80, restart_interval=3))
+    for _ in range(1500):
+        b = bytearray(good)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        try:
+            jpeg_decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
