@@ -165,26 +165,42 @@ def ivf_index_search(
             probe_pairs.append((r[query_id], cent_ids[i]))
             needed.add(cent_ids[i])
 
-    if not probe_pairs:  # empty query set → empty, correctly-typed result
-        return spark.createDataFrame(
-            [], f"{query_id} long, cid long, cos_sim double, rk int"
-        )
-
+    # id columns keep whatever types the caller / stored table use
+    # (string corpus ids are as valid as longs), so the empty and
+    # non-empty paths must agree on the SAME derived schema
     snap = tl._resolve_snapshot(table)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    qid_type = queries.schema[query_id].dataType
+    cid_type = schema["cid"].dataType
+    empty_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField("cid", cid_type),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+
+    if not probe_pairs:  # empty query set → empty, correctly-typed result
+        return spark.createDataFrame([], empty_schema)
+
     live: set[str] = set()
     for c in sorted(needed):
         live.update(tl._prune(snap["files"], [("centroid_id", "=", c)]))
-    schema = T.StructType.fromJson(json.loads(snap["schema"]))
     if not live:  # probed lists currently hold no files
-        return spark.createDataFrame(
-            [], f"{query_id} long, cid long, cos_sim double, rk int"
-        )
+        return spark.createDataFrame([], empty_schema)
     lists = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in sorted(live)]
     )
 
     pairs = spark.createDataFrame(
-        probe_pairs, f"{query_id} long, centroid_id int"
+        probe_pairs,
+        T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField("centroid_id", T.IntegerType()),
+            ]
+        ),
     ).join(
         queries.select(F.col(query_id), F.col(vec).alias("__qv")), query_id
     )

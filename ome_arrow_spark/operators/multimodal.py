@@ -367,7 +367,11 @@ def resize_images(
                         },
                     }
                 )
-            yield pd.DataFrame(rows)
+            # pin columns: a batch with zero matching rows must still
+            # produce the declared 4-column frame (empty-batch contract)
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
 
     return media.select("media_id", "content").mapInPandas(rs, schema=schema)
 
@@ -406,7 +410,11 @@ def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
                         },
                     }
                 )
-            yield pd.DataFrame(rows)
+            # pin columns: a batch with zero matching rows must still
+            # produce the declared 4-column frame (empty-batch contract)
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
 
     return media.select("media_id", "content").mapInPandas(rs, schema=schema)
 
@@ -440,7 +448,10 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                             },
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "kind", "content", "meta"],
+            )
 
     return media.select("media_id", "content").mapInPandas(fs, schema=schema)
 

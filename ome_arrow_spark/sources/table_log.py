@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import Any, Iterable, Sequence
 
@@ -684,7 +685,9 @@ def delete_from_table(
     ``prune_predicates`` (same ``(col, op, literal)`` form as
     :func:`read_table`), files whose footer stats prove they contain
     NO matching row are carried by reference untouched; only the
-    surviving candidates are rewritten with the predicate inverted."""
+    surviving candidates are rewritten with the predicate inverted.
+    Literal encoding follows :func:`read_table` (datetime or ISO
+    string both accepted)."""
     snap = _resolve_snapshot(table)
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -763,7 +766,14 @@ def _prune(
     """Manifest file skipping: drop a file only when its footer stats
     (or, for equality, its per-file Bloom filter) PROVE no row can
     satisfy an AND-ed ``(column, op, literal)`` conjunct; missing
-    stats/bloom keep the file (conservative)."""
+    stats/bloom keep the file (conservative).
+
+    Literals are coerced through the same ``_json_safe`` encoding the
+    stats were stored with (date/datetime → ISO string), so callers
+    may pass either a ``datetime`` object or its ISO string.  A
+    literal that still cannot be ordered against a stored stat (e.g.
+    int vs string-column stats) conservatively KEEPS the file rather
+    than raising."""
     if not predicates:
         return list(files)
     out = []
@@ -772,16 +782,20 @@ def _prune(
         for col, op, lit in predicates:
             if op not in _OPS:
                 raise TableLogError(f"unsupported prune op: {op}")
+            lit = _json_safe(lit)
             st = add.get("columns", {}).get(col)
             if st is not None and st["min"] is not None and st["max"] is not None:
                 lo, hi = st["min"], st["max"]
-                if (
-                    (op == "=" and (lit < lo or lit > hi))
-                    or (op in ("<", "<=") and (lo > lit or (op == "<" and lo == lit)))
-                    or (op in (">", ">=") and (hi < lit or (op == ">" and hi == lit)))
-                ):
-                    keep = False
-                    break
+                try:
+                    if (
+                        (op == "=" and (lit < lo or lit > hi))
+                        or (op in ("<", "<=") and (lo > lit or (op == "<" and lo == lit)))
+                        or (op in (">", ">=") and (hi < lit or (op == ">" and hi == lit)))
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    pass  # incomparable literal/stat types: keep the file
             if op == "=":
                 bl = add.get("bloom", {}).get(col)
                 if bl is not None and not _bloom_might_contain(bl["bits"], lit):
@@ -805,7 +819,9 @@ def read_table(
     predicate both PRUNES files via manifest stats/blooms and is
     applied as a row filter on the scan (where Catalyst additionally
     pushes it into parquet row-group pruning) — callers get complete
-    predicate semantics from one argument."""
+    predicate semantics from one argument.  Date/timestamp literals
+    may be passed as ``datetime`` objects or ISO strings — pruning
+    coerces them to the manifest's ISO encoding either way."""
     snap = _resolve_snapshot(table, version)
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     preds = list(predicates) if predicates else []
@@ -976,13 +992,17 @@ def optimize_table(
                     "repartitionByRange before create"
                 )
         n_buckets = 1 << bits_per_col
+        # quantile boundaries → equal-population buckets even on
+        # skewed columns (plain min/max scaling would collapse); the
+        # multi-column list form runs ONE Greenwald-Khanna job for all
+        # zorder columns instead of one scan per column
+        all_qs = df.stat.approxQuantile(
+            list(zorder_by),
+            [i / n_buckets for i in range(1, n_buckets)],
+            0.001,
+        )
         zcols = []
-        for col in zorder_by:
-            # quantile boundaries → equal-population buckets even on
-            # skewed columns (plain min/max scaling would collapse)
-            qs = df.stat.approxQuantile(
-                col, [i / n_buckets for i in range(1, n_buckets)], 0.001
-            )
+        for col, qs in zip(zorder_by, all_qs):
             bucket = F.lit(0)
             for b in qs:  # rank = #boundaries below the value
                 bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
@@ -1191,13 +1211,23 @@ def read_ome_table(
 
 
 def vacuum_table(
-    table: str, keep_versions: int = 1, dry_run: bool = False
+    table: str,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+    retention_seconds: float = 3600.0,
 ) -> list[str]:
     """Reclaim data files referenced by NO retained snapshot (the last
     ``keep_versions`` versions stay readable; earlier time travel is
     given up).  Orphans from crashed pre-commit writes are removed by
     the same sweep.  ``dry_run=True`` only REPORTS what would go —
-    nothing is touched.  Returns the (to-be-)deleted file names."""
+    nothing is touched.  Returns the (to-be-)deleted file names.
+
+    ``retention_seconds`` guards the race Delta Lake's
+    VACUUM retention check guards: a concurrent writer renames data
+    files into the table dir BEFORE its commit lands, so an
+    unreferenced file younger than the window may belong to an
+    in-flight commit and is kept.  Pass ``0`` only when no concurrent
+    writers exist (e.g. tests)."""
     table = os.path.abspath(table)
     versions = _list_versions(table)
     if not versions:
@@ -1206,18 +1236,27 @@ def vacuum_table(
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_resolve_snapshot(table, v)["files"])
+    cutoff = time.time() - max(0.0, retention_seconds)
     deleted = []
     for name in os.listdir(table):
         if name == LOG_DIR or name in referenced:
             continue
         full = os.path.join(table, name)
+        try:
+            if os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight writer's file — keep
+        except OSError:
+            continue  # raced a concurrent delete/rename — skip
         if name.startswith(".staging-"):
             if not dry_run:
                 shutil.rmtree(full, ignore_errors=True)
             deleted.append(name)
         elif name.endswith(".parquet"):
             if not dry_run:
-                os.unlink(full)
+                try:
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue
             deleted.append(name)
     return sorted(deleted)
 

@@ -1765,8 +1765,12 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = un.agg(F.count("*").alias("vocab"))
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    # NO broadcast hint on the bigram-count table: distinct-bigram
+    # count grows with corpus size (unlike the vocab-bounded unigram
+    # frame), so a forced broadcast OOMs at scale — AQE broadcasts it
+    # at fixture scale anyway and picks SMJ on a real corpus
     return (
-        bg.join(F.broadcast(bc), ["w1", "w2"])
+        bg.join(bc, ["w1", "w2"])
         .join(F.broadcast(un), bg["w1"] == un["tok"])
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")

@@ -118,3 +118,32 @@ def test_search_scans_only_probed_files(spark, index, corpus_and_queries):
     expected, total = AI.ivf_index_file_stats(index, probed)
     files = [f for f in res.inputFiles() if index in f]
     assert len(files) == expected < total
+
+
+def test_string_ids_roundtrip(spark, tmp_path, corpus_and_queries):
+    """String corpus/query ids flow through build + search: the empty
+    and non-empty result paths must share the derived (not hardcoded-
+    long) schema (ADVICE r6)."""
+    q, c = corpus_and_queries
+    qs = q.limit(3).select(
+        F.concat(F.lit("q-"), F.col("qid").cast("string")).alias("qid"),
+        "embedding",
+    )
+    cs = c.select(
+        F.concat(F.lit("doc-"), F.col("cid").cast("string")).alias("cid"),
+        "embedding",
+    )
+    t = str(tmp_path / "ivf_str")
+    AI.build_ivf_index(spark, cs, t, n_centroids=4)
+    res = AI.ivf_index_search(spark, t, qs, k=2, n_probe=4)
+    rows = res.collect()
+    assert len(rows) == 6
+    assert all(r["qid"].startswith("q-") and r["cid"].startswith("doc-")
+               for r in rows)
+    # empty query set: same columns/types as the populated result
+    # (nullability flags may differ; the driver compares name+type)
+    empty = AI.ivf_index_search(spark, t, qs.limit(0), k=2, n_probe=4)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in res.schema.fields
+    ]
+    assert empty.count() == 0

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -85,7 +86,7 @@ class TestCommitProtocol:
         os.rename(os.path.join(orphan + ".dir", part), orphan)
         shutil.rmtree(orphan + ".dir")
         assert tl.read_table(spark, tdir).count() == 100
-        deleted = tl.vacuum_table(tdir)
+        deleted = tl.vacuum_table(tdir, retention_seconds=0)
         assert os.path.basename(orphan) in deleted
         assert tl.read_table(spark, tdir).count() == 100
 
@@ -548,18 +549,18 @@ class TestMaintenance:
         assert total == 1
         # old snapshot still readable before vacuum
         assert tl.read_table(spark, tdir, version=0).count() == 500
-        deleted = tl.vacuum_table(tdir, keep_versions=1)
+        deleted = tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0)
         assert len(deleted) == 16
         assert tl.read_table(spark, tdir).count() == 500
 
     def test_vacuum_dry_run_touches_nothing(self, spark, tdir):
         tl.create_table(spark, _base(spark, 100).repartition(4), tdir)
         tl.compact_table(spark, tdir)
-        would = tl.vacuum_table(tdir, keep_versions=1, dry_run=True)
+        would = tl.vacuum_table(tdir, keep_versions=1, dry_run=True, retention_seconds=0)
         assert len(would) == 4
         # dry run left the old snapshot fully readable
         assert tl.read_table(spark, tdir, version=0).count() == 100
-        assert tl.vacuum_table(tdir, keep_versions=1) == would
+        assert tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0) == would
 
     def test_table_details(self, spark, tdir):
         tl.create_table(
@@ -579,7 +580,7 @@ class TestMaintenance:
     def test_vacuum_keeps_retained_versions(self, spark, tdir):
         tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
         tl.compact_table(spark, tdir)
-        assert tl.vacuum_table(tdir, keep_versions=2) == []
+        assert tl.vacuum_table(tdir, keep_versions=2, retention_seconds=0) == []
         assert tl.read_table(spark, tdir, version=0).count() == 100
 
 
@@ -627,3 +628,74 @@ class TestOmeTable:
         one = tl.read_ome_table(spark, tdir, image_ids=[min(ids)])
         assert one.count() == 1
         assert one.select("ome_arrow.id").collect()[0][0] == min(ids)
+
+
+class TestVacuumRetention:
+    def test_recent_unreferenced_files_survive_retention_window(
+        self, spark, tdir
+    ):
+        """A file a concurrent writer renamed into the table dir but has
+        not yet committed must survive vacuum (Delta's retention-check
+        race, ADVICE r6): files younger than retention_seconds are kept
+        even when unreferenced."""
+        tl.create_table(spark, _base(spark, 50).coalesce(1), tdir)
+        # simulate an in-flight writer: unreferenced data file, just written
+        stray = os.path.join(tdir, "part-inflight-test.parquet")
+        with open(stray, "wb") as f:
+            f.write(b"not-yet-committed")
+        kept = tl.vacuum_table(tdir, keep_versions=1, dry_run=True)
+        assert "part-inflight-test.parquet" not in kept
+        # with the window collapsed it IS collected
+        gone = tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0)
+        assert "part-inflight-test.parquet" in gone
+        assert not os.path.exists(stray)
+        assert tl.read_table(spark, tdir).count() == 50
+
+    def test_old_unreferenced_files_collected_past_window(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 40).coalesce(1), tdir)
+        stray = os.path.join(tdir, "part-old-orphan.parquet")
+        with open(stray, "wb") as f:
+            f.write(b"orphan")
+        old = time.time() - 7200
+        os.utime(stray, (old, old))
+        gone = tl.vacuum_table(tdir, keep_versions=1)  # default 1h window
+        assert "part-old-orphan.parquet" in gone
+        assert not os.path.exists(stray)
+
+
+class TestPruneLiteralCoercion:
+    def test_datetime_literal_prunes_like_iso_string(self, spark, tdir):
+        """Pruning coerces datetime literals through the manifest's ISO
+        encoding instead of raising TypeError against string stats."""
+        import datetime
+
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, i + 1), i) for i in range(6)],
+            "ts timestamp, v int",
+        ).repartition(3, "v")
+        tl.create_table(spark, df, tdir)
+        lit_dt = datetime.datetime(2024, 1, 3)
+        got_dt = {
+            r["v"]
+            for r in tl.read_table(
+                spark, tdir, predicates=[("ts", "<=", lit_dt)]
+            ).collect()
+        }
+        got_iso = {
+            r["v"]
+            for r in tl.read_table(
+                spark, tdir, predicates=[("ts", "<=", lit_dt.isoformat())]
+            ).collect()
+        }
+        assert got_dt == {0, 1, 2} or got_dt == got_iso  # same rows either way
+        assert got_dt == got_iso
+
+    def test_incomparable_literal_keeps_files(self, spark, tdir):
+        """An int literal against string-column stats must keep every
+        file (conservative), not raise."""
+        df = spark.createDataFrame(
+            [(f"s{i}", i) for i in range(4)], "s string, v int"
+        ).coalesce(1)
+        tl.create_table(spark, df, tdir)
+        live, total = tl.pruned_file_count(tdir, predicates=[("s", ">", 99)])
+        assert live == total

@@ -122,7 +122,7 @@ def test_ops_match_model(spark, tmp_path_factory, initial, ops):
             (k, *model[k])
         }
     # vacuum keeps the current snapshot intact
-    tl.vacuum_table(tdir, keep_versions=1)
+    tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0)
     assert _materialize(spark, tdir) == model
 
 
