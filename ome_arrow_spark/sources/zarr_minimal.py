@@ -15,12 +15,12 @@ reads what zarr-python writes for the baseline feature set.
   group's ``attributes`` key (the v3 layout the reference's exporter
   selects with ``zarr_format=3``, export.py:265-289 + 361).
 
-Blosc frames decode/encode with zlib (stdlib) AND zstd/lz4/snappy
-inner codecs (pyarrow's bundled C codecs — pyarrow is already a hard
-engine dependency), with byte-shuffle AND bit-shuffle filters both
-directions; plain numcodecs-framed zstd/lz4 v2 compressors and v3
-zstd codec chains ride the same route. Only blosclz inner codecs
-still gate on numcodecs.
+Blosc frames decode/encode with EVERY c-blosc inner codec: zlib
+(stdlib), zstd/lz4/snappy (pyarrow's bundled C codecs — pyarrow is
+already a hard engine dependency), and blosclz (pure-Python FastLZ-2,
+``blosclz_minimal.py``), with byte-shuffle AND bit-shuffle filters
+both directions; plain numcodecs-framed zstd/lz4 v2 compressors and
+v3 zstd codec chains ride the same route. No blosc gate remains.
 """
 
 from __future__ import annotations
@@ -47,7 +47,7 @@ SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lz4")
 # default is Blosc(zstd); the reference's exporter passes blosc
 # compressors straight to zarr, export.py:265-289). zlib inner codecs
 # ride the stdlib; zstd/lz4/snappy ride pyarrow's bundled C codecs;
-# only blosclz (blosc's own LZ) keeps gating on numcodecs. Bit-shuffle
+# blosclz (blosc's own LZ) is built-in pure Python. Bit-shuffle
 # (flag 0x4) is implemented from the bitshuffle scalar reference
 # algorithm; cross-library fixtures can't be generated in this
 # container (no numcodecs/bitshuffle), so tests pin the layout against
@@ -62,8 +62,8 @@ SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lz4")
 
 _BLOSC_FORMATS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _BLOSC_ZLIB_FORMAT = 3
-_BLOSC_CNAME_TO_FORMAT = {"lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3,
-                          "zstd": 4}
+_BLOSC_CNAME_TO_FORMAT = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2,
+                          "zlib": 3, "zstd": 4}
 
 
 def _pa_codec(name: str):
@@ -82,6 +82,10 @@ def _inner_decompress(fmt: int, seg: bytes, out_size: int) -> bytes:
     """Decompress one blosc inner-codec stream of known decoded size."""
     if fmt == _BLOSC_ZLIB_FORMAT:
         return zlib.decompress(seg)
+    if fmt == 0:  # blosclz: built-in pure-Python FastLZ-2 decoder
+        from ome_arrow_spark.sources.blosclz_minimal import blosclz_decompress
+
+        return blosclz_decompress(seg, out_size)
     if fmt == 4:  # zstd: standard frames (c-blosc uses ZSTD_compress)
         codec = _pa_codec("zstd")
         if codec is not None:
@@ -103,6 +107,10 @@ def _inner_decompress(fmt: int, seg: bytes, out_size: int) -> bytes:
 def _inner_compress(fmt: int, seg: bytes, clevel: int) -> bytes:
     if fmt == _BLOSC_ZLIB_FORMAT:
         return zlib.compress(seg, clevel)
+    if fmt == 0:
+        from ome_arrow_spark.sources.blosclz_minimal import blosclz_compress
+
+        return blosclz_compress(seg)
     name = {1: "lz4_raw", 2: "snappy", 4: "zstd"}.get(fmt)
     codec = _pa_codec(name) if name else None
     if codec is None:
@@ -368,8 +376,15 @@ def write_zarr_array(
 ) -> None:
     """Write one Zarr v2 array directory (``.zarray`` + chunk files).
     Edge chunks are padded to full chunk shape with ``fill_value`` per
-    the spec."""
-    if compressor not in SUPPORTED_COMPRESSORS:
+    the spec.  ``compressor`` may also be a full numcodecs-style dict
+    (e.g. ``{"id": "blosc", "cname": "blosclz", "shuffle": 1}``) for
+    explicit inner-codec control."""
+    if isinstance(compressor, dict):
+        if compressor.get("id") not in ("zlib", "gzip", "blosc", "zstd", "lz4"):
+            raise NotImplementedError(
+                f"compressor dict id {compressor.get('id')!r} unsupported"
+            )
+    elif compressor not in SUPPORTED_COMPRESSORS:
         raise NotImplementedError(
             f"compressor {compressor!r} not in built-in subset {SUPPORTED_COMPRESSORS}"
         )
@@ -380,6 +395,8 @@ def write_zarr_array(
     chunks = tuple(int(min(c, s)) for c, s in zip(chunks, arr.shape))
     if compressor is None:
         comp = None
+    elif isinstance(compressor, dict):
+        comp = dict(compressor)
     elif compressor == "blosc":  # blosc-zlib + byte-shuffle frames
         comp = {
             "id": "blosc", "cname": "zlib",
@@ -481,7 +498,9 @@ def _parse_v3_codecs(codecs: list[dict[str, Any]]) -> tuple[str, str | None, int
             level = int(cfg.get("level", 1))
         elif name == "blosc":
             cname = cfg.get("cname", "zstd")
-            if cname not in ("zlib", "zstd", "lz4", "lz4hc", "snappy"):
+            if cname not in (
+                "blosclz", "zlib", "zstd", "lz4", "lz4hc", "snappy"
+            ):
                 raise NotImplementedError(
                     f"v3 blosc cname {cname!r} needs the zarr package"
                 )

@@ -459,7 +459,8 @@ def ome_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(v) AS INT) AS px_max
       FROM px GROUP BY c)
     SELECT codec, c, px_sum, px_min, px_max
-    FROM (SELECT unnest(['blosc-zlib', 'zstd']) AS codec) k, stats
+    FROM (SELECT unnest(['blosc-blosclz', 'blosc-zlib', 'zstd']) AS codec) k,
+         stats
     """,
 )
 def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,12 +478,18 @@ def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[np.newaxis, :, np.newaxis].astype("<u2")
     d = tempfile.mkdtemp(prefix="ome_blosc_q_")
     outs = []
-    for codec, comp in (("blosc-zlib", "blosc"), ("zstd", "zstd")):
-        store = os.path.join(d, f"img_{comp}.zarr")
+    specs = (
+        ("blosc-blosclz",
+         {"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1}),
+        ("blosc-zlib", "blosc"),
+        ("zstd", "zstd"),
+    )
+    for codec, comp in specs:
+        store = os.path.join(d, f"img_{codec}.zarr")
         write_ngff_store(
             store,
             [vol],
-            image_id=f"img_{comp}",
+            image_id=f"img_{codec}",
             channel_names=["C0", "C1"],
             compressor=comp,
             compression_level=5,
@@ -490,7 +497,9 @@ def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunks=(1, 1, 1, 32, 32),
         )
         chunk0 = open(os.path.join(store, "0", "0.0.0.0.0"), "rb").read()
-        if comp == "blosc":  # blosc1 frame, zlib format id (or memcpy)
+        if codec == "blosc-blosclz":  # blosclz format id 0 (or memcpy)
+            assert (chunk0[2] >> 5) == 0 or (chunk0[2] & 0x2)
+        elif codec == "blosc-zlib":  # blosc1 frame, zlib format id
             assert (chunk0[2] >> 5) == 3 or (chunk0[2] & 0x2)
         else:  # bare zstd frame magic
             assert chunk0[:4] == b"\x28\xb5\x2f\xfd"
@@ -504,7 +513,10 @@ def ome_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("px_max").cast("int"),
             )
         )
-    return outs[0].unionByName(outs[1])
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 # V1 plane lookup + autoscale: exact (t,c,z) plane of multi-channel-z.

@@ -52,20 +52,26 @@ def test_unsupported_codec_gates(tmp_path):
     arr = np.zeros((2, 2), dtype=np.uint16)
     with pytest.raises(NotImplementedError, match="lzma"):
         write_zarr_array(str(tmp_path / "b"), arr, compressor="lzma")
-    # blosc frames whose inner codec is blosclz (blosc's own LZ) still
-    # gate: patch a valid zlib frame's format bits to blosclz
+    # blosclz inner codecs no longer gate: a v2 store whose chunks are
+    # blosc frames with format id 0 round-trips through the built-in
+    # pure-Python decoder (blosclz_minimal)
+    from ome_arrow_spark.sources.zarr_minimal import blosc_decode
+
     p = str(tmp_path / "c")
-    big = np.zeros((64, 64), dtype=np.uint16)  # compressible → real zlib frame, not memcpy
+    big = (np.arange(64 * 64, dtype=np.uint16) % 97).reshape(64, 64)
     write_zarr_array(p, big, compressor="blosc", chunks=(64, 64))
     meta = json.load(open(os.path.join(p, ".zarray")))
     meta["compressor"] = {"id": "blosc", "cname": "blosclz"}
     json.dump(meta, open(os.path.join(p, ".zarray"), "w"))
     chunk = os.path.join(p, "0.0")
-    frame = bytearray(open(chunk, "rb").read())
-    frame[2] = frame[2] & 0x1F  # blosclz format id (0)
-    open(chunk, "wb").write(bytes(frame))
-    with pytest.raises(NotImplementedError, match="blosclz"):
-        read_zarr_array(p)
+    raw = blosc_decode(open(chunk, "rb").read())
+    from ome_arrow_spark.sources.zarr_minimal import blosc_encode
+
+    open(chunk, "wb").write(
+        blosc_encode(raw, typesize=2, shuffle=1, cname="blosclz")
+    )
+    got = read_zarr_array(p)
+    assert np.array_equal(got, big)
 
 
 def test_ngff_store_attrs_and_pyramid(tmp_path):
@@ -138,15 +144,43 @@ def test_v3_unsupported_codec_gates(tmp_path):
     arr = np.zeros((2, 2), dtype=np.uint16)
     with pytest.raises(NotImplementedError, match="brotli"):
         write_zarr_array_v3(str(tmp_path / "b"), arr, compressor="brotli")
+    # a cname the engine genuinely lacks still gates
     p = str(tmp_path / "c")
     write_zarr_array_v3(p, arr, compressor=None)
     meta = json.load(open(os.path.join(p, "zarr.json")))
     meta["codecs"].append(
-        {"name": "blosc", "configuration": {"cname": "blosclz"}}
+        {"name": "blosc", "configuration": {"cname": "lizard"}}
     )
     json.dump(meta, open(os.path.join(p, "zarr.json"), "w"))
     with pytest.raises(NotImplementedError, match="blosc"):
         read_zarr_array_v3(p)
+
+
+def test_v3_blosclz_codec_chain_roundtrip(tmp_path):
+    """A v3 store whose blosc codec uses cname=blosclz reads and
+    writes through the built-in pure-Python codec (no zarr package)."""
+    from ome_arrow_spark.sources.zarr_minimal import (
+        blosc_encode,
+        read_zarr_array_v3,
+        write_zarr_array_v3,
+    )
+
+    arr = (np.arange(48 * 32, dtype=np.uint16) % 251).reshape(48, 32)
+    p = str(tmp_path / "lz")
+    write_zarr_array_v3(p, arr, compressor="blosc")
+    meta = json.load(open(os.path.join(p, "zarr.json")))
+    for c in meta["codecs"]:
+        if c.get("name") == "blosc":
+            c["configuration"]["cname"] = "blosclz"
+    json.dump(meta, open(os.path.join(p, "zarr.json"), "w"))
+    chunk = os.path.join(p, "c", "0", "0")
+    from ome_arrow_spark.sources.zarr_minimal import blosc_decode
+
+    raw = blosc_decode(open(chunk, "rb").read())
+    open(chunk, "wb").write(
+        blosc_encode(raw, typesize=2, shuffle=1, cname="blosclz")
+    )
+    assert np.array_equal(read_zarr_array_v3(p), arr)
 
 
 @pytest.mark.parametrize("compressor", [None, "gzip", "blosc", "zstd"])
@@ -427,7 +461,7 @@ def test_blosc_shuffle_actually_helps():
     assert len(shuf) < len(plain)
 
 
-@pytest.mark.parametrize("cname", ["zlib", "zstd", "lz4", "snappy"])
+@pytest.mark.parametrize("cname", ["blosclz", "zlib", "zstd", "lz4", "snappy"])
 def test_blosc_inner_codec_matrix(cname):
     """Every built-in blosc inner codec round-trips with and without
     shuffle, across block layouts — zlib via the stdlib, the rest via
@@ -603,7 +637,7 @@ def test_bitshuffle_matches_scalar_model():
             assert _bitunshuffle_bytes(fast, typesize) == buf
 
 
-@pytest.mark.parametrize("cname", ["zlib", "zstd", "lz4", "snappy"])
+@pytest.mark.parametrize("cname", ["blosclz", "zlib", "zstd", "lz4", "snappy"])
 def test_blosc_bitshuffle_frame_roundtrip(cname):
     from ome_arrow_spark.sources.zarr_minimal import blosc_decode, blosc_encode
 
