@@ -305,9 +305,14 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb if top_down else rgb[::-1])
 
 
-def png_encode(img: np.ndarray, compress_level: int = 6) -> bytes:
+def png_encode(
+    img: np.ndarray, compress_level: int = 6, interlace: bool = False
+) -> bytes:
     """Encode uint8 (H,W) gray / (H,W,3) RGB / (H,W,4) RGBA, or uint16
-    (H,W) / (H,W,3), as a conformant PNG."""
+    (H,W) / (H,W,3), as a conformant PNG. ``interlace=True`` writes
+    the Adam7 layout (seven filtered sub-image passes, each with its
+    own filter context, PNG spec §8.2) — the old-web-PNG form the
+    decoder's interlaced path reads back."""
     img = np.asarray(img)
     if img.dtype == np.uint8:
         bit_depth = 8
@@ -326,18 +331,35 @@ def png_encode(img: np.ndarray, compress_level: int = 6) -> bytes:
     if bit_depth == 16 and color_type == 6:
         raise ValueError("16-bit RGBA encode unsupported (use RGB or gray)")
     h, w = img.shape[:2]
-    if bit_depth == 16:
-        payload = img.astype(">u2").reshape(h, -1).view(np.uint8)
-    else:
-        payload = img.reshape(h, -1)
     bpp = max(1, bit_depth * channels // 8)
-    filtered = _filter_scanlines(np.ascontiguousarray(payload), bpp)
+    arr3 = img[..., np.newaxis] if img.ndim == 2 else img
+
+    def rows_of(sub: np.ndarray) -> np.ndarray:
+        sh = sub.shape[0]
+        if bit_depth == 16:
+            return np.ascontiguousarray(
+                sub.astype(">u2").reshape(sh, -1).view(np.uint8)
+            )
+        return np.ascontiguousarray(sub.reshape(sh, -1))
+
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr3[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass emits nothing
+            parts.append(_filter_scanlines(rows_of(sub), bpp))
+        filtered = b"".join(parts)
+    else:
+        filtered = _filter_scanlines(rows_of(arr3), bpp)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     idat = zlib.compress(filtered, compress_level)
     return (
         PNG_SIGNATURE

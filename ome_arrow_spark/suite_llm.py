@@ -706,6 +706,14 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*5 + 1) % 256 END), 6),
            ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*5 + 1) % 256 END), 6)
     FROM (SELECT unnest(generate_series(0, 14*19*3 - 1)) AS j) j
+    UNION ALL
+    -- Adam7-interlaced PNG (lossless): same arithmetic as a plain PNG
+    -- of pattern (j*13 + 5) % 256 — covers the interlaced decode path
+    SELECT CAST(14 AS BIGINT), 'image',
+           ROUND(AVG(CASE WHEN j.j % 3 = 0 THEN (j.j*13 + 5) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*13 + 5) % 256 END), 6),
+           ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*13 + 5) % 256 END), 6)
+    FROM (SELECT unnest(generate_series(0, 21*17*3 - 1)) AS j) j
     """,
 )
 def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +735,9 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rgb = ((np.arange(20 * 30 * 3).reshape(20, 30, 3) * 11 + 3) % 256).astype(np.uint8)
     with open(os.path.join(d, "11.png"), "wb") as f:
         f.write(png_encode(rgb))
+    rgb14 = ((np.arange(21 * 17 * 3).reshape(21, 17, 3) * 13 + 5) % 256).astype(np.uint8)
+    with open(os.path.join(d, "14.png"), "wb") as f:
+        f.write(png_encode(rgb14, interlace=True))
     from ome_arrow_spark.sources.gif_minimal import gif_encode
 
     gray = ((np.arange(18 * 22).reshape(18, 22) * 7) % 256).astype(np.uint8)

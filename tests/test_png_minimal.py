@@ -263,3 +263,25 @@ def test_decode_media_routes_bmp():
     kind, arr, meta = decode_media(_build_bmp(rgb))
     assert kind == "image" and meta["format"] == "bmp"
     assert np.array_equal(arr, rgb)
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((13, 17), np.uint8), ((16, 16, 3), np.uint8), ((7, 5, 4), np.uint8),
+        ((11, 9), np.uint16), ((10, 12, 3), np.uint16),
+        ((1, 1), np.uint8), ((40, 3, 3), np.uint8), ((3, 40), np.uint8),
+    ],
+)
+def test_interlaced_encode_equals_plain(shape, dtype):
+    """png_encode(interlace=True) writes real Adam7 streams (per-pass
+    adaptive filters) that decode identical to the non-interlaced twin
+    across the bit-depth/color matrix."""
+    rng = np.random.default_rng(29)
+    hi = 65536 if dtype == np.uint16 else 256
+    img = rng.integers(0, hi, size=shape, dtype=dtype)
+    data = png_encode(img, interlace=True)
+    # IHDR interlace byte really is 1
+    assert data[8 + 8 + 12] == 1
+    assert np.array_equal(png_decode(data), img)
+    assert np.array_equal(png_decode(png_encode(img)), img)
