@@ -142,6 +142,52 @@ def bench_zarr_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_table_log(
+    spark, n_files: int = 1000, rows_per_file: int = 100
+) -> dict[str, float]:
+    """Transaction-log table format at ~1k-file scale: the two headline
+    claims — scan planning/IO ∝ pruned fraction (manifest stats, no
+    directory listing) and MERGE cost ∝ touched key range (file-level
+    pruning) — as regression-tracked walls instead of pinned counts."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    d = tempfile.mkdtemp(prefix="bench_tlog_")
+    t = os.path.join(d, "tbl")
+    out: dict[str, float] = {}
+    try:
+        n = n_files * rows_per_file
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        tl.create_table(spark, df.repartitionByRange(n_files, "k"), t)
+        # ~1% key slice → manifest pruning keeps ~1% of files
+        lo, hi = n // 2, n // 2 + n // 100
+        preds = [("k", ">=", lo), ("k", "<", hi)]
+        live, total = tl.pruned_file_count(t, predicates=preds)
+        scan = lambda: tl.read_table(spark, t, predicates=preds).count()
+        scan()  # warm
+        out["table_scan_pruned"] = min(_timed(scan) for _ in range(REPEATS))
+        out["table_scan_pruned_files"] = float(live)
+        full = lambda: tl.read_table(spark, t).count()
+        full()
+        out["table_scan_full"] = min(_timed(full) for _ in range(REPEATS))
+        # MERGE touching the same ~1% slice: upsert rewrites only the
+        # key-range-overlapping files (each run adds a version — fine)
+        updates = spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        ).coalesce(1)
+        merge = lambda: tl.upsert_table(spark, updates, t, key="k")
+        out["table_merge_pruned"] = min(_timed(merge) for _ in range(REPEATS))
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _timed(action) -> float:
     t0 = time.perf_counter()
     action()
@@ -209,6 +255,13 @@ def main() -> None:
     times["zarr_ingest_30x512"] = round(zarr_s, 4)
     total += zarr_s
     print(f"# zarr_ingest_30x512: {zarr_s:.3f}s ({zarr_rate:.1f} stores/s)", file=sys.stderr)
+
+    # log-table format at 1k-file scale (NOT in suite_total_wall: new
+    # in r7, would skew the BASELINE comparison; tracked standalone)
+    tlog = bench_table_log(spark)
+    for k, v in tlog.items():
+        times[k] = round(v, 4)
+        print(f"# {k}: {v:.3f}", file=sys.stderr)
 
     print(
         json.dumps(
