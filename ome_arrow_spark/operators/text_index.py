@@ -1,0 +1,288 @@
+"""Persistent inverted text index (BM25) AS a transaction-log table.
+
+The training-data curation loops that need text search at corpus scale
+— contamination lookup, boilerplate hunting, quality triage — cannot
+re-tokenize 100 TB per query.  This module materializes the classic
+inverted index as a log table (sources/table_log.py): one row per
+(term, doc) posting carrying the term frequency AND the document
+length, files range-clustered on ``term`` with per-file Bloom filters,
+so a query's candidate postings are a FILE-SKIPPING property of the
+manifest — a 3-term query over a million-file index opens only the
+files whose term range ∩ Bloom set can hold those terms, no directory
+listing, no full scan.  Mirrors the IVF ANN index design
+(operators/ann_index.py): the index is a snapshot-consistent,
+time-travelable, incrementally-MERGEable artifact, not a per-query
+recomputation.
+
+Corpus scalars (doc count, summed doc length) ride in the table
+properties and are updated transactionally on incremental adds, so
+BM25's ``avgdl``/``N`` terms stay exact across maintenance.  Document
+frequencies are NOT stored: search derives ``df(t)`` exactly from the
+pruned postings it must read anyway, which keeps deletes/updates from
+invalidating cached statistics.
+
+Scoring is Okapi BM25 with the Lucene-style non-negative idf:
+``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``, ``score(d) = Σ_t
+idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``.  Per-doc term
+contributions are summed in sorted-term order (deterministic float
+result, oracle-matchable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ome_arrow_spark.functions import text as TX
+
+N_DOCS_PROP = "text.index.n_docs"
+SUM_DL_PROP = "text.index.sum_dl"
+
+_POSTING_SCHEMA = (
+    "pk string, term string, doc_id long, tf long, dl long"
+)
+
+
+def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+    """(doc_id, text) → one posting row per distinct term per doc:
+    term frequency + document length, all from ONE tokenize pass."""
+    toks = docs.select(
+        F.col(doc_id).cast("long").alias("doc_id"),
+        TX.tokens(F.col(text)).alias("__toks"),
+    ).withColumn("dl", F.size("__toks").cast("long"))
+    return (
+        toks.select(
+            "doc_id", "dl", F.explode("__toks").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            F.concat_ws("#", "term", "doc_id").alias("pk"),
+            "term", "doc_id", "tf", "dl",
+        )
+    )
+
+
+def _doc_stats(docs: DataFrame, doc_id: str, text: str) -> tuple[int, int]:
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.sum(TX.token_count(F.col(text))).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    n_files: int = 8,
+    overwrite: bool = False,
+) -> int:
+    """Tokenize ``docs`` once and materialize the posting list as a log
+    table range-clustered on ``term`` (``n_files`` contiguous term
+    ranges; at corpus scale pass the real file budget) with a per-file
+    Bloom filter on ``term`` for equality skipping inside ranges."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    post = _postings(docs, doc_id, text)
+    n, sdl = _doc_stats(docs, doc_id, text)
+    return tl.create_table(
+        spark,
+        post.repartitionByRange(max(2, n_files), "term"),
+        table,
+        properties={N_DOCS_PROP: str(n), SUM_DL_PROP: str(sdl)},
+        bloom_columns=["term"],
+        overwrite=overwrite,
+    )
+
+
+def add_to_text_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> int:
+    """Incremental maintenance: MERGE the new docs' postings by
+    posting key (re-ingesting a changed doc replaces its term rows for
+    terms it still contains) and transactionally bump the stored
+    corpus scalars.  Rewrite cost ∝ the term ranges the batch touches;
+    ``cluster_by='term'`` preserves read-side clustering.
+
+    Note: a RE-ingested doc that LOST a term leaves that stale posting
+    behind — delete-then-add via :func:`delete_doc_from_text_index`
+    for replace semantics.  Pure additions (the training-data append
+    path) are exact."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    post = _postings(new_docs, doc_id, text)
+    n, sdl = _doc_stats(new_docs, doc_id, text)
+    props = tl.table_properties(table)
+    v = tl.upsert_table(spark, post, table, key="pk", cluster_by="term")
+    tl.set_table_properties(
+        table,
+        {
+            N_DOCS_PROP: str(int(props[N_DOCS_PROP]) + n),
+            SUM_DL_PROP: str(int(props[SUM_DL_PROP]) + sdl),
+        },
+    )
+    return v
+
+
+def delete_doc_from_text_index(
+    spark: SparkSession, table: str, doc_id_value: int, dl: int
+) -> int:
+    """Remove one document's postings (file-pruned on nothing — the
+    doc's terms span ranges — but rewrites only files that contain the
+    doc) and decrement the corpus scalars."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    props = tl.table_properties(table)
+    v = tl.delete_from_table(spark, table, f"doc_id = {int(doc_id_value)}")
+    tl.set_table_properties(
+        table,
+        {
+            N_DOCS_PROP: str(int(props[N_DOCS_PROP]) - 1),
+            SUM_DL_PROP: str(int(props[SUM_DL_PROP]) - int(dl)),
+        },
+    )
+    return v
+
+
+def _pruned_postings(
+    spark: SparkSession, table: str, terms: list[str]
+) -> DataFrame:
+    """Scan ONLY the files whose stats/Bloom can hold the query terms,
+    then row-filter to exactly those terms."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    snap = tl._resolve_snapshot(table)
+    live: set[str] = set()
+    for t in sorted(set(terms)):
+        live.update(tl._prune(snap["files"], [("term", "=", t)]))
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not live:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in sorted(live)]
+    )
+    return df.filter(F.col("term").isin(list(set(terms))))
+
+
+def text_index_search(
+    spark: SparkSession,
+    table: str,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    digits: int = 6,
+) -> DataFrame:
+    """BM25 top-``k`` over the index: postings of the query terms come
+    from the pruned file set; ``df(t)`` is derived exactly from those
+    postings; per-doc scores sum term contributions in sorted-term
+    order (bit-deterministic).  Returns (doc_id, score, rk, n_terms) —
+    ``n_terms`` = how many distinct query terms the doc matched."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    if isinstance(query, str):
+        qdf = spark.createDataFrame([(query,)], "q string")
+        terms = [
+            r["t"]
+            for r in qdf.select(
+                F.explode(TX.tokens(F.col("q"))).alias("t")
+            ).collect()
+        ]
+    else:
+        terms = [str(t).lower() for t in query]
+    terms = sorted(set(terms))
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, score double, rk int, n_terms int",
+    )
+    if not terms:
+        return empty
+
+    props = tl.table_properties(table)
+    n_docs = int(props[N_DOCS_PROP])
+    sum_dl = int(props[SUM_DL_PROP])
+    if n_docs == 0:
+        return empty
+    avgdl = sum_dl / n_docs
+
+    post = _pruned_postings(spark, table, terms)
+    # exact df(t) from the postings the query must read anyway
+    dfreq = post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    idf = dfreq.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    contrib = post.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                )
+            )
+        ).alias("c"),
+    )
+    # ordered (by term) float summation → deterministic doubles
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "c"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score"),
+            F.countDistinct("term").cast("int").alias("n_terms"),
+        )
+        .select(
+            "doc_id", F.round("score", digits).alias("score"), "n_terms"
+        )
+    )
+    # TakeOrdered top-k (no global sort shuffle); the rank window then
+    # runs over ≤ k rows, not the corpus
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    ).select("doc_id", "score", "rk", "n_terms")
+
+
+def text_index_file_stats(
+    table: str, terms: list[str] | None = None
+) -> tuple[int, int]:
+    """(files a search for ``terms`` would read, total live files)."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    snap = tl._resolve_snapshot(table)
+    total = len(snap["files"])
+    if not terms:
+        return total, total
+    live: set[str] = set()
+    for t in sorted(set(terms)):
+        live.update(tl._prune(snap["files"], [("term", "=", t)]))
+    return len(live), total

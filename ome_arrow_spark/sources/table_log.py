@@ -856,6 +856,25 @@ def pruned_file_count(
 CONSTRAINT_PROP_PREFIX = "table.constraint."
 
 
+def set_table_properties(table: str, props: dict[str, str]) -> int:
+    """Commit a metadata-only version merging ``props`` into the table
+    properties (later commits win key-by-key, like Delta's ``ALTER
+    TABLE SET TBLPROPERTIES``).  Data files are untouched."""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "set_properties",
+            "properties": dict(props),
+            "actions": [],
+        },
+    )
+    return version
+
+
 def add_table_constraint(
     spark: SparkSession, table: str, name: str, expr: str
 ) -> int:

@@ -2061,3 +2061,91 @@ def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
     AI.build_ivf_index(spark, c, table, n_centroids=8, overwrite=True)
     return AI.ivf_index_search(spark, table, q, k=3, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Persistent BM25 inverted text index (operators/text_index.py): the
+# index is a log table range-clustered on term (Bloom on term), so the
+# oracle is a full INDEPENDENT BM25 re-derivation straight from the
+# documents table — tokenize, tf/dl/df, Lucene-style idf, ordered-term
+# float summation (list_reduce seeded 0.0 == Spark's aggregate(lit(0.0)))
+# — proving build→cluster→prune→score reproduces the direct computation
+# bit-for-bit at ROUND 6.
+# ---------------------------------------------------------------------------
+_BM25_QUERY_TERMS = ("data", "scan", "join")
+
+
+def _bm25_oracle(terms: tuple, k: int, doc_filter: str = "TRUE") -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term
+      FROM documents WHERE {doc_filter}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    st AS (SELECT (SELECT COUNT(*) FROM documents WHERE {doc_filter}) AS n,
+                  (SELECT COUNT(*) FROM tok) AS sdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({tlist}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df_t + 0.5)/(dfq.df_t + 0.5))
+             * (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2*(0.25 + 0.75*dl.dl/(CAST(st.sdl AS DOUBLE)/st.n)))
+             AS c
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+    scored AS (
+      SELECT doc_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(c ORDER BY term)),
+                               (a, b) -> a + b), 6) AS score,
+             CAST(COUNT(DISTINCT term) AS INT) AS n_terms
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, rk, n_terms FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                AS rk
+      FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@register("text_index_search", _bm25_oracle(_BM25_QUERY_TERMS, 10))
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import text_index as TI
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"/tmp/ome_arrow_rt_tix_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
+    return TI.text_index_search(
+        spark, table, list(_BM25_QUERY_TERMS), k=10
+    )
+
+
+# Incremental maintenance in the driver gate: build on the first half,
+# MERGE the second half in (postings + transactional scalar bump), and
+# search — the oracle scores the FULL corpus directly, so a hash match
+# proves the incremental path converges to the rebuild state.
+@register(
+    "text_index_incremental",
+    _bm25_oracle(("scan", "merge", "column"), 8),
+)
+def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import text_index as TI
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    table = f"/tmp/ome_arrow_rt_tixinc_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    TI.build_text_index(
+        spark, docs.filter(F.col("doc_id") <= half), table,
+        n_files=8, overwrite=True,
+    )
+    TI.add_to_text_index(spark, docs.filter(F.col("doc_id") > half), table)
+    return TI.text_index_search(
+        spark, table, ["scan", "merge", "column"], k=8
+    )
