@@ -2149,3 +2149,53 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search(
         spark, table, ["scan", "merge", "column"], k=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (operators/frequent.py): two-pass Misra-Gries +
+# exact-recount — the oracle is the brute-force explode→count top-k,
+# so a hash match proves the bounded-memory path returns the EXACT
+# answer (guaranteed whenever the k-th frequency > total/m, which the
+# fixture satisfies by orders of magnitude).
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_terms",
+    f"""
+    SELECT term, cnt, rk FROM (
+      SELECT term, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rk
+      FROM (
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+        GROUP BY term))
+    WHERE rk <= 20
+    """,
+)
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.frequent import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=20, m=4096
+    )
+
+
+@register(
+    "heavy_hitters_bigrams",
+    f"""
+    WITH grams AS (
+      SELECT t.ts[i.i] || ' ' || t.ts[i.i + 1] AS term
+      FROM (SELECT {_TOKS_SQL} AS ts FROM documents) t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.ts) - 1)) AS i) i)
+    SELECT term, cnt, rk FROM (
+      SELECT term, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rk
+      FROM (SELECT term, COUNT(*) AS cnt FROM grams GROUP BY term))
+    WHERE rk <= 10
+    """,
+)
+def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.frequent import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), k=10, m=8192, ngram=2
+    )
