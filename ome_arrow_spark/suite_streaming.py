@@ -389,3 +389,60 @@ def stream_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest into the persistent BM25 text index
+# (operators/text_index.py): documents arrive as parquet micro-batches
+# (maxFilesPerTrigger=1 → three genuine batches); foreachBatch builds
+# the index on the first batch and MERGEs postings + bumps corpus
+# scalars on the rest.  The oracle scores the FULL corpus directly, so
+# a hash match proves streaming maintenance converges to the rebuild
+# state — the "index keeps up with the firehose" property.
+# ---------------------------------------------------------------------------
+def _stream_tix_oracle() -> str:
+    from ome_arrow_spark.suite_llm import _bm25_oracle
+
+    return _bm25_oracle(("scan", "data", "filter"), 8)
+
+
+@register("stream_text_index", _stream_tix_oracle())
+def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ome_arrow_spark.operators import text_index as TI
+    from ome_arrow_spark.sources import table_log as tl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + 1) // 3)
+    src = tempfile.mkdtemp(prefix="stream_tix_src_")
+    for i in range(3):
+        a = int(lo) + i * step
+        b = int(hi) + 1 if i == 2 else a + step
+        docs.filter(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = f"/tmp/ome_arrow_rt_stix_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if tl.current_version(table) is None:
+            TI.build_text_index(spark, batch_df, table, n_files=4)
+        else:
+            TI.add_to_text_index(spark, batch_df, table)
+
+    EV.run_foreach_batch(stream, index_batch, output_mode="append")
+    return TI.text_index_search(
+        spark, table, ["scan", "data", "filter"], k=8
+    )
