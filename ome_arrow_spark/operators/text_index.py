@@ -272,6 +272,121 @@ def text_index_search(
     ).select("doc_id", "score", "rk", "n_terms")
 
 
+def text_index_search_many(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    text: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    digits: int = 6,
+) -> DataFrame:
+    """Batch BM25: score MANY queries against the index in ONE pruned
+    postings scan — the contamination-screening shape (thousands of
+    eval prompts against a corpus index).  The file set is pruned to
+    the UNION of all query terms; ``df(t)`` is computed once per term;
+    per-(query, doc) scores sum that query's term contributions in
+    sorted-term order; top-``k`` per query via a query-partitioned
+    rank window (parallel across queries, never a global sort).
+    Returns (query_id, doc_id, score, rk, n_terms)."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.explode(
+                F.array_distinct(TX.tokens(F.col(text)))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    term_rows = qterms.select("term").distinct().collect()
+    terms = sorted(r["term"] for r in term_rows)
+    qid_type = queries.schema[query_id].dataType
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rk", T.IntegerType()),
+                T.StructField("n_terms", T.IntegerType()),
+            ]
+        ),
+    )
+    if not terms:
+        return empty
+    props = tl.table_properties(table)
+    n_docs = int(props[N_DOCS_PROP])
+    sum_dl = int(props[SUM_DL_PROP])
+    if n_docs == 0:
+        return empty
+    avgdl = sum_dl / n_docs
+
+    post = _pruned_postings(spark, table, terms)
+    dfreq = post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    idf = dfreq.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    contrib = (
+        post.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qterms), "term")
+        .select(
+            F.col("__qid"),
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = (
+        contrib.groupBy("__qid", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("score"),
+            F.countDistinct("term").cast("int").alias("n_terms"),
+        )
+        .select(
+            "__qid", "doc_id",
+            F.round("score", digits).alias("score"), "n_terms",
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            "doc_id", "score", "rk", "n_terms",
+        )
+    )
+
+
 def text_index_file_stats(
     table: str, terms: list[str] | None = None
 ) -> tuple[int, int]:

@@ -2199,3 +2199,61 @@ def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         _t(spark, sf_dir, "documents"), k=10, m=8192, ngram=2
     )
+
+
+# Batch BM25: many queries scored in ONE pruned scan (the
+# contamination-screening shape). The oracle replays the same math per
+# (query, doc) with a VALUES query-term table and per-query ranking.
+@register(
+    "text_index_search_many",
+    f"""
+    WITH q(qid, term) AS (VALUES
+      (CAST(1 AS BIGINT), 'scan'), (1, 'data'),
+      (CAST(2 AS BIGINT), 'merge'), (2, 'column'),
+      (CAST(3 AS BIGINT), 'join')),
+    tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                  (SELECT COUNT(*) FROM tok) AS sdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf
+            GROUP BY term),
+    contrib AS (
+      SELECT q.qid, tf.doc_id, tf.term,
+             ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df_t + 0.5)/(dfq.df_t + 0.5))
+             * (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2*(0.25 + 0.75*dl.dl/(CAST(st.sdl AS DOUBLE)/st.n)))
+             AS c
+      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+              JOIN dl USING (doc_id), st),
+    scored AS (
+      SELECT qid, doc_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(c ORDER BY term)),
+                               (a, b) -> a + b), 6) AS score,
+             CAST(COUNT(DISTINCT term) AS INT) AS n_terms
+      FROM contrib GROUP BY qid, doc_id)
+    SELECT qid AS query_id, doc_id, score, rk, n_terms FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score DESC, doc_id) AS INT) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def text_index_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import text_index as TI
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"/tmp/ome_arrow_rt_tixm_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
+    qdf = spark.createDataFrame(
+        [(1, "scan data"), (2, "merge column"), (3, "join")],
+        "query_id long, query string",
+    )
+    return TI.text_index_search_many(spark, table, qdf, k=5)

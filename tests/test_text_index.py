@@ -140,3 +140,36 @@ def test_set_table_properties_merges(spark, tmp_path, docs_df):
     assert tl.current_version(t) == v0 + 1
     # data untouched
     assert tl.read_table(spark, t).count() > 0
+
+
+def test_search_many_matches_single_query_search(spark, index):
+    qdf = spark.createDataFrame(
+        [(100, "data model"), (200, "the lazy"), (300, "zzznope")],
+        "query_id long, query string",
+    )
+    batch = TI.text_index_search_many(spark, index, qdf, k=10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rk"], r["n_terms"])
+        )
+    for qid, q in ((100, "data model"), (200, "the lazy")):
+        single = [
+            (r["doc_id"], r["score"], r["rk"], r["n_terms"])
+            for r in TI.text_index_search(spark, index, q, k=10).collect()
+        ]
+        assert sorted(by_qid[qid]) == sorted(single), qid
+    assert 300 not in by_qid  # no-hit query yields no rows
+
+
+def test_search_many_prunes_to_term_union(spark, index):
+    qdf = spark.createDataFrame(
+        [("a", "data"), ("b", "model")], "query_id string, query string"
+    )
+    res = TI.text_index_search_many(
+        spark, index, qdf, k=5, query_id="query_id", text="query"
+    )
+    live, total = TI.text_index_file_stats(index, ["data", "model"])
+    read = {f.split("/")[-1] for f in res.inputFiles()}
+    assert len(read) <= live < total
+    assert {r["query_id"] for r in res.collect()} == {"a", "b"}
