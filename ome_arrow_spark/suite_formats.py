@@ -563,3 +563,51 @@ def table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_discount"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC source/sink round-trip with hive-style partitioning: write a
+# lineitem slice partitioned by l_returnflag, read back filtering on
+# the partition column — the filter resolves at PLANNING time
+# (directory-level partition pruning; the 'A'/'N' directories are
+# never opened), then aggregate.  ORC is Spark's second native
+# columnar format; at 100 TB the partitioned layout is what makes
+# per-flag reads O(selected partitions).  Oracle: DuckDB re-derives
+# the same aggregate straight from the parquet source.
+# ---------------------------------------------------------------------------
+@register(
+    "orc_partitioned_roundtrip",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 16 = 0 AND l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _rt_dir(sf_dir, "orc")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 16 == 0)
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice",
+        )
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .orc(path)
+    )
+    back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -266,3 +266,17 @@ def test_lm_bigram_broadcasts_count_tables(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_orc_roundtrip_prunes_partitions(spark, sf_dir):
+    """The ORC read filters on the hive partition column: the filter
+    must land in PartitionFilters (directory pruning at planning
+    time), not as a post-scan row filter."""
+    import re
+
+    from ome_arrow_spark import suite
+
+    df = suite.queries()["orc_partitioned_roundtrip"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("l_returnflag" in p and "= R" in p for p in pf), pf
