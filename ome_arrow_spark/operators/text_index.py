@@ -387,6 +387,17 @@ def text_index_search_many(
     )
 
 
+def optimize_text_index(
+    spark: SparkSession, table: str, n_files: int = 8
+) -> int:
+    """Restore term clustering after incremental MERGEs fragment the
+    posting files: one recluster commit; search results are unchanged
+    (snapshot semantics) and term-pruning tightness is restored."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    return tl.recluster_table(spark, table, by="term", n_files=n_files)
+
+
 def text_index_file_stats(
     table: str, terms: list[str] | None = None
 ) -> tuple[int, int]:

@@ -752,6 +752,47 @@ def compact_table(
     return version
 
 
+def recluster_table(
+    spark: SparkSession,
+    table: str,
+    by: str,
+    n_files: int,
+) -> int:
+    """Full rewrite range-clustered on ``by`` into ``n_files``
+    contiguous ranges — the maintenance move for tables whose READ
+    pruning rides a clustering column that incremental MERGEs slowly
+    fragment (inverted indexes, IVF lists).  One commit of
+    remove-all + add-new; older snapshots stay readable until vacuum.
+    Unlike :func:`compact_table` (which bin-packs small files with no
+    ordering), this RESTORES per-file min/max tightness on ``by``."""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    files = list(snap["files"])
+    if not files:
+        return snap["version"]
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in files]
+    )
+    adds = _write_data_files(
+        df.repartitionByRange(max(1, n_files), by),
+        table,
+        version,
+        _bloom_cols(snap),
+    )
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "recluster",
+            "actions": [{"add": a} for a in adds]
+            + [{"remove": {"path": p}} for p in files],
+        },
+    )
+    return version
+
+
 # ---------------------------------------------------------------------------
 # Read path
 # ---------------------------------------------------------------------------

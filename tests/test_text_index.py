@@ -173,3 +173,34 @@ def test_search_many_prunes_to_term_union(spark, index):
     read = {f.split("/")[-1] for f in res.inputFiles()}
     assert len(read) <= live < total
     assert {r["query_id"] for r in res.collect()} == {"a", "b"}
+
+
+def test_optimize_restores_clustering_after_adds(spark, tmp_path):
+    """Incremental MERGEs fragment term locality; optimize (recluster)
+    restores a bounded file count AND the pruning tightness, with
+    search results bit-identical before/after."""
+    rows = [(i, f"term{i % 11} shared common word{i % 7}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = str(tmp_path / "frag")
+    TI.build_text_index(spark, docs.filter(F.col("doc_id") < 20), t, n_files=4)
+    for lo in (20, 30, 40, 50):
+        TI.add_to_text_index(
+            spark,
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+            ),
+            t,
+        )
+    before = TI.text_index_search(spark, t, "shared term3", k=10).collect()
+    _, total_before = TI.text_index_file_stats(t)
+    TI.optimize_text_index(spark, t, n_files=4)
+    after = TI.text_index_search(spark, t, "shared term3", k=10).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    live, total = TI.text_index_file_stats(t, ["term3"])
+    assert total == 4 and live < total
+    # postings content identical across the recluster commit
+    a = tl.read_table(spark, t).orderBy("pk").collect()
+    b = tl.read_table(
+        spark, t, version=tl.current_version(t) - 1
+    ).orderBy("pk").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
