@@ -113,6 +113,16 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
         arr = bmp_decode(data)
         return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
                               "format": "bmp"}
+    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        from ome_arrow_spark.sources.pnm_minimal import pnm_decode
+
+        arr = pnm_decode(data)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return "image", arr, {"w": int(arr.shape[1]), "h": int(arr.shape[0]),
+                              "format": "pnm"}
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         from ome_arrow_spark.sources.avi_minimal import avi_decode
 
@@ -156,6 +166,12 @@ def media_table_from_dir(
         .when(F.substring("content", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image")
         .when(F.substring("content", 1, 2) == F.lit(b"BM"), "image")
         .when(F.substring("content", 1, 4) == F.lit(b"GIF8"), "image")
+        .when(
+            F.substring("content", 1, 2).isin(
+                [F.lit(m) for m in (b"P2", b"P3", b"P5", b"P6")]
+            ),
+            "image",
+        )
         .when(F.substring("content", 1, 6) == F.lit(FIMG_MAGIC), "image")
         .when(F.substring("content", 1, 6) == F.lit(FAUD_MAGIC), "audio")
         .when(

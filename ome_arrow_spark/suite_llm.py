@@ -714,6 +714,13 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CASE WHEN j.j % 3 = 1 THEN (j.j*13 + 5) % 256 END), 6),
            ROUND(AVG(CASE WHEN j.j % 3 = 2 THEN (j.j*13 + 5) % 256 END), 6)
     FROM (SELECT unnest(generate_series(0, 21*17*3 - 1)) AS j) j
+    UNION ALL
+    -- binary PGM (netpbm P5, lossless gray): v = (i*3) % 256 replicated
+    -- into all three channels by the decode path
+    SELECT CAST(15 AS BIGINT), 'image',
+           ROUND(AVG((i.i*3) % 256), 6), ROUND(AVG((i.i*3) % 256), 6),
+           ROUND(AVG((i.i*3) % 256), 6)
+    FROM (SELECT unnest(generate_series(0, 12*16 - 1)) AS i) i
     """,
 )
 def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,6 +745,11 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rgb14 = ((np.arange(21 * 17 * 3).reshape(21, 17, 3) * 13 + 5) % 256).astype(np.uint8)
     with open(os.path.join(d, "14.png"), "wb") as f:
         f.write(png_encode(rgb14, interlace=True))
+    from ome_arrow_spark.sources.pnm_minimal import pnm_encode
+
+    g15 = ((np.arange(12 * 16).reshape(12, 16) * 3) % 256).astype(np.uint8)
+    with open(os.path.join(d, "15.pgm"), "wb") as f:
+        f.write(pnm_encode(g15))
     from ome_arrow_spark.sources.gif_minimal import gif_encode
 
     gray = ((np.arange(18 * 22).reshape(18, 22) * 7) % 256).astype(np.uint8)
@@ -756,7 +768,7 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      2835, 2835, 0, 0) + rows)
     with open(os.path.join(d, "13.bmp"), "wb") as f:
         f.write(bmp)
-    media = MM.media_table_from_dir(spark, d, glob="*.{jpg,png,gif,bmp}")
+    media = MM.media_table_from_dir(spark, d, glob="*.{jpg,png,gif,bmp,pgm}")
     feats = MM.media_features(media)
     r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
     return feats.select(
