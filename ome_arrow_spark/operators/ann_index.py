@@ -217,6 +217,23 @@ def ivf_index_search(
     )
 
 
+def optimize_ivf_index(
+    spark: SparkSession, table: str, n_files: int | None = None
+) -> int:
+    """Restore centroid clustering after incremental MERGEs fragment
+    the inverted-list files: one recluster commit on ``centroid_id``;
+    search results are snapshot-identical and probe-pruning tightness
+    is restored.  Default file budget: half the centroid count, the
+    build-time layout."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    if n_files is None:
+        n_files = max(2, len(_stored_centroids(table)) // 2)
+    return tl.recluster_table(
+        spark, table, by="centroid_id", n_files=n_files
+    )
+
+
 def ivf_index_file_stats(
     table: str, clusters: set[int] | None = None
 ) -> tuple[int, int]:

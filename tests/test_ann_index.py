@@ -147,3 +147,21 @@ def test_string_ids_roundtrip(spark, tmp_path, corpus_and_queries):
         (f.name, f.dataType) for f in res.schema.fields
     ]
     assert empty.count() == 0
+
+
+def test_optimize_restores_probe_pruning(spark, tmp_path, corpus_and_queries):
+    """After several incremental adds fragment the lists, optimize
+    reclusters on centroid_id: search results identical, probe-pruned
+    file fraction restored."""
+    q, c = corpus_and_queries
+    t = str(tmp_path / "ivf_opt")
+    base = c.filter(F.col("cid") % 4 == 0)
+    AI.build_ivf_index(spark, base, t, n_centroids=8)
+    for m in (1, 2, 3):
+        AI.add_to_ivf_index(spark, c.filter(F.col("cid") % 4 == m), t)
+    before = AI.ivf_index_search(spark, t, q, k=3, n_probe=2).collect()
+    AI.optimize_ivf_index(spark, t)
+    after = AI.ivf_index_search(spark, t, q, k=3, n_probe=2).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    probed, total = AI.ivf_index_file_stats(t, clusters={0, 1})
+    assert probed < total
