@@ -81,3 +81,26 @@ def test_decode_media_dispatch(spark):
     kind2, arr2, _ = decode_media(pnm_encode(gray16))
     assert kind2 == "image" and arr2.shape == (4, 5, 3)
     assert np.array_equal(arr2[..., 0], (gray16 >> 8).astype(np.uint8))
+
+
+def test_pnm_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.sampled_from([(np.uint8, 256), (np.uint16, 65536)]),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, dt_hi, rgb, seed):
+        dt, hi = dt_hi
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, hi, shape, dtype=dt)
+        back = pnm_decode(pnm_encode(img))
+        assert back.dtype == dt and np.array_equal(back, img)
+
+    check()

@@ -682,3 +682,33 @@ def test_v2_store_bitshuffle_roundtrip(tmp_path):
         assert frame[2] & 0x4
         (store / f"{z}.0.0").write_bytes(frame)
     assert np.array_equal(read_zarr_array(str(store)), arr)
+
+
+def test_blosclz_property_roundtrip():
+    """Hypothesis: arbitrary byte payloads round-trip through the
+    pure-Python blosclz codec, including RLE runs and random noise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ome_arrow_spark.sources.blosclz_minimal import (
+        blosclz_compress,
+        blosclz_decompress,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(min_size=0, max_size=4000),
+            # highly repetitive payloads hit the overlap-copy path
+            st.builds(
+                lambda pat, reps, tail: pat * reps + tail,
+                st.binary(min_size=1, max_size=8),
+                st.integers(min_value=1, max_value=600),
+                st.binary(max_size=16),
+            ),
+        )
+    )
+    def check(data):
+        assert blosclz_decompress(blosclz_compress(data), len(data)) == data
+
+    check()
