@@ -53,21 +53,24 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-6 rotation — the FOURTH distinct 50-query window, composed
-    # so that after this round EVERY registered query (169) has at
-    # least one driver-grade CORRECTNESS row across r1–r6: the 20
-    # never-checked pre-r6 queries, agg_approx_distinct's first-ever
-    # gradeable run (exact count + in-engine within-5% verdict), every
-    # round-6 addition (transaction-log table format, streaming
-    # CDC/TIFF/NGFF ingest, AVI/audio multimodal, LM scoring, PageRank,
-    # composed pipelines, EWMA, embedding normalization, BPE mining,
-    # interleave), and a small flagship re-verification tail (q1, q21,
-    # join_semi, the near-dedup pair, kmeans, components,
-    # decontamination, stream_tumbling, the changed
-    # ome_tiff_codec_ingest). Names not yet registered are skipped, so
-    # partial imports stay safe.
+    # Round-7 rotation: every round-7 addition first (BM25 text index
+    # quartet, heavy hitters pair, ORC round-trip, HLL union), the
+    # three queries whose fixtures/codecs changed this round
+    # (ome_tiff_codec_ingest + jpeg_restart, ome_zarr_blosc_roundtrip +
+    # blosclz, media_dir_ingest + interlaced PNG + PGM), the two whose
+    # plans changed (lm_bigram_score broadcast drop, agg battery), and
+    # a flagship re-verification tail. Names not yet registered are
+    # skipped, so partial imports stay safe.
     #
-    # the final 20 never-driver-checked queries
+    # round-7 additions (first driver rows)
+    "text_index_search", "text_index_incremental",
+    "text_index_search_many", "stream_text_index",
+    "heavy_hitters_terms", "heavy_hitters_bigrams",
+    "orc_partitioned_roundtrip", "hll_union_distinct",
+    # round-7 fixture/codec/plan changes
+    "ome_tiff_codec_ingest", "ome_zarr_blosc_roundtrip",
+    "media_dir_ingest", "lm_bigram_score", "media_video_frames",
+    # re-verification tail (rotating flagships)
     "agg_bitwise", "curation_crossmodal", "data_profile",
     "dataset_sample_stratified", "dataset_split", "generator_outer",
     "histogram_totalprice", "join_lateral", "join_null_safe",
@@ -75,28 +78,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ome_slice_conftest", "skew_report", "sort_nulls_order",
     "sql_api_q1", "stratified_sample", "string_distance",
     "time_hierarchy_rollup", "udtf_sentences",
-    # first-ever gradeable + round-6 codec rows
-    "agg_approx_distinct", "ome_zarr_blosc_roundtrip",
-    "ome_tiff_codec_ingest", "media_dir_ingest",
-    # flagship re-verification (TPC-H core, join battery, ANN trio,
-    # near-dedup pipeline, streaming, OME format operators)
-    # round-6 multimodal additions (real AVI video + audio battery)
-    "media_video_frames", "media_audio_features",
-    # flagship re-verification tail
-    "q1_pricing_summary", "ewma_user_value", "embedding_normalize",
-    "q21_waiting_supplier",
-    "join_semi", "ome_pipeline",
-    # round-6 analytics additions (first driver rows)
-    "lm_bigram_score", "pagerank_nations", "table_incremental_agg",
-    "stream_ome_ingest", "pretrain_pipeline", "neardup_lsh", "near_dedup_full",
-    "stream_zarr_ingest", "bpe_pair_merge", "dataset_interleave",
-    "ann_index_search", "dedup_components", "table_evolution",
-    "stream_tumbling",
-    # round-6 transaction-log table format (first driver rows; replaces
-    # three r4-green OME re-verification slots — ome_describe,
-    # ome_slice_crop, ome_stack_ingest keep their driver-prior rows)
-    "table_log_merge", "table_time_travel", "ome_table_log",
-    "stream_cdc_upsert",
+    "agg_approx_distinct", "media_audio_features",
+    "q1_pricing_summary", "q21_waiting_supplier", "join_semi",
+    "ome_pipeline", "pagerank_nations", "ann_index_search",
+    "near_dedup_full", "stream_cdc_upsert", "table_log_merge",
+    "ome_describe", "ome_slice_crop",
 )
 
 

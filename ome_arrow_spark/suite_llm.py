@@ -2269,3 +2269,67 @@ def text_index_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, query string",
     )
     return TI.text_index_search_many(spark, table, qdf, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (Spark 4 hll_sketch_agg/hll_union_agg): the
+# 100 TB distinct-count pattern is per-shard sketches UNIONED later —
+# never a re-scan. Per-source distinct-token sketches are merged into
+# the global estimate; like agg_approx_distinct, the gradeable contract
+# is the exact counts plus an in-engine within-5% verdict on BOTH the
+# per-source estimates and the MERGED estimate (datasketches HLL,
+# lgK=12 → ~1.6% typical error; insertion is order-insensitive so the
+# verdict is deterministic).
+# ---------------------------------------------------------------------------
+@register(
+    "hll_union_distinct",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents)
+    SELECT source AS scope,
+           COUNT(DISTINCT term) AS exact_terms,
+           TRUE AS within_5pct
+    FROM tok GROUP BY source
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT term), TRUE FROM tok
+    """,
+)
+def hll_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+        )
+    )
+    per = toks.groupBy("source").agg(
+        F.countDistinct("term").alias("exact_terms"),
+        F.hll_sketch_agg("term").alias("sk"),
+    )
+    per_out = per.select(
+        F.col("source").alias("scope"),
+        "exact_terms",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk")
+                - F.col("exact_terms").cast("double")
+            )
+            / F.col("exact_terms")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+    # mergeability: the global estimate comes from UNIONING the
+    # per-source sketches, not from re-scanning the tokens
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_all = toks.agg(F.countDistinct("term").alias("exact_terms"))
+    all_row = exact_all.crossJoin(F.broadcast(merged)).select(
+        F.lit("ALL").alias("scope"),
+        "exact_terms",
+        (
+            F.abs(F.col("est") - F.col("exact_terms").cast("double"))
+            / F.col("exact_terms")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+    return per_out.unionByName(all_row)
