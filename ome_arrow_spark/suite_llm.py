@@ -2333,3 +2333,47 @@ def hll_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_5pct"),
     )
     return per_out.unionByName(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators/pq_index.py): ADC over m=32-byte
+# codes generates candidates, exact cosine re-ranks them — with a
+# generous candidate depth the result EQUALS brute force, so the
+# oracle is the same exact-cosine SQL as knn_cosine. Synthetic random
+# embeddings are PQ's worst case (no cluster structure); candidate
+# depth 50 of 490 gives recall 1.0 at both fixture scales.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_pq_rerank",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 5
+    """,
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import pq_index as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    table = f"/tmp/ome_arrow_rt_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    PQ.build_pq_index(spark, c, table, m=32, k=16, overwrite=True)
+    return PQ.pq_rerank_search(
+        spark, table, q, c, topk=5, candidates=50
+    )

@@ -1,0 +1,109 @@
+"""Product-quantization ANN (operators/pq_index.py): codebook build,
+ADC scoring model parity, and the exact-equals-brute-force re-rank."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ome_arrow_spark.operators import pq_index as PQ
+from ome_arrow_spark.sources import table_log as tl
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus(emb):
+    return emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory, corpus):
+    t = str(tmp_path_factory.mktemp("pq") / "idx")
+    PQ.build_pq_index(spark, corpus, t, m=8, k=16)
+    return t
+
+
+def test_adc_scores_match_numpy_model(spark, index, corpus, queries):
+    """The in-plan ADC fold must equal a plain numpy reimplementation
+    over the stored codes and codebooks — same doubles after ROUND."""
+    props = tl.table_properties(index)
+    books = [np.array(b) for b in json.loads(props[PQ.CODEBOOKS_PROP])]
+    sub = int(props[PQ.SUBDIM_PROP])
+    m = len(books)
+    codes = {
+        r["cid"]: list(r["codes"])
+        for r in tl.read_table(spark, index).collect()
+    }
+    got = PQ.pq_search(spark, index, queries, topk=10)
+    for r in got.collect():
+        qv = np.array(
+            queries.filter(F.col("qid") == r["qid"]).first()["embedding"],
+            dtype=np.float64,
+        )
+        qv = qv / np.sqrt((qv * qv).sum())
+        want = sum(
+            float(np.dot(qv[s * sub : (s + 1) * sub],
+                         books[s][codes[r["cid"]][s]]))
+            for s in range(m)
+        )
+        assert r["adc_score"] == round(want, 6)
+
+
+def test_codes_bounded_and_compression_ratio(spark, index):
+    rows = tl.read_table(spark, index).collect()
+    m, raw = PQ.pq_table_bytes(index)
+    assert m == 8 and raw == 8 * 8 * 4  # dim 64, float32
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_rerank_equals_brute_force(spark, tmp_path, corpus, queries):
+    from ome_arrow_spark.operators.similarity import cosine_topk
+
+    t = str(tmp_path / "pq32")
+    PQ.build_pq_index(spark, corpus, t, m=32, k=16)
+    got = sorted(
+        tuple(r)
+        for r in PQ.pq_rerank_search(
+            spark, t, queries, corpus, topk=3, candidates=50
+        )
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk(queries, corpus, k=3)
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    assert got == want
+
+
+def test_empty_queries(spark, index, queries):
+    res = PQ.pq_search(spark, index, queries.limit(0), topk=3)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "qid", "cid", "adc_score", "rk",
+    ]
+
+
+def test_indivisible_dim_rejected(spark, corpus):
+    with pytest.raises(ValueError, match="divisible"):
+        PQ.build_pq_index(spark, corpus, "/tmp/nope_pq", m=7)
