@@ -188,6 +188,44 @@ def bench_table_log(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_text_index(spark, sf_dir: str) -> dict[str, float]:
+    """Search-side walls on a PREBUILT BM25 index (build cost amortizes
+    across queries in production; the per-query search wall is the
+    number that matters at scale)."""
+    import shutil
+    import tempfile
+
+    from ome_arrow_spark.operators import text_index as TI
+    from ome_arrow_spark.suite import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="bench_tix_") + "/idx"
+    out: dict[str, float] = {}
+    try:
+        TI.build_text_index(spark, docs, t, n_files=8)
+        search = lambda: TI.text_index_search(
+            spark, t, ["data", "scan", "join"], k=10
+        ).count()
+        search()
+        out["text_index_search_prebuilt"] = min(
+            _timed(search) for _ in range(REPEATS)
+        )
+        qdf = spark.createDataFrame(
+            [(i, "data scan join merge column filter") for i in range(100)],
+            "query_id long, query string",
+        )
+        many = lambda: TI.text_index_search_many(
+            spark, t, qdf, k=5
+        ).count()
+        many()
+        out["text_index_search_100q"] = min(
+            _timed(many) for _ in range(REPEATS)
+        )
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(t), ignore_errors=True)
+
+
 def _timed(action) -> float:
     t0 = time.perf_counter()
     action()
@@ -260,6 +298,12 @@ def main() -> None:
     # in r7, would skew the BASELINE comparison; tracked standalone)
     tlog = bench_table_log(spark)
     for k, v in tlog.items():
+        times[k] = round(v, 4)
+        print(f"# {k}: {v:.3f}", file=sys.stderr)
+
+    # BM25 index search walls on a prebuilt index (standalone, r7)
+    tix = bench_text_index(spark, sf_dir)
+    for k, v in tix.items():
         times[k] = round(v, 4)
         print(f"# {k}: {v:.3f}", file=sys.stderr)
 
