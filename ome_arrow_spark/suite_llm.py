@@ -2377,3 +2377,103 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_rerank_search(
         spark, table, q, c, topk=5, candidates=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio resample through the driver gate: 16 kHz → 8 kHz is an exact
+# 2:1 ratio, so np.interp's half-rate output is EXACTLY the stride-2
+# subsample of the deterministic generator v(t) = (t*37*k) % 20000 -
+# 10000 — every feature (count/duration/RMS/peak/zero-crossings)
+# re-derives in SQL over generate_series with step 2.
+# ---------------------------------------------------------------------------
+@register(
+    "media_audio_resample",
+    """
+    WITH faud AS (
+      SELECT 4 + i.i AS media_id,
+             CAST(800*(i.i+1) AS BIGINT) AS n_samples,
+             ROUND(800*(i.i+1) / 8000.0, 6) AS duration_s,
+             ROUND(SQRT(AVG(CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE)
+                            * CAST((t.t*37*(i.i+1)) % 20000 - 10000 AS DOUBLE))), 6) AS rms,
+             CAST(MAX(ABS((t.t*37*(i.i+1)) % 20000 - 10000)) AS DOUBLE) AS peak,
+             CAST(SUM(CASE WHEN t.t >= 2
+                           AND ((((t.t-2)*37*(i.i+1)) % 20000 - 10000)
+                                * ((t.t*37*(i.i+1)) % 20000 - 10000)) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (SELECT unnest(generate_series(0, 2)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(0, 1600*(i.i+1) - 2, 2)) AS t) t
+      GROUP BY i.i),
+    wav AS (
+      SELECT 12 AS media_id,
+             CAST(1000 AS BIGINT) AS n_samples,
+             ROUND(1000 / 8000.0, 6) AS duration_s,
+             ROUND(SQRT(AVG(CAST((t.t*37) % 20000 - 10000 AS DOUBLE)
+                            * CAST((t.t*37) % 20000 - 10000 AS DOUBLE))), 6) AS rms,
+             CAST(MAX(ABS((t.t*37) % 20000 - 10000)) AS DOUBLE) AS peak,
+             CAST(SUM(CASE WHEN t.t >= 2
+                           AND ((((t.t-2)*37) % 20000 - 10000)
+                                * ((t.t*37) % 20000 - 10000)) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (SELECT unnest(generate_series(0, 1998, 2)) AS t) t)
+    SELECT * FROM faud UNION ALL SELECT * FROM wav
+    """,
+)
+def media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark).filter(F.col("kind") == "audio")
+    res = MM.resample_audio(media, 8000)
+    feats = MM.audio_features(res)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return feats.select(
+        "media_id", "n_samples", r6("duration_s"), r6("rms"),
+        F.col("peak").cast("double").alias("peak"), "zero_crossings",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bilinear 2x downscale through the driver gate: with even dims the
+# half-pixel mapping lands every output pixel EXACTLY on a 2x2 block
+# center (weights 0.5/0.5), and pixel values that are multiples of 4
+# make every block average an exact integer — so the resized channel
+# means re-derive in SQL as block-average means, no float ambiguity.
+# ---------------------------------------------------------------------------
+@register(
+    "media_image_resize",
+    """
+    WITH px AS (
+      SELECT dy.d AS dy, dx.d AS dx, ch.c AS ch,
+             (( (2*dy.d + r.r)*12 + (2*dx.d + s.s)*8 + ch.c*4 ) % 256) AS v
+      FROM (SELECT unnest(generate_series(0, 9)) AS d) dy,
+           (SELECT unnest(generate_series(0, 6)) AS d) dx,
+           (SELECT unnest(generate_series(0, 2)) AS c) ch,
+           (SELECT unnest([0, 1]) AS r) r,
+           (SELECT unnest([0, 1]) AS s) s),
+    blocks AS (
+      SELECT dy, dx, ch, SUM(v)/4 AS bavg FROM px GROUP BY dy, dx, ch)
+    SELECT CAST(77 AS BIGINT) AS media_id,
+           ROUND(AVG(CASE WHEN ch = 0 THEN bavg END), 6) AS mean_r,
+           ROUND(AVG(CASE WHEN ch = 1 THEN bavg END), 6) AS mean_g,
+           ROUND(AVG(CASE WHEN ch = 2 THEN bavg END), 6) AS mean_b
+    FROM blocks
+    """,
+)
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+
+    h2, w2 = 20, 14  # source dims; resized to 10 x 7
+    yy, xx, cc = np.meshgrid(
+        np.arange(h2), np.arange(w2), np.arange(3), indexing="ij"
+    )
+    img = ((yy * 12 + xx * 8 + cc * 4) % 256).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(77, "image", bytearray(MM.encode_fimg(img)),
+          (w2, h2, None, None, "fimg"))],
+        MM.MEDIA_SCHEMA,
+    )
+    resized = MM.resize_images(media, width=7, height=10)
+    feats = MM.media_features(resized)
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    return feats.select("media_id", r6("mean_r"), r6("mean_g"), r6("mean_b"))
