@@ -48,13 +48,34 @@ _POSTING_SCHEMA = (
 )
 
 
-def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+def _postings(
+    docs: DataFrame, doc_id: str, text: str, positions: bool = False
+) -> DataFrame:
     """(doc_id, text) → one posting row per distinct term per doc:
-    term frequency + document length, all from ONE tokenize pass."""
+    term frequency + document length, all from ONE tokenize pass.
+    ``positions=True`` also carries the sorted 0-based token offsets
+    (the positional-index payload phrase search needs)."""
     toks = docs.select(
         F.col(doc_id).cast("long").alias("doc_id"),
         TX.tokens(F.col(text)).alias("__toks"),
     ).withColumn("dl", F.size("__toks").cast("long"))
+    if positions:
+        return (
+            toks.select(
+                "doc_id",
+                "dl",
+                F.posexplode("__toks").alias("pos", "term"),
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(
+                F.count("*").alias("tf"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+            .select(
+                F.concat_ws("#", "term", "doc_id").alias("pk"),
+                "term", "doc_id", "tf", "dl", "positions",
+            )
+        )
     return (
         toks.select(
             "doc_id", "dl", F.explode("__toks").alias("term")
@@ -83,15 +104,18 @@ def build_text_index(
     doc_id: str = "doc_id",
     text: str = "text",
     n_files: int = 8,
+    positions: bool = False,
     overwrite: bool = False,
 ) -> int:
     """Tokenize ``docs`` once and materialize the posting list as a log
     table range-clustered on ``term`` (``n_files`` contiguous term
     ranges; at corpus scale pass the real file budget) with a per-file
-    Bloom filter on ``term`` for equality skipping inside ranges."""
+    Bloom filter on ``term`` for equality skipping inside ranges.
+    ``positions=True`` builds a positional index (needed by
+    :func:`phrase_search`; ~2-3× the storage)."""
     from ome_arrow_spark.sources import table_log as tl
 
-    post = _postings(docs, doc_id, text)
+    post = _postings(docs, doc_id, text, positions)
     n, sdl = _doc_stats(docs, doc_id, text)
     return tl.create_table(
         spark,
@@ -122,7 +146,12 @@ def add_to_text_index(
     path) are exact."""
     from ome_arrow_spark.sources import table_log as tl
 
-    post = _postings(new_docs, doc_id, text)
+    snap = tl._resolve_snapshot(table)
+    positional = any(
+        f.get("name") == "positions"
+        for f in json.loads(snap["schema"]).get("fields", [])
+    )
+    post = _postings(new_docs, doc_id, text, positional)
     n, sdl = _doc_stats(new_docs, doc_id, text)
     props = tl.table_properties(table)
     v = tl.upsert_table(spark, post, table, key="pk", cluster_by="term")
@@ -385,6 +414,65 @@ def text_index_search_many(
             "doc_id", "score", "rk", "n_terms",
         )
     )
+
+
+def phrase_search(
+    spark: SparkSession,
+    table: str,
+    phrase: str,
+    limit: int | None = None,
+) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL index → (doc_id,
+    phrase_count) for every doc containing the phrase.  The classic
+    positional-intersection algorithm as pure Catalyst array ops: the
+    running set of chain positions is
+    ``array_intersect(transform(cur, p → p+1), positions_next)`` —
+    one broadcast-able join per phrase term over the PRUNED postings
+    of just those terms.  The precision tool contamination screening
+    needs (BM25 finds topical overlap; this finds verbatim reuse)."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    terms = [
+        r["t"]
+        for r in spark.createDataFrame([(phrase,)], "q string")
+        .select(F.explode(TX.tokens(F.col("q"))).alias("t"))
+        .collect()
+    ]
+    empty = spark.createDataFrame([], "doc_id long, phrase_count int")
+    if not terms:
+        return empty
+    snap = tl._resolve_snapshot(table)
+    if not any(
+        f.get("name") == "positions"
+        for f in json.loads(snap["schema"]).get("fields", [])
+    ):
+        raise ValueError(
+            f"not a positional index (build with positions=True): {table}"
+        )
+    post = _pruned_postings(spark, table, terms)
+    per_term = [
+        post.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    cur = per_term[0].select("doc_id", F.col("__p0").alias("__cur"))
+    for i in range(1, len(terms)):
+        cur = (
+            cur.join(per_term[i], "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("__cur", lambda p: p + 1),
+                    F.col(f"__p{i}"),
+                ).alias("__cur"),
+            )
+            .filter(F.size("__cur") > 0)
+        )
+    out = cur.select(
+        "doc_id", F.size("__cur").cast("int").alias("phrase_count")
+    ).orderBy(F.col("phrase_count").desc(), "doc_id")
+    return out.limit(limit) if limit else out
 
 
 def optimize_text_index(

@@ -67,7 +67,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_index_search_many", "stream_text_index",
     "heavy_hitters_terms", "heavy_hitters_bigrams",
     "orc_partitioned_roundtrip", "hll_union_distinct", "ann_pq_rerank",
-    "media_audio_resample", "media_image_resize",
+    "media_audio_resample", "media_image_resize", "text_index_phrase",
     # round-7 fixture/codec/plan changes
     "ome_tiff_codec_ingest", "ome_zarr_blosc_roundtrip",
     "media_dir_ingest", "lm_bigram_score", "media_video_frames",

@@ -2477,3 +2477,37 @@ def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.media_features(resized)
     r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
     return feats.select("media_id", r6("mean_r"), r6("mean_g"), r6("mean_b"))
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search over the POSITIONAL text index: the oracle
+# re-derives phrase counts with a token-position self-join (a
+# completely different algorithm from the index's positional-
+# intersection fold), so a hash match proves the positional payload
+# and the chain-intersection are both exact.
+# ---------------------------------------------------------------------------
+@register(
+    "text_index_phrase",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS d, unnest({_TOKS_SQL}) AS t,
+             generate_subscripts({_TOKS_SQL}, 1) AS p
+      FROM documents)
+    SELECT d AS doc_id, CAST(COUNT(*) AS INT) AS phrase_count
+    FROM tok a JOIN tok b USING (d)
+    WHERE a.t = 'part' AND b.t = 'filter' AND b.p = a.p + 1
+    GROUP BY d
+    """,
+)
+def text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import text_index as TI
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"/tmp/ome_arrow_rt_tixp_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    TI.build_text_index(
+        spark, docs, table, n_files=8, positions=True, overwrite=True
+    )
+    return TI.phrase_search(spark, table, "part filter")

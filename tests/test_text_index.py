@@ -204,3 +204,67 @@ def test_optimize_restores_clustering_after_adds(spark, tmp_path):
         spark, t, version=tl.current_version(t) - 1
     ).orderBy("pk").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestPhraseSearch:
+    PDOCS = [
+        (0, "the quick brown fox the quick brown cat"),
+        (1, "quick brown is a color the quick red"),
+        (2, "brown quick inverted order here"),
+        (3, "the the the quick quick brown brown"),
+    ]
+
+    @pytest.fixture()
+    def pos_index(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.PDOCS, "doc_id long, text string")
+        t = str(tmp_path / "pos")
+        TI.build_text_index(spark, docs, t, n_files=2, positions=True)
+        return t
+
+    def _brute(self, phrase):
+        import re
+
+        toks = phrase.split()
+        n = len(toks)
+        out = {}
+        for d, txt in self.PDOCS:
+            tk = re.findall(r"[a-z0-9]+", txt.lower())
+            c = sum(1 for i in range(len(tk) - n + 1) if tk[i : i + n] == toks)
+            if c:
+                out[d] = c
+        return out
+
+    @pytest.mark.parametrize(
+        "phrase", ["quick brown", "the quick brown", "the the", "brown cat"]
+    )
+    def test_matches_brute_force(self, spark, pos_index, phrase):
+        got = {
+            r["doc_id"]: r["phrase_count"]
+            for r in TI.phrase_search(spark, pos_index, phrase).collect()
+        }
+        assert got == self._brute(phrase)
+
+    def test_absent_phrase_and_empty(self, spark, pos_index):
+        assert TI.phrase_search(spark, pos_index, "purple zebra").count() == 0
+        assert TI.phrase_search(spark, pos_index, "").count() == 0
+
+    def test_non_positional_index_rejected(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.PDOCS, "doc_id long, text string")
+        t = str(tmp_path / "flat")
+        TI.build_text_index(spark, docs, t, n_files=2)
+        with pytest.raises(ValueError, match="positional"):
+            TI.phrase_search(spark, t, "quick brown")
+
+    def test_incremental_add_carries_positions(self, spark, pos_index):
+        TI.add_to_text_index(
+            spark,
+            spark.createDataFrame(
+                [(9, "quick brown quick brown")], "doc_id long, text string"
+            ),
+            pos_index,
+        )
+        got = {
+            r["doc_id"]: r["phrase_count"]
+            for r in TI.phrase_search(spark, pos_index, "quick brown").collect()
+        }
+        assert got[9] == 2
