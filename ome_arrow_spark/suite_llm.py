@@ -2511,3 +2511,130 @@ def text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, table, n_files=8, positions=True, overwrite=True
     )
     return TI.phrase_search(spark, table, "part filter")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (positional-index-free text ranking) fused
+# with exact vector ranking by Reciprocal Rank Fusion —
+# score(d) = 1/(60+rank_text) + 1/(60+rank_vec), missing source → no
+# contribution. The production RAG-retrieval shape; both rankings and
+# the fusion re-derive in one oracle, so the hash match proves the
+# composed pipeline end-to-end. Doc ids and vector ids share the id
+# space in the fixtures (vec_id == doc_id).
+# ---------------------------------------------------------------------------
+_HYBRID_QUERIES = ((1, "scan data"), (2, "merge column"), (3, "join part"))
+
+
+def _hybrid_oracle() -> str:
+    qterm_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in _HYBRID_QUERIES
+        for t in sorted(set(terms.split()))
+    )
+    return f"""
+    WITH q(qid, term) AS (VALUES {qterm_rows}),
+    tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                  (SELECT COUNT(*) FROM tok) AS sdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.qid, tf.doc_id, tf.term,
+             ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df_t + 0.5)/(dfq.df_t + 0.5))
+             * (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2*(0.25 + 0.75*dl.dl/(CAST(st.sdl AS DOUBLE)/st.n)))
+             AS c
+      FROM tf JOIN q USING (term) JOIN dfq USING (term)
+              JOIN dl USING (doc_id), st),
+    tscored AS (
+      SELECT qid, doc_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(c ORDER BY term)),
+                               (a, b) -> a + b), 6) AS score
+      FROM contrib GROUP BY qid, doc_id),
+    trank AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rt
+      FROM tscored),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+    cv AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+           WHERE vec_id >= 10),
+    vscored AS (
+      SELECT qid, doc_id,
+             ROUND({_DOT.format(a='qe', b='ce')}
+                   / (sqrt({_DOT.format(a='qe', b='qe')})
+                      * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS cos_sim
+      FROM qv, cv),
+    vrank AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, doc_id) AS rv
+      FROM vscored),
+    fused AS (
+      SELECT COALESCE(t.qid, v.qid) AS qid,
+             COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0/(60 + t.rt), 0.0)
+                   + COALESCE(1.0/(60 + v.rv), 0.0), 6) AS rrf
+      FROM (SELECT * FROM trank WHERE rt <= 20) t
+      FULL OUTER JOIN (SELECT * FROM vrank WHERE rv <= 20) v
+        ON t.qid = v.qid AND t.doc_id = v.doc_id)
+    SELECT qid AS query_id, doc_id, rrf, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY rrf DESC, doc_id) AS INT) AS rk
+      FROM fused)
+    WHERE rk <= 10
+    """
+
+
+@register("hybrid_retrieval_rrf", _hybrid_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import text_index as TI
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    table = f"/tmp/ome_arrow_rt_hyb_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
+    qdf = spark.createDataFrame(
+        list(_HYBRID_QUERIES), "query_id long, query string"
+    )
+    trank = TI.text_index_search_many(
+        spark, table, qdf, k=20
+    ).select("query_id", "doc_id", F.col("rk").alias("rt"))
+
+    q = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    vrank = (
+        cosine_topk(q, c, k=20, query_id="query_id", corpus_id="doc_id")
+        .select("query_id", "doc_id", F.col("rk").alias("rv"))
+    )
+    fused = trank.join(
+        vrank, ["query_id", "doc_id"], "full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rt")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rv")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return fused.withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rk") <= 10)
