@@ -126,6 +126,55 @@ def build_pq_index(
     )
 
 
+def add_to_pq_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    table: str,
+    corpus_id: str = "cid",
+    vec: str = "embedding",
+) -> int:
+    """Incremental maintenance: encode new vectors against the STORED
+    codebooks (no retraining — the codebooks are the index's contract,
+    like the IVF quantizer) and MERGE by corpus id."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    props = tl.table_properties(table)
+    books = json.loads(props[CODEBOOKS_PROP])
+    m, k = len(books), len(books[0])
+    sub = int(props[SUBDIM_PROP])
+    base = new_vectors.select(
+        F.col(corpus_id).alias("cid"), _normalize(F.col(vec)).alias("__nv")
+    )
+    code_cols = []
+    for s in range(m):
+        sl = F.slice("__nv", s * sub + 1, sub)
+        cents_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("c"),
+                    F.array(*[F.lit(v) for v in books[s][j]]).alias("ctr"),
+                )
+                for j in range(k)
+            ]
+        )
+        d2 = lambda cs, sl=sl: F.aggregate(
+            F.zip_with(sl, cs["ctr"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        best = F.aggregate(
+            F.transform(
+                cents_arr,
+                lambda cs: F.struct(cs["c"].alias("c"), d2(cs).alias("d")),
+            ),
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["c"]
+        code_cols.append(best.alias(f"__code{s}"))
+    coded = base.select("cid", F.array(*code_cols).alias("codes"))
+    return tl.upsert_table(spark, coded, table, key="cid")
+
+
 def pq_search(
     spark: SparkSession,
     table: str,

