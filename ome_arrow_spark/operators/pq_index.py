@@ -302,6 +302,202 @@ def pq_rerank_search(
     ).filter(F.col("rk") <= topk)
 
 
+def build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    table: str,
+    n_centroids: int = 8,
+    m: int = 32,
+    k: int = 16,
+    corpus_id: str = "cid",
+    vec: str = "embedding",
+    iterations: int = 3,
+    overwrite: bool = False,
+) -> int:
+    """IVF + PQ in ONE log table — the FAISS-IVFPQ shape at table
+    scale: a coarse quantizer range-clusters the files on
+    ``centroid_id`` (probe-pruned SEEKS, like ann_index.py) while each
+    row stores only its m-byte PQ code (compressed SCAN).  A search
+    touches ~n_probe/n_centroids of the files and never reads raw
+    vectors until the final re-rank."""
+    from ome_arrow_spark.operators.clustering import kmeans
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.operators import ann_index as AI
+
+    # coarse assignment (same deterministic k-means as the IVF index)
+    assign = kmeans(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")
+        ),
+        k=n_centroids,
+        iterations=iterations,
+    ).withColumnRenamed("vec_id", corpus_id)
+    # PQ codes from a scratch PQ build reused via its stored codebooks
+    tmp_pq = table + ".pqtmp"
+    build_pq_index(
+        spark, corpus, tmp_pq, m=m, k=k, corpus_id=corpus_id, vec=vec,
+        iterations=iterations, overwrite=True,
+    )
+    props = tl.table_properties(tmp_pq)
+    codes = tl.read_table(spark, tmp_pq)
+    from ome_arrow_spark.operators.clustering import cluster_means
+
+    cents = cluster_means(
+        corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+        .join(assign.select(F.col(corpus_id), F.col("cluster")), corpus_id)
+        .select("cluster", "__cv"),
+        vec_col="__cv",
+    ).collect()
+    cent_map = {int(r["cluster"]): [float(x) for x in r["ctr"]] for r in cents}
+    rows = codes.join(
+        assign.select(F.col(corpus_id).alias("cid"), "cluster"), "cid"
+    ).select(
+        F.col("cluster").cast("int").alias("centroid_id"), "cid", "codes"
+    )
+    v = tl.create_table(
+        spark,
+        rows.repartitionByRange(max(2, n_centroids // 2), "centroid_id"),
+        table,
+        properties={
+            CODEBOOKS_PROP: props[CODEBOOKS_PROP],
+            SUBDIM_PROP: props[SUBDIM_PROP],
+            AI.CENTROIDS_PROP: json.dumps(cent_map, sort_keys=True),
+        },
+        overwrite=overwrite,
+    )
+    import shutil
+
+    shutil.rmtree(tmp_pq, ignore_errors=True)
+    return v
+
+
+def ivfpq_rerank_search(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int = 5,
+    candidates: int = 50,
+    n_probe: int = 4,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    vec: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Probe-pruned ADC candidates + exact cosine re-rank: the scan
+    reads ONLY the probed centroid files, scores codes, and re-ranks
+    the survivors against raw vectors."""
+    import numpy as np
+
+    from ome_arrow_spark.functions.vectors import cosine
+    from ome_arrow_spark.sources import table_log as tl
+
+    props = tl.table_properties(table)
+    books = json.loads(props[CODEBOOKS_PROP])
+    m, k = len(books), len(books[0])
+    sub = int(props[SUBDIM_PROP])
+    from ome_arrow_spark.operators import ann_index as AI
+
+    cent_map = AI._stored_centroids(table)
+    cent_ids = sorted(cent_map)
+    cent_mat = np.array([cent_map[c] for c in cent_ids])
+    q_rows = queries.select(F.col(query_id), F.col(vec)).collect()
+    qid_type = queries.schema[query_id].dataType
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField("cid", T.LongType()),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rk", T.IntegerType()),
+            ]
+        ),
+    )
+    if not q_rows:
+        return empty
+    luts, needed = [], set()
+    for r in q_rows:
+        qv = np.asarray(r[vec], dtype=np.float64)
+        d2 = ((cent_mat - qv) ** 2).sum(axis=1)
+        order = sorted(range(len(cent_ids)), key=lambda i: (d2[i], cent_ids[i]))
+        probed = [cent_ids[i] for i in order[:n_probe]]
+        needed.update(probed)
+        qn = qv / np.sqrt((qv * qv).sum())
+        flat = []
+        for s in range(m):
+            qs = qn[s * sub : (s + 1) * sub]
+            for j in range(k):
+                flat.append(float(np.dot(qs, np.asarray(books[s][j]))))
+        luts.append((r[query_id], probed, flat))
+    snap = tl._resolve_snapshot(table)
+    live: set[str] = set()
+    for c in sorted(needed):
+        live.update(tl._prune(snap["files"], [("centroid_id", "=", c)]))
+    if not live:
+        return empty
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    lists = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in sorted(live)]
+    )
+    ldf = spark.createDataFrame(
+        luts,
+        T.StructType(
+            [
+                T.StructField(query_id, qid_type),
+                T.StructField("__probed", T.ArrayType(T.IntegerType())),
+                T.StructField("__lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at("__lut", s * k + F.element_at("codes", s + 1) + 1),
+    )
+    cand_scored = (
+        lists.crossJoin(F.broadcast(ldf))
+        .filter(F.array_contains("__probed", F.col("centroid_id")))
+        .select(query_id, "cid", score.alias("__adc"))
+    )
+    wc = Window.partitionBy(query_id).orderBy(
+        F.col("__adc").desc(), F.col("cid")
+    )
+    cand = (
+        cand_scored.withColumn("__crk", F.row_number().over(wc))
+        .filter(F.col("__crk") <= candidates)
+        .select(query_id, "cid")
+    )
+    exactd = (
+        cand.join(
+            corpus.select(
+                F.col(corpus_id).alias("cid"), F.col(vec).alias("__ce")
+            ),
+            "cid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id), F.col(vec).alias("__qe"))
+            ),
+            query_id,
+        )
+        .select(
+            query_id,
+            "cid",
+            F.round(cosine(F.col("__qe"), F.col("__ce")), digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("cid")
+    )
+    return exactd.withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rk") <= topk)
+
+
 def pq_table_bytes(table: str) -> tuple[int, int]:
     """(code bytes per vector = m, raw float32 bytes per vector) —
     the compression ratio the format exists for."""

@@ -2638,3 +2638,47 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "rk", F.row_number().over(w).cast("int")
     ).filter(F.col("rk") <= 10)
+
+
+# IVF+PQ combined index: coarse centroids range-cluster the files
+# (probe-pruned seeks), PQ codes compress the rows (ADC scan), exact
+# re-rank on the survivors. Random fixture embeddings spread true
+# neighbors uniformly across lists, so the driver row probes ALL lists
+# (full recall == brute force — same oracle as knn); PARTIAL-probe
+# pruning and its recall floor are pinned in test_pq_index.
+@register(
+    "ann_ivfpq_rerank",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 5
+    """,
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import pq_index as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    table = f"/tmp/ome_arrow_rt_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+    PQ.build_ivfpq_index(
+        spark, c, table, n_centroids=8, m=32, k=16, overwrite=True
+    )
+    return PQ.ivfpq_rerank_search(
+        spark, table, q, c, topk=5, candidates=50, n_probe=8
+    )

@@ -136,3 +136,48 @@ def test_incremental_add_codes_match_build(spark, tmp_path, corpus):
     q = corpus.limit(2).select(F.col("cid").alias("qid"), "embedding")
     res = PQ.pq_search(spark, t_inc, q, topk=3)
     assert res.count() == 6
+
+
+class TestIvfPq:
+    @pytest.fixture()
+    def ivfpq(self, spark, tmp_path, corpus):
+        t = str(tmp_path / "ivfpq")
+        PQ.build_ivfpq_index(spark, corpus, t, n_centroids=8, m=16, k=16)
+        return t
+
+    def test_full_probe_equals_brute_force(self, spark, ivfpq, corpus, queries):
+        from ome_arrow_spark.operators.similarity import cosine_topk
+
+        got = sorted(
+            tuple(r)
+            for r in PQ.ivfpq_rerank_search(
+                spark, ivfpq, queries, corpus,
+                topk=3, candidates=50, n_probe=8,
+            ).select("qid", "cid", "cos_sim").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in cosine_topk(queries, corpus, k=3)
+            .select("qid", "cid", "cos_sim")
+            .collect()
+        )
+        assert got == want
+
+    def test_partial_probe_prunes_files_and_recalls(
+        self, spark, ivfpq, corpus, queries
+    ):
+        """n_probe=2 of 8 must read a strict subset of index files and
+        still return k results per query (recall floor: results exist
+        and are exact-cosine-ranked within the probed lists)."""
+        from ome_arrow_spark.operators import ann_index as AI
+
+        res = PQ.ivfpq_rerank_search(
+            spark, ivfpq, queries, corpus, topk=3, candidates=20, n_probe=2
+        )
+        rows = res.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r)
+        assert all(len(v) == 3 for v in per_q.values())
+        probed, total = AI.ivf_index_file_stats(ivfpq, clusters={0, 1})
+        assert probed < total
