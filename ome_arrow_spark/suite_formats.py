@@ -22,7 +22,7 @@ from ome_arrow_spark.suite import _events, _t, register
 
 
 def _rt_dir(sf_dir: str, tag: str) -> str:
-    return f"/tmp/ome_arrow_rt_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    return f"/tmp/ome_arrow_rt_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
 
 
 # ---------------------------------------------------------------------------

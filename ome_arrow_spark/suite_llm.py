@@ -2069,7 +2069,7 @@ def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    table = f"/tmp/ome_arrow_rt_ivfidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_ivfidx_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     AI.build_ivf_index(spark, c, table, n_centroids=8, overwrite=True)
     return AI.ivf_index_search(spark, table, q, k=3, n_probe=3)
@@ -2128,7 +2128,7 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators import text_index as TI
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    table = f"/tmp/ome_arrow_rt_tix_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_tix_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
     return TI.text_index_search(
@@ -2151,7 +2151,7 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
-    table = f"/tmp/ome_arrow_rt_tixinc_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_tixinc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     TI.build_text_index(
         spark, docs.filter(F.col("doc_id") <= half), table,
@@ -2261,7 +2261,7 @@ def text_index_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators import text_index as TI
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    table = f"/tmp/ome_arrow_rt_tixm_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_tixm_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
     qdf = spark.createDataFrame(
@@ -2371,7 +2371,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    table = f"/tmp/ome_arrow_rt_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_pq_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     PQ.build_pq_index(spark, c, table, m=32, k=16, overwrite=True)
     return PQ.pq_rerank_search(
@@ -2505,7 +2505,7 @@ def text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators import text_index as TI
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    table = f"/tmp/ome_arrow_rt_tixp_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_tixp_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     TI.build_text_index(
         spark, docs, table, n_files=8, positions=True, overwrite=True
@@ -2601,7 +2601,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings")
-    table = f"/tmp/ome_arrow_rt_hyb_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_hyb_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     TI.build_text_index(spark, docs, table, n_files=8, overwrite=True)
     qdf = spark.createDataFrame(
@@ -2674,7 +2674,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    table = f"/tmp/ome_arrow_rt_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     PQ.build_ivfpq_index(
         spark, c, table, n_centroids=8, m=32, k=16, overwrite=True

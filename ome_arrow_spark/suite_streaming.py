@@ -185,7 +185,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ome_arrow_spark.sources import table_log as tl
 
-    path = f"/tmp/ome_arrow_rt_cdc_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"/tmp/ome_arrow_rt_cdc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
 
     ev = EV.read_events_stream(spark, sf_dir).select(
@@ -258,7 +258,7 @@ def stream_ome_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = tempfile.mkdtemp(prefix="stream_ome_src_")
-    table = f"/tmp/ome_arrow_rt_stream_ome_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_stream_ome_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     shapes = [
         ("z-series", 1, 1, 5, 167, 439),
@@ -342,7 +342,7 @@ def stream_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = tempfile.mkdtemp(prefix="stream_zarr_src_")
     manifest_dir = os.path.join(base_dir, "manifest")
     os.makedirs(manifest_dir)
-    table = f"/tmp/ome_arrow_rt_stream_zarr_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_stream_zarr_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
     y, x = 96, 128
     plane = (np.arange(y * x, dtype=np.int64) % 65536).reshape(y, x)
@@ -425,7 +425,7 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") >= a) & (F.col("doc_id") < b)
         ).coalesce(1).write.mode("append").parquet(src)
 
-    table = f"/tmp/ome_arrow_rt_stix_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = f"/tmp/ome_arrow_rt_stix_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     shutil.rmtree(table, ignore_errors=True)
 
     stream = (
