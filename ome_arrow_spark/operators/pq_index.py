@@ -197,12 +197,16 @@ def pq_search(
     q_rows = queries.select(F.col(query_id), F.col(vec)).collect()
     qid_type = queries.schema[query_id].dataType
     if not q_rows:
+        # cid keeps the STORED table's id type (string ids are as
+        # valid as longs) so the empty path matches the populated one
+        snap0 = tl._resolve_snapshot(table)
+        stored = T.StructType.fromJson(json.loads(snap0["schema"]))
         return spark.createDataFrame(
             [],
             T.StructType(
                 [
                     T.StructField(query_id, qid_type),
-                    T.StructField("cid", T.LongType()),
+                    T.StructField("cid", stored["cid"].dataType),
                     T.StructField("adc_score", T.DoubleType()),
                     T.StructField("rk", T.IntegerType()),
                 ]
@@ -403,12 +407,18 @@ def ivfpq_rerank_search(
     cent_mat = np.array([cent_map[c] for c in cent_ids])
     q_rows = queries.select(F.col(query_id), F.col(vec)).collect()
     qid_type = queries.schema[query_id].dataType
+    snap0 = tl._resolve_snapshot(table)
     empty = spark.createDataFrame(
         [],
         T.StructType(
             [
                 T.StructField(query_id, qid_type),
-                T.StructField("cid", T.LongType()),
+                T.StructField(
+                    "cid",
+                    T.StructType.fromJson(json.loads(snap0["schema"]))[
+                        "cid"
+                    ].dataType,
+                ),
                 T.StructField("cos_sim", T.DoubleType()),
                 T.StructField("rk", T.IntegerType()),
             ]
