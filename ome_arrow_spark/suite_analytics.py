@@ -888,3 +888,91 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_events"),
         F.round(F.sum(term), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest paths over a data-derived sparse graph: each nation's
+# single top-revenue trade partner (DECIMAL-exact revenue, so the
+# argmax tiebreak is deterministic in both engines) forms a functional
+# graph; Spark runs frontier-iteration BFS from nation 0 (bounded by
+# the node count, lineage cut per level), the oracle replays it as a
+# recursive CTE with MIN-distance aggregation.  Completes the graph
+# family (PageRank / triangles / components) with reachability.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_bfs_trade",
+    """
+    WITH RECURSIVE rev AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(30,6))) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY r DESC, dst) AS rn
+        FROM rev) WHERE rn = 1),
+    bfs(id, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, b.d + 1
+      FROM bfs b JOIN edges e ON e.src = b.id
+      WHERE b.d < 30)
+    SELECT CAST(id AS BIGINT) AS nationkey, CAST(MIN(d) AS INT) AS dist
+    FROM bfs GROUP BY id
+    """,
+)
+def graph_bfs_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(30,6)")
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("r").desc(), F.col("dst"))
+    edges = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst")
+        .localCheckpoint()  # every BFS level reuses the edge list
+    )
+    dist = spark.createDataFrame([(0, 0)], "nationkey long, dist int")
+    frontier = dist.select(F.col("nationkey").alias("id"))
+    for level in range(1, 30):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("nationkey"))
+            .distinct()
+            .join(dist, "nationkey", "left_anti")
+            .withColumn("dist", F.lit(level))
+        )
+        nxt = nxt.localCheckpoint()  # cut per-level lineage growth
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select(F.col("nationkey").alias("id"))
+    return dist.select("nationkey", "dist")
