@@ -752,6 +752,56 @@ def compact_table(
     return version
 
 
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots — Delta's
+    ``table_changes`` semantics derived from the log's file-level
+    deltas: rows present only in the newer snapshot are ``insert``,
+    rows present only in the older one are ``delete`` (an update
+    appears as its delete+insert pair).  Multiset semantics
+    (``exceptAll``), so duplicate rows are counted, not collapsed.
+
+    Scan cost note: both endpoint snapshots read only files that
+    CHANGED between the versions — files carried by reference in both
+    snapshots cancel out, so they are dropped from both sides before
+    the exceptAll rather than scanned."""
+    snap_new = _resolve_snapshot(table, to_version)
+    snap_old = _resolve_snapshot(table, from_version)
+    schema = T.StructType.fromJson(json.loads(snap_new["schema"]))
+    old_files = set(snap_old["files"])
+    new_files = set(snap_new["files"])
+    only_old = sorted(old_files - new_files)
+    only_new = sorted(new_files - old_files)
+    cols = [f.name for f in schema.fields]
+
+    def _read(paths, snap):
+        if not paths:
+            return spark.createDataFrame([], schema)
+        s = T.StructType.fromJson(json.loads(snap["schema"]))
+        df = spark.read.schema(s).parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+        # schema evolution: align older snapshots to the new schema
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(cols)
+
+    new_rows = _read(only_new, snap_new)
+    old_rows = _read(only_old, snap_old)
+    inserts = new_rows.exceptAll(old_rows).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = old_rows.exceptAll(new_rows).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
 def recluster_table(
     spark: SparkSession,
     table: str,

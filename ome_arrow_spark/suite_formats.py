@@ -611,3 +611,58 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between snapshots (table_log.table_changes): create
+# from an orders slice, MERGE a price-bump batch, and aggregate the
+# row-level delete/insert pairs the CDF derives from file-level deltas.
+# The oracle recomputes both sides of every updated key from the raw
+# table — matching proves updates surface as exact delete+insert pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "table_change_feed",
+    """
+    WITH touched AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey % 20 = 0)
+    SELECT 'delete' AS change_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM touched
+    UNION ALL
+    SELECT 'insert', COUNT(*),
+           CAST(SUM(CAST(o_totalprice + 1 AS DECIMAL(30,6))) AS DOUBLE)
+    FROM touched
+    """,
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "cdf")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    tl.create_table(spark, base.repartitionByRange(4, "o_orderkey"), path)
+    ups = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+    )
+    tl.upsert_table(spark, ups, path, key="o_orderkey")
+    ch = tl.table_changes(spark, path, 0, 1)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -699,3 +699,48 @@ class TestPruneLiteralCoercion:
         tl.create_table(spark, df, tdir)
         live, total = tl.pruned_file_count(tdir, predicates=[("s", ">", 99)])
         assert live == total
+
+
+class TestTableChanges:
+    def test_upsert_produces_delete_insert_pairs(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 20).coalesce(2), tdir)
+        ups = spark.createDataFrame(
+            [(5, 999, "u5"), (100, 1, "new")], "k long, v long, s string"
+        )
+        tl.upsert_table(spark, ups, tdir, key="k")
+        ch = tl.table_changes(spark, tdir, 0, 1).collect()
+        by_type = {}
+        for r in ch:
+            by_type.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+        assert sorted(by_type["insert"]) == [(5, 999), (100, 1)]
+        # the old version of k=5 is the only deleted row
+        assert [k for k, _ in by_type["delete"]] == [5]
+
+    def test_changes_skip_untouched_files(self, spark, tdir):
+        """Files carried by reference between versions are never read:
+        the CDF scan touches only changed files."""
+        df = _base(spark, 100).repartitionByRange(10, "k")
+        tl.create_table(spark, df, tdir)
+        ups = spark.createDataFrame([(3, -1, "x")], "k long, v long, s string")
+        tl.upsert_table(spark, ups, tdir, key="k")
+        ch = tl.table_changes(spark, tdir, 0, 1)
+        read = {os.path.basename(f) for f in ch.inputFiles()}
+        snap0 = tl._resolve_snapshot(tdir, 0)
+        snap1 = tl._resolve_snapshot(tdir, 1)
+        changed = (set(snap0["files"]) - set(snap1["files"])) | (
+            set(snap1["files"]) - set(snap0["files"])
+        )
+        assert read <= changed
+        assert len(read) < len(snap1["files"])
+
+    def test_delete_only_change(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10).coalesce(1), tdir)
+        tl.delete_from_table(spark, tdir, "k >= 8")
+        ch = tl.table_changes(spark, tdir, 0, 1).collect()
+        assert {r["_change_type"] for r in ch} == {"delete"}
+        assert sorted(r["k"] for r in ch) == [8, 9]
+
+    def test_noop_version_range_is_empty(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 5).coalesce(1), tdir)
+        tl.set_table_properties(tdir, {"note": "x"})
+        assert tl.table_changes(spark, tdir, 0, 1).count() == 0
