@@ -976,3 +976,71 @@ def graph_bfs_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt)
         frontier = nxt.select(F.col("nationkey").alias("id"))
     return dist.select("nationkey", "dist")
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view → click → purchase): how many users reach each
+# stage with STRICTLY-increasing timestamps. Spark computes it in ONE
+# shuffle: per-user sorted event array, then a single Catalyst fold
+# that advances a (stage, last_ts) state machine — greedy
+# earliest-feasible matching, which is optimal for funnel stage
+# counting, so the oracle's min-after join chain computes the same
+# stages by a different algorithm.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_steps",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS users FROM v
+    UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    steps = ["view", "click", "purchase"]
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    per_user = (
+        ev.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_type"))
+            ).alias("seq")
+        )
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    # fold: advance when the event matches the next step AND its ts is
+    # strictly after the previous stage's ts (equal-ts chains rejected,
+    # matching the oracle's strict >)
+    stage = F.aggregate(
+        "seq",
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit(None).cast("timestamp").alias("last"),
+        ),
+        lambda acc, e: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (e["event_type"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (acc["last"].isNull() | (e["ts"] > acc["last"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), e["ts"].alias("last")
+            ),
+        ).otherwise(acc),
+    )["stage"]
+    reached = per_user.select(stage.alias("stage")).filter(F.col("stage") > 0)
+    step_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    )
+    return (
+        F.broadcast(step_df)
+        .join(reached, step_df["step"] <= reached["stage"])
+        .groupBy("step", "event_type")
+        .agg(F.count("*").alias("users"))
+    )
