@@ -1044,3 +1044,84 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("step", "event_type")
         .agg(F.count("*").alias("users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop cheapest paths (truncated Bellman-Ford): edge weight =
+# MIN shipping delay in days between each nation pair (exact integer,
+# so relaxation arithmetic is deterministic); 4 relaxation rounds give
+# the cheapest ≤4-hop cost from nation 0 — multi-hop routes genuinely
+# beat direct edges on this metric (which can be NEGATIVE in the
+# synthetic fixtures — the bounded-hop contract handles it exactly,
+# where unbounded shortest-path would not). The oracle enumerates all ≤4-hop
+# paths with a recursive CTE and takes the MIN — exponential-path
+# enumeration vs iterative relaxation, same answer.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_cheapest_route",
+    """
+    WITH RECURSIVE w AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             MIN(datediff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    sp(id, cost, hops) AS (
+      SELECT CAST(0 AS BIGINT), 0, 0
+      UNION ALL
+      SELECT e.dst, p.cost + e.w, p.hops + 1
+      FROM sp p JOIN w e ON e.src = p.id
+      WHERE p.hops < 4)
+    SELECT CAST(id AS BIGINT) AS nationkey,
+           CAST(MIN(cost) AS BIGINT) AS min_cost
+    FROM sp GROUP BY id
+    """,
+)
+def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.min(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).alias("w")
+        )
+        .localCheckpoint()  # 4 relaxation rounds reuse the edge list
+    )
+    dist = spark.createDataFrame([(0, 0)], "nationkey long, min_cost long")
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist["nationkey"] == edges["src"])
+            .select(
+                F.col("dst").alias("nationkey"),
+                (F.col("min_cost") + F.col("w")).alias("min_cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("nationkey")
+            .agg(F.min("min_cost").alias("min_cost"))
+            .localCheckpoint()  # cut the per-round lineage
+        )
+    return dist
