@@ -37,6 +37,7 @@ def asof_join(
     value_aliases: list[str] | None = None,
     keep: list[str] | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: latest ``right`` row with ``right_time <=
     left_time`` (``direction="backward"``, default) or earliest right
@@ -51,6 +52,11 @@ def asof_join(
     ``last()`` is the nearest *following* right row. Tie among
     equal-time right rows: backward keeps the max first-value column,
     forward the min (both deterministic).
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` semantics): a matched
+    right row counts only when |right_time − left_time| ≤ tolerance;
+    otherwise the carried values are NULL — the stale-quote guard of
+    financial as-of joins.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -92,13 +98,35 @@ def asof_join(
     )
 
     unioned = lhs.unionByName(rhs)
+    # the matched right row's OWN timestamp rides along for tolerance
+    unioned = unioned.withColumn(
+        "__v_mts", F.when(F.col(side) == 0, F.col(ts))
+    )
     carried = unioned.select(
         F.col(key),
         F.col(side),
+        F.col(ts),
         *[F.col(c) for c in keep],
+        F.last(F.col("__v_mts"), ignorenulls=True).over(w).alias("__mts"),
         *[
             F.last(F.col(f"__v_{i}"), ignorenulls=True).over(w).alias(a)
             for i, a in enumerate(value_aliases)
         ],
     )
-    return carried.filter(F.col(side) == 1).select(*keep, *value_aliases)
+    out = carried.filter(F.col(side) == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.abs(
+                F.col(ts).cast("double") - F.col("__mts").cast("double")
+            )
+            <= F.lit(float(tolerance_seconds))
+        )
+        out = out.select(
+            *keep,
+            *[
+                F.when(in_tol, F.col(a)).alias(a)
+                for a in value_aliases
+            ],
+        )
+        return out
+    return out.select(*keep, *value_aliases)

@@ -68,7 +68,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "heavy_hitters_terms", "heavy_hitters_bigrams",
     "orc_partitioned_roundtrip", "hll_union_distinct", "ann_pq_rerank",
     "media_audio_resample", "media_image_resize", "text_index_phrase",
-    "hybrid_retrieval_rrf", "ann_ivfpq_rerank", "graph_bfs_trade", "table_change_feed", "funnel_steps", "graph_cheapest_route",
+    "hybrid_retrieval_rrf", "ann_ivfpq_rerank", "graph_bfs_trade", "table_change_feed", "funnel_steps", "graph_cheapest_route", "asof_tolerance",
     # round-7 fixture/codec/plan changes
     "ome_tiff_codec_ingest", "ome_zarr_blosc_roundtrip",
     "media_dir_ingest", "lm_bigram_score", "media_video_frames",

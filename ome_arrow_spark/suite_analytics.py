@@ -1125,3 +1125,65 @@ def graph_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # cut the per-round lineage
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a match tolerance (pandas merge_asof semantics): the
+# latest order at-or-before each event counts only when it is within
+# 8640 days (the synthetic orders live in the TPC-H 1990s while events
+# are recent, so this threshold splits the population at both fixture
+# scales) — stale matches go NULL. The oracle computes the same
+# windowed-latest with a correlated lateral and applies the tolerance
+# as a filter-to-NULL.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_tolerance",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id
+      FROM events WHERE event_type = 'purchase' AND user_id % 25 = 0),
+    mo AS (
+      SELECT ev.event_id, ev.user_id, ev.ets,
+             (SELECT MAX(CAST(o.o_orderdate AS TIMESTAMP))
+              FROM orders o
+              WHERE o.o_custkey = ev.user_id
+                AND CAST(o.o_orderdate AS TIMESTAMP) <= ev.ets) AS mts
+      FROM ev)
+    SELECT event_id, user_id,
+           CASE WHEN mts IS NOT NULL
+                 AND (epoch(ets) - epoch(mts)) <= 8640*24*3600
+                THEN CAST(mts AS DATE) END AS last_order_date
+    FROM mo
+    """,
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.asof import asof_join
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 25 == 0)
+        )
+        .select("event_id", "user_id", "ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_ts",
+        right_values=["o_ts"],
+        value_aliases=["last_order_ts"],
+        keep=["event_id", "user_id"],
+        direction="backward",
+        tolerance_seconds=8640 * 24 * 3600,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("last_order_ts").cast("date").alias("last_order_date"),
+    )
