@@ -165,6 +165,49 @@ def add_to_text_index(
     return v
 
 
+def update_docs_in_text_index(
+    spark: SparkSession,
+    changed_docs: DataFrame,
+    table: str,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> int:
+    """Replace semantics for re-ingested docs: delete the batch's old
+    postings (pruned rewrite of only the files containing those doc
+    ids), subtract their dl/doc counts, then MERGE the new postings —
+    closes the stale-posting caveat of :func:`add_to_text_index` for
+    docs that LOST terms."""
+    from ome_arrow_spark.sources import table_log as tl
+
+    ids = [
+        int(r[0])
+        for r in changed_docs.select(F.col(doc_id).cast("long")).collect()
+    ]
+    if not ids:
+        return tl.current_version(table)
+    # old contribution of these docs to the corpus scalars
+    old = (
+        tl.read_table(spark, table)
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "dl")
+        .distinct()
+        .collect()
+    )
+    old_n = len(old)
+    old_dl = sum(int(r["dl"]) for r in old)
+    id_list = ", ".join(str(i) for i in ids)
+    props = tl.table_properties(table)
+    tl.delete_from_table(spark, table, f"doc_id IN ({id_list})")
+    tl.set_table_properties(
+        table,
+        {
+            N_DOCS_PROP: str(int(props[N_DOCS_PROP]) - old_n),
+            SUM_DL_PROP: str(int(props[SUM_DL_PROP]) - old_dl),
+        },
+    )
+    return add_to_text_index(spark, changed_docs, table, doc_id, text)
+
+
 def delete_doc_from_text_index(
     spark: SparkSession, table: str, doc_id_value: int, dl: int
 ) -> int:

@@ -268,3 +268,32 @@ class TestPhraseSearch:
             for r in TI.phrase_search(spark, pos_index, "quick brown").collect()
         }
         assert got[9] == 2
+
+
+def test_update_docs_replace_semantics(spark, tmp_path, docs_df):
+    """A re-ingested doc that LOST a term must stop matching it —
+    update_docs_in_text_index equals a fresh rebuild with the new
+    text, scalars included."""
+    t = str(tmp_path / "upd")
+    TI.build_text_index(spark, docs_df, t, n_files=4)
+    changed = spark.createDataFrame(
+        [(2, "completely different words now")],  # was data/model/quality
+        "doc_id long, text string",
+    )
+    TI.update_docs_in_text_index(spark, changed, t)
+    got = TI.text_index_search(spark, t, "data model", k=10).collect()
+    assert 2 not in {r["doc_id"] for r in got}
+    assert TI.text_index_search(spark, t, "different words", k=5).collect()[0][
+        "doc_id"
+    ] == 2
+    # equals the rebuilt index
+    rebuilt_docs = docs_df.filter(F.col("doc_id") != 2).unionByName(changed)
+    t2 = str(tmp_path / "fresh")
+    TI.build_text_index(spark, rebuilt_docs, t2, n_files=4)
+    for q in ("data model", "different words", "the lazy"):
+        a = [tuple(r) for r in TI.text_index_search(spark, t, q, k=10).collect()]
+        b = [tuple(r) for r in TI.text_index_search(spark, t2, q, k=10).collect()]
+        assert a == b, q
+    pa_, pb = tl.table_properties(t), tl.table_properties(t2)
+    assert pa_[TI.N_DOCS_PROP] == pb[TI.N_DOCS_PROP]
+    assert pa_[TI.SUM_DL_PROP] == pb[TI.SUM_DL_PROP]
