@@ -1,16 +1,20 @@
-"""Minimal pure-Python baseline JPEG codec (ITU T.81, sequential DCT,
-Huffman) — the last TIFF compression class (Compression=7, "new-style"
-JPEG-in-TIFF) the built-in path previously gated on tifffile
-(reference ingest.py:321-330 reads it via BioIO/tifffile).
+"""Minimal pure-Python JPEG codec (ITU T.81, DCT, Huffman) — the last
+TIFF compression class (Compression=7, "new-style" JPEG-in-TIFF) the
+built-in path previously gated on tifffile (reference
+ingest.py:321-330 reads it via BioIO/tifffile), plus the progressive
+streams that dominate web-scraped image corpora.
 
 Decoder: sequential 8- AND 12-bit streams (SOF0/SOF1) — grayscale or
 3-component YCbCr with any sampling factors (4:4:4, 4:2:2, 4:2:0
 upsampled by replication), restart intervals, 16-bit quant tables,
 Photometric=2 raw-RGB component layouts, abbreviated streams whose
 DQT/DHT arrive separately (the TIFF ``JPEGTables`` tag 347 carries
-exactly such a tables-only stream). 12-bit output is uint16 with a
-2048 level shift per T.81. Progressive/arithmetic streams raise
-``NotImplementedError``.
+exactly such a tables-only stream) — AND full progressive streams
+(SOF2, T.81 Annex G): interleaved or per-component DC scans, spectral
+selection, successive approximation for DC and AC (EOB runs,
+refinement correction bits), restart intervals per scan. 12-bit
+output is uint16 with a 2048 level shift per T.81.
+Arithmetic-coded/lossless streams raise ``NotImplementedError``.
 
 Encoder: sequential, grayscale or 4:4:4 RGB→YCbCr (or raw RGB),
 Annex-K quantization scaled by ``quality`` (libjpeg's 5000/q · 200−2q
@@ -19,7 +23,11 @@ so the decoder reads back exactly what was declared, and any external
 JPEG reader opens the stream. ``precision=12`` writes extended
 sequential streams with a 16-category DC table; AC sizes beyond the
 Annex-K range (sharp data at very high quality) raise ``ValueError``
-rather than emitting an undecodable symbol.
+rather than emitting an undecodable symbol. ``progressive=True``
+writes the SOF2 web progression (DC Al=1 + refinement; AC bands
+1-5/6-63 at Al=2 with two SA refinement passes) — both paths carry
+the SAME quantized coefficients losslessly, so progressive and
+baseline encodes of one image decode bit-identically.
 
 IDCT/FDCT are exact orthonormal 8×8 matrix products in float64
 (vectorized over all blocks with numpy); the only loss is
@@ -246,6 +254,20 @@ class _BitReader:
                 ]
         raise ValueError("corrupt JPEG: no Huffman code matched in 16 bits")
 
+    def next_marker_pos(self) -> int:
+        """Byte position of the next marker after the entropy data —
+        needed between progressive scans. Mirrors restart()'s
+        drain-at-boundary handling: the buffer may empty without
+        _fill ever latching the marker."""
+        if self.marker is not None:
+            return self.pos
+        p, n = self.pos, len(self.data)
+        while p + 1 < n:
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                return p
+            p += 1
+        return n
+
     def restart(self) -> None:
         """Byte-align and consume the pending RST marker."""
         self.buf = 0
@@ -310,12 +332,16 @@ def _decode_stream(
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     frame = None
+    progressive = False
+    grids: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(data) + 2:
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and grids is not None:
+                return _prog_finish(state, frame, grids, color_transform)
             return None
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -354,7 +380,7 @@ def _decode_stream(
                 (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline(+ext) / SOF2
             try:
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 comps = []
@@ -370,10 +396,11 @@ def _decode_stream(
             if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             frame = (h, w, comps, prec)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/lossless JPEG unsupported"
+                "arithmetic/lossless/differential JPEG unsupported"
             )
         elif marker == 0xDA:  # SOS
             if tables_only:
@@ -383,15 +410,35 @@ def _decode_stream(
             if not seg:
                 raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
-            if len(seg) < 1 + 2 * ns:
+            if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                data, pos + seglen, state, frame, scan, color_transform
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, state, frame, scan, color_transform
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ah = seg[3 + 2 * ns] >> 4
+            al = seg[3 + 2 * ns] & 15
+            if grids is None:
+                h, w, comps, _prec = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = -(-w // (8 * hmax))
+                my = -(-h // (8 * vmax))
+                grids = {
+                    cid: np.zeros((my * cv, mx * ch, 64), dtype=np.int32)
+                    for cid, ch, cv, _tq in comps
+                }
+            pos = _decode_prog_scan(
+                data, pos + seglen, state, frame, scan, ss, se, ah, al,
+                grids,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
     raise ValueError("corrupt JPEG: no EOI")
@@ -461,8 +508,215 @@ def _decode_scan(data, pos, state, frame, scan, color_transform=True) -> np.ndar
                             ((my * cv + by) * 8, (mx * ch + bx) * 8)
                         )
             mcu_count += 1
-    # vectorized dequant + IDCT + placement per component
+    return _idct_assemble(state, frame, coef_lists, origins, color_transform)
+
+
+def _comp_block_grid(frame, cid):
+    """Non-interleaved block-grid dims (ceil of the COMPONENT's own
+    downsampled size / 8 — NOT the MCU-padded grid, T.81 A.2.2)."""
+    h, w, comps, _prec = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, ch, cv, _tq in comps:
+        if c == cid:
+            cw = -(-w * ch // hmax)
+            chh = -(-h * cv // vmax)
+            return -(-chh // 8), -(-cw // 8)
+    raise ValueError("corrupt JPEG: scan references unknown component")
+
+
+def _decode_prog_scan(
+    data, pos, state, frame, scan, ss, se, ah, al, grids
+) -> int:
+    """One progressive scan (T.81 Annex G decode) into the coefficient
+    grids; returns the byte position of the next marker."""
+    h, w, comps, _prec = frame
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    decode_huffman = reader.decode_huffman
+    receive = reader.receive
+    ri = state.restart_interval
+    for cid, _td, _ta in scan:
+        if cid not in by_id:
+            raise ValueError("corrupt JPEG: scan references unknown component")
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        tables = {}
+        if ah == 0:
+            for cid, td, _ta in scan:
+                tbl = state.huff.get((0, td))
+                if tbl is None:
+                    raise ValueError("corrupt JPEG: missing table for scan")
+                tables[cid] = tbl
+        pred = {cid: 0 for cid, *_ in scan}
+
+        def dc_block(cid, by, bx):
+            g = grids[cid]
+            if ah == 0:
+                t = decode_huffman(tables[cid])
+                pred[cid] += _extend(receive(t), t)
+                g[by, bx, 0] = pred[cid] << al
+            else:  # refinement: one bit per block
+                if receive(1):
+                    g[by, bx, 0] |= 1 << al
+
+        unit = 0
+        if len(scan) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and unit and unit % ri == 0:
+                        reader.restart()
+                        pred = {cid: 0 for cid in pred}
+                    for cid, _td, _ta in scan:
+                        ch, cv, _tq = by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc_block(cid, my * cv + by, mx * ch + bx)
+                    unit += 1
+        else:  # single component: its own block raster
+            cid = scan[0][0]
+            bh, bw = _comp_block_grid(frame, cid)
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and unit and unit % ri == 0:
+                        reader.restart()
+                        pred = {cid: 0 for cid in pred}
+                    dc_block(cid, by, bx)
+                    unit += 1
+        return reader.next_marker_pos()
+
+    # AC scan: always non-interleaved (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("corrupt JPEG: bad spectral band")
+    cid, _td, ta = scan[0]
+    ac_tbl = state.huff.get((1, ta))
+    if ac_tbl is None:
+        raise ValueError("corrupt JPEG: missing table for scan")
+    g = grids[cid]
+    bh, bw = _comp_block_grid(frame, cid)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                reader.restart()
+                eobrun = 0
+            unit += 1
+            b = g[by, bx]
+            if ah == 0:  # first scan of this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = decode_huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: AC index overflow")
+                    b[k] = _extend(receive(s), s) << al
+                    k += 1
+                continue
+            # refinement scan (G.2.2): correction bits + new coefficients
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = decode_huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    s_val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        # r == 15: ZRL over 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "corrupt JPEG: refinement magnitude != 1"
+                            )
+                        s_val = p1 if receive(1) else m1
+                    while k <= se:
+                        ck = int(b[k])
+                        if ck != 0:
+                            if receive(1) and (ck & p1) == 0:
+                                b[k] = ck + (p1 if ck >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s_val and k <= se:
+                        b[k] = s_val
+                    k += 1
+            if eobrun > 0:  # EOB region: corrections only for the rest
+                while k <= se:
+                    ck = int(b[k])
+                    if ck != 0:
+                        if receive(1) and (ck & p1) == 0:
+                            b[k] = ck + (p1 if ck >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return reader.next_marker_pos()
+
+
+def _prog_finish(state, frame, grids, color_transform):
+    """EOI of a progressive stream: grids → the shared dequant/IDCT
+    assembly."""
+    coef_lists = {}
+    origins = {}
+    for cid, g in grids.items():
+        bh, bw = g.shape[:2]
+        coef_lists[cid] = [
+            [int(v) for v in g[by, bx]]
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        origins[cid] = [
+            (by * 8, bx * 8) for by in range(bh) for bx in range(bw)
+        ]
+    return _idct_assemble(state, frame, coef_lists, origins, color_transform)
+
+
+def _idct_assemble(state, frame, coef_lists, origins, color_transform):
+    """Shared tail of baseline and progressive decode: vectorized
+    dequant + IDCT + plane placement + crop/upsample + color."""
+    h, w, comps, prec = frame
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros(
+            (mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64
+        )
     by_id2 = {cid: tq for cid, _ch, _cv, tq in comps}
+    for _cid, tq in by_id2.items():
+        if tq not in state.quant:
+            raise ValueError("corrupt JPEG: missing quantization table")
     for cid, blocks in coef_lists.items():
         if not blocks:
             continue
@@ -552,12 +806,216 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, bits
 
 
+# Progressive AC scans emit EOBn symbols (r<<4 for r=1..14) that the
+# Annex-K baseline tables lack; this generic table covers the whole
+# 256-symbol space at length 9 (Kraft 0.5 — incomplete, so the all-1s
+# codeword stays reserved per C.2). Inefficient but universally valid.
+_AC_PROG = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _toward_zero(v: int, al: int) -> int:
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first(writer, enc_ac, blocks, ss, se, al) -> None:
+    """Progressive AC first scan (T.81 G.1.2.2): band values with EOB
+    runs and ZRL."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        vals = [_toward_zero(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            t, bits = _magnitude(v)
+            code, ln = enc_ac[(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(bits, t)
+            run = 0
+        if last < len(vals) - 1:
+            eobrun += 1  # trailing zeros fold into the EOB run
+    flush_eob()
+
+
+def _emit_ac_refine(writer, enc_ac, blocks, ss, se, al) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): newly-significant
+    coefficients plus buffered correction bits — the libjpeg
+    encode_mcu_AC_refine structure."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed by the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            for bit in pending:
+                writer.write(bit, 1)
+            eobrun = 0
+            pending = []
+
+    for zz in blocks:
+        ab = [
+            (abs(int(zz[k])) >> al, int(zz[k])) for k in range(ss, se + 1)
+        ]
+        eob_idx = -1
+        for i, (t, _v) in enumerate(ab):
+            if t == 1:
+                eob_idx = i
+        run = 0
+        br: list[int] = []
+        for i, (t, v) in enumerate(ab):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
+                flush_eob()
+                code, ln = enc_ac[0xF0]
+                writer.write(code, ln)
+                run -= 16
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = enc_ac[(run << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if v > 0 else 0, 1)
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(
+    out, seg, comps, coef_blocks, bh, bw, dc_luma, dc_chroma, chroma_tables
+) -> bytes:
+    """Emit the progressive scan script: interleaved DC (Al=1) +
+    refinement, then per-component AC spectral bands with two
+    successive-approximation passes (the libjpeg-style web script)."""
+    ncomp = len(comps)
+    # DHT: standard DC tables + the generic progressive AC table
+    specs = [(0, 0, dc_luma)]
+    if chroma_tables:
+        specs.append((0, 1, dc_chroma))
+    specs.append((1, 0, _AC_PROG))
+    for tc, th, (bits, values) in specs:
+        seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+    enc_dc = [_build_encode_table(*dc_luma)] * ncomp
+    if chroma_tables:
+        enc_dc = enc_dc[:1] + [_build_encode_table(*dc_chroma)] * 2
+    enc_ac = _build_encode_table(*_AC_PROG)
+
+    def sos(comp_specs, ss, se, ah, al):
+        payload = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, payload)
+
+    def run_scan(emit):
+        writer = _BitWriter()
+        emit(writer)
+        writer.flush()
+        out.extend(writer.out)
+
+    # scan 1: interleaved DC first, Al=1
+    dc_ids = [
+        (i + 1, 1 if (chroma_tables and i) else 0, 0) for i in range(ncomp)
+    ]
+    sos(dc_ids, 0, 0, 0, 1)
+
+    def dc_first(writer):
+        pred = [0] * ncomp
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                dc = int(coef_blocks[ci][bi][0]) >> 1  # arithmetic shift
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t, bits = _magnitude(diff)
+                code, ln = enc_dc[ci][t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(bits, t)
+
+    run_scan(dc_first)
+
+    # scan 2: DC refinement, Ah=1 Al=0 (raw bits, no Huffman)
+    sos(dc_ids, 0, 0, 1, 0)
+    run_scan(
+        lambda writer: [
+            writer.write((int(coef_blocks[ci][bi][0]) >> 0) & 1, 1)
+            for bi in range(bh * bw)
+            for ci in range(ncomp)
+        ]
+    )
+
+    bands = [(1, 5), (6, 63)]
+    # AC first scans at Al=2, then SA refinements 2→1 and 1→0
+    for ci in range(ncomp):
+        for ss, se in bands:
+            sos([(ci + 1, 0, 0)], ss, se, 0, 2)
+            run_scan(
+                lambda w, ci=ci, ss=ss, se=se: _emit_ac_first(
+                    w, enc_ac, coef_blocks[ci], ss, se, 2
+                )
+            )
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                sos([(ci + 1, 0, 0)], ss, se, ah, al)
+                run_scan(
+                    lambda w, ci=ci, ss=ss, se=se, al=al: _emit_ac_refine(
+                        w, enc_ac, coef_blocks[ci], ss, se, al
+                    )
+                )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_encode(
     img: np.ndarray,
     quality: int = 90,
     restart_interval: int = 0,
     color_transform: bool = True,
     precision: int = 8,
+    progressive: bool = False,
 ) -> bytes:
     """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a baseline
     sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT).
@@ -569,8 +1027,19 @@ def jpeg_encode(
     ``precision=12`` encodes uint16 samples (≤ 4095) as extended
     sequential 12-bit (SOF1) with a 16-category DC table; AC
     coefficients that exceed the Annex-K size range (very sharp data
-    at very high quality) raise ``ValueError`` — lower the quality."""
+    at very high quality) raise ``ValueError`` — lower the quality.
+    ``progressive=True`` writes SOF2 with the standard web progression
+    (interleaved DC at Al=1 + refinement, then per-component spectral
+    bands 1-5/6-63 at Al=2 with two successive-approximation
+    refinement passes) — identical reconstruction to baseline, since
+    both carry the same quantized coefficients losslessly."""
     img = np.asarray(img)
+    if progressive and precision != 8:
+        raise NotImplementedError("progressive encode is 8-bit only")
+    if progressive and restart_interval:
+        raise NotImplementedError(
+            "restart intervals with progressive encode unsupported"
+        )
     if precision == 8:
         if img.dtype != np.uint8:
             raise ValueError("jpeg_encode expects uint8 samples")
@@ -613,15 +1082,38 @@ def jpeg_encode(
     seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     if chroma_tables:
         seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
-    # SOF0 (baseline) / SOF1 (extended sequential, 12-bit)
+    # SOF0 (baseline) / SOF1 (extended sequential, 12-bit) / SOF2
     sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for i in range(len(comps)):
         tq = 1 if (chroma_tables and i) else 0
         sof += struct.pack(">BBB", i + 1, 0x11, tq)
-    seg(0xC0, sof)
-    # DHT ×4 (or ×2 for grayscale / untransformed RGB)
+    seg(0xC2 if progressive else 0xC0, sof)
+    # per-component DCT over edge-replicated 8-multiple padding
+    # (shared by the baseline and progressive paths: both entropy-code
+    # the SAME quantized coefficients)
+    bh, bw = -(-h // 8), -(-w // 8)
+    coef_blocks = []
+    for ci, plane in enumerate(comps):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _fdct(blocks - level)
+        q = quants[ci].reshape(1, 8, 8)
+        coef_blocks.append(
+            np.rint(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        )
+
     dc_luma = _DC_12BIT if precision == 12 else _DC_LUMA
     dc_chroma = _DC_12BIT if precision == 12 else _DC_CHROMA
+
+    if progressive:
+        return _encode_progressive(
+            out, seg, comps, coef_blocks, bh, bw,
+            dc_luma, dc_chroma, chroma_tables,
+        )
+
+    # DHT ×4 (or ×2 for grayscale / untransformed RGB)
     specs = [(0, 0, dc_luma), (1, 0, _AC_LUMA)]
     if chroma_tables:
         specs += [(0, 1, dc_chroma), (1, 1, _AC_CHROMA)]
@@ -641,20 +1133,6 @@ def jpeg_encode(
     if chroma_tables:
         enc_dc = enc_dc[:1] + [_build_encode_table(*dc_chroma)] * 2
         enc_ac = enc_ac[:1] + [_build_encode_table(*_AC_CHROMA)] * 2
-
-    # per-component DCT over edge-replicated 8-multiple padding
-    bh, bw = -(-h // 8), -(-w // 8)
-    coef_blocks = []
-    for ci, plane in enumerate(comps):
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = (
-            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        coefs = _fdct(blocks - level)
-        q = quants[ci].reshape(1, 8, 8)
-        coef_blocks.append(
-            np.rint(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
-        )
 
     writer = _BitWriter()
     pred = [0] * len(comps)

@@ -721,6 +721,13 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG((i.i*3) % 256), 6), ROUND(AVG((i.i*3) % 256), 6),
            ROUND(AVG((i.i*3) % 256), 6)
     FROM (SELECT unnest(generate_series(0, 12*16 - 1)) AS i) i
+    UNION ALL
+    -- progressive JPEG (SOF2, full SA/SS): lossy, so the deterministic
+    -- decoder's means are pinned as goldens — equal to the BASELINE
+    -- encode's means by construction (same quantized coefficients)
+    SELECT * FROM (VALUES (CAST(16 AS BIGINT), 'image',
+                           125.767094, 126.989316, 126.688034))
+           pj(media_id, kind, mean_r, mean_g, mean_b)
     """,
 )
 def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,6 +757,9 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     g15 = ((np.arange(12 * 16).reshape(12, 16) * 3) % 256).astype(np.uint8)
     with open(os.path.join(d, "15.pgm"), "wb") as f:
         f.write(pnm_encode(g15))
+    rgb16 = ((np.arange(18 * 26 * 3).reshape(18, 26, 3) * 5 + 11) % 256).astype(np.uint8)
+    with open(os.path.join(d, "16.jpg"), "wb") as f:
+        f.write(jpeg_encode(rgb16, quality=88, progressive=True))
     from ome_arrow_spark.sources.gif_minimal import gif_encode
 
     gray = ((np.arange(18 * 22).reshape(18, 22) * 7) % 256).astype(np.uint8)

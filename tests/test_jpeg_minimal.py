@@ -93,13 +93,15 @@ def test_abbreviated_stream_with_external_tables():
         parse_tables(full)
 
 
-def test_progressive_rejected():
+def test_arithmetic_coding_rejected():
+    """Progressive (SOF2) is now decoded; arithmetic-coded streams
+    (SOF9) still gate honestly."""
     blob = bytearray(jpeg_encode(_smooth(8, 8)))
     i = 2
     while blob[i + 1] != 0xC0:
         i += 2 + int.from_bytes(blob[i + 2 : i + 4], "big")
-    blob[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[i + 1] = 0xC9  # SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_decode(bytes(blob))
 
 
@@ -440,3 +442,77 @@ def test_mutation_fuzz_only_valueerror_escapes():
             jpeg_decode(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+class TestProgressive:
+    def test_progressive_equals_baseline_matrix(self):
+        """SOF2 and SOF0 carry the same quantized coefficients, so
+        their decodes must be bit-identical — across gray/RGB, odd
+        dims, and qualities."""
+        rng = np.random.default_rng(17)
+        for shape, q in [((8, 8), 90), ((17, 13), 85), ((16, 16, 3), 90),
+                         ((21, 19, 3), 60), ((64, 48, 3), 80)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = jpeg_decode(jpeg_encode(img, quality=q))
+            prog = jpeg_decode(jpeg_encode(img, quality=q, progressive=True))
+            assert np.array_equal(base, prog), (shape, q)
+
+    def test_stream_structure(self):
+        img = np.random.default_rng(1).integers(0, 256, (16, 16, 3), np.uint8)
+        data = jpeg_encode(img, quality=80, progressive=True)
+        assert b"\xff\xc2" in data          # SOF2
+        assert data.count(b"\xff\xda") == 20  # DC(2) + 3 comps x 6 AC scans
+
+    def test_smooth_and_spiky_content(self):
+        """EOB-run-heavy (smooth) and ZRL-heavy (sparse spikes)
+        entropy paths both reconstruct exactly."""
+        yy, xx = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+        smooth = ((np.sin(yy / 9) + np.cos(xx / 11)) * 60 + 128).astype(np.uint8)
+        spiky = np.full((40, 56), 128, np.uint8)
+        spiky[5, 7] = 255
+        spiky[30, 50] = 0
+        for img in (smooth, spiky):
+            base = jpeg_decode(jpeg_encode(img, quality=70))
+            prog = jpeg_decode(jpeg_encode(img, quality=70, progressive=True))
+            assert np.array_equal(base, prog)
+
+    def test_contract_fuzz(self):
+        """Truncation/corruption of progressive streams leaks only the
+        documented exception types."""
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        good = jpeg_encode(img, quality=80, progressive=True)
+        for n in range(2, len(good), 3):
+            try:
+                jpeg_decode(good[:n])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(1200):
+            b = bytearray(good)
+            for _ in range(rng.integers(1, 5)):
+                b[rng.integers(2, len(b))] = rng.integers(0, 256)
+            try:
+                jpeg_decode(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_encode_gates(self):
+        img = np.zeros((8, 8), np.uint8)
+        with pytest.raises(NotImplementedError, match="restart"):
+            jpeg_encode(img, progressive=True, restart_interval=2)
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            jpeg_encode(
+                np.zeros((8, 8), np.uint16), progressive=True, precision=12
+            )
+
+    def test_decode_media_dispatch(self):
+        from ome_arrow_spark.operators.multimodal import decode_media
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (12, 18, 3), np.uint8)
+        kind, arr, meta = decode_media(
+            jpeg_encode(rgb, quality=85, progressive=True)
+        )
+        assert kind == "image" and meta["format"] == "jpeg"
+        base = jpeg_decode(jpeg_encode(rgb, quality=85))
+        assert np.array_equal(arr, base)
