@@ -1009,6 +1009,253 @@ def _encode_progressive(
     return bytes(out)
 
 
+def jpeg_encode_subsampled(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    progressive: bool = False,
+) -> bytes:
+    """Encode uint8 RGB (H, W, 3) with chroma subsampling — 4:2:0
+    (``"420"``, the web default) or 4:2:2 (``"422"``).  Luma keeps full
+    resolution; chroma is box-averaged over the sampling block.
+    ``progressive=True`` writes the same SOF2 script as
+    :func:`jpeg_encode` — both forms carry identical quantized
+    coefficients, so subsampled progressive and subsampled baseline
+    decode bit-identically (and exercise the decoder's non-interleaved
+    per-component block grids)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("jpeg_encode_subsampled expects uint8 (H, W, 3)")
+    try:
+        hs, vs = {"420": (2, 2), "422": (2, 1)}[subsampling]
+    except KeyError:
+        raise ValueError(
+            f"subsampling must be '420' or '422', got {subsampling!r}"
+        ) from None
+    h, w = img.shape[:2]
+    level = 128.0
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
+
+    mcus_y = -(-h // (8 * vs))
+    mcus_x = -(-w // (8 * hs))
+    ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+    ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    sub_planes = []
+    for c in (cb, cr):
+        cpad = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+        sub_planes.append(
+            cpad.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        )
+
+    ql = scaled_quant(_QUANT_LUMA, quality)
+    qc = scaled_quant(_QUANT_CHROMA, quality)
+
+    def zz_blocks(plane, q):
+        bh2, bw2 = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh2, 8, bw2, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _fdct(blocks - level)
+        return (
+            np.rint(coefs / q.reshape(1, 8, 8))
+            .astype(np.int32)
+            .reshape(-1, 64)[:, ZIGZAG],
+            bh2,
+            bw2,
+        )
+
+    yzz, ybh, ybw = zz_blocks(ypad, ql)
+    czz = [zz_blocks(p, qc) for p in sub_planes]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += struct.pack(">BBB", 1, (hs << 4) | vs, 0)
+    sof += struct.pack(">BBB", 2, 0x11, 1)
+    sof += struct.pack(">BBB", 3, 0x11, 1)
+    seg(0xC2 if progressive else 0xC0, sof)
+
+    enc_dc = [
+        _build_encode_table(*_DC_LUMA),
+        _build_encode_table(*_DC_CHROMA),
+        _build_encode_table(*_DC_CHROMA),
+    ]
+
+    def mcu_y_index(my, mx, by, bx):
+        return (my * vs + by) * ybw + (mx * hs + bx)
+
+    if progressive:
+        for tc, th, tbl in (
+            (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG),
+        ):
+            bits, values = tbl
+            seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+        enc_ac = _build_encode_table(*_AC_PROG)
+
+        def sos(comp_specs, ss, se, ah, al):
+            payload = bytes([len(comp_specs)])
+            for cid, td, ta in comp_specs:
+                payload += bytes([cid, (td << 4) | ta])
+            payload += bytes([ss, se, (ah << 4) | al])
+            seg(0xDA, payload)
+
+        def run_scan(emit):
+            writer = _BitWriter()
+            emit(writer)
+            writer.flush()
+            out.extend(writer.out)
+
+        dc_ids = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+        sos(dc_ids, 0, 0, 0, 1)
+
+        def dc_first(writer):
+            pred = [0, 0, 0]
+
+            def one(ci, zz):
+                dc = int(zz[0]) >> 1
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t, bits = _magnitude(diff)
+                code, ln = enc_dc[ci][t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(bits, t)
+
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one(0, yzz[mcu_y_index(my, mx, by, bx)])
+                    one(1, czz[0][0][my * mcus_x + mx])
+                    one(2, czz[1][0][my * mcus_x + mx])
+
+        run_scan(dc_first)
+
+        sos(dc_ids, 0, 0, 1, 0)
+
+        def dc_refine(writer):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            writer.write(
+                                int(yzz[mcu_y_index(my, mx, by, bx)][0]) & 1, 1
+                            )
+                    writer.write(int(czz[0][0][my * mcus_x + mx][0]) & 1, 1)
+                    writer.write(int(czz[1][0][my * mcus_x + mx][0]) & 1, 1)
+
+        run_scan(dc_refine)
+
+        # non-interleaved AC scans emit ONLY the spec's component block
+        # grid (ceil(comp_size/8)) — MCU-padding blocks carry no AC
+        def comp_ac_blocks(ci):
+            if ci == 0:
+                bh2 = -(-h // 8)
+                bw2 = -(-w // 8)
+                return [
+                    yzz[by * ybw + bx]
+                    for by in range(bh2)
+                    for bx in range(bw2)
+                ]
+            zz, _cbh, cbw = czz[ci - 1]
+            ch2 = -(-h // vs)  # component's own downsampled size
+            cw2 = -(-w // hs)
+            bh2 = -(-ch2 // 8)
+            bw2 = -(-cw2 // 8)
+            return [
+                zz[by * cbw + bx] for by in range(bh2) for bx in range(bw2)
+            ]
+
+        bands = [(1, 5), (6, 63)]
+        for ci in range(3):
+            blocks = comp_ac_blocks(ci)
+            for ss, se in bands:
+                sos([(ci + 1, 0, 0)], ss, se, 0, 2)
+                run_scan(
+                    lambda wtr, blocks=blocks, ss=ss, se=se: _emit_ac_first(
+                        wtr, enc_ac, blocks, ss, se, 2
+                    )
+                )
+        for ah, al in ((2, 1), (1, 0)):
+            for ci in range(3):
+                blocks = comp_ac_blocks(ci)
+                for ss, se in bands:
+                    sos([(ci + 1, 0, 0)], ss, se, ah, al)
+                    run_scan(
+                        lambda wtr, blocks=blocks, ss=ss, se=se, al=al:
+                        _emit_ac_refine(wtr, enc_ac, blocks, ss, se, al)
+                    )
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    # baseline interleaved scan
+    for tc, th, tbl in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    ):
+        bits, values = tbl
+        seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    seg(0xDA, sos)
+    enc_ac = [
+        _build_encode_table(*_AC_LUMA),
+        _build_encode_table(*_AC_CHROMA),
+        _build_encode_table(*_AC_CHROMA),
+    ]
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit_block(ci, zz):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t, bits = _magnitude(diff)
+        code, ln = enc_dc[ci][t]
+        writer.write(code, ln)
+        if t:
+            writer.write(bits, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[ci][0xF0]
+                writer.write(code, ln)
+                run -= 16
+            t, bits = _magnitude(v)
+            code, ln = enc_ac[ci][(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(bits, t)
+            run = 0
+        if run:
+            code, ln = enc_ac[ci][0x00]
+            writer.write(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(vs):
+                for bx in range(hs):
+                    emit_block(0, yzz[mcu_y_index(my, mx, by, bx)])
+            emit_block(1, czz[0][0][my * mcus_x + mx])
+            emit_block(2, czz[1][0][my * mcus_x + mx])
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_encode(
     img: np.ndarray,
     quality: int = 90,

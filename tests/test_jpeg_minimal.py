@@ -516,3 +516,57 @@ class TestProgressive:
         assert kind == "image" and meta["format"] == "jpeg"
         base = jpeg_decode(jpeg_encode(rgb, quality=85))
         assert np.array_equal(arr, base)
+
+
+class TestSubsampledEncode:
+    def _smooth_rgb(self, h=37, w=45):
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        g = ((np.sin(yy / 7) + np.cos(xx / 9)) * 50 + 128).astype(np.uint8)
+        return np.stack([g, np.roll(g, 5, 1), 255 - g], -1)
+
+    @pytest.mark.parametrize("sub,byte", [("420", 0x22), ("422", 0x21)])
+    def test_baseline_roundtrip_bounded(self, sub, byte):
+        from ome_arrow_spark.sources.jpeg_minimal import (
+            jpeg_encode_subsampled,
+        )
+
+        rgb = self._smooth_rgb()
+        blob = jpeg_encode_subsampled(rgb, quality=90, subsampling=sub)
+        i = blob.find(b"\xff\xc0")
+        assert blob[i + 2 + 2 + 6 + 1] == byte  # luma sampling factors
+        dec = jpeg_decode(blob)
+        assert dec.shape == rgb.shape
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 32
+
+    @pytest.mark.parametrize("sub", ["420", "422"])
+    def test_progressive_equals_baseline_subsampled(self, sub):
+        """Subsampled SOF2 == subsampled SOF0 bit-exactly — this is
+        the test that drives the decoder's NON-INTERLEAVED component
+        block grids (ceil(comp/8), not the MCU-padded grid) through
+        odd dimensions."""
+        from ome_arrow_spark.sources.jpeg_minimal import (
+            jpeg_encode_subsampled,
+        )
+
+        rng = np.random.default_rng(41)
+        for _ in range(6):
+            h = int(rng.integers(9, 50))
+            w = int(rng.integers(9, 50))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            d1 = jpeg_decode(jpeg_encode_subsampled(img, 75, sub))
+            d2 = jpeg_decode(
+                jpeg_encode_subsampled(img, 75, sub, progressive=True)
+            )
+            assert np.array_equal(d1, d2), (h, w, sub)
+
+    def test_input_validation(self):
+        from ome_arrow_spark.sources.jpeg_minimal import (
+            jpeg_encode_subsampled,
+        )
+
+        with pytest.raises(ValueError, match="uint8"):
+            jpeg_encode_subsampled(np.zeros((8, 8), np.uint8))
+        with pytest.raises(ValueError, match="subsampling"):
+            jpeg_encode_subsampled(
+                np.zeros((8, 8, 3), np.uint8), subsampling="411"
+            )
