@@ -726,7 +726,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- decoder's means are pinned as goldens — equal to the BASELINE
     -- encode's means by construction (same quantized coefficients)
     SELECT * FROM (VALUES (CAST(16 AS BIGINT), 'image',
-                           125.767094, 126.989316, 126.688034))
+                           125.767094, 126.989316, 126.688034),
+                          -- 4:2:0-subsampled PROGRESSIVE JPEG: drives
+                          -- the non-interleaved per-component block
+                          -- grids through the gate
+                          (CAST(17 AS BIGINT), 'image',
+                           127.171212, 127.0, 127.028788))
            pj(media_id, kind, mean_r, mean_g, mean_b)
     """,
 )
@@ -760,6 +765,15 @@ def media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rgb16 = ((np.arange(18 * 26 * 3).reshape(18, 26, 3) * 5 + 11) % 256).astype(np.uint8)
     with open(os.path.join(d, "16.jpg"), "wb") as f:
         f.write(jpeg_encode(rgb16, quality=88, progressive=True))
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_subsampled
+
+    rgb17 = ((np.arange(22 * 30 * 3).reshape(22, 30, 3) * 9 + 7) % 256).astype(np.uint8)
+    with open(os.path.join(d, "17.jpg"), "wb") as f:
+        f.write(
+            jpeg_encode_subsampled(
+                rgb17, quality=85, subsampling="420", progressive=True
+            )
+        )
     from ome_arrow_spark.sources.gif_minimal import gif_encode
 
     gray = ((np.arange(18 * 22).reshape(18, 22) * 7) % 256).astype(np.uint8)
