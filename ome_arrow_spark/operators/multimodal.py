@@ -9,12 +9,13 @@ The media table schema:
           meta struct<width int, height int, n_frames int,
                       sample_rate int, format string>)
 
-Decode gating: real codecs (PIL/soundfile/av) are absent in this
-container, so real formats raise ``NotImplementedError``; deterministic
-FMED containers (header + raw payload) make the Spark plumbing —
-binary column handling, Arrow batch transfer, UDF signatures, output
-schemas — fully real and tested. Swap ``_decode_*`` for the real codec
-calls on a cluster with the libs installed; nothing else changes.
+Decode: JPEG (baseline + progressive, incl. subsampled), PNG (incl.
+Adam7), GIF (incl. animation), BMP, netpbm, WAV-PCM, and raw/MJPEG AVI
+all decode through the engine's own built-in codecs; compressed
+audio/video (MP3/H.264-class) honestly gate on soundfile/av.
+Deterministic FMED containers (header + raw payload) additionally make
+the Spark plumbing — binary column handling, Arrow batch transfer, UDF
+signatures, output schemas — testable with SQL-derivable arithmetic.
 """
 
 from __future__ import annotations
@@ -61,10 +62,11 @@ def _split(data: bytes, magic: bytes) -> tuple[dict, bytes]:
 
 
 def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
-    """bytes → (kind, array, meta). Baseline JPEG decodes through the
-    engine's own codec (sources/jpeg_minimal); FMED containers carry
-    raw test payloads; remaining real formats (PNG/audio/video) gate on
-    PIL/soundfile/av."""
+    """bytes → (kind, array, meta). Baseline AND progressive JPEG,
+    PNG (incl. Adam7), GIF, BMP, netpbm, WAV-PCM, and raw/MJPEG AVI
+    decode through the engine's own codecs; FMED containers carry raw
+    test payloads; compressed audio/video (MP3/H.264-class) gate on
+    soundfile/av."""
     if data[:6] == FIMG_MAGIC:
         h, payload = _split(data, FIMG_MAGIC)
         arr = np.frombuffer(payload, np.uint8).reshape(h["h"], h["w"], 3)
