@@ -333,6 +333,7 @@ def _decode_stream(
     pos = 2
     frame = None
     progressive = False
+    lossless = False
     grids: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(data) + 2:
         if data[pos] != 0xFF:
@@ -380,7 +381,7 @@ def _decode_stream(
                 (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline(+ext) / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
             try:
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 comps = []
@@ -393,11 +394,15 @@ def _decode_stream(
                     comps.append((cid, hv >> 4, hv & 15, tq))
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"corrupt JPEG: precision {prec}")
+            elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             frame = (h, w, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "arithmetic/lossless/differential JPEG unsupported"
@@ -416,6 +421,10 @@ def _decode_stream(
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 15))
+            if lossless:
+                return _decode_lossless_scan(
+                    data, pos + seglen, state, frame, scan, seg[1 + 2 * ns]
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, state, frame, scan, color_transform
@@ -921,6 +930,156 @@ def _emit_ac_refine(writer, enc_ac, blocks, ss, se, al) -> None:
             if eobrun == 0x7FFF:
                 flush_eob()
     flush_eob()
+
+
+# Lossless JPEG (SOF3) difference categories span 0..16; a flat
+# 17-symbol table (length 5, Kraft 17/32) is universally valid.
+_DC_LOSSLESS = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+_LOSSLESS_PREDICT = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def jpeg_encode_lossless(
+    img: np.ndarray, predictor: int = 1, precision: int | None = None
+) -> bytes:
+    """Lossless JPEG (ITU T.81 Annex H, SOF3) — predictive Huffman
+    coding, NO DCT, bit-exact round-trip.  The compression class old
+    DICOM/medical TIFFs carry, and an exact-fidelity carrier for the
+    OME uint16 pixel model.  ``img``: uint8 or uint16, (H, W) gray or
+    (H, W, 3); ``predictor`` ∈ 1..7 (T.81 H.1.2.1)."""
+    img = np.asarray(img)
+    if predictor not in _LOSSLESS_PREDICT:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if img.dtype.kind == "u" and img.dtype.itemsize == 1:
+        prec = precision or 8
+    elif img.dtype.kind == "u" and img.dtype.itemsize == 2:
+        prec = precision or 16  # either byte order
+    else:
+        raise ValueError("jpeg_encode_lossless expects uint8/uint16")
+    if not (2 <= prec <= 16) or img.max(initial=0) >= (1 << prec):
+        raise ValueError(f"samples exceed {prec}-bit precision")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expects (H, W) or (H, W, 3)")
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else 3
+    planes = [
+        (img if gray else img[..., c]).astype(np.int64) for c in range(ncomp)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for i in range(ncomp):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    seg(0xC3, sof)
+    bits_, vals_ = _DC_LOSSLESS
+    seg(0xC4, bytes([0x00] + bits_) + bytes(vals_))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    seg(0xDA, sos)
+
+    enc = _build_encode_table(*_DC_LOSSLESS)
+    writer = _BitWriter()
+    pred_fn = _LOSSLESS_PREDICT[predictor]
+    default = 1 << (prec - 1)
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                if y == 0 and x == 0:
+                    pv = default
+                elif y == 0:
+                    pv = int(p[0, x - 1])
+                elif x == 0:
+                    pv = int(p[y - 1, 0])
+                else:
+                    pv = pred_fn(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                diff = (int(p[y, x]) - pv) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    code, ln = enc[16]
+                    writer.write(code, ln)  # category 16: no extra bits
+                else:
+                    t, bits = _magnitude(diff)
+                    code, ln = enc[t]
+                    writer.write(code, ln)
+                    if t:
+                        writer.write(bits, t)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _decode_lossless_scan(data, pos, state, frame, scan, predictor):
+    """SOF3 scan decode (T.81 Annex H): per-sample predictive
+    differences, modulo-2^16 reconstruction."""
+    h, w, comps, prec = frame
+    if state.restart_interval:
+        raise NotImplementedError(
+            "restart intervals in lossless JPEG unsupported"
+        )
+    if any(ch != 1 or cv != 1 for _cid, ch, cv, _tq in comps):
+        raise NotImplementedError("subsampled lossless JPEG unsupported")
+    if predictor not in _LOSSLESS_PREDICT:
+        raise ValueError(f"corrupt JPEG: lossless predictor {predictor}")
+    tables = {}
+    for cid, td, _ta in scan:
+        tbl = state.huff.get((0, td))
+        if tbl is None:
+            raise ValueError("corrupt JPEG: missing table for scan")
+        tables[cid] = tbl
+    reader = _BitReader(data, pos)
+    decode_huffman = reader.decode_huffman
+    receive = reader.receive
+    pred_fn = _LOSSLESS_PREDICT[predictor]
+    default = 1 << (prec - 1)
+    planes = {cid: np.zeros((h, w), dtype=np.int64) for cid, *_ in scan}
+    order = [cid for cid, *_ in scan]
+    for y in range(h):
+        for x in range(w):
+            for cid in order:
+                p = planes[cid]
+                if y == 0 and x == 0:
+                    pv = default
+                elif y == 0:
+                    pv = int(p[0, x - 1])
+                elif x == 0:
+                    pv = int(p[y - 1, 0])
+                else:
+                    pv = pred_fn(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                t = decode_huffman(tables[cid])
+                if t > 16:
+                    raise ValueError("corrupt JPEG: lossless category > 16")
+                diff = 32768 if t == 16 else _extend(receive(t), t)
+                p[y, x] = (pv + diff) & 0xFFFF
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    mask = (1 << prec) - 1
+    outs = [(planes[cid] & mask).astype(dtype) for cid in order]
+    if len(outs) == 1:
+        return outs[0]
+    return np.stack(outs, axis=-1)
 
 
 def _encode_progressive(

@@ -85,7 +85,10 @@ COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "ccitt_rle": COMPRESSION_CCITT_MH,
                      "ccitt_g4": COMPRESSION_CCITT_G4,
                      "zstd": COMPRESSION_ZSTD,
-                     "jpeg": COMPRESSION_JPEG}
+                     "jpeg": COMPRESSION_JPEG,
+                     # SOF3 predictive streams under the same tag 7 —
+                     # the DICOM/medical-TIFF class, EXACT for uint16
+                     "jpeg_lossless": COMPRESSION_JPEG}
 
 # BYTE ASCII SHORT LONG RATIONAL UNDEFINED ... LONG8 SLONG8 IFD8
 # (BigTIFF, TIFF supplement 2)
@@ -432,7 +435,11 @@ def _decode_jpeg_ifd(
         for i, (o, c) in enumerate(zip(offsets, counts)):
             tile = dec(data[o : o + c])
             if plane is None:
-                plane = np.zeros((height, width, tile.shape[2]), dtype=np.uint8)
+                # tile dtype drives the canvas (uint16 for SOF3
+                # lossless / 12-bit segments, uint8 for baseline)
+                plane = np.zeros(
+                    (height, width, tile.shape[2]), dtype=tile.dtype
+                )
             ty, tx = divmod(i, ntx)
             rows = min(th, height - ty * th)
             cols = min(tw, width - tx * tw)
@@ -588,8 +595,12 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             kind = ("i" if fmt == 2 else "u") + ("1" if bits == 8 else "2")
         dtype = np.dtype(("<" if bo == "<" else ">") + kind)
         if comp == COMPRESSION_JPEG:
-            if fmt != 1 or bits != 8:
-                raise NotImplementedError("JPEG-in-TIFF: 8-bit unsigned only")
+            # 8-bit unsigned for DCT streams; 16-bit rides SOF3
+            # lossless segments (jpeg_minimal decodes both)
+            if fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    "JPEG-in-TIFF: 8/16-bit unsigned only"
+                )
             if predictor != 1:
                 raise NotImplementedError("Predictor with JPEG unsupported")
             if planar == 2 and spp > 1:
@@ -867,11 +878,13 @@ def encode_tiff_baseline(
             f"unknown compression {compression!r}; built-in codecs: "
             f"{sorted(COMPRESSION_NAMES)}"
         ) from None
+    lossless_jpeg = compression == "jpeg_lossless"
     if comp == COMPRESSION_JPEG:
-        if vol.dtype != np.uint8:
+        if vol.dtype != np.uint8 and not lossless_jpeg:
             raise ValueError(
                 "compression='jpeg' is 8-bit only (and lossy) — pass uint8 "
-                "samples; the OME uint16 pixel model should use a lossless codec"
+                "samples; the OME uint16 pixel model round-trips exactly "
+                "through compression='jpeg_lossless' (SOF3)"
             )
         if predictor:
             raise NotImplementedError("Predictor with JPEG unsupported")
@@ -919,9 +932,14 @@ def encode_tiff_baseline(
 
     def _seg_bytes(arr: np.ndarray) -> bytes:
         if comp == COMPRESSION_JPEG:
-            from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+            from ome_arrow_spark.sources.jpeg_minimal import (
+                jpeg_encode,
+                jpeg_encode_lossless,
+            )
 
             a = arr[..., 0] if arr.shape[-1] == 1 else arr
+            if lossless_jpeg:
+                return jpeg_encode_lossless(np.ascontiguousarray(a))
             return jpeg_encode(
                 np.ascontiguousarray(a),
                 quality=jpeg_quality,
@@ -975,7 +993,8 @@ def encode_tiff_baseline(
             # WhiteIsZero (CCITT fax) / BlackIsZero / RGB / YCbCr (JPEG
             # segments carry the color transform themselves, TTN2)
             (TAG_PHOTOMETRIC, 3, 1,
-             [(6 if comp == COMPRESSION_JPEG and jpeg_photometric != "rgb"
+             [(6 if comp == COMPRESSION_JPEG and not lossless_jpeg
+               and jpeg_photometric != "rgb"
                else 2) if spp >= 3 else (0 if ccitt else 1)]),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
         ]

@@ -257,6 +257,12 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT 'zstd_pred', zz.z, SUM((zz.z*11 + 4*ii.i) % 65536)
            FROM zz, ii GROUP BY zz.z
            UNION ALL
+           -- SOF3 lossless JPEG under Compression=7: BIT-EXACT, so —
+           -- unlike the lossy jpeg rows — the oracle derives the
+           -- uint16 sums arithmetically
+           SELECT 'jpeg_lossless', zz.z, SUM((zz.z*23 + 6*ii.i) % 65536)
+           FROM zz, ii GROUP BY zz.z
+           UNION ALL
            -- new-style JPEG (Compression=7) is lossy: no arithmetic
            -- derivation exists, so the deterministic decoder's plane
            -- sums are pinned as golden values (codec drift → red row)
@@ -325,6 +331,11 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.stack([((zi * 11 + 4 * i) % 65536).reshape(y, x) for zi in range(z)])
             .astype(np.uint16),
             {"compression": "zstd", "predictor": True, "rows_per_strip": 14},
+        ),
+        "jpeg_lossless": (
+            np.stack([((zi * 23 + 6 * i) % 65536).reshape(y, x) for zi in range(z)])
+            .astype(np.uint16),
+            {"compression": "jpeg_lossless", "rows_per_strip": 11},
         ),
     }
     for iid, (vol, kw) in specs.items():

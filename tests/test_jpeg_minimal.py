@@ -570,3 +570,82 @@ class TestSubsampledEncode:
             jpeg_encode_subsampled(
                 np.zeros((8, 8, 3), np.uint8), subsampling="411"
             )
+
+
+class TestLossless:
+    @pytest.mark.parametrize(
+        "shape,dtype",
+        [((13, 17), np.uint8), ((16, 24, 3), np.uint8),
+         ((11, 9), np.uint16), ((20, 14, 3), np.uint16), ((1, 1), np.uint8)],
+    )
+    @pytest.mark.parametrize("pred", [1, 4, 7])
+    def test_bit_exact_roundtrip(self, shape, dtype, pred):
+        from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_lossless
+
+        rng = np.random.default_rng(51)
+        hi = 256 if dtype == np.uint8 else 65536
+        img = rng.integers(0, hi, shape, dtype=dtype)
+        back = jpeg_decode(jpeg_encode_lossless(img, predictor=pred))
+        assert back.dtype == dtype and np.array_equal(back, img)
+
+    def test_all_predictors_agree(self):
+        from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_lossless
+
+        rng = np.random.default_rng(52)
+        img = rng.integers(0, 65536, (9, 13), dtype=np.uint16)
+        outs = [
+            jpeg_decode(jpeg_encode_lossless(img, predictor=p))
+            for p in range(1, 8)
+        ]
+        for o in outs:
+            assert np.array_equal(o, img)
+
+    def test_12bit_precision(self):
+        from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_lossless
+
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 4096, (10, 12), dtype=np.uint16)
+        back = jpeg_decode(jpeg_encode_lossless(img, precision=12))
+        assert np.array_equal(back, img)
+        with pytest.raises(ValueError, match="precision"):
+            jpeg_encode_lossless(np.full((4, 4), 5000, np.uint16), precision=12)
+
+    def test_contract_fuzz(self):
+        from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_lossless
+
+        rng = np.random.default_rng(54)
+        img = rng.integers(0, 65536, (10, 14), dtype=np.uint16)
+        good = jpeg_encode_lossless(img)
+        for n in range(2, len(good), 5):
+            try:
+                jpeg_decode(good[:n])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(800):
+            b = bytearray(good)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(2, len(b))] = rng.integers(0, 256)
+            try:
+                jpeg_decode(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    @pytest.mark.parametrize(
+        "kw",
+        [{"rows_per_strip": 9}, {"tile": (16, 16)},
+         {"tile": (16, 16), "bigtiff": True},
+         {"rows_per_strip": 7, "big_endian": True}],
+    )
+    def test_tiff_uint16_exact(self, kw):
+        """compression='jpeg_lossless' is the exact-fidelity carrier for
+        the OME uint16 pixel model — bit-exact through every layout."""
+        from ome_arrow_spark.sources.tiff_minimal import (
+            decode_tiff_pages,
+            encode_tiff_baseline,
+        )
+
+        rng = np.random.default_rng(61)
+        vol = rng.integers(0, 65536, (3, 24, 31), dtype=np.uint16)
+        blob = encode_tiff_baseline(vol, compression="jpeg_lossless", **kw)
+        pages, _ = decode_tiff_pages(blob)
+        assert np.array_equal(pages, vol.astype(np.int64))
