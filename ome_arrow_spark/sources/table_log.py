@@ -122,29 +122,98 @@ def current_version(table: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def _atomic_publish(tmp: str, final: str) -> None:
-    """Create-if-absent publish: hard-link then unlink the temp name.
-    ``os.link`` is atomic and fails with EEXIST when the version was
-    taken by a racing writer — the optimistic-concurrency primitive."""
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise ConcurrentCommit(
-            f"version file {os.path.basename(final)} already committed"
-        ) from None
-    finally:
-        os.unlink(tmp)
+class Committer:
+    """Pluggable commit-file publish protocol.
+
+    A table-log commit is ONE create-if-absent publish of the version
+    file: exactly one of N racing writers may succeed, every loser must
+    raise :class:`ConcurrentCommit`.  Everything above this seam
+    (manifest pruning, MERGE, time travel, checkpoints) is
+    storage-agnostic; only this primitive is storage-specific:
+
+    * POSIX / HDFS / NFSv4: :class:`HardLinkCommitter` (default) —
+      ``os.link`` is atomic create-if-absent.
+    * S3 / GCS / ABFS: subclass with a real **conditional PUT**
+      (S3 ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
+      ABFS ``If-None-Match: *`` ETag precondition).
+      :class:`ConditionalPutCommitter` is the local twin of that
+      primitive (single ``O_CREAT|O_EXCL`` create of the final object,
+      no temp name) so the protocol is exercised in its object-store
+      shape in tests.
+    * Stores with only last-writer-wins PUT: a write-then-read-back
+      scheme can *detect* a lost race after the fact but cannot prevent
+      a brief window where the loser's bytes are visible —
+      :class:`tests.test_table_log_property.PlainPutCommitter` injects
+      exactly that backend to prove the suite detects the broken
+      protocol.  Production object-store deployments should use a
+      conditional PUT or an external commit service, never plain PUT.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Publish ``data`` at ``path`` iff ``path`` does not exist;
+        raise :class:`ConcurrentCommit` if it does."""
+        raise NotImplementedError
+
+
+class HardLinkCommitter(Committer):
+    """Default POSIX committer: write+fsync a temp name, then hard-link
+    to the final name.  ``os.link`` is atomic and fails with EEXIST
+    when the version was taken by a racing writer."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommit(
+                f"version file {os.path.basename(path)} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutCommitter(Committer):
+    """Object-store-shaped committer: ONE conditional create of the
+    final object, no temp name, no rename.  ``O_CREAT|O_EXCL`` is the
+    POSIX twin of S3 ``PUT If-None-Match: *`` / GCS
+    ``if-generation-match=0``; a real object-store subclass replaces
+    the body with that HTTP call and the rest of the format is
+    untouched."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ConcurrentCommit(
+                f"version file {os.path.basename(path)} already committed"
+            ) from None
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+
+
+_COMMITTER: Committer = HardLinkCommitter()
+
+
+def set_committer(committer: Committer | None) -> Committer:
+    """Install the commit publish protocol (None → POSIX default);
+    returns the previous committer so tests can restore it."""
+    global _COMMITTER
+    prev = _COMMITTER
+    _COMMITTER = committer if committer is not None else HardLinkCommitter()
+    return prev
 
 
 def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
     log = _log_path(table)
     os.makedirs(log, exist_ok=True)
-    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(entry, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    _atomic_publish(tmp, _version_file(table, version))
+    payload = json.dumps(entry, separators=(",", ":")).encode()
+    _COMMITTER.put_if_absent(_version_file(table, version), payload)
     if version % CHECKPOINT_EVERY == 0 and version > 0:
         # Checkpoints are derived state: best-effort, never raced over
         # (a duplicate write produces identical content).
