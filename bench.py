@@ -52,6 +52,23 @@ BENCH_QUERIES = [
 ]
 
 
+# sf1 subset: the shuffle-heaviest relational queries + the LLM ops
+# whose cost is corpus-size-driven — the regime where partition sizing
+# and skew would first betray a 100×-scale design.
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "window_rank",
+    "sort_topk",
+    "asof_events_orders",
+    "sessionize_events",
+    "dedup_exact",
+    "neardup_lsh",
+    "text_stats",
+]
+
+
 def bench_tiff_ingest(
     spark, n_images: int = 100, side: int = 512, real_tiff: bool = False,
     repeats: int | None = None,
@@ -98,7 +115,8 @@ def bench_tiff_ingest(
         # for IDENTICAL code across runs). The metric is steady-state
         # throughput, so measure steady state.
         action()
-        dt = min(_timed(action) for _ in range(repeats or REPEATS))
+        label = ("ome" if real_tiff else "f") + f"tiff_ingest_{n_images}"
+        dt = REC.timed_best(label, action, repeats or REPEATS)
         return dt, n_images / dt
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -136,7 +154,7 @@ def bench_zarr_ingest(
             stores.append(store)
         action = lambda: plane_stats(from_zarr_manifest(spark, stores)).count()
         action()  # untimed warmup (same rationale as bench_tiff_ingest)
-        dt = min(_timed(action) for _ in range(REPEATS))
+        dt = REC.timed_best("zarr_ingest", action, REPEATS)
         return dt, n_stores / dt
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -171,18 +189,18 @@ def bench_table_log(
         live, total = tl.pruned_file_count(t, predicates=preds)
         scan = lambda: tl.read_table(spark, t, predicates=preds).count()
         scan()  # warm
-        out["table_scan_pruned"] = min(_timed(scan) for _ in range(REPEATS))
+        out["table_scan_pruned"] = REC.timed_best("table_scan_pruned", scan, REPEATS)
         out["table_scan_pruned_files"] = float(live)
         full = lambda: tl.read_table(spark, t).count()
         full()
-        out["table_scan_full"] = min(_timed(full) for _ in range(REPEATS))
+        out["table_scan_full"] = REC.timed_best("table_scan_full", full, REPEATS)
         # MERGE touching the same ~1% slice: upsert rewrites only the
         # key-range-overlapping files (each run adds a version — fine)
         updates = spark.range(lo, hi).select(
             F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
         ).coalesce(1)
         merge = lambda: tl.upsert_table(spark, updates, t, key="k")
-        out["table_merge_pruned"] = min(_timed(merge) for _ in range(REPEATS))
+        out["table_merge_pruned"] = REC.timed_best("table_merge_pruned", merge, REPEATS)
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -207,8 +225,8 @@ def bench_text_index(spark, sf_dir: str) -> dict[str, float]:
             spark, t, ["data", "scan", "join"], k=10
         ).count()
         search()
-        out["text_index_search_prebuilt"] = min(
-            _timed(search) for _ in range(REPEATS)
+        out["text_index_search_prebuilt"] = REC.timed_best(
+            "text_index_search_prebuilt", search, REPEATS
         )
         qdf = spark.createDataFrame(
             [(i, "data scan join merge column filter") for i in range(100)],
@@ -218,18 +236,191 @@ def bench_text_index(spark, sf_dir: str) -> dict[str, float]:
             spark, t, qdf, k=5
         ).count()
         many()
-        out["text_index_search_100q"] = min(
-            _timed(many) for _ in range(REPEATS)
+        out["text_index_search_100q"] = REC.timed_best(
+            "text_index_search_100q", many, REPEATS
         )
         return out
     finally:
         shutil.rmtree(os.path.dirname(t), ignore_errors=True)
 
 
+def make_ann_fixture(
+    out_dir: str, n_vectors: int = 100_000, dim: int = 64,
+    n_queries: int = 20, n_clusters: int = 32, seed: int = 42,
+):
+    """Deterministic clustered vector corpus + queries + brute-force
+    ground truth (numpy): the recall oracle for every ANN index type.
+    Returns (corpus_path, query_rows, truth) where truth[qid] is the
+    exact cosine top-k id list (engine tie-break: round 6 digits, id
+    asc)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    labels = rng.integers(0, n_clusters, n_vectors)
+    X = (centers[labels] + 0.35 * rng.normal(size=(n_vectors, dim))).astype(
+        np.float32
+    )
+    Q = (
+        centers[rng.integers(0, n_clusters, n_queries)]
+        + 0.35 * rng.normal(size=(n_queries, dim))
+    ).astype(np.float32)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = np.round(Qn @ Xn.T, 6)
+    truth = {}
+    for qi in range(n_queries):
+        # engine order: cos desc, corpus id asc — argsort on (-sim, id)
+        order = np.lexsort((np.arange(n_vectors), -sims[qi]))
+        truth[qi] = set(order[:10].tolist())
+    corpus_path = os.path.join(out_dir, "ann_corpus.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(range(n_vectors), pa.int64()),
+                "embedding": pa.array(
+                    X.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        corpus_path,
+    )
+    q_rows = [(int(i), [float(v) for v in Q[i]]) for i in range(n_queries)]
+    return corpus_path, q_rows, truth
+
+
+def _recall_at10(result_rows, truth, query_id="qid", corpus_id="cid") -> float:
+    got: dict[int, set] = {}
+    for r in result_rows:
+        got.setdefault(int(r[query_id]), set()).add(int(r[corpus_id]))
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / (10 * len(truth))
+
+
+def bench_ann(spark, n_vectors: int = 100_000) -> dict[str, float]:
+    """Recall@10 + search wall for every ANN index type at 100k
+    synthetic vectors vs a numpy brute-force oracle (VERDICT r7 "Next
+    round" #6: recall as tracked numbers, not small-fixture tests)."""
+    import shutil
+    import tempfile
+
+    from ome_arrow_spark.operators import ann_index as AI
+    from ome_arrow_spark.operators import pq_index as PQ
+    from ome_arrow_spark.operators import similarity as SIM
+
+    d = tempfile.mkdtemp(prefix="bench_ann_")
+    out: dict[str, float] = {}
+    try:
+        corpus_path, q_rows, truth = make_ann_fixture(d, n_vectors=n_vectors)
+        corpus = spark.read.parquet(corpus_path)
+        queries = spark.createDataFrame(
+            q_rows, "qid long, embedding array<float>"
+        )
+
+        def run(label, fn):
+            rows = fn().collect()
+            out[f"ann_{label}_recall"] = round(_recall_at10(rows, truth), 4)
+            out[f"ann_{label}_wall"] = REC.timed_best(
+                f"ann_{label}", lambda: fn().count(), REPEATS
+            )
+
+        run("brute", lambda: SIM.cosine_topk(queries, corpus, k=10))
+        run(
+            "lsh",
+            lambda: SIM.cosine_topk_lsh(
+                queries, corpus, k=10, n_planes=8, n_tables=16
+            ),
+        )
+        ivf_t = os.path.join(d, "ivf")
+        t0 = time.perf_counter()
+        AI.build_ivf_index(spark, corpus, ivf_t, n_centroids=64)
+        out["ann_ivf_build_wall"] = round(time.perf_counter() - t0, 4)
+        run(
+            "ivf",
+            lambda: AI.ivf_index_search(spark, ivf_t, queries, k=10, n_probe=8),
+        )
+        pq_t = os.path.join(d, "pq")
+        t0 = time.perf_counter()
+        PQ.build_pq_index(spark, corpus, pq_t, m=8, k=16)
+        out["ann_pq_build_wall"] = round(time.perf_counter() - t0, 4)
+        # candidates = 2% of corpus: re-rank depth is the recall knob
+        # (tests/test_ann_recall.py) — report it alongside the number
+        cand = max(200, n_vectors // 50)
+        out["ann_rerank_candidates"] = float(cand)
+        run(
+            "pq_rerank",
+            lambda: PQ.pq_rerank_search(
+                spark, pq_t, queries, corpus, topk=10, candidates=cand
+            ),
+        )
+        ivfpq_t = os.path.join(d, "ivfpq")
+        t0 = time.perf_counter()
+        PQ.build_ivfpq_index(spark, corpus, ivfpq_t, n_centroids=64, m=8, k=16)
+        out["ann_ivfpq_build_wall"] = round(time.perf_counter() - t0, 4)
+        run(
+            "ivfpq",
+            lambda: PQ.ivfpq_rerank_search(
+                spark, ivfpq_t, queries, corpus, topk=10, candidates=cand,
+                n_probe=8,
+            ),
+        )
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _timed(action) -> float:
     t0 = time.perf_counter()
     action()
     return time.perf_counter() - t0
+
+
+#: Idle-box wall of the `_spin` loop on the dev box (best of 5,
+#: measured 2026-08-14).  The absolute value is box-specific; the
+#: RATIO observed/idle is the load sentinel — ~1.0 on an idle box,
+#: >1.3 means the stamp ran under CPU contention and its walls carry
+#: ambient noise (the r7 adjudication problem: two ingest stamps read
+#: 2-3× high purely from box load, VERDICT r7 "Next round" #4).
+IDLE_SPIN_SEC = 0.092
+
+
+def _spin_once() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def ambient_load_factor() -> float:
+    """Best-of-3 single-thread spin wall over the idle calibration —
+    every stamp carries its own credibility signal."""
+    return round(min(_spin_once() for _ in range(3)) / IDLE_SPIN_SEC, 3)
+
+
+class SpreadRecorder:
+    """Collects every repeat's wall per metric so the stamp reports
+    [best, median, worst] alongside the headline best-of-N."""
+
+    def __init__(self):
+        self.samples: dict[str, list[float]] = {}
+
+    def timed_best(self, name: str, action, repeats: int) -> float:
+        walls = sorted(_timed(action) for _ in range(repeats))
+        self.samples[name] = [round(w, 4) for w in walls]
+        return walls[0]
+
+    def spreads(self) -> dict[str, list[float]]:
+        return {
+            f"{name}_spread": [ws[0], ws[len(ws) // 2], ws[-1]]
+            for name, ws in self.samples.items()
+            if len(ws) > 1
+        }
+
+
+REC = SpreadRecorder()
 
 
 # Best-of-N per query: single-shot wall times on a shared box swing
@@ -255,7 +446,7 @@ def main() -> None:
         fn = registry.get(name)
         if fn is None:
             continue
-        dt = min(_timed(lambda: fn(spark, sf_dir).count()) for _ in range(REPEATS))
+        dt = REC.timed_best(name, lambda: fn(spark, sf_dir).count(), REPEATS)
         times[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s (best of {REPEATS})", file=sys.stderr)
@@ -307,6 +498,38 @@ def main() -> None:
         times[k] = round(v, 4)
         print(f"# {k}: {v:.3f}", file=sys.stderr)
 
+    # sf1 regime (r8): 10× the driver's largest shipped SF, generated
+    # locally by tools/gen_sf.py (key-shifted replication of sf0.1).
+    # Standalone section — NOT in suite_total_wall, which stays
+    # comparable to BASELINE's sf0.1-era totals.
+    sf1_times: dict[str, float] = {}
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".local_testdata", "sf1"),
+    )
+    if os.path.isdir(sf1_dir):
+        for name in SF1_QUERIES:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            dt = REC.timed_best(
+                f"sf1_{name}", lambda: fn(spark, sf1_dir).count(), REPEATS
+            )
+            sf1_times[f"sf1_{name}"] = round(dt, 4)
+            print(f"# sf1_{name}: {dt:.3f}s", file=sys.stderr)
+        times.update(sf1_times)
+
+    # ANN recall/latency at 100k vectors (standalone; brute-force
+    # numpy oracle). SPARK_GRAFT_ANN_VECTORS=0 skips for fast local runs.
+    ann_n = int(os.environ.get("SPARK_GRAFT_ANN_VECTORS", "100000"))
+    if ann_n > 0:
+        for k, v in bench_ann(spark, n_vectors=ann_n).items():
+            times[k] = round(v, 4)
+            print(f"# {k}: {v}", file=sys.stderr)
+
+    load = ambient_load_factor()
+    print(f"# ambient_load_factor: {load}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -317,6 +540,8 @@ def main() -> None:
                 "sf": sf,
                 "tiff_ingest_images_per_sec": round(ingest_rate, 2),
                 "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
+                "ambient_load_factor": load,
+                "spreads": REC.spreads(),
             }
         )
     )

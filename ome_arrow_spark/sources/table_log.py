@@ -778,6 +778,77 @@ def delete_from_table(
     return version
 
 
+def delete_keys_from_table(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key: str,
+) -> int:
+    """Delete every row whose ``key`` appears in the (arbitrarily
+    large) ``keys`` DataFrame — the driver-bounded twin of
+    :func:`delete_from_table` for set-membership predicates.
+
+    Nothing about the key set ever reaches the driver:
+
+    * file candidacy is decided by joining the manifest's per-file
+      ``(min, max)`` stats ranges (driver metadata, O(files)) against
+      the keys **distributively**; only the O(touched-files) path list
+      is collected,
+    * the rewrite is a ``LEFT ANTI`` join of the touched files against
+      the keys — no ``IN (...)`` literal list, no ``collect()`` of ids.
+
+    Files whose stats range provably contains no key are carried by
+    reference untouched, so cost still scales with the touched
+    fraction.  (Files with no stats for ``key`` are conservatively
+    rewritten.)"""
+    snap = _resolve_snapshot(table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    kdf = keys.select(F.col(key).alias("_del_key")).distinct()
+    ranged, statless = [], []
+    for p, a in snap["files"].items():
+        st = a.get("columns", {}).get(key)
+        if st is not None and st["min"] is not None and st["max"] is not None:
+            ranged.append((p, st["min"], st["max"]))
+        else:
+            statless.append(p)
+    touched = list(statless)
+    if ranged:
+        key_type = schema[key].dataType.simpleString()
+        ranges_df = spark.createDataFrame(
+            ranged, f"_path string, _lo {key_type}, _hi {key_type}"
+        )
+        touched += [
+            r["_path"]
+            for r in F.broadcast(ranges_df)
+            .join(
+                kdf,
+                (F.col("_del_key") >= F.col("_lo"))
+                & (F.col("_del_key") <= F.col("_hi")),
+                "left_semi",
+            )
+            .select("_path")
+            .collect()
+        ]
+    actions: list[dict[str, Any]] = []
+    if touched:
+        existing = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in touched]
+        )
+        remaining = existing.join(
+            kdf, existing[key] == kdf["_del_key"], "left_anti"
+        )
+        adds = _write_data_files(remaining, table, version, _bloom_cols(snap))
+        actions += [{"add": a} for a in adds]
+        actions += [{"remove": {"path": p}} for p in touched]
+    _commit(
+        table,
+        version,
+        {"version": version, "operation": "delete", "actions": actions},
+    )
+    return version
+
+
 def compact_table(
     spark: SparkSession,
     table: str,

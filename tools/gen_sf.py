@@ -63,6 +63,16 @@ KEY_SHIFTS = {
 
 TS_SHIFT_COLS = {"orders": ["o_orderdate"], "events": ["ts"]}
 
+#: Name columns that act as deterministic tie-breakers in ORDER BY /
+#: LIMIT queries (e.g. q21's ``ORDER BY numwait DESC, s_name``) — a
+#: verbatim copy would create 10-way ties and make the LIMIT cut
+#: engine-dependent, so copies get a unique suffix.
+UNIQUE_SUFFIX_COLS = {
+    "customer": ["c_name"],
+    "supplier": ["s_name"],
+    "part": ["p_name"],
+}
+
 
 def _strides(src_dir: str) -> dict[str, int]:
     out: dict[str, int] = {}
@@ -87,6 +97,13 @@ def _shift_copy(name: str, base: pa.Table, copy: int, strides: dict[str, int]) -
         arr = t[col].combine_chunks()
         shifted = pc.add(arr.cast(pa.int64()), copy * 86_400_000_000).cast(arr.type)
         t = t.set_column(idx, t.schema.field(idx), shifted)
+    if copy:
+        for col in UNIQUE_SUFFIX_COLS.get(name, []):
+            idx = t.schema.get_field_index(col)
+            suffixed = pc.binary_join_element_wise(
+                t[col].cast(pa.string()), pa.scalar(f"#x{copy}"), ""
+            )
+            t = t.set_column(idx, t.schema.field(idx), suffixed.cast(t[col].type))
     if name == "documents" and copy:
         idx = t.schema.get_field_index("text")
         txt = pc.binary_join_element_wise(
