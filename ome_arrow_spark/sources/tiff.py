@@ -294,6 +294,19 @@ def from_tiff_stream(
     )
 
 
+def _arrow_cell_to_record(cell: Any) -> dict[str, Any]:
+    """Arrow→pandas struct cell → plain record dict: planes come back
+    as a numpy object array of dicts (ambiguous under ``or []``) and
+    pixels as numpy int arrays (already what the writers want)."""
+    rec = dict(cell)
+    pl = rec.get("planes")
+    rec["planes"] = list(pl) if pl is not None else None
+    rec["pixels_meta"] = dict(rec["pixels_meta"])
+    ch = rec["pixels_meta"].get("channels")
+    rec["pixels_meta"]["channels"] = list(ch) if ch is not None else None
+    return rec
+
+
 def _record_to_row(rec: dict[str, Any]) -> dict[str, Any]:
     """Arrow-friendly normalization: pixels stay numpy int32 arrays —
     pyarrow converts them zero-boxing, where ``.tolist()`` would
@@ -338,36 +351,49 @@ def to_tiff_dir(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def _write(rows):
-        for row in rows:
-            rec = row[column].asDict(recursive=True)
-            vol = record_to_numpy(rec)
-            names = [c["name"] for c in rec["pixels_meta"]["channels"]]
-            pm = rec["pixels_meta"]
-            t, c, z, y, x = vol.shape
-            xml = build_ome_xml(
-                image_id=rec["id"],
-                name=rec["name"],
-                size_t=t, size_c=c, size_z=z, size_y=y, size_x=x,
-                channel_names=names,
-                physical_size_x=pm["physical_size_x"],
-                physical_size_y=pm["physical_size_y"],
-                physical_size_z=pm["physical_size_z"],
-            )
-            # pages in XYCZT order (C fastest) to match the XML
-            pages = vol.transpose(0, 2, 1, 3, 4).reshape(t * z * c, y, x)
-            suffix = ".ome.tif" if (t > 1 or c > 1) else ".tif"
-            path = os.path.join(out_dir, f"{rec['id']}{suffix}")
-            with open(path, "wb") as f:
-                f.write(
-                    encode_tiff_baseline(
-                        pages,
-                        description=xml,
-                        compression=compression,
-                        predictor=predictor,
-                        tile=tile,
-                    )
+    # mapInPandas, not .rdd.mapPartitions: the RDD bridge pickles every
+    # pixel into a boxed Python int (a 2048² T3·C2·Z8 image row is
+    # ~200M ints ≈ 6 GB boxed — found by tests/test_mega_image.py as a
+    # worker OOM); the Arrow path ships the same row as ~800 MB of
+    # buffers and pixels arrive as numpy arrays.
+    def _write(batches):
+        for pdf in batches:
+            paths = []
+            for rec in pdf[column]:
+                rec = _arrow_cell_to_record(rec)
+                vol = record_to_numpy(rec)
+                names = [c["name"] for c in rec["pixels_meta"]["channels"]]
+                pm = rec["pixels_meta"]
+                t, c, z, y, x = vol.shape
+                xml = build_ome_xml(
+                    image_id=rec["id"],
+                    name=rec["name"],
+                    size_t=t, size_c=c, size_z=z, size_y=y, size_x=x,
+                    channel_names=names,
+                    physical_size_x=pm["physical_size_x"],
+                    physical_size_y=pm["physical_size_y"],
+                    physical_size_z=pm["physical_size_z"],
                 )
-            yield path
+                # pages in XYCZT order (C fastest) to match the XML
+                pages = vol.transpose(0, 2, 1, 3, 4).reshape(t * z * c, y, x)
+                suffix = ".ome.tif" if (t > 1 or c > 1) else ".tif"
+                path = os.path.join(out_dir, f"{rec['id']}{suffix}")
+                with open(path, "wb") as f:
+                    f.write(
+                        encode_tiff_baseline(
+                            pages,
+                            description=xml,
+                            compression=compression,
+                            predictor=predictor,
+                            tile=tile,
+                        )
+                    )
+                paths.append(path)
+            yield pd.DataFrame({"path": pd.Series(paths, dtype=object)})
 
-    return images.select(column).rdd.mapPartitions(_write).collect()
+    return [
+        r["path"]
+        for r in images.select(column)
+        .mapInPandas(_write, "path string")
+        .collect()
+    ]

@@ -267,44 +267,59 @@ def to_zarr_dir(
         raise ValueError(f"unknown store_format {store_format!r}")
     os.makedirs(out_dir, exist_ok=True)
 
-    def _write(rows):
-        for row in rows:
-            rec = row[column].asDict(recursive=True)
-            vol = record_to_numpy(rec)
-            store = os.path.join(out_dir, f"{rec['id']}.zarr")
-            names = [c["name"] for c in rec["pixels_meta"]["channels"]]
-            if store_format == "ngff":
-                write_ngff_store(
-                    store,
-                    [
-                        lv.astype("<u2")
-                        for lv in build_pyramid(
-                            vol,
-                            multiscale_levels,
-                            downscale_spatial_by,
-                            downscale_z=downscale_z,
-                        )
-                    ],
-                    image_id=rec["id"],
-                    name=rec["name"],
-                    channel_names=names,
-                    downscale=downscale_spatial_by,
-                    compressor=compressor,
-                    compression_level=compression_level,
-                    chunks=chunks,
-                    zarr_format=zarr_format,
-                    shards=shards,
-                )
-            else:
-                write_fzarr_store(
-                    store,
-                    vol,
-                    image_id=rec["id"],
-                    name=rec["name"],
-                    channel_names=names,
-                    multiscale_levels=multiscale_levels,
-                    downscale_spatial_by=downscale_spatial_by,
-                )
-            yield store
+    # mapInPandas, not .rdd.mapPartitions — same rationale as
+    # to_tiff_dir: the RDD bridge boxes every pixel into a Python int
+    # (mega-image rows OOM the worker); Arrow keeps pixels numpy.
+    from ome_arrow_spark.sources.tiff import _arrow_cell_to_record
 
-    return images.select(column).rdd.mapPartitions(_write).collect()
+    def _write(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            stores = []
+            for cell in pdf[column]:
+                rec = _arrow_cell_to_record(cell)
+                vol = record_to_numpy(rec)
+                store = os.path.join(out_dir, f"{rec['id']}.zarr")
+                names = [c["name"] for c in rec["pixels_meta"]["channels"]]
+                if store_format == "ngff":
+                    write_ngff_store(
+                        store,
+                        [
+                            lv.astype("<u2")
+                            for lv in build_pyramid(
+                                vol,
+                                multiscale_levels,
+                                downscale_spatial_by,
+                                downscale_z=downscale_z,
+                            )
+                        ],
+                        image_id=rec["id"],
+                        name=rec["name"],
+                        channel_names=names,
+                        downscale=downscale_spatial_by,
+                        compressor=compressor,
+                        compression_level=compression_level,
+                        chunks=chunks,
+                        zarr_format=zarr_format,
+                        shards=shards,
+                    )
+                else:
+                    write_fzarr_store(
+                        store,
+                        vol,
+                        image_id=rec["id"],
+                        name=rec["name"],
+                        channel_names=names,
+                        multiscale_levels=multiscale_levels,
+                        downscale_spatial_by=downscale_spatial_by,
+                    )
+                stores.append(store)
+            yield _pd.DataFrame({"store": _pd.Series(stores, dtype=object)})
+
+    return [
+        r["store"]
+        for r in images.select(column)
+        .mapInPandas(_write, "store string")
+        .collect()
+    ]
