@@ -122,6 +122,63 @@ def bench_tiff_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_stream_ingest(
+    spark, n_images: int = 200, side: int = 256, files_per_trigger: int = 50,
+) -> tuple[float, float]:
+    """Structured-Streaming acquisition path end-to-end (ADVICE r7 #7):
+    n FTIF files already waiting in the drop dir, AvailableNow stream →
+    foreachBatch MERGE into a transaction-log table across
+    n/files_per_trigger micro-batches. The wall includes stream/source
+    planning, per-batch decode, and the per-batch atomic table commit —
+    the steady-state img/s a continuous-microscope pipeline sustains
+    (the batch twin, tiff_ingest_steady_800, excludes the streaming +
+    commit machinery)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_stream
+    from ome_arrow_spark.streaming.events import run_foreach_batch
+
+    d = tempfile.mkdtemp(prefix="bench_stream_src_")
+    table = tempfile.mkdtemp(prefix="bench_stream_tbl_") + "/t"
+    try:
+        base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(
+            1, 1, 1, side, side
+        )
+        for i in range(n_images):
+            blob = encode_ftif((base + i) % 65536, image_id=f"img{i:04d}")
+            with open(os.path.join(d, f"img{i:04d}.ftif"), "wb") as f:
+                f.write(blob)
+
+        def merge(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            if tl.current_version(table) is None:
+                tl.create_ome_table(spark, batch_df, table)
+            else:
+                tl.upsert_ome_table(spark, batch_df, table)
+
+        t0 = time.time()
+        run_foreach_batch(
+            from_tiff_stream(
+                spark, d, glob="*.ftif",
+                max_files_per_trigger=files_per_trigger,
+            ),
+            merge,
+            output_mode="append",
+        )
+        dt = time.time() - t0
+        n = tl.read_ome_table(spark, table).count()
+        assert n == n_images, f"stream ingested {n}/{n_images}"
+        return dt, n_images / dt
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
 def bench_zarr_ingest(
     spark, n_stores: int = 30, side: int = 512
 ) -> tuple[float, float]:
@@ -485,6 +542,15 @@ def main() -> None:
     total += zarr_s
     print(f"# zarr_ingest_30x512: {zarr_s:.3f}s ({zarr_rate:.1f} stores/s)", file=sys.stderr)
 
+    # streaming acquisition path (standalone, r8: NOT in
+    # suite_total_wall — new metric, keeps the total BASELINE-comparable)
+    strm_s, strm_rate = bench_stream_ingest(spark)
+    times["stream_ingest_steady_200"] = round(strm_s, 4)
+    print(
+        f"# stream_ingest_steady_200: {strm_s:.3f}s ({strm_rate:.1f} img/s)",
+        file=sys.stderr,
+    )
+
     # log-table format at 1k-file scale (NOT in suite_total_wall: new
     # in r7, would skew the BASELINE comparison; tracked standalone)
     tlog = bench_table_log(spark)
@@ -540,6 +606,7 @@ def main() -> None:
                 "sf": sf,
                 "tiff_ingest_images_per_sec": round(ingest_rate, 2),
                 "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
+                "stream_ingest_images_per_sec": round(strm_rate, 2),
                 "ambient_load_factor": load,
                 "spreads": REC.spreads(),
             }

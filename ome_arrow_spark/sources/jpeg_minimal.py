@@ -159,6 +159,11 @@ class JpegTables:
         self.quant: dict[int, np.ndarray] = {}
         self.huff: dict[tuple[int, int], "_HuffTable"] = {}
         self.restart_interval = 0
+        # arithmetic conditioning (T.81 B.2.4.3 DAC): DC table → (L, U)
+        # bounds, AC table → Kx; defaults L=0, U=1, Kx=5 (§F.1.4.4.1.2,
+        # F.1.4.4.2) apply when no DAC segment names the table
+        self.arith_dc: dict[int, tuple[int, int]] = {}
+        self.arith_ac: dict[int, int] = {}
 
 
 class _HuffTable:
@@ -334,6 +339,7 @@ def _decode_stream(
     frame = None
     progressive = False
     lossless = False
+    arith = False
     grids: dict[int, np.ndarray] | None = None
     while pos + 4 <= len(data) + 2:
         if data[pos] != 0xFF:
@@ -381,7 +387,24 @@ def _decode_stream(
                 (state.restart_interval,) = struct.unpack_from(">H", seg, 0)
             except struct.error:
                 raise ValueError("truncated JPEG segment") from None
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + lossless
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up:
+                        raise ValueError("corrupt JPEG: DAC with L > U")
+                    state.arith_dc[tb] = (lo, up)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("corrupt JPEG: DAC Kx out of range")
+                    state.arith_ac[tb] = cs
+                p += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
+            # (Huffman); SOF9 sequential, SOF10 progressive (arithmetic)
             try:
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 comps = []
@@ -401,11 +424,17 @@ def _decode_stream(
             elif prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             frame = (h, w, comps, prec)
-            progressive = marker == 0xC2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker == 0xCB:
             raise NotImplementedError(
-                "arithmetic/lossless/differential JPEG unsupported"
+                "lossless arithmetic JPEG (SOF11) unsupported — no "
+                "mainstream encoder emits it; lossless Huffman (SOF3) "
+                "is the supported bit-exact path"
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "hierarchical/differential JPEG unsupported"
             )
         elif marker == 0xDA:  # SOS
             if tables_only:
@@ -426,6 +455,11 @@ def _decode_stream(
                     data, pos + seglen, state, frame, scan, seg[1 + 2 * ns]
                 )
             if not progressive:
+                if arith:
+                    return _decode_scan_arith(
+                        data, pos + seglen, state, frame, scan,
+                        color_transform,
+                    )
                 return _decode_scan(
                     data, pos + seglen, state, frame, scan, color_transform
                 )
@@ -443,10 +477,16 @@ def _decode_stream(
                     cid: np.zeros((my * cv, mx * ch, 64), dtype=np.int32)
                     for cid, ch, cv, _tq in comps
                 }
-            pos = _decode_prog_scan(
-                data, pos + seglen, state, frame, scan, ss, se, ah, al,
-                grids,
-            )
+            if arith:
+                pos = _decode_prog_scan_arith(
+                    data, pos + seglen, state, frame, scan, ss, se, ah,
+                    al, grids,
+                )
+            else:
+                pos = _decode_prog_scan(
+                    data, pos + seglen, state, frame, scan, ss, se, ah,
+                    al, grids,
+                )
             continue
         # APPn / COM / others: skip
         pos += seglen
@@ -686,6 +726,219 @@ def _decode_prog_scan(
                     k += 1
                 eobrun -= 1
     return reader.next_marker_pos()
+
+
+def _decode_scan_arith(data, pos, state, frame, scan, color_transform=True):
+    """Sequential arithmetic scan (SOF9, T.81 F.2.4): same MCU walk as
+    the Huffman twin, entropy layer swapped for the QM-coder models.
+    Statistics, conditioning contexts, and the coder itself reset at
+    every restart marker (§F.2.1.3.1)."""
+    from ome_arrow_spark.sources import jpeg_arith as ja
+
+    h, w, comps, prec = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    for cid, _td, _ta in scan:
+        if cid not in by_id:
+            raise ValueError("corrupt JPEG: scan references unknown component")
+        if by_id[cid][2] not in state.quant:
+            raise ValueError("corrupt JPEG: missing table for scan")
+    ri = state.restart_interval
+    coef_lists: dict[int, list[list[int]]] = {cid: [] for cid, *_ in comps}
+    origins: dict[int, list[tuple[int, int]]] = {cid: [] for cid, *_ in comps}
+
+    dc_stats: dict[int, list[int]] = {}
+    ac_stats: dict[int, list[int]] = {}
+
+    def reset_stats():
+        dc_stats.clear()
+        ac_stats.clear()
+        for _cid, td, ta in scan:
+            dc_stats.setdefault(td, ja._new_dc_stats())
+            ac_stats.setdefault(ta, ja._new_ac_stats())
+
+    dec = ja.ArithDecoder(data, pos)
+    reset_stats()
+    dc_ctx = {cid: 0 for cid, *_ in scan}
+    pred = {cid: 0 for cid, *_ in scan}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                mp = dec.next_marker_pos()
+                if not (
+                    mp + 1 < len(data)
+                    and data[mp] == 0xFF
+                    and 0xD0 <= data[mp + 1] <= 0xD7
+                ):
+                    raise ValueError("corrupt JPEG: missing restart marker")
+                dec = ja.ArithDecoder(data, mp + 2)
+                reset_stats()
+                dc_ctx = {cid: 0 for cid in dc_ctx}
+                pred = {cid: 0 for cid in pred}
+            for cid, td, ta in scan:
+                ch, cv, _tq = by_id[cid]
+                dc_l, dc_u = state.arith_dc.get(td, (0, 1))
+                kx = state.arith_ac.get(ta, 5)
+                dstats = dc_stats[td]
+                astats = ac_stats[ta]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = [0] * 64
+                        pred[cid] += ja.decode_dc_diff(
+                            dec, dstats, dc_ctx, cid, dc_l, dc_u
+                        )
+                        coefs[0] = pred[cid]
+                        ja.decode_ac_coefs(dec, astats, coefs, 1, 63, kx)
+                        coef_lists[cid].append(coefs)
+                        origins[cid].append(
+                            ((my * cv + by) * 8, (mx * ch + bx) * 8)
+                        )
+            mcu_count += 1
+    return _idct_assemble(state, frame, coef_lists, origins, color_transform)
+
+
+def _decode_prog_scan_arith(
+    data, pos, state, frame, scan, ss, se, ah, al, grids
+) -> int:
+    """One progressive arithmetic scan (SOF10, T.81 G.2 decode models)
+    into the shared coefficient grids; returns the next marker
+    position. Statistics reset per scan and per restart interval."""
+    from ome_arrow_spark.sources import jpeg_arith as ja
+
+    h, w, comps, _prec = frame
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ri = state.restart_interval
+    for cid, _td, _ta in scan:
+        if cid not in by_id:
+            raise ValueError("corrupt JPEG: scan references unknown component")
+
+    dc_stats: dict[int, list[int]] = {}
+    ac_stats: dict[int, list[int]] = {}
+
+    def reset_stats():
+        dc_stats.clear()
+        ac_stats.clear()
+        for _cid, td, ta in scan:
+            dc_stats.setdefault(td, ja._new_dc_stats())
+            ac_stats.setdefault(ta, ja._new_ac_stats())
+
+    state_box = {"dec": ja.ArithDecoder(data, pos)}
+    reset_stats()
+    dc_ctx = {cid: 0 for cid, *_ in scan}
+    pred = {cid: 0 for cid, *_ in scan}
+
+    def restart():
+        dec = state_box["dec"]
+        mp = dec.next_marker_pos()
+        if not (
+            mp + 1 < len(data)
+            and data[mp] == 0xFF
+            and 0xD0 <= data[mp + 1] <= 0xD7
+        ):
+            raise ValueError("corrupt JPEG: missing restart marker")
+        state_box["dec"] = ja.ArithDecoder(data, mp + 2)
+        reset_stats()
+        for cid in dc_ctx:
+            dc_ctx[cid] = 0
+            pred[cid] = 0
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+
+        def dc_block(cid, td, by, bx):
+            g = grids[cid]
+            dec = state_box["dec"]
+            if ah == 0:
+                dc_l, dc_u = state.arith_dc.get(td, (0, 1))
+                pred[cid] += ja.decode_dc_diff(
+                    dec, dc_stats[td], dc_ctx, cid, dc_l, dc_u
+                )
+                g[by, bx, 0] = pred[cid] << al
+            else:  # refinement: one fixed-estimate decision per block
+                if dec.decode_fixed():
+                    g[by, bx, 0] |= 1 << al
+
+        unit = 0
+        if len(scan) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    for cid, td, _ta in scan:
+                        ch, cv, _tq = by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc_block(cid, td, my * cv + by, mx * ch + bx)
+                    unit += 1
+        else:
+            cid, td, _ta = scan[0]
+            bh, bw = _comp_block_grid(frame, cid)
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    dc_block(cid, td, by, bx)
+                    unit += 1
+        return state_box["dec"].next_marker_pos()
+
+    # AC scan: always non-interleaved (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("corrupt JPEG: bad spectral band")
+    cid, _td, ta = scan[0]
+    kx = state.arith_ac.get(ta, 5)
+    g = grids[cid]
+    bh, bw = _comp_block_grid(frame, cid)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                restart()
+            unit += 1
+            dec = state_box["dec"]
+            astats = ac_stats[ta]
+            b = g[by, bx]
+            if ah == 0:  # first scan of this band (G.2.3 = F.2.4.2 + Al)
+                ja.decode_ac_coefs(dec, astats, b, ss, se, kx, al)
+                continue
+            # refinement scan (T.81 G.2.4 / Figure G.18)
+            kex = se
+            while kex > 0 and b[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if k > kex and dec.decode(astats, st):
+                    break  # EOB
+                while True:
+                    ck = int(b[k])
+                    if ck != 0:  # previously-nonzero: correction bit
+                        if dec.decode(astats, st + 2):
+                            b[k] = ck + (m1 if ck < 0 else p1)
+                        break
+                    if dec.decode(astats, st + 1):  # newly nonzero
+                        b[k] = m1 if dec.decode_fixed() else p1
+                        break
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError(
+                            "corrupt JPEG: arithmetic AC index overflow"
+                        )
+                k += 1
+    return state_box["dec"].next_marker_pos()
 
 
 def _prog_finish(state, frame, grids, color_transform):
@@ -1422,6 +1675,7 @@ def jpeg_encode(
     color_transform: bool = True,
     precision: int = 8,
     progressive: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a baseline
     sequential JPEG (4:4:4, Annex-K tables, explicit DQT/DHT).
@@ -1438,13 +1692,23 @@ def jpeg_encode(
     (interleaved DC at Al=1 + refinement, then per-component spectral
     bands 1-5/6-63 at Al=2 with two successive-approximation
     refinement passes) — identical reconstruction to baseline, since
-    both carry the same quantized coefficients losslessly."""
+    both carry the same quantized coefficients losslessly.
+    ``arithmetic=True`` swaps the Huffman entropy layer for the T.81
+    Annex-D QM arithmetic coder (SOF9 + DAC, jpeg_arith.py): the SAME
+    quantized coefficients, so arithmetic and Huffman encodes of one
+    image decode bit-identically; the byte stream is validated against
+    the system libjpeg in tests/test_jpeg_interop.py."""
     img = np.asarray(img)
     if progressive and precision != 8:
         raise NotImplementedError("progressive encode is 8-bit only")
     if progressive and restart_interval:
         raise NotImplementedError(
             "restart intervals with progressive encode unsupported"
+        )
+    if progressive and arithmetic:
+        raise NotImplementedError(
+            "progressive arithmetic encode unsupported (decode of "
+            "SOF10 streams is supported)"
         )
     if precision == 8:
         if img.dtype != np.uint8:
@@ -1493,7 +1757,13 @@ def jpeg_encode(
     for i in range(len(comps)):
         tq = 1 if (chroma_tables and i) else 0
         sof += struct.pack(">BBB", i + 1, 0x11, tq)
-    seg(0xC2 if progressive else 0xC0, sof)
+    if arithmetic:
+        sof_marker = 0xC9  # extended sequential, arithmetic coding
+    elif progressive:
+        sof_marker = 0xC2
+    else:
+        sof_marker = 0xC0 if precision == 8 else 0xC1
+    seg(sof_marker, sof)
     # per-component DCT over edge-replicated 8-multiple padding
     # (shared by the baseline and progressive paths: both entropy-code
     # the SAME quantized coefficients)
@@ -1519,12 +1789,21 @@ def jpeg_encode(
             dc_luma, dc_chroma, chroma_tables,
         )
 
-    # DHT ×4 (or ×2 for grayscale / untransformed RGB)
-    specs = [(0, 0, dc_luma), (1, 0, _AC_LUMA)]
-    if chroma_tables:
-        specs += [(0, 1, dc_chroma), (1, 1, _AC_CHROMA)]
-    for tc, th, (bits, values) in specs:
-        seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
+    if arithmetic:
+        # DAC: declare the (default) conditioning explicitly — DC
+        # L=0/U=1, AC Kx=5 (T.81 F.1.4.4.1.2 / F.1.4.4.2), matching
+        # what libjpeg emits
+        dac = bytes([0x00, 0x10, 0x10, 0x05])
+        if chroma_tables:
+            dac += bytes([0x01, 0x10, 0x11, 0x05])
+        seg(0xCC, dac)
+    else:
+        # DHT ×4 (or ×2 for grayscale / untransformed RGB)
+        specs = [(0, 0, dc_luma), (1, 0, _AC_LUMA)]
+        if chroma_tables:
+            specs += [(0, 1, dc_chroma), (1, 1, _AC_CHROMA)]
+        for tc, th, (bits, values) in specs:
+            seg(0xC4, bytes([tc << 4 | th] + bits) + bytes(values))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     # SOS
@@ -1533,6 +1812,42 @@ def jpeg_encode(
         sos += bytes([i + 1, 0x11 if (chroma_tables and i) else 0x00])
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
+
+    if arithmetic:
+        from ome_arrow_spark.sources import jpeg_arith as ja
+
+        tids = [1 if (chroma_tables and i) else 0 for i in range(len(comps))]
+
+        def fresh_stats():
+            dcs = {t: ja._new_dc_stats() for t in set(tids)}
+            acs = {t: ja._new_ac_stats() for t in set(tids)}
+            return dcs, acs
+
+        enc = ja.ArithEncoder()
+        dc_stats, ac_stats = fresh_stats()
+        dc_ctx = {ci: 0 for ci in range(len(comps))}
+        pred = [0] * len(comps)
+        rst = 0
+        for bi in range(bh * bw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                out.extend(enc.flush())
+                out.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc = ja.ArithEncoder()
+                dc_stats, ac_stats = fresh_stats()
+                dc_ctx = {ci: 0 for ci in range(len(comps))}
+                pred = [0] * len(comps)
+            for ci in range(len(comps)):
+                zz = [int(v) for v in coef_blocks[ci][bi]]
+                ja.encode_dc_diff(
+                    enc, dc_stats[tids[ci]], dc_ctx, ci,
+                    zz[0] - pred[ci], 0, 1,
+                )
+                pred[ci] = zz[0]
+                ja.encode_ac_coefs(enc, ac_stats[tids[ci]], zz, 1, 63, 5)
+        out.extend(enc.flush())
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
 
     enc_dc = [_build_encode_table(*dc_luma)] * len(comps)
     enc_ac = [_build_encode_table(*_AC_LUMA)] * len(comps)

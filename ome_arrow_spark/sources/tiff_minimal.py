@@ -840,6 +840,7 @@ def encode_tiff_baseline(
     jpeg_quality: int = 90,
     jpeg_photometric: str = "ycbcr",
     jpeg_restart_interval: int = 0,
+    jpeg_arithmetic: bool = False,
 ) -> bytes:
     """Encode a ``(Z,Y,X)`` / ``(Y,X)`` grayscale or ``(Z,Y,X,S)``
     multi-sample (e.g. RGB) uint8/uint16 array as a real multi-page
@@ -945,6 +946,7 @@ def encode_tiff_baseline(
                 quality=jpeg_quality,
                 color_transform=(jpeg_photometric != "rgb"),
                 restart_interval=jpeg_restart_interval,
+                arithmetic=jpeg_arithmetic,
             )
         if ccitt:
             from ome_arrow_spark.sources.ccitt_minimal import (

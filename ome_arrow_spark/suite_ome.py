@@ -272,7 +272,12 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- restart-interval variant (DRI + RST0-7 markers): pins the
              -- _BitReader.restart() drain-at-boundary path (ADVICE r6)
              ('jpeg_restart', 0, 195836), ('jpeg_restart', 1, 195796),
-             ('jpeg_restart', 2, 195866), ('jpeg_restart', 3, 195812))
+             ('jpeg_restart', 2, 195866), ('jpeg_restart', 3, 195812),
+             -- arithmetic-coded variant (SOF9 + DAC, QM-coder): same
+             -- quantized coefficients as a Huffman twin, decode
+             -- bit-identical — pins the T.81 Annex D entropy layer
+             ('jpeg_arith', 0, 195788), ('jpeg_arith', 1, 195792),
+             ('jpeg_arith', 2, 195866), ('jpeg_arith', 3, 195914))
              jp(image_id, z, s))
     SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
     FROM u
@@ -321,6 +326,12 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .astype(np.uint8),
             {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16,
              "jpeg_restart_interval": 2},
+        ),
+        "jpeg_arith": (
+            np.stack([((zi * 29 + 3 * i) % 256).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16,
+             "jpeg_arithmetic": True},
         ),
         "ccitt_g4": (
             np.stack([(((zi * 3 + i) % 7) < 2).reshape(y, x) for zi in range(z)])

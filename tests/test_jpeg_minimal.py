@@ -93,15 +93,16 @@ def test_abbreviated_stream_with_external_tables():
         parse_tables(full)
 
 
-def test_arithmetic_coding_rejected():
-    """Progressive (SOF2) is now decoded; arithmetic-coded streams
-    (SOF9) still gate honestly."""
+def test_hierarchical_coding_rejected():
+    """Sequential/progressive arithmetic (SOF9/SOF10) now decode
+    (test_jpeg_arith.py); the hierarchical/differential frame types
+    still gate honestly."""
     blob = bytearray(jpeg_encode(_smooth(8, 8)))
     i = 2
     while blob[i + 1] != 0xC0:
         i += 2 + int.from_bytes(blob[i + 2 : i + 4], "big")
-    blob[i + 1] = 0xC9  # SOF0 → SOF9 (arithmetic sequential)
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    blob[i + 1] = 0xC5  # SOF0 → SOF5 (differential sequential)
+    with pytest.raises(NotImplementedError, match="differential"):
         jpeg_decode(bytes(blob))
 
 
@@ -377,9 +378,10 @@ def test_12bit_gray_roundtrip():
         assert dec.dtype == np.uint16 and dec.shape == img.shape
         # lossy, but must stay within a fraction of a percent of range
         assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 16
-    # SOF precision byte on the wire is 12
-    sof = blob.find(b"\xff\xc0")
-    assert blob[sof + 4] == 12
+    # 12-bit streams are extended sequential: SOF1, precision byte 12
+    # (T.81 B.2.2 — baseline SOF0 is defined as 8-bit only)
+    sof = blob.find(b"\xff\xc1")
+    assert sof > 0 and blob[sof + 4] == 12
 
 
 def test_12bit_rgb_roundtrip():

@@ -243,3 +243,73 @@ def test_tiff_stream_exactly_once_restart(spark, tmp_path):
         r[0] for r in imgs.select("ome_arrow.id").collect()
     ) == [f"acq{i}" for i in range(5)]
     assert tl.current_version(table) == v_after_first + 1
+
+
+def test_tiff_stream_crash_replay_converges(spark, tmp_path):
+    """Kill-mid-run soak (ADVICE r7 #7): the merge CRASHES after the
+    table commit of micro-batch 1 but BEFORE Structured Streaming
+    records that batch in the checkpoint — the worst replay window.
+    On restart the batch replays; the id-keyed MERGE makes the replay
+    idempotent, so the table converges to exactly-once, and
+    vacuum(retention=0) sweeps the superseded duplicates from the
+    replayed commit leaving zero unreferenced files."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import encode_ftif, from_tiff_stream
+    from ome_arrow_spark.streaming.events import run_foreach_batch
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    table = str(tmp_path / "log_table")
+    ckpt = str(tmp_path / "ckpt")
+    n = 24
+    for i in range(n):
+        vol = np.full((1, 1, 1, 4, 4), i, dtype=np.int32)
+        (src / f"acq_{i:02d}.ftif").write_bytes(
+            encode_ftif(vol, image_id=f"acq{i:02d}")
+        )
+
+    crash = {"armed": True}
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if tl.current_version(table) is None:
+            tl.create_ome_table(spark, batch_df, table)
+        else:
+            tl.upsert_ome_table(spark, batch_df, table)
+        if crash["armed"] and batch_id == 1:
+            crash["armed"] = False
+            raise RuntimeError("injected crash after commit before checkpoint")
+
+    def run():
+        run_foreach_batch(
+            from_tiff_stream(
+                spark, str(src), glob="*.ftif", max_files_per_trigger=8
+            ),
+            merge,
+            output_mode="append",
+            checkpoint=ckpt,
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    assert tl.current_version(table) is not None  # batches 0+1 landed
+
+    run()  # restart: batch 1 replays, MERGE dedups, batch 2 follows
+    imgs = tl.read_ome_table(spark, table)
+    ids = sorted(r[0] for r in imgs.select("ome_arrow.id").collect())
+    assert ids == [f"acq{i:02d}" for i in range(n)]
+
+    # a replayed image carries the right pixels (not a doubled merge)
+    one = tl.read_ome_table(spark, table, image_ids=["acq09"])
+    plane = one.select(F.expr("ome_arrow.planes[0].pixels")).first()[0]
+    assert set(plane) == {9.0}
+
+    # superseded duplicates from the replay are unreferenced → swept;
+    # a second sweep finds nothing (no orphans left behind)
+    tl.vacuum_table(table, keep_versions=1, retention_seconds=0.0)
+    assert tl.read_ome_table(spark, table).count() == n
+    assert tl.vacuum_table(table, keep_versions=1, retention_seconds=0.0) == []
