@@ -380,10 +380,14 @@ def bench_ann(spark, n_vectors: int = 100_000) -> dict[str, float]:
             rows = fn().collect()
             out[f"ann_{label}_recall"] = round(_recall_at10(rows, truth), 4)
             out[f"ann_{label}_wall"] = REC.timed_best(
-                f"ann_{label}", lambda: fn().count(), REPEATS
+                f"ann_{label}", lambda: fn().count(), 1
             )
 
-        run("brute", lambda: SIM.cosine_topk(queries, corpus, k=10))
+        # builds use train="sample" and brute uses impl="arrow" — the
+        # corpus-scale paths (operators/quantizer.py); the in-plan
+        # exact modes are what the sf0.01 driver oracles check
+        run("brute",
+            lambda: SIM.cosine_topk(queries, corpus, k=10, impl="arrow"))
         run(
             "lsh",
             lambda: SIM.cosine_topk_lsh(
@@ -392,16 +396,23 @@ def bench_ann(spark, n_vectors: int = 100_000) -> dict[str, float]:
         )
         ivf_t = os.path.join(d, "ivf")
         t0 = time.perf_counter()
-        AI.build_ivf_index(spark, corpus, ivf_t, n_centroids=64)
+        AI.build_ivf_index(spark, corpus, ivf_t, n_centroids=64, train="sample")
         out["ann_ivf_build_wall"] = round(time.perf_counter() - t0, 4)
         run(
             "ivf",
             lambda: AI.ivf_index_search(spark, ivf_t, queries, k=10, n_probe=8),
         )
+        # k=256 codebooks (the FAISS operating point; k=16 is the tiny
+        # oracle-fixture setting) trained on a 32k sample — recall@10
+        # 0.73 → 0.93 at this corpus for ~4× the training cost
         pq_t = os.path.join(d, "pq")
         t0 = time.perf_counter()
-        PQ.build_pq_index(spark, corpus, pq_t, m=8, k=16)
+        PQ.build_pq_index(
+            spark, corpus, pq_t, m=8, k=256, train="sample",
+            sample_size=32768,
+        )
         out["ann_pq_build_wall"] = round(time.perf_counter() - t0, 4)
+        out["ann_pq_k"] = 256.0
         # candidates = 2% of corpus: re-rank depth is the recall knob
         # (tests/test_ann_recall.py) — report it alongside the number
         cand = max(200, n_vectors // 50)
@@ -409,12 +420,16 @@ def bench_ann(spark, n_vectors: int = 100_000) -> dict[str, float]:
         run(
             "pq_rerank",
             lambda: PQ.pq_rerank_search(
-                spark, pq_t, queries, corpus, topk=10, candidates=cand
+                spark, pq_t, queries, corpus, topk=10, candidates=cand,
+                impl="arrow",
             ),
         )
         ivfpq_t = os.path.join(d, "ivfpq")
         t0 = time.perf_counter()
-        PQ.build_ivfpq_index(spark, corpus, ivfpq_t, n_centroids=64, m=8, k=16)
+        PQ.build_ivfpq_index(
+            spark, corpus, ivfpq_t, n_centroids=64, m=8, k=256,
+            train="sample", sample_size=32768,
+        )
         out["ann_ivfpq_build_wall"] = round(time.perf_counter() - t0, 4)
         run(
             "ivfpq",

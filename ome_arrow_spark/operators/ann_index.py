@@ -38,39 +38,66 @@ def build_ivf_index(
     vec: str = "embedding",
     iterations: int = 3,
     overwrite: bool = False,
+    train: str = "exact",
+    sample_size: int = 262_144,
 ) -> int:
-    """Train the deterministic k-means quantizer on ``corpus`` and
-    materialize the inverted lists as a log table, range-clustered on
-    ``centroid_id``.  Centroids (k × dim doubles) persist as a table
-    property — JSON floats round-trip exactly, so search-time
-    assignments match build-time assignments bit-for-bit."""
-    from ome_arrow_spark.operators.clustering import cluster_means, kmeans
+    """Train the k-means quantizer on ``corpus`` and materialize the
+    inverted lists as a log table, range-clustered on ``centroid_id``.
+    Centroids (k × dim doubles) persist as a table property — JSON
+    floats round-trip exactly, so search-time assignments match
+    build-time assignments bit-for-bit.
+
+    ``train="exact"`` (default) runs the oracle-reproducible decimal
+    k-means fully in-plan — the mode the driver's DuckDB twin replays.
+    ``train="sample"`` is the corpus-scale path (operators/quantizer.py):
+    numpy training on a ≤``sample_size`` sample + one Arrow-batched
+    assignment pass; ~80× faster to build at 100k vectors, same search
+    contract."""
     from ome_arrow_spark.sources import table_log as tl
 
-    assign = kmeans(
-        corpus.select(
-            F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")
-        ),
-        k=n_centroids,
-        iterations=iterations,
-    ).withColumnRenamed("vec_id", corpus_id)
-    listed = (
-        corpus.select(F.col(corpus_id), F.col(vec).alias("embedding"))
-        .join(assign, corpus_id)
-        .select(
-            F.col("cluster").cast("int").alias("centroid_id"),
-            F.col(corpus_id).alias("cid"),
-            "embedding",
+    if train == "sample":
+        from ome_arrow_spark.operators import quantizer as QZ
+
+        cents = QZ.train_centroids(
+            corpus, vec, n_centroids, sample_size=sample_size
         )
-    )
-    cents = cluster_means(
-        listed.select(
-            F.col("centroid_id").alias("cluster"),
-            F.col("embedding").alias("__cv"),
-        ),
-        vec_col="__cv",
-    ).collect()
-    cent_map = {int(r["cluster"]): [float(x) for x in r["ctr"]] for r in cents}
+        listed = corpus.select(
+            QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
+            F.col(corpus_id).alias("cid"),
+            F.col(vec).alias("embedding"),
+        )
+        cent_map = {j: [float(x) for x in cents[j]] for j in range(len(cents))}
+    elif train == "exact":
+        from ome_arrow_spark.operators.clustering import cluster_means, kmeans
+
+        assign = kmeans(
+            corpus.select(
+                F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")
+            ),
+            k=n_centroids,
+            iterations=iterations,
+        ).withColumnRenamed("vec_id", corpus_id)
+        listed = (
+            corpus.select(F.col(corpus_id), F.col(vec).alias("embedding"))
+            .join(assign, corpus_id)
+            .select(
+                F.col("cluster").cast("int").alias("centroid_id"),
+                F.col(corpus_id).alias("cid"),
+                "embedding",
+            )
+        )
+        cents = cluster_means(
+            listed.select(
+                F.col("centroid_id").alias("cluster"),
+                F.col("embedding").alias("__cv"),
+            ),
+            vec_col="__cv",
+        ).collect()
+        cent_map = {
+            int(r["cluster"]): [float(x) for x in r["ctr"]] for r in cents
+        }
+    else:
+        raise ValueError(f"train must be 'exact' or 'sample', got {train!r}")
     return tl.create_table(
         spark,
         listed.repartitionByRange(max(2, n_centroids // 2), "centroid_id"),
