@@ -92,6 +92,98 @@ def volume_contrast(
     )
 
 
+# viridis colormap anchors (the mpl colormap's published control
+# points; the full map is linear interpolation between them — data
+# released CC0 by its authors, Stéfan van der Walt & Nathaniel Smith)
+_VIRIDIS_ANCHORS = (
+    (0.267004, 0.004874, 0.329415),
+    (0.282623, 0.140926, 0.457517),
+    (0.253935, 0.265254, 0.529983),
+    (0.206756, 0.371758, 0.553117),
+    (0.163625, 0.471133, 0.558148),
+    (0.127568, 0.566949, 0.550556),
+    (0.134692, 0.658636, 0.517649),
+    (0.266941, 0.748751, 0.440573),
+    (0.477504, 0.821444, 0.318195),
+    (0.741388, 0.873449, 0.149561),
+    (0.993248, 0.906157, 0.143936),
+)
+
+
+def _apply_cmap(norm: "np.ndarray", cmap: str) -> "np.ndarray":
+    """(H, W) floats in [0,1] → uint8 (H, W) gray or (H, W, 3)."""
+    import numpy as np
+
+    if cmap == "gray":
+        return np.round(norm * 255.0).astype(np.uint8)
+    if cmap == "viridis":
+        anchors = np.asarray(_VIRIDIS_ANCHORS)
+        pos = np.linspace(0.0, 1.0, len(anchors))
+        rgb = np.stack(
+            [np.interp(norm, pos, anchors[:, ch]) for ch in range(3)],
+            axis=-1,
+        )
+        return np.round(rgb * 255.0).astype(np.uint8)
+    raise ValueError(f"unknown cmap {cmap!r}; built-in: 'gray', 'viridis'")
+
+
+def render_plane_png(
+    record: dict[str, Any],
+    tcz=(0, 0, 0),
+    cmap: str = "gray",
+    vmin: float | None = None,
+    vmax: float | None = None,
+) -> bytes:
+    """Built-in V1 render: one (t,c,z) plane → PNG bytes through the
+    from-scratch PNG encoder (sources/png_minimal.py) — no matplotlib
+    needed.  Same display semantics as the reference's imshow path
+    (view.py:32-54): min/max autoscale unless vmin/vmax given, gray or
+    viridis mapping.  :func:`render_plane_matplotlib` remains the
+    interactive-figure twin when matplotlib IS installed."""
+    import numpy as np
+
+    from ome_arrow_spark.sources.png_minimal import png_encode
+
+    t, c, z = tcz
+    pm = record["pixels_meta"]
+    for p in record["planes"]:
+        if (p["t"], p["c"], p["z"]) == (t, c, z):
+            img = np.asarray(p["pixels"], dtype=np.float64).reshape(
+                pm["size_y"], pm["size_x"]
+            )
+            lo = float(img.min() if vmin is None else vmin)
+            hi = float(img.max() if vmax is None else vmax)
+            span = hi - lo if hi > lo else 1.0
+            norm = np.clip((img - lo) / span, 0.0, 1.0)
+            return png_encode(_apply_cmap(norm, cmap))
+    raise KeyError(f"plane {tcz} not found")
+
+
+def render_volume_png(
+    record: dict[str, Any],
+    c: int = 0,
+    cmap: str = "gray",
+    clim: tuple[float, float] | None = None,
+) -> bytes:
+    """Built-in V2 render: the (t=0, channel c) volume's Z
+    max-intensity projection → PNG bytes.  ``clim`` takes the robust
+    percentile limits from :func:`volume_contrast` (the reference's
+    1.0/99.9 contrast, view.py:132-136); defaults to the volume
+    min/max."""
+    import numpy as np
+
+    from ome_arrow_spark.sources.png_minimal import png_encode
+
+    vol, _spacing = build_volume_zyx(record, c=c)
+    mip = vol.max(axis=0).astype(np.float64)
+    lo, hi = (
+        (float(vol.min()), float(vol.max())) if clim is None else clim
+    )
+    span = hi - lo if hi > lo else 1.0
+    norm = np.clip((mip - lo) / span, 0.0, 1.0)
+    return png_encode(_apply_cmap(norm, cmap))
+
+
 def render_plane_matplotlib(record: dict[str, Any], tcz=(0, 0, 0), **kw):
     """Driver-side render (V1). Gated: matplotlib is not installed in
     this container."""

@@ -358,6 +358,47 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Built-in V1 render (view_ops.render_plane_png): per channel of the
+# nviz 128×128 formula image, render the (0,c,0) plane to a PNG
+# through the from-scratch codec and decode it BACK — the oracle
+# re-derives the display mapping round(((v-lo)/span)·255) arithmetically
+# (the formula makes lo=c*17, span=16383 exact, and no mapped value
+# lands on a .5 tie — 16383·(2k+1) is odd while (v-lo)·510 is even —
+# so numpy half-even and SQL half-up rounding agree everywhere).
+# One wrong byte in autoscale, colormap, PNG encode OR decode breaks
+# the sum. (Reference renders via matplotlib imshow, view.py:32-54;
+# this is the dependency-free twin.)
+@register(
+    "ome_render_png",
+    """
+    WITH cc AS (SELECT unnest([0, 1]) AS c),
+         yy AS (SELECT unnest(generate_series(0, 127)) AS y),
+         xx AS (SELECT unnest(generate_series(0, 127)) AS x)
+    SELECT CAST(cc.c AS INT) AS c,
+           CAST(SUM(ROUND(
+             ((CAST((cc.c*17 + yy.y*128 + xx.x) % 65536 AS DOUBLE)
+               - cc.c*17) / 16383.0) * 255.0
+           )) AS BIGINT) AS png_sum
+    FROM cc, yy, xx GROUP BY cc.c
+    """,
+)
+def ome_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators.view_ops import render_plane_png
+    from ome_arrow_spark.sources.png_minimal import png_decode
+
+    imgs = synth.golden_images_df(
+        spark, ids=["nviz-2ch-single"], include_conftest=False
+    )
+    rec = imgs.select("ome_arrow").first()[0].asDict(recursive=True)
+    rows = []
+    for c in (0, 1):
+        img = png_decode(render_plane_png(rec, tcz=(0, c, 0)))
+        rows.append((c, int(img.astype(np.int64).sum())))
+    return spark.createDataFrame(rows, "c int, png_sum bigint")
+
+
 # Multiscale LOD: mean-pool (factor 2, integer floor) of nviz-2ch-single,
 # checked cell-exactly by DuckDB re-deriving the pooled sum from the
 # pixel formula pixel(c,y,x) = (c*17 + y*128 + x) % 65536.

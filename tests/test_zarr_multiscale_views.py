@@ -176,3 +176,81 @@ def test_render_volume_pyvista_fake_module(monkeypatch):
     assert calls["background"] == "white"
     assert calls["shade"] is False
     assert calls["opacity_unit_distance"] == pytest.approx(0.65)
+
+
+class TestBuiltinPngRender:
+    """V1/V2 finally have an EXECUTABLE render path with no external
+    dependency: plane/MIP → PNG through the from-scratch codec
+    (sources/png_minimal.py). Decoding the PNG back must reproduce the
+    exact display mapping (min/max autoscale, clip, colormap)."""
+
+    def test_plane_gray_autoscale(self):
+        import numpy as np
+
+        from ome_arrow_spark.operators.view_ops import render_plane_png
+        from ome_arrow_spark.sources.png_minimal import png_decode
+
+        rec = synth.conftest_record()
+        pm = rec["pixels_meta"]
+        png = render_plane_png(rec, tcz=(0, 1, 0))
+        img = png_decode(png)
+        assert img.shape == (pm["size_y"], pm["size_x"])
+        # recompute the mapping straight from the record
+        plane = next(
+            p for p in rec["planes"] if (p["t"], p["c"], p["z"]) == (0, 1, 0)
+        )
+        raw = np.asarray(plane["pixels"], dtype=np.float64).reshape(
+            pm["size_y"], pm["size_x"]
+        )
+        lo, hi = raw.min(), raw.max()
+        exp = np.round((raw - lo) / (hi - lo if hi > lo else 1.0) * 255)
+        np.testing.assert_array_equal(img, exp.astype(np.uint8))
+
+    def test_plane_viridis_and_limits(self):
+        import numpy as np
+
+        from ome_arrow_spark.operators.view_ops import render_plane_png
+        from ome_arrow_spark.sources.png_minimal import png_decode
+
+        rec = synth.conftest_record()
+        pm = rec["pixels_meta"]
+        png = render_plane_png(rec, tcz=(0, 0, 0), cmap="viridis",
+                               vmin=0.0, vmax=10.0)
+        img = png_decode(png)
+        assert img.shape == (pm["size_y"], pm["size_x"], 3)
+        # vmin/vmax clipping: values ≥ 10 all map to the TOP anchor
+        plane = next(
+            p for p in rec["planes"] if (p["t"], p["c"], p["z"]) == (0, 0, 0)
+        )
+        raw = np.asarray(plane["pixels"]).reshape(pm["size_y"], pm["size_x"])
+        top = np.round(np.array([0.993248, 0.906157, 0.143936]) * 255)
+        if (raw >= 10).any():
+            ys, xs = np.nonzero(raw >= 10)
+            np.testing.assert_array_equal(img[ys[0], xs[0]], top)
+
+    def test_volume_mip(self):
+        import numpy as np
+
+        from ome_arrow_spark.operators.view_ops import (
+            build_volume_zyx,
+            render_volume_png,
+        )
+        from ome_arrow_spark.sources.png_minimal import png_decode
+
+        rec = synth.conftest_record()
+        png = render_volume_png(rec, c=0)
+        img = png_decode(png)
+        vol, _ = build_volume_zyx(rec, c=0)
+        mip = vol.max(axis=0).astype(np.float64)
+        lo, hi = float(vol.min()), float(vol.max())
+        exp = np.round((mip - lo) / (hi - lo if hi > lo else 1.0) * 255)
+        np.testing.assert_array_equal(img, exp.astype(np.uint8))
+
+    def test_unknown_cmap_rejected(self):
+        import pytest
+
+        from ome_arrow_spark.operators.view_ops import render_plane_png
+
+        rec = synth.conftest_record()
+        with pytest.raises(ValueError, match="cmap"):
+            render_plane_png(rec, tcz=(0, 0, 0), cmap="jet")
