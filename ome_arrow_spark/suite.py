@@ -53,38 +53,37 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-7 rotation: every round-7 addition first (BM25 text index
-    # quartet, heavy hitters pair, ORC round-trip, HLL union), the
-    # three queries whose fixtures/codecs changed this round
-    # (ome_tiff_codec_ingest + jpeg_restart, ome_zarr_blosc_roundtrip +
-    # blosclz, media_dir_ingest + interlaced PNG + PGM), the two whose
-    # plans changed (lm_bigram_score broadcast drop, agg battery), and
-    # a flagship re-verification tail. Names not yet registered are
-    # skipped, so partial imports stay safe.
+    # Round-8 rotation: everything round 8 touched first — the new
+    # built-in render row, the codec-ingest fixture that gained the
+    # arithmetic-JPEG (SOF9/QM-coder) row, and the full ANN battery
+    # (similarity.py / pq_index.py / ann_index.py grew arrow/sample
+    # twin implementations; these gate rows pin that the default
+    # in-plan exact modes are untouched) — then a re-verification tail
+    # resampling rounds 1-4 flagships that r7's window did not carry.
+    # Names not yet registered are skipped, so partial imports stay
+    # safe.
     #
-    # round-7 additions (first driver rows)
-    "text_index_search", "text_index_incremental",
-    "text_index_search_many", "stream_text_index",
-    "heavy_hitters_terms", "heavy_hitters_bigrams",
-    "orc_partitioned_roundtrip", "hll_union_distinct", "ann_pq_rerank",
-    "media_audio_resample", "media_image_resize", "text_index_phrase",
-    "hybrid_retrieval_rrf", "ann_ivfpq_rerank", "graph_bfs_trade", "table_change_feed", "funnel_steps", "graph_cheapest_route", "asof_tolerance",
-    # round-7 fixture/codec/plan changes
-    "ome_tiff_codec_ingest", "ome_zarr_blosc_roundtrip",
-    "media_dir_ingest", "lm_bigram_score", "media_video_frames",
-    # re-verification tail (rotating flagships)
-    "agg_bitwise", "curation_crossmodal", "data_profile",
-    "dataset_sample_stratified", "dataset_split", "generator_outer",
-    "histogram_totalprice", "join_lateral", "join_null_safe",
-    "join_salted_skew", "media_features", "ome_rgba_repack",
-    "ome_slice_conftest", "skew_report", "sort_nulls_order",
-    "sql_api_q1", "stratified_sample", "string_distance",
-    "time_hierarchy_rollup", "udtf_sentences",
-    "agg_approx_distinct", "media_audio_features",
-    "q1_pricing_summary", "q21_waiting_supplier", "join_semi",
-    "ome_pipeline", "pagerank_nations", "ann_index_search",
-    "near_dedup_full", "stream_cdc_upsert", "table_log_merge",
-    "ome_describe", "ome_slice_crop",
+    # round-8 additions / touched surfaces (first driver rows)
+    "ome_render_png", "ome_tiff_codec_ingest",
+    "ann_index_search", "ann_pq_rerank", "ann_ivfpq_rerank",
+    "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
+    "kmeans_embeddings", "embedding_centroids", "embedding_neardup",
+    # re-verification tail (rotating flagships, r1-r4 resample)
+    "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue",
+    "window_rank", "window_analytic", "window_range_frame",
+    "sort_topk", "set_ops", "set_ops_all", "filter_predicates",
+    "scalar_string", "scalar_date", "scalar_math", "scalar_array",
+    "scalar_map", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_stats", "percentile_multi", "join_left_order_counts",
+    "join_full_outer", "join_anti", "join_range", "asof_events_orders",
+    "asof_events_orders_forward", "dedup_exact", "minhash_signatures",
+    "neardup_lsh", "simhash", "ngram_jaccard", "dedup_components",
+    "text_stats", "text_quality", "lang_id", "token_topk",
+    "doc_fingerprint", "stream_tumbling", "stream_session",
+    "stream_dedup", "stream_static_join", "table_time_travel",
+    "table_evolution", "table_incremental_agg", "ome_multiscale",
+    "ome_zarr_v3_roundtrip", "ome_stack_ingest", "ome_verify",
+    "ome_view_plane", "ome_volume_contrast",
 )
 
 
