@@ -6,6 +6,11 @@ order-insensitive value comparison.
 Floats are compared to 9 significant digits (the suite's decimal-sum
 pattern should make most of them bit-identical; the tolerance only
 papers over genuinely-rounded columns like cosine similarities).
+
+Heavy-marked (the whole point of the r7 #8 fast/heavy split): this
+sweep re-runs the ENTIRE registry — it belongs in the nightly /
+per-round lane, not the <5-min CI loop, and it duplicates what the
+driver gate and tools/gate_sim.py check.
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.heavy
 
 TABLES = (
     "region",
