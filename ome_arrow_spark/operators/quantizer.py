@@ -34,11 +34,21 @@ from pyspark.sql.functions import pandas_udf
 def sample_vectors(
     df: DataFrame, vec: str, sample_size: int, seed: int = 42
 ) -> np.ndarray:
-    """Bounded training sample as a float64 matrix.  Uses a cheap
-    LIMIT when the cap is generous; at real scale callers should hold
-    a representative sample anyway (training never needs the corpus).
-    The driver materializes at most ``sample_size`` vectors."""
-    n = df.select(vec).limit(sample_size).toPandas()[vec]
+    """Bounded UNBIASED training sample as a float64 matrix: the
+    ``sample_size`` smallest rows by ``xxhash64(vec, seed)``.  A plain
+    LIMIT would satisfy itself from the first partitions — on a
+    clustered/sorted corpus that trains the quantizer on one corner of
+    the distribution.  Hash-order + limit compiles to
+    TakeOrderedAndProject: one full scan (training prep; the encode
+    pass scans anyway), per-partition top-N memory, deterministic
+    under any partitioning.  The driver materializes at most
+    ``sample_size`` vectors."""
+    n = (
+        df.select(F.col(vec), F.xxhash64(F.col(vec), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_size)
+        .toPandas()[vec]
+    )
     if not len(n):
         raise ValueError("empty corpus: nothing to train on")
     return np.vstack(n.to_numpy()).astype(np.float64)
