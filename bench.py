@@ -258,6 +258,37 @@ def bench_table_log(
         ).coalesce(1)
         merge = lambda: tl.upsert_table(spark, updates, t, key="k")
         out["table_merge_pruned"] = REC.timed_best("table_merge_pruned", merge, REPEATS)
+        # DELETE of a 0.2% key slice from REALISTICALLY sized files
+        # (16 range files of 250k rows with an incompressible payload
+        # column), both ways on identical clones: deletion vectors
+        # write O(matched rows) of sidecar bytes where rewrite mode
+        # re-encodes every byte of every touched file.  On 100-row toy
+        # files rewrite wins on fixed overheads — the file size IS the
+        # variable the comparison is about.
+        dn, dn_files = 4_000_000, 16
+        ddf = spark.range(dn).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dlo, dhi = dn // 4, dn // 4 + dn // 500
+        dpred = f"k >= {dlo} AND k < {dhi}"
+        dprune = [("k", ">=", dlo), ("k", "<", dhi)]
+        # best-of-2 on fresh clones: the first Arrow-UDF use in a
+        # session pays ~2s of Python-worker pool spin-up that has
+        # nothing to do with the delete itself
+        for mode in ("dv", "rewrite"):
+            walls = []
+            for rep in range(2):
+                clone = os.path.join(d, f"del_{mode}_{rep}")
+                tl.create_table(
+                    spark, ddf.repartitionByRange(dn_files, "k"), clone
+                )
+                t0 = time.perf_counter()
+                tl.delete_from_table(
+                    spark, clone, dpred, prune_predicates=dprune, mode=mode
+                )
+                walls.append(time.perf_counter() - t0)
+            out[f"table_delete_{mode}"] = round(min(walls), 4)
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)

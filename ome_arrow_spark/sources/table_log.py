@@ -231,6 +231,112 @@ def _read_entry(table: str, version: int) -> dict[str, Any]:
         return json.load(f)
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors
+# ---------------------------------------------------------------------------
+# A soft delete attaches a sidecar of deleted ROW POSITIONS to a data
+# file instead of rewriting it: the commit re-adds the same path with a
+# ``dv`` field (``{"path": sidecar, "cardinality": n}``), which
+# replaces the prior add during snapshot resolution.  At 100 TB this
+# is the difference between a point DELETE costing O(matched rows) of
+# sidecar bytes and costing a rewrite of every touched 128 MB file
+# (Delta Lake's deletion-vector feature has the same shape).  File
+# stats stay valid for pruning — deleted rows can only make them
+# conservative.  Readers drop DV positions with a broadcast anti-join
+# on (file, row_index) against the (small, maintenance-bounded)
+# position set; compaction rewrites DV'd files, materializing the
+# deletes and clearing the vectors.
+
+DV_DIR = "deletion_vectors"
+_DV_MAGIC = b"OADV1\n"
+
+
+def _dv_encode(positions) -> bytes:
+    """Sidecar bytes: magic, uint64 count, sorted uint64 positions
+    (little-endian).  A production object-store format would use a
+    roaring bitmap; the manifest contract (path + cardinality) is
+    format-agnostic."""
+    import numpy as np
+
+    pos = np.unique(np.asarray(positions, dtype=np.uint64))
+    return _DV_MAGIC + len(pos).to_bytes(8, "little") + pos.astype(
+        "<u8"
+    ).tobytes()
+
+
+def _dv_decode(data: bytes):
+    import numpy as np
+
+    if data[: len(_DV_MAGIC)] != _DV_MAGIC:
+        raise TableLogError("bad deletion-vector sidecar magic")
+    n = int.from_bytes(data[len(_DV_MAGIC):len(_DV_MAGIC) + 8], "little")
+    return np.frombuffer(data, dtype="<u8", offset=len(_DV_MAGIC) + 8,
+                         count=n)
+
+
+def _read_dv(table: str, rel_path: str):
+    with open(os.path.join(table, rel_path), "rb") as f:
+        return _dv_decode(f.read())
+
+
+def _scan(
+    spark: SparkSession,
+    table: str,
+    files: dict[str, dict[str, Any]],
+    paths: Sequence[str],
+    schema: T.StructType,
+) -> DataFrame:
+    """DV-aware scan of ``paths`` (manifest-relative): files without a
+    deletion vector are read as a plain pruned parquet scan; files
+    WITH one are read carrying ``_metadata.(file_name, row_index)``
+    and anti-joined against their deleted positions.  The DV side is
+    broadcast — its volume is deletes-since-last-compaction, which the
+    maintenance policy bounds (compaction always rewrites DV'd files,
+    clearing the vectors)."""
+    plain = [p for p in paths if not files.get(p, {}).get("dv")]
+    dvd = [p for p in paths if files.get(p, {}).get("dv")]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(table, p) for p in plain]
+            )
+        )
+    if dvd:
+        import pandas as pd
+
+        chunks = []
+        for p in dvd:
+            pos = _read_dv(table, files[p]["dv"]["path"])
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "__dv_file": os.path.basename(p),
+                        "__dv_pos": pos.astype("int64"),
+                    }
+                )
+            )
+        dv_df = spark.createDataFrame(
+            pd.concat(chunks, ignore_index=True),
+            "__dv_file string, __dv_pos long",
+        )
+        df = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(table, p) for p in dvd])
+            .withColumn("__dv_file", F.col("_metadata.file_name"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv_df), ["__dv_file", "__dv_pos"], "left_anti")
+            .drop("__dv_file", "__dv_pos")
+        )
+        parts.append(df.select([f.name for f in schema.fields]))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _resolve_snapshot(
     table: str, version: int | None = None, _replay: bool = False
 ) -> dict[str, Any]:
@@ -693,9 +799,13 @@ def upsert_table(
 
     actions: list[dict[str, Any]] = []
     if touched:
-        existing = spark.read.schema(
-            T.StructType.fromJson(json.loads(snap["schema"]))
-        ).parquet(*[os.path.join(table, p) for p in touched])
+        existing = _scan(
+            spark,
+            table,
+            snap["files"],
+            touched,
+            T.StructType.fromJson(json.loads(snap["schema"])),
+        )
         if order_by is None:
             kept = existing.join(
                 updates.select(F.col(key).alias("__uk")).distinct(),
@@ -748,24 +858,40 @@ def delete_from_table(
     table: str,
     predicate: str,
     prune_predicates: Iterable[tuple[str, str, Any]] | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """Delete rows matching a SQL ``predicate``.  When the caller also
     supplies the predicate's stats-checkable conjuncts as
     ``prune_predicates`` (same ``(col, op, literal)`` form as
     :func:`read_table`), files whose footer stats prove they contain
     NO matching row are carried by reference untouched; only the
-    surviving candidates are rewritten with the predicate inverted.
-    Literal encoding follows :func:`read_table` (datetime or ISO
-    string both accepted)."""
+    surviving candidates are touched.  Literal encoding follows
+    :func:`read_table` (datetime or ISO string both accepted).
+
+    ``mode="rewrite"`` (default) rewrites the touched files with the
+    predicate inverted — the right move when the deleted fraction is
+    large.  ``mode="dv"`` writes DELETION VECTORS instead: each
+    touched file gets a sidecar of deleted row positions and is
+    re-added in place — a point delete then costs O(matched rows) of
+    sidecar bytes, not a rewrite of every touched 128 MB file.  A file
+    whose every row is deleted is removed outright (no sidecar).
+    Sidecars are written executor-side (one task per touched file,
+    merging any existing vector); only per-file (path, cardinality)
+    rows reach the driver.  :func:`compact_table` rewrites DV'd files,
+    materializing the deletes."""
+    if mode not in ("rewrite", "dv"):
+        raise TableLogError(f"delete mode must be 'rewrite' or 'dv': {mode!r}")
     snap = _resolve_snapshot(table)
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     touched = _prune(snap["files"], prune_predicates)
     actions: list[dict[str, Any]] = []
-    if touched:
-        existing = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in touched]
+    if touched and mode == "dv":
+        actions = _dv_delete_actions(
+            spark, table, snap, touched, predicate, version
         )
+    elif touched:
+        existing = _scan(spark, table, snap["files"], touched, schema)
         remaining = existing.filter(f"NOT ({predicate})")
         adds = _write_data_files(remaining, table, version, _bloom_cols(snap))
         actions += [{"add": a} for a in adds]
@@ -776,6 +902,77 @@ def delete_from_table(
         {"version": version, "operation": "delete", "actions": actions},
     )
     return version
+
+
+def _dv_delete_actions(
+    spark: SparkSession,
+    table: str,
+    snap: dict[str, Any],
+    touched: list[str],
+    predicate: str,
+    version: int,
+) -> list[dict[str, Any]]:
+    """Commit actions for a deletion-vector delete: scan the touched
+    files' PHYSICAL rows for predicate matches (already-deleted rows
+    may re-match; the position union dedups), write one merged sidecar
+    per file executor-side, and re-add each file in place with its new
+    vector — or remove it when the vector covers every row."""
+    abs_table = os.path.abspath(table)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    os.makedirs(os.path.join(abs_table, DV_DIR), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    existing_dv = {
+        os.path.basename(p): snap["files"][p]["dv"]["path"]
+        for p in touched
+        if snap["files"][p].get("dv")
+    }
+    matches = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(table, p) for p in touched])
+        .filter(predicate)
+        .select(
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+    )
+
+    def _write_sidecars(key, pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        fname = key[0]
+        pos = pdf["__dv_pos"].to_numpy(dtype=np.uint64)
+        prior = existing_dv.get(fname)
+        if prior is not None:
+            pos = np.concatenate([pos, _read_dv(abs_table, prior)])
+        data = _dv_encode(pos)
+        card = int.from_bytes(data[len(_DV_MAGIC):len(_DV_MAGIC) + 8],
+                              "little")
+        digest = hashlib.md5(fname.encode()).hexdigest()[:12]
+        rel = f"{DV_DIR}/dv-{version:08d}-{token}-{digest}.bin"
+        with open(os.path.join(abs_table, rel), "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            {"file": [fname], "dv": [rel], "card": [card]}
+        )
+
+    written = (
+        matches.groupBy("__dv_file")
+        .applyInPandas(_write_sidecars, "file string, dv string, card long")
+        .collect()
+    )
+    actions: list[dict[str, Any]] = []
+    for r in written:
+        add = dict(snap["files"][r["file"]])
+        rows = add.get("rows")
+        if rows is not None and r["card"] >= rows:
+            actions.append({"remove": {"path": r["file"]}})
+        else:
+            add["dv"] = {"path": r["dv"], "cardinality": r["card"]}
+            actions.append({"add": add})
+    return actions
 
 
 def delete_keys_from_table(
@@ -832,9 +1029,7 @@ def delete_keys_from_table(
         ]
     actions: list[dict[str, Any]] = []
     if touched:
-        existing = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in touched]
-        )
+        existing = _scan(spark, table, snap["files"], touched, schema)
         remaining = existing.join(
             kdf, existing[key] == kdf["_del_key"], "left_anti"
         )
@@ -868,16 +1063,19 @@ def compact_table(
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     threshold = target_bytes if small_file_bytes is None else small_file_bytes
+    # DV'd files always qualify: compaction is where deletion vectors
+    # are materialized (rows dropped for real, sidecar retired).
     files = [
-        p for p, a in snap["files"].items() if a.get("bytes", 0) < threshold
+        p for p, a in snap["files"].items()
+        if a.get("bytes", 0) < threshold or a.get("dv")
     ]
-    if len(files) < 2:  # nothing to gain from rewriting 0-1 files
+    if len(files) < 2 and not any(
+        snap["files"][p].get("dv") for p in files
+    ):  # nothing to gain from rewriting 0-1 DV-free files
         return snap["version"]
     total = sum(snap["files"][p].get("bytes", 0) for p in files)
     n = max(1, -(-total // target_bytes))
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in files]
-    )
+    df = _scan(spark, table, snap["files"], files, schema)
     adds = _write_data_files(df.repartition(n), table, version, _bloom_cols(snap))
     _commit(
         table,
@@ -908,23 +1106,33 @@ def table_changes(
     Scan cost note: both endpoint snapshots read only files that
     CHANGED between the versions — files carried by reference in both
     snapshots cancel out, so they are dropped from both sides before
-    the exceptAll rather than scanned."""
+    the exceptAll rather than scanned.  A file's identity here is
+    (path, deletion-vector): a DV-only delete re-adds the same path
+    with a new vector, so the file lands on BOTH sides — old live rows
+    minus new live rows is exactly the newly-deleted set."""
     snap_new = _resolve_snapshot(table, to_version)
     snap_old = _resolve_snapshot(table, from_version)
     schema = T.StructType.fromJson(json.loads(snap_new["schema"]))
-    old_files = set(snap_old["files"])
-    new_files = set(snap_new["files"])
-    only_old = sorted(old_files - new_files)
-    only_new = sorted(new_files - old_files)
+    old_ids = {
+        p: a.get("dv", {}).get("path") for p, a in snap_old["files"].items()
+    }
+    new_ids = {
+        p: a.get("dv", {}).get("path") for p, a in snap_new["files"].items()
+    }
+    _ABSENT = object()
+    only_old = sorted(
+        p for p, d in old_ids.items() if new_ids.get(p, _ABSENT) != d
+    )
+    only_new = sorted(
+        p for p, d in new_ids.items() if old_ids.get(p, _ABSENT) != d
+    )
     cols = [f.name for f in schema.fields]
 
     def _read(paths, snap):
         if not paths:
             return spark.createDataFrame([], schema)
         s = T.StructType.fromJson(json.loads(snap["schema"]))
-        df = spark.read.schema(s).parquet(
-            *[os.path.join(table, p) for p in paths]
-        )
+        df = _scan(spark, table, snap["files"], paths, s)
         # schema evolution: align older snapshots to the new schema
         for f in schema.fields:
             if f.name not in df.columns:
@@ -961,9 +1169,7 @@ def recluster_table(
     files = list(snap["files"])
     if not files:
         return snap["version"]
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in files]
-    )
+    df = _scan(spark, table, snap["files"], files, schema)
     adds = _write_data_files(
         df.repartitionByRange(max(1, n_files), by),
         table,
@@ -1057,12 +1263,7 @@ def read_table(
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     preds = list(predicates) if predicates else []
     live = _prune(snap["files"], preds)
-    if not live:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in live]
-        )
+    df = _scan(spark, table, snap["files"], live, schema)
     _OP_FN = {
         "=": lambda c, v: c == v, "<": lambda c, v: c < v,
         "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
@@ -1221,9 +1422,7 @@ def optimize_table(
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     files = list(snap["files"])
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in files]
-    )
+    df = _scan(spark, table, snap["files"], files, schema)
     total = sum(a.get("bytes", 0) for a in snap["files"].values())
     n = max(1, -(-total // target_bytes))
     if zorder_by:
@@ -1296,30 +1495,35 @@ def optimize_table(
 def version_delta_files(
     table: str, from_version: int, to_version: int
 ) -> tuple[list[str], list[str]]:
-    """Net (added, removed) data files across commits in
-    ``(from_version, to_version]``.  A file both added and removed
-    inside the range cancels to nothing; a removed file that predates
-    the range lands in ``removed`` (it is still on disk until vacuum,
-    which is exactly why vacuum retention must cover the refresh
-    horizon)."""
+    """Net (added, removed) data files between the two snapshots.  A
+    file both added and removed inside the range cancels to nothing; a
+    removed file that predates the range lands in ``removed`` (it is
+    still on disk until vacuum, which is exactly why vacuum retention
+    must cover the refresh horizon).  File identity is (path,
+    deletion-vector): a DV-only delete re-adds the same path with a
+    new vector, so the file appears on BOTH sides — its new live rows
+    count positive and its old live rows negative, netting to exactly
+    the deleted rows."""
     versions = _list_versions(table)
     if from_version not in versions or to_version not in versions:
         raise TableLogError(
             f"delta range ({from_version}, {to_version}] not in log"
         )
-    net: dict[str, int] = {}
-    for v in versions:
-        if v <= from_version or v > to_version:
-            continue
-        for action in _read_entry(table, v)["actions"]:
-            if "add" in action:
-                net[action["add"]["path"]] = net.get(action["add"]["path"], 0) + 1
-            elif "remove" in action:
-                net[action["remove"]["path"]] = (
-                    net.get(action["remove"]["path"], 0) - 1
-                )
-    added = sorted(p for p, n in net.items() if n > 0)
-    removed = sorted(p for p, n in net.items() if n < 0)
+    snap_old = _resolve_snapshot(table, from_version)
+    snap_new = _resolve_snapshot(table, to_version)
+    old_ids = {
+        p: a.get("dv", {}).get("path") for p, a in snap_old["files"].items()
+    }
+    new_ids = {
+        p: a.get("dv", {}).get("path") for p, a in snap_new["files"].items()
+    }
+    _ABSENT = object()
+    added = sorted(
+        p for p, d in new_ids.items() if old_ids.get(p, _ABSENT) != d
+    )
+    removed = sorted(
+        p for p, d in old_ids.items() if new_ids.get(p, _ABSENT) != d
+    )
     return added, removed
 
 
@@ -1343,15 +1547,18 @@ def incremental_agg_delta(
     maintenance story at 100 TB.  Returns one row per group:
     ``d_count`` plus ``d_<alias>`` per requested sum."""
     snap = _resolve_snapshot(table, to_version)
+    snap_from = _resolve_snapshot(table, from_version)
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     added, removed = version_delta_files(table, from_version, to_version)
 
     def _signed(paths: list[str], sign: int) -> DataFrame | None:
         if not paths:
             return None
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in paths]
-        )
+        # positive side reads with the NEW snapshot's deletion vectors,
+        # negative with the OLD — a DV-only delete thus nets to exactly
+        # -1 × (newly deleted rows)
+        files = (snap if sign > 0 else snap_from)["files"]
+        df = _scan(spark, table, files, paths, schema)
         return df.withColumn("__sign", F.lit(sign))
 
     parts = [d for d in (_signed(added, 1), _signed(removed, -1)) if d is not None]
@@ -1451,12 +1658,7 @@ def read_ome_table(
     for iid in image_ids:
         live.update(_prune(snap["files"], [("image_id", "=", iid)]))
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
-    if not live:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in sorted(live)]
-        )
+    df = _scan(spark, table, snap["files"], sorted(live), schema)
     return df.filter(F.col("image_id").isin(list(image_ids))).select(column)
 
 
@@ -1484,8 +1686,13 @@ def vacuum_table(
         raise TableLogError(f"not a log table: {table}")
     keep = versions[-max(1, keep_versions):]
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in keep:
-        referenced.update(_resolve_snapshot(table, v)["files"])
+        snap_files = _resolve_snapshot(table, v)["files"]
+        referenced.update(snap_files)
+        referenced_dv.update(
+            a["dv"]["path"] for a in snap_files.values() if a.get("dv")
+        )
     cutoff = time.time() - max(0.0, retention_seconds)
     deleted = []
     for name in os.listdir(table):
@@ -1508,6 +1715,26 @@ def vacuum_table(
                 except FileNotFoundError:
                     continue
             deleted.append(name)
+    # deletion-vector sidecars referenced by no retained snapshot
+    # (superseded vectors, vectors of removed files, crash orphans)
+    dv_dir = os.path.join(table, DV_DIR)
+    if os.path.isdir(dv_dir):
+        for name in os.listdir(dv_dir):
+            rel = f"{DV_DIR}/{name}"
+            full = os.path.join(table, rel)
+            if rel in referenced_dv:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight delete's sidecar
+            except OSError:
+                continue
+            if not dry_run:
+                try:
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue
+            deleted.append(rel)
     return sorted(deleted)
 
 
@@ -1524,7 +1751,17 @@ def table_details(table: str) -> dict[str, Any]:
         "num_versions": len(_list_versions(table)),
         "num_files": len(files),
         "total_bytes": sum(a.get("bytes", 0) for a in files.values()),
-        "total_rows": sum(a.get("rows", 0) for a in files.values()),
+        # live rows: physical row counts minus deletion-vector
+        # cardinalities (a file's "rows" stat stays physical so the
+        # full-file-deleted check and history stay meaningful)
+        "total_rows": sum(
+            a.get("rows", 0) - a.get("dv", {}).get("cardinality", 0)
+            for a in files.values()
+        ),
+        "deleted_rows": sum(
+            a.get("dv", {}).get("cardinality", 0) for a in files.values()
+        ),
+        "dv_files": sum(1 for a in files.values() if a.get("dv")),
         "properties": {
             k: v for k, v in props.items()
             if not k.startswith(CONSTRAINT_PROP_PREFIX) and k != BLOOM_PROP

@@ -666,3 +666,74 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector DELETE (table_log.delete_from_table mode="dv"): the
+# delete writes position sidecars instead of rewriting data files —
+# at 100 TB a point DELETE costs O(matched rows) of sidecar bytes, not
+# a rewrite of every touched 128 MB file.  The query deletes one
+# priority class, then aggregates BOTH a snapshot read (vectors
+# applied) and the change feed's view of the same delete; the oracle
+# recomputes each from the raw table.  Matching proves the DV read
+# path drops exactly the deleted rows and the CDF derives the same
+# rows from the (path, vector) file identity.
+# ---------------------------------------------------------------------------
+@register(
+    "table_delete_dv",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 0)
+    SELECT 'live' AS side, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM base WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'deleted', o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM base WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "dv")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+    tl.create_table(spark, base.repartitionByRange(4, "o_orderkey"), path)
+    tl.delete_from_table(
+        spark, path, "o_orderpriority = '1-URGENT'", mode="dv"
+    )
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    ]
+    live = (
+        tl.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(F.lit("live").alias("side"), "o_orderstatus", "n", "sum_price")
+    )
+    feed = (
+        tl.table_changes(spark, path, 0, 1)
+        .filter(F.col("_change_type") == "delete")
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(
+            F.lit("deleted").alias("side"), "o_orderstatus", "n", "sum_price"
+        )
+    )
+    return live.unionByName(feed)
