@@ -10,7 +10,8 @@ The media table schema:
                       sample_rate int, format string>)
 
 Decode: JPEG (baseline + progressive, incl. subsampled), PNG (incl.
-Adam7), GIF (incl. animation), BMP, netpbm, WAV-PCM, and raw/MJPEG AVI
+Adam7), GIF (incl. animation), BMP, netpbm, WAV (PCM, G.711
+µ-law/A-law, IMA ADPCM), and raw/MJPEG AVI
 all decode through the engine's own built-in codecs; compressed
 audio/video (MP3/H.264-class) honestly gate on soundfile/av.
 Deterministic FMED containers (header + raw payload) additionally make
@@ -63,7 +64,7 @@ def _split(data: bytes, magic: bytes) -> tuple[dict, bytes]:
 
 def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
     """bytes → (kind, array, meta). Baseline AND progressive JPEG,
-    PNG (incl. Adam7), GIF, BMP, netpbm, WAV-PCM, and raw/MJPEG AVI
+    PNG (incl. Adam7), GIF, BMP, netpbm, WAV (PCM/G.711/IMA-ADPCM), and raw/MJPEG AVI
     decode through the engine's own codecs; FMED containers carry raw
     test payloads; compressed audio/video (MP3/H.264-class) gate on
     soundfile/av."""
@@ -140,7 +141,8 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
         return "audio", arr, {"n": int(arr.size), "sr": sr, "format": "wav"}
     raise NotImplementedError(
         "Compressed audio / video codecs (soundfile/av) are not installed "
-        "in this container; JPEG, PNG, WAV-PCM, and FMED test containers "
+        "in this container; JPEG, PNG, WAV (PCM/G.711/ADPCM), and FMED "
+        "test containers "
         "decode built-in. The operator plumbing is codec-agnostic — swap "
         "decode_media's body."
     )

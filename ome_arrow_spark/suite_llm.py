@@ -2706,3 +2706,153 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_rerank_search(
         spark, table, q, c, topk=5, candidates=50, n_probe=8
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law decode (sources/wav_minimal ulaw_decode /
+# alaw_decode, reached through the media table's WAV dispatch): the
+# compressed PAYLOAD BYTES are pinned to a formula, so the DuckDB
+# oracle replays the decoders' integer arithmetic — µ-law
+# ((m*8+132)<<e)-132 on the complemented byte, A-law the 0x55-xor
+# segment expansion — over the same byte stream and must reproduce the
+# clip statistics exactly.  This is decode-correctness proven by
+# arithmetic, not by round-trip.
+# ---------------------------------------------------------------------------
+@register(
+    "media_audio_g711",
+    """
+    WITH ub AS (
+      SELECT t.t, (t.t * 7 + 13) % 256 AS b
+      FROM (SELECT unnest(generate_series(0, 1999)) AS t) t),
+    ud AS (
+      SELECT t,
+             CASE WHEN (255 - b) >= 128 THEN -((((255 - b) % 16) * 8 + 132)
+                    << (((255 - b) // 16) % 8)) + 132
+                  ELSE ((((255 - b) % 16) * 8 + 132)
+                    << (((255 - b) // 16) % 8)) - 132 END AS s
+      FROM ub),
+    ab AS (
+      SELECT t.t, (t.t * 11 + 5) % 256 AS b
+      FROM (SELECT unnest(generate_series(0, 1999)) AS t) t),
+    ad AS (
+      SELECT t,
+             CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+             CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                  THEN (xor(b, 85) % 16) * 16 + 8
+                  ELSE ((xor(b, 85) % 16) * 16 + 264)
+                       << ((xor(b, 85) // 16) % 8 - 1) END AS s
+      FROM ab),
+    lagged AS (
+      SELECT 1 AS media_id, t, s,
+             LAG(s) OVER (ORDER BY t) AS prev FROM ud
+      UNION ALL
+      SELECT 2, t, s, LAG(s) OVER (ORDER BY t) FROM ad)
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(s)) AS DOUBLE) AS peak,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM lagged
+    GROUP BY media_id
+    """,
+)
+def media_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+    from ome_arrow_spark.sources import wav_minimal as W
+
+    t = np.arange(2000, dtype=np.int64)
+    ulaw = ((t * 7 + 13) % 256).astype(np.uint8).tobytes()
+    alaw = ((t * 11 + 5) % 256).astype(np.uint8).tobytes()
+    rows = [
+        (1, "audio", bytearray(W.wav_from_raw(W.WAVE_FORMAT_MULAW, ulaw, 8000)),
+         (None, None, None, 8000, "wav")),
+        (2, "audio", bytearray(W.wav_from_raw(W.WAVE_FORMAT_ALAW, alaw, 8000)),
+         (None, None, None, 8000, "wav")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", F.round("rms", 6).alias("rms"),
+        F.col("peak").cast("double").alias("peak"), "zero_crossings",
+    )
+
+
+def _ima_steps_values() -> str:
+    from ome_arrow_spark.sources.wav_minimal import _IMA_STEPS
+
+    return ", ".join(f"({i}, {int(s)})" for i, s in enumerate(_IMA_STEPS))
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM decode (sources/wav_minimal._ima_adpcm_decode via the
+# media WAV dispatch): one mono block whose 504 nibbles are pinned to
+# nib(j) = (j*7+3) % 16 with header sample 1234 and step index 40.
+# The oracle replays the decoder STATE MACHINE — (predictor, index)
+# advanced per nibble through the published step/index tables — as a
+# recursive CTE, then must reproduce the clip statistics exactly.  An
+# inherently-sequential codec, oracled by recursion rather than
+# round-trip.
+# ---------------------------------------------------------------------------
+@register(
+    "media_audio_adpcm",
+    f"""
+    WITH RECURSIVE steps(i, st) AS (
+      SELECT * FROM (VALUES {_ima_steps_values()}) v(i, st)),
+    dec(t, pred, idx) AS (
+      SELECT 0, 1234, 40
+      UNION ALL
+      SELECT t + 1,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+             GREATEST(0, LEAST(88, idx + CASE nib % 8
+               WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+               ELSE -1 END))
+      FROM (
+        SELECT d.t, d.pred, d.idx,
+               (d.t * 7 + 3) % 16 AS nib,
+               (s.st // 8)
+               + CASE WHEN ((d.t * 7 + 3) % 16) % 8 >= 4
+                      THEN s.st ELSE 0 END
+               + CASE WHEN ((d.t * 7 + 3) % 16) % 4 >= 2
+                      THEN s.st // 2 ELSE 0 END
+               + CASE WHEN ((d.t * 7 + 3) % 16) % 2 = 1
+                      THEN s.st // 4 ELSE 0 END AS diff
+        FROM dec d JOIN steps s ON s.i = d.idx
+        WHERE d.t < 504)),
+    lagged AS (
+      SELECT t, pred AS s, LAG(pred) OVER (ORDER BY t) AS prev FROM dec)
+    SELECT 3 AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(s)) AS DOUBLE) AS peak,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM lagged
+    """,
+)
+def media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+    from ome_arrow_spark.sources import wav_minimal as W
+
+    j = np.arange(504, dtype=np.int64)
+    nibs = ((j * 7 + 3) % 16).astype(np.uint8)
+    body = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
+    head = (1234).to_bytes(2, "little") + bytes([40, 0])
+    blob = W.wav_from_raw(
+        W.WAVE_FORMAT_IMA_ADPCM, head + body, 8000,
+        bits=4, block_align=4 + len(body), fact_frames=505,
+    )
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(blob), (None, None, None, 8000, "wav"))],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = MM.audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", F.round("rms", 6).alias("rms"),
+        F.col("peak").cast("double").alias("peak"), "zero_crossings",
+    )

@@ -74,11 +74,141 @@ def test_extensible_format_unwraps():
 def test_compressed_gates_and_garbage_rejected():
     s = np.zeros(16, np.int16)
     blob = bytearray(wav_encode(s, 8000))
-    struct.pack_into("<H", blob, 20, 0x0011)  # IMA ADPCM tag
-    with pytest.raises(NotImplementedError, match="0x0011"):
+    struct.pack_into("<H", blob, 20, 0x0055)  # MP3 tag: perceptual gate
+    with pytest.raises(NotImplementedError, match="0x0055"):
         wav_decode(bytes(blob))
     with pytest.raises(ValueError, match="RIFF"):
         wav_decode(b"not a wav at all")
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law
+# ---------------------------------------------------------------------------
+
+
+def test_g711_involution_all_codes():
+    """encode(decode(code)) == code for every code — the canonical
+    G.711 table check.  µ-law's one exception is 0x7F (negative zero):
+    it decodes to 0, which re-encodes to the positive-zero code."""
+    from ome_arrow_spark.sources.wav_minimal import (
+        alaw_decode, alaw_encode, ulaw_decode, ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    u = ulaw_encode(ulaw_decode(codes))
+    assert np.array_equal(np.nonzero(u != codes)[0], [0x7F])
+    assert ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_wav_roundtrip_quantization(codec):
+    x = ((np.arange(2000) * 37) % 20000 - 10000).astype(np.int16)
+    arr, sr = wav_decode(wav_encode(x, 8000, codec=codec))
+    assert sr == 8000 and arr.dtype == np.int16 and len(arr) == 2000
+    err = np.abs(arr.astype(np.int32) - x.astype(np.int32))
+    # log-PCM quantization: error bounded by half the largest step
+    assert err.max() <= 1024
+    snr = 10 * np.log10(
+        (x.astype(np.float64) ** 2).mean()
+        / ((arr - x).astype(np.float64) ** 2).mean()
+    )
+    assert snr > 30  # G.711 delivers ~37 dB on this signal
+
+
+def test_g711_stereo_and_sign_extremes():
+    from ome_arrow_spark.sources.wav_minimal import ulaw_decode, ulaw_encode
+
+    ext = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    dec = ulaw_decode(ulaw_encode(ext))
+    assert dec[0] < -30000 and dec[-1] > 30000 and dec[2] == 0
+    st = np.stack([ext, ext[::-1]], axis=1).astype(np.int16)
+    arr, _ = wav_decode(wav_encode(st, 8000, codec="alaw"))
+    assert arr.shape == (5, 2)
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM
+# ---------------------------------------------------------------------------
+
+
+def _scalar_ima_decode(nibs, pred, idx):
+    """Independent textbook-spec scalar model (no shared code with the
+    vectorized decoder beyond the published constant tables)."""
+    from ome_arrow_spark.sources.wav_minimal import _IMA_INDEX, _IMA_STEPS
+
+    steps, itab = _IMA_STEPS.tolist(), _IMA_INDEX.tolist()
+    out = []
+    for nib in nibs:
+        step = steps[idx]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + itab[nib]))
+        out.append(pred)
+    return out
+
+
+def test_ima_decoder_matches_scalar_model():
+    from ome_arrow_spark.sources.wav_minimal import _ima_decode_nibbles
+
+    rng = np.random.default_rng(7)
+    nibs = rng.integers(0, 16, size=(6, 504), dtype=np.uint8)
+    preds = rng.integers(-32768, 32768, size=6).astype(np.int32)
+    idxs = rng.integers(0, 89, size=6).astype(np.int32)
+    vec = _ima_decode_nibbles(nibs, preds, idxs)
+    for i in range(6):
+        assert vec[i].tolist() == _scalar_ima_decode(
+            nibs[i].tolist(), int(preds[i]), int(idxs[i])
+        )
+
+
+def test_ima_adpcm_wav_roundtrip_mono_and_stereo():
+    t = np.arange(4000)
+    x = (8000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    arr, sr = wav_decode(wav_encode(x, 16000, codec="ima_adpcm"))
+    assert sr == 16000 and arr.dtype == np.int16
+    assert len(arr) == 4000  # fact chunk trims the padded tail block
+    snr = 10 * np.log10(
+        (x.astype(np.float64) ** 2).mean()
+        / ((arr.astype(np.float64) - x) ** 2).mean()
+    )
+    assert snr > 30  # 4-bit ADPCM delivers ~36 dB on a sine
+    other = np.roll(x, 137)
+    st = np.stack([x, other], axis=1).astype(np.int16)
+    arr2, _ = wav_decode(wav_encode(st, 16000, codec="ima_adpcm"))
+    assert arr2.shape == (4000, 2)
+    # channels carry independent state: each equals its mono decode
+    assert np.array_equal(arr2[:, 0], arr)
+    mono_other, _ = wav_decode(wav_encode(other, 16000, codec="ima_adpcm"))
+    assert np.array_equal(arr2[:, 1], mono_other)
+
+
+def test_ima_adpcm_block_boundaries_and_first_sample():
+    """The first sample of every block is carried verbatim in the
+    block header, so it decodes exactly."""
+    from ome_arrow_spark.sources.wav_minimal import ima_adpcm_encode_wav
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, size=505 * 3, dtype=np.int16)
+    arr, _ = wav_decode(ima_adpcm_encode_wav(x, 8000, samples_per_block=505))
+    assert len(arr) == 505 * 3
+    assert np.array_equal(arr[::505], x[::505])
+
+
+def test_ima_adpcm_malformed_block_align():
+    from ome_arrow_spark.sources.wav_minimal import ima_adpcm_encode_wav
+
+    blob = bytearray(ima_adpcm_encode_wav(np.zeros(100, np.int16), 8000))
+    struct.pack_into("<H", blob, 32, 2)  # block_align < 4*channels
+    with pytest.raises(ValueError, match="block_align"):
+        wav_decode(bytes(blob))
 
 
 def test_decode_media_routes_wav():
