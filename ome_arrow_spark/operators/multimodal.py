@@ -139,10 +139,17 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray, dict[str, Any]]:
         if arr.ndim == 2:  # downmix so duration/RMS are per-frame
             arr = arr.mean(axis=1)
         return "audio", arr, {"n": int(arr.size), "sr": sr, "format": "wav"}
+    if data[:4] == b"fLaC":
+        from ome_arrow_spark.sources.flac_minimal import flac_decode
+
+        arr, sr = flac_decode(data)
+        if arr.ndim == 2:
+            arr = arr.mean(axis=1)
+        return "audio", arr, {"n": int(arr.size), "sr": sr, "format": "flac"}
     raise NotImplementedError(
-        "Compressed audio / video codecs (soundfile/av) are not installed "
-        "in this container; JPEG, PNG, WAV (PCM/G.711/ADPCM), and FMED "
-        "test containers "
+        "Perceptual audio / video codecs (MP3/AAC/H.264 via soundfile/av) "
+        "are not installed in this container; JPEG, PNG, GIF, BMP, netpbm, "
+        "WAV (PCM/G.711/IMA-ADPCM), FLAC, AVI, and FMED test containers "
         "decode built-in. The operator plumbing is codec-agnostic — swap "
         "decode_media's body."
     )

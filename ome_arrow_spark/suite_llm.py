@@ -2856,3 +2856,67 @@ def media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_samples", F.round("rms", 6).alias("rms"),
         F.col("peak").cast("double").alias("peak"), "zero_crossings",
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode (sources/flac_minimal.py via the media dispatch): a
+# LOSSLESS codec, so the oracle simply replays the source-sample
+# formula — any decoder defect (Rice coding, fixed-predictor cumsum
+# reconstruction, frame stitching, stereo downmix) breaks equality.
+# Clip 1 is mono, clip 2 stereo (decode_media downmixes to the mean,
+# which the oracle computes as (l+r)/2).  CRC-8/16 and STREAMINFO MD5
+# verification run inside the decode, so a green row also certifies
+# the encoder produced a conforming stream.
+# ---------------------------------------------------------------------------
+@register(
+    "media_audio_flac",
+    """
+    WITH mono AS (
+      SELECT t.t, CAST((t.t*37) % 20000 - 10000 AS DOUBLE) AS s
+      FROM (SELECT unnest(generate_series(0, 4999)) AS t) t),
+    st AS (
+      SELECT t.t,
+             (CAST((t.t*37*2) % 20000 - 10000 AS DOUBLE)
+              + CAST((t.t*37*3) % 20000 - 10000 AS DOUBLE)) / 2.0 AS s
+      FROM (SELECT unnest(generate_series(0, 4999)) AS t) t),
+    lagged AS (
+      SELECT 1 AS media_id, t, s, LAG(s) OVER (ORDER BY t) AS prev FROM mono
+      UNION ALL
+      SELECT 2, t, s, LAG(s) OVER (ORDER BY t) FROM st)
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(s * s)), 6) AS rms,
+           CAST(MAX(ABS(s)) AS DOUBLE) AS peak,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM lagged
+    GROUP BY media_id
+    """,
+)
+def media_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+    from ome_arrow_spark.sources import flac_minimal as FL
+
+    t = np.arange(5000, dtype=np.int64)
+    mono = ((t * 37) % 20000 - 10000).astype(np.int16)
+    stereo = np.stack(
+        [
+            ((t * 37 * 2) % 20000 - 10000).astype(np.int16),
+            ((t * 37 * 3) % 20000 - 10000).astype(np.int16),
+        ],
+        axis=1,
+    ).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(FL.flac_encode(mono, 16000)),
+         (None, None, None, 16000, "flac")),
+        (2, "audio", bytearray(FL.flac_encode(stereo, 16000)),
+         (None, None, None, 16000, "flac")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", F.round("rms", 6).alias("rms"),
+        F.col("peak").cast("double").alias("peak"), "zero_crossings",
+    )
