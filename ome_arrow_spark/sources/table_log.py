@@ -887,8 +887,18 @@ def delete_from_table(
     touched = _prune(snap["files"], prune_predicates)
     actions: list[dict[str, Any]] = []
     if touched and mode == "dv":
+        schema_full = T.StructType.fromJson(json.loads(snap["schema"]))
+        matches = (
+            spark.read.schema(schema_full)
+            .parquet(*[os.path.join(table, p) for p in touched])
+            .filter(predicate)
+            .select(
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+        )
         actions = _dv_delete_actions(
-            spark, table, snap, touched, predicate, version
+            spark, table, snap, touched, matches, version
         )
     elif touched:
         existing = _scan(spark, table, snap["files"], touched, schema)
@@ -909,16 +919,16 @@ def _dv_delete_actions(
     table: str,
     snap: dict[str, Any],
     touched: list[str],
-    predicate: str,
+    matches: DataFrame,
     version: int,
 ) -> list[dict[str, Any]]:
-    """Commit actions for a deletion-vector delete: scan the touched
-    files' PHYSICAL rows for predicate matches (already-deleted rows
-    may re-match; the position union dedups), write one merged sidecar
-    per file executor-side, and re-add each file in place with its new
-    vector — or remove it when the vector covers every row."""
+    """Commit actions for a deletion-vector delete.  ``matches`` is a
+    ``(__dv_file, __dv_pos)`` DataFrame of PHYSICAL row positions to
+    delete (already-deleted rows may re-match; the position union
+    dedups).  Writes one merged sidecar per file executor-side and
+    re-adds each file in place with its new vector — or removes it
+    when the vector covers every row."""
     abs_table = os.path.abspath(table)
-    schema = T.StructType.fromJson(json.loads(snap["schema"]))
     os.makedirs(os.path.join(abs_table, DV_DIR), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     existing_dv = {
@@ -926,15 +936,6 @@ def _dv_delete_actions(
         for p in touched
         if snap["files"][p].get("dv")
     }
-    matches = (
-        spark.read.schema(schema)
-        .parquet(*[os.path.join(table, p) for p in touched])
-        .filter(predicate)
-        .select(
-            F.col("_metadata.file_name").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-        )
-    )
 
     def _write_sidecars(key, pdf):
         import hashlib
@@ -980,10 +981,16 @@ def delete_keys_from_table(
     table: str,
     keys: DataFrame,
     key: str,
+    mode: str = "rewrite",
 ) -> int:
     """Delete every row whose ``key`` appears in the (arbitrarily
     large) ``keys`` DataFrame — the driver-bounded twin of
     :func:`delete_from_table` for set-membership predicates.
+    ``mode="dv"`` writes deletion vectors instead of rewriting the
+    touched files (matched positions come from a LEFT SEMI join
+    against the key set) — the shape of a GDPR-style point delete at
+    100 TB: the cost is the matched rows' positions, not a rewrite of
+    every file that contains one key.
 
     Nothing about the key set ever reaches the driver:
 
@@ -998,6 +1005,8 @@ def delete_keys_from_table(
     reference untouched, so cost still scales with the touched
     fraction.  (Files with no stats for ``key`` are conservatively
     rewritten.)"""
+    if mode not in ("rewrite", "dv"):
+        raise TableLogError(f"delete mode must be 'rewrite' or 'dv': {mode!r}")
     snap = _resolve_snapshot(table)
     version = snap["version"] + 1
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -1028,7 +1037,21 @@ def delete_keys_from_table(
             .collect()
         ]
     actions: list[dict[str, Any]] = []
-    if touched:
+    if touched and mode == "dv":
+        raw = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in touched]
+        ).select(
+            F.col(key).alias("__dv_key"),
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        matches = raw.join(
+            kdf, raw["__dv_key"] == kdf["_del_key"], "left_semi"
+        ).select("__dv_file", "__dv_pos")
+        actions = _dv_delete_actions(
+            spark, table, snap, touched, matches, version
+        )
+    elif touched:
         existing = _scan(spark, table, snap["files"], touched, schema)
         remaining = existing.join(
             kdf, existing[key] == kdf["_del_key"], "left_anti"

@@ -213,3 +213,27 @@ class TestDvInteractions:
         tl.delete_keys_from_table(spark, tdir, keys, key="k")
         got = sorted(r["k"] for r in tl.read_table(spark, tdir).collect())
         assert got == list(range(15, 100))
+
+    def test_delete_keys_dv_mode(self, spark, tdir):
+        tl.create_table(
+            spark, _base(spark).repartitionByRange(4, "k"), tdir
+        )
+        before = _live_paths(tdir)
+        keys = spark.range(100, 150).select(F.col("id").alias("k"))
+        tl.delete_keys_from_table(spark, tdir, keys, key="k", mode="dv")
+        assert _live_paths(tdir) == before  # nothing rewritten
+        got = sorted(r["k"] for r in tl.read_table(spark, tdir).collect())
+        assert got == list(range(100)) + list(range(150, 1000))
+        snap = tl._resolve_snapshot(tdir)
+        dvd = [p for p, a in snap["files"].items() if a.get("dv")]
+        # only range files overlapping [100, 149] carry a vector
+        assert dvd and len(dvd) < len(snap["files"])
+        assert tl.table_details(tdir)["deleted_rows"] == 50
+
+    def test_delete_keys_dv_then_predicate_dv_merge(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
+        keys = spark.range(0, 10).select(F.col("id").alias("k"))
+        tl.delete_keys_from_table(spark, tdir, keys, key="k", mode="dv")
+        tl.delete_from_table(spark, tdir, "k >= 95", mode="dv")
+        assert tl.read_table(spark, tdir).count() == 85
+        assert tl.table_details(tdir)["deleted_rows"] == 15
