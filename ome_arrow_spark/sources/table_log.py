@@ -212,6 +212,7 @@ def set_committer(committer: Committer | None) -> Committer:
 def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
     log = _log_path(table)
     os.makedirs(log, exist_ok=True)
+    entry.setdefault("ts", time.time())  # commit time: timestamp travel
     payload = json.dumps(entry, separators=(",", ":")).encode()
     _COMMITTER.put_if_absent(_version_file(table, version), payload)
     if version % CHECKPOINT_EVERY == 0 and version > 0:
@@ -378,8 +379,30 @@ def _resolve_snapshot(
     return state
 
 
+def version_at_timestamp(table: str, ts: float) -> int:
+    """Latest version whose commit time is ≤ ``ts`` — Delta's
+    ``TIMESTAMP AS OF`` resolution rule.  Commits written before this
+    field existed fall back to the version file's mtime."""
+    best = None
+    for v in _list_versions(table):
+        e = _read_entry(table, v)
+        cts = e.get("ts")
+        if cts is None:
+            try:
+                cts = os.path.getmtime(_version_file(table, v))
+            except OSError:
+                continue
+        if cts <= ts:
+            best = v
+    if best is None:
+        raise TableLogError(
+            f"no commit at or before timestamp {ts} in {table}"
+        )
+    return best
+
+
 def table_history(table: str) -> list[dict[str, Any]]:
-    """One row per commit: version, operation, counts."""
+    """One row per commit: version, timestamp, operation, counts."""
     out = []
     for v in _list_versions(table):
         e = _read_entry(table, v)
@@ -388,6 +411,7 @@ def table_history(table: str) -> list[dict[str, Any]]:
         out.append(
             {
                 "version": v,
+                "ts": e.get("ts"),
                 "operation": e.get("operation", "unknown"),
                 "added_files": adds,
                 "removed_files": removes,
@@ -1271,9 +1295,11 @@ def read_table(
     table: str,
     version: int | None = None,
     predicates: Iterable[tuple[str, str, Any]] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Snapshot read (optionally time-traveled to ``version``) with
-    manifest pruning.  The returned plan scans ONLY the surviving
+    """Snapshot read (optionally time-traveled to ``version``, or to
+    the latest commit at or before ``timestamp`` — Delta's
+    ``TIMESTAMP AS OF``) with manifest pruning.  The returned plan scans ONLY the surviving
     files — Spark never lists the directory, so planning cost is
     O(log suffix), not O(files).  Each ``(column, op, literal)``
     predicate both PRUNES files via manifest stats/blooms and is
@@ -1282,6 +1308,10 @@ def read_table(
     predicate semantics from one argument.  Date/timestamp literals
     may be passed as ``datetime`` objects or ISO strings — pruning
     coerces them to the manifest's ISO encoding either way."""
+    if timestamp is not None:
+        if version is not None:
+            raise TableLogError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
     snap = _resolve_snapshot(table, version)
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     preds = list(predicates) if predicates else []

@@ -744,3 +744,27 @@ class TestTableChanges:
         tl.create_table(spark, _base(spark, 5).coalesce(1), tdir)
         tl.set_table_properties(tdir, {"note": "x"})
         assert tl.table_changes(spark, tdir, 0, 1).count() == 0
+
+
+class TestTimestampTravel:
+    def test_timestamp_as_of(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100), tdir)
+        t0 = tl._read_entry(tdir, 0)["ts"]
+        time.sleep(0.05)
+        tl.append_table(spark, _base(spark, 50), tdir)
+        t1 = tl._read_entry(tdir, 1)["ts"]
+        assert t1 > t0
+        # between the commits -> v0; after the last -> v1
+        mid = (t0 + t1) / 2
+        assert tl.version_at_timestamp(tdir, mid) == 0
+        assert tl.read_table(spark, tdir, timestamp=mid).count() == 100
+        assert tl.read_table(spark, tdir, timestamp=t1 + 1).count() == 150
+        with pytest.raises(tl.TableLogError, match="no commit"):
+            tl.version_at_timestamp(tdir, t0 - 10)
+        with pytest.raises(tl.TableLogError, match="not both"):
+            tl.read_table(spark, tdir, version=0, timestamp=mid)
+
+    def test_history_carries_ts(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        h = tl.table_history(tdir)
+        assert h[0]["ts"] is not None and h[0]["ts"] > 0
