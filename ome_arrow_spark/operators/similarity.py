@@ -360,3 +360,125 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    vec: str = "embedding",
+    digits: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate cosine top-k — the FAISS
+    ``SQ8`` shape: every NORMALIZED corpus vector is quantized to one
+    byte per dimension against per-dimension [lo, hi] ranges, so a
+    float32 corpus shrinks 4× (a 100 TB embedding column becomes
+    25 TB of codes) and scoring touches only the codes:
+
+        score(q, c) = Σ_d  qn_d · (lo_d + code_d · (hi_d − lo_d)/255)
+
+    Plan shape: ONE corpus pass computes the per-dimension ranges
+    (2·dim aggregates, no explode, no shuffle beyond the final agg);
+    quantize + score are pure Catalyst HOF expressions over the
+    broadcast query side; ranking shuffles |Q|×|C| scored rows on qid
+    exactly like :func:`cosine_topk`.  Codes round half-up via
+    ``floor(x·255/(hi−lo) + 0.5)`` — plain arithmetic a SQL oracle
+    replays bit-for-bit.  ``rerank=n`` keeps the top-``n`` SQ8
+    candidates per query and re-ranks them with EXACT cosine (the
+    two-stage recall knob, same contract as the PQ indexes).  Ties
+    break on corpus id — fully deterministic either way.
+
+    At index scale the codes (and ranges as table properties) would be
+    PERSISTED like the PQ log table (pq_index.py); this operator is
+    the ad-hoc/oracle-checked formulation."""
+    dim = len(corpus.select(vec).first()[0])
+    nv = lambda c: F.transform(  # noqa: E731
+        c, lambda x: x.cast("double") / F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda a, y: a + y.cast("double")
+                        * y.cast("double"))
+        )
+    )
+    cn = corpus.select(F.col(corpus_id), nv(F.col(vec)).alias("__nv"))
+    ranges = cn.agg(
+        *[F.min(F.col("__nv")[d]).alias(f"lo{d}") for d in range(dim)],
+        *[F.max(F.col("__nv")[d]).alias(f"hi{d}") for d in range(dim)],
+    ).collect()[0]
+    lo = [float(ranges[f"lo{d}"]) for d in range(dim)]
+    hi = [float(ranges[f"hi{d}"]) for d in range(dim)]
+    lo_a = F.array(*[F.lit(v) for v in lo])
+    hi_a = F.array(*[F.lit(v) for v in hi])
+    step_a = F.array(
+        *[F.lit((h - l) / 255.0 if h > l else 0.0) for l, h in zip(lo, hi)]
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    codes = F.transform(idx, lambda i: F.when(
+        F.element_at(hi_a, i + 1) > F.element_at(lo_a, i + 1),
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(
+                    (F.col("__nv")[i] - F.element_at(lo_a, i + 1)) * 255.0
+                    / (F.element_at(hi_a, i + 1) - F.element_at(lo_a, i + 1))
+                    + 0.5
+                ).cast("double"),
+            ),
+        ),
+    ).otherwise(F.lit(0.0)))
+    coded = cn.select(corpus_id, "__nv", codes.alias("__code"))
+    q = queries.select(F.col(query_id), nv(F.col(vec)).alias("__qn"),
+                       F.col(vec).alias("__qraw"))
+    scored = F.broadcast(q).crossJoin(coded).select(
+        query_id,
+        corpus_id,
+        "__qraw",
+        "__nv",
+        F.round(
+            F.aggregate(
+                idx, F.lit(0.0),
+                lambda acc, i: acc + F.col("__qn")[i] * (
+                    F.element_at(lo_a, i + 1)
+                    + F.col("__code")[i] * F.element_at(step_a, i + 1)
+                ),
+            ),
+            digits,
+        ).alias("sq8_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sq8_sim").desc(), F.col(corpus_id)
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rk") <= k).drop("__qraw", "__nv")
+    cand = ranked.filter(F.col("rk") <= rerank)
+    wx = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        cand.withColumn(
+            "cos_sim",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qraw").cast("array<double>"),
+                        F.col("__nv"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0), lambda a, v: a + v,
+                ) / F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("__qraw"),
+                                    lambda a: a.cast("double") * a),
+                        F.lit(0.0), lambda a, v: a + v,
+                    )
+                ),
+                digits,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= k)
+        .drop("__qraw", "__nv", "sq8_sim")
+    )

@@ -67,7 +67,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "table_delete_dv", "media_audio_g711", "media_audio_adpcm",
     "media_audio_flac", "ome_render_png", "ome_tiff_codec_ingest",
     "ann_index_search", "ann_pq_rerank", "ann_ivfpq_rerank",
-    "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf",
+    "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf", "knn_cosine_sq8",
     "kmeans_embeddings", "embedding_centroids", "embedding_neardup",
     # re-verification tail (rotating flagships, r1-r4 resample)
     "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue",

@@ -2920,3 +2920,71 @@ def media_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "n_samples", F.round("rms", 6).alias("rms"),
         F.col("peak").cast("double").alias("peak"), "zero_crossings",
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (operators/similarity.sq8_topk): normalized
+# corpus vectors quantized to one byte per dimension against
+# per-dimension [lo, hi] ranges (4× smaller than float32 — the FAISS
+# SQ8 shape), scored from the codes alone. The oracle replays the
+# ENTIRE pipeline — normalization, per-dimension range aggregation,
+# the floor(x·255/(hi−lo)+0.5) quantizer, and the dequantized dot —
+# in SQL, so the approximation itself is bit-pinned, not just its
+# re-ranked output.
+# ---------------------------------------------------------------------------
+_SQ8_NORM = (
+    "list_transform({e}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform({e}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+)
+
+
+@register(
+    "knn_cosine_sq8",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, {_SQ8_NORM.format(e='embedding')} AS nq
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, {_SQ8_NORM.format(e='embedding')} AS ne
+               FROM embeddings WHERE vec_id >= 10),
+         dims AS (
+           SELECT d.d, MIN(c.ne[d.d + 1]) AS lo, MAX(c.ne[d.d + 1]) AS hi
+           FROM c, LATERAL (SELECT unnest(generate_series(0, len(c.ne) - 1)) AS d) d
+           GROUP BY d.d),
+         arrs AS (
+           SELECT list(lo ORDER BY d) AS lo,
+                  list(hi ORDER BY d) AS hi,
+                  list(CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0.0 END
+                       ORDER BY d) AS step
+           FROM dims),
+         coded AS (
+           SELECT cid,
+                  list_transform(range(len(ne)), i ->
+                    CASE WHEN a.hi[i + 1] > a.lo[i + 1]
+                         THEN LEAST(255.0, GREATEST(0.0,
+                              FLOOR((ne[i + 1] - a.lo[i + 1]) * 255.0
+                                    / (a.hi[i + 1] - a.lo[i + 1]) + 0.5)))
+                         ELSE 0.0 END) AS code
+           FROM c, arrs a),
+         p AS (
+           SELECT qid, cid,
+                  ROUND(list_sum(list_transform(range(len(nq)), i ->
+                        nq[i + 1] * (a.lo[i + 1] + code[i + 1] * a.step[i + 1]))),
+                        6) AS sq8_sim
+           FROM q, coded, arrs a)
+    SELECT qid, cid, sq8_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sq8_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return sq8_topk(q, c, k=3).withColumn("rk", F.col("rk").cast("int"))

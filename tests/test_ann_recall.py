@@ -163,3 +163,25 @@ def test_sample_train_rejects_unknown_mode(spark, tmp_path):
         AI.build_ivf_index(spark, corpus, str(tmp_path / "x"), train="bogus")
     with _pytest.raises(ValueError, match="train"):
         PQ.build_pq_index(spark, corpus, str(tmp_path / "y"), m=8, train="bogus")
+
+
+def test_sq8_recall_and_rerank(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 16))
+    labels = rng.integers(0, 8, 400)
+    X = centers[labels] + 0.3 * rng.normal(size=(400, 16))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from ome_arrow_spark.operators.similarity import cosine_topk, sq8_topk
+
+    q = df.filter("vec_id < 10").selectExpr("vec_id as qid", "embedding")
+    c = df.filter("vec_id >= 10").selectExpr("vec_id as cid", "embedding")
+    exact = {(r["qid"], r["cid"]) for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r["qid"], r["cid"]) for r in sq8_topk(q, c, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.85  # 8-bit is near-exact
+    # deep rerank recovers the exact result set
+    rr = {(r["qid"], r["cid"])
+          for r in sq8_topk(q, c, k=5, rerank=50).collect()}
+    assert rr == exact
