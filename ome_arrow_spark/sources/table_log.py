@@ -1715,6 +1715,69 @@ def read_ome_table(
     return df.filter(F.col("image_id").isin(list(image_ids))).select(column)
 
 
+def restore_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF``: commit a
+    NEW version whose live file set (with deletion vectors), schema and
+    properties equal the target snapshot's — a metadata-only roll-back
+    that rewrites nothing and keeps the full history intact (the
+    un-done versions stay time-travelable until vacuum).  Restoring to
+    the current version is a no-op commit-free return."""
+    if timestamp is not None:
+        if version is not None:
+            raise TableLogError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
+    if version is None:
+        raise TableLogError("restore_table needs a version or timestamp")
+    cur = _resolve_snapshot(table)
+    if version == cur["version"]:
+        return version
+    target = _resolve_snapshot(table, version)
+    missing = [
+        p for p in target["files"]
+        if not os.path.exists(os.path.join(table, p))
+    ]
+    if missing:
+        raise TableLogError(
+            f"cannot restore {table} to v{version}: {len(missing)} data "
+            f"file(s) already vacuumed (e.g. {missing[0]})"
+        )
+    new_version = cur["version"] + 1
+    _ABSENT = object()
+    cur_ids = {
+        p: a.get("dv", {}).get("path") for p, a in cur["files"].items()
+    }
+    tgt_ids = {
+        p: a.get("dv", {}).get("path") for p, a in target["files"].items()
+    }
+    actions: list[dict[str, Any]] = [
+        {"add": target["files"][p]}
+        for p, d in tgt_ids.items()
+        if cur_ids.get(p, _ABSENT) != d
+    ] + [
+        {"remove": {"path": p}}
+        for p in cur_ids
+        if p not in tgt_ids
+    ]
+    entry: dict[str, Any] = {
+        "version": new_version,
+        "operation": "restore",
+        "actions": actions,
+    }
+    if target["schema"] != cur["schema"]:
+        entry["schema"] = target["schema"]
+    if target["properties"] != cur["properties"]:
+        # properties merge key-by-key; explicit None would not delete,
+        # so restore overwrites changed/added keys to the target values
+        entry["properties"] = target["properties"]
+    _commit(table, new_version, entry)
+    return new_version
+
+
 def vacuum_table(
     table: str,
     keep_versions: int = 1,

@@ -768,3 +768,43 @@ class TestTimestampTravel:
         tl.create_table(spark, _base(spark, 10), tdir)
         h = tl.table_history(tdir)
         assert h[0]["ts"] is not None and h[0]["ts"] > 0
+
+
+class TestRestore:
+    def test_restore_to_version_is_metadata_only(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100), tdir)
+        tl.append_table(spark, _base(spark, 50), tdir)
+        tl.delete_from_table(spark, tdir, "k < 10")
+        files_before = set(os.listdir(tdir))
+        v = tl.restore_table(spark, tdir, version=0)
+        assert v == 3
+        # nothing written or deleted on disk except the log entry
+        assert set(os.listdir(tdir)) == files_before
+        assert _sorted(tl.read_table(spark, tdir)) == _sorted(
+            _base(spark, 100)
+        )
+        # undone versions stay time-travelable
+        assert tl.read_table(spark, tdir, version=1).count() == 150
+        assert tl.table_history(tdir)[-1]["operation"] == "restore"
+
+    def test_restore_carries_deletion_vectors(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
+        tl.delete_from_table(spark, tdir, "k < 10", mode="dv")  # v1
+        tl.delete_from_table(spark, tdir, "k < 20", mode="dv")  # v2
+        tl.restore_table(spark, tdir, version=1)
+        assert tl.read_table(spark, tdir).count() == 90
+        # restore to pre-DV state
+        tl.restore_table(spark, tdir, version=0)
+        assert tl.read_table(spark, tdir).count() == 100
+
+    def test_restore_noop_and_vacuum_guard(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        assert tl.restore_table(spark, tdir, version=0) == 0  # no-op
+        tl.upsert_table(
+            spark,
+            _base(spark, 10).withColumn("v", F.lit(-1).cast("long")),
+            tdir, key="k",
+        )
+        tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0)
+        with pytest.raises(tl.TableLogError, match="vacuumed"):
+            tl.restore_table(spark, tdir, version=0)
