@@ -280,3 +280,44 @@ def test_orc_roundtrip_prunes_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().toString()
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("l_returnflag" in p and "= R" in p for p in pf), pf
+
+
+def test_dv_read_is_broadcast_anti_join_over_pinned_files(spark, tmp_path):
+    """A deletion-vector read must (a) scan EXACTLY the manifest's live
+    files — no directory listing — and (b) drop deleted positions with
+    a BROADCAST anti-join (the DV side is maintenance-bounded); a
+    SortMergeJoin there would shuffle the whole table to apply a
+    point delete."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    tl.create_table(spark, df.repartitionByRange(4, "k"), t)
+    tl.delete_from_table(spark, t, "k % 11 = 0", mode="dv")
+    out = tl.read_table(spark, t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the scan reads only the manifest's files (all 4 carry vectors)
+    snap = tl._resolve_snapshot(t)
+    import os
+
+    live = {os.path.join(os.path.abspath(t), p) for p in snap["files"]}
+    got = {f.replace("file://", "") for f in out.inputFiles()}
+    assert got == live
+
+
+def test_sq8_scoring_stays_in_plan(spark, sf_dir):
+    """SQ8 quantize + score are Catalyst expressions over a broadcast
+    query side: no Python UDF in the plan, no SortMergeJoin, corpus
+    scanned once."""
+    from ome_arrow_spark import suite_llm
+
+    df = suite_llm.knn_cosine_sq8(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
