@@ -446,3 +446,85 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TI.text_index_search(
         spark, table, ["scan", "data", "filter"], k=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC with DELETE events (tombstone MERGE + deletion-vector
+# purge): events whose latest value < 10 are deletes of their user.
+# In-stream, deletes ride the SAME conditional MERGE as upserts as
+# tombstone rows (deleted=1) — physical in-stream deletes would not
+# converge (a stale upsert replayed after a delete would resurrect the
+# row; the tombstone's (ts, event_id) guard rejects it). After the
+# stream, the tombstones are purged PHYSICALLY with a deletion-vector
+# delete (position sidecars, no file rewrite) — the maintenance move —
+# and the driver aggregates the purged snapshot. The oracle computes
+# the global latest-per-user state with delete semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_cdc_deletes",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM latest WHERE rn = 1 AND NOT (value < 10)
+    GROUP BY event_type
+    """,
+)
+def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = (
+        f"/tmp/ome_arrow_rt_cdcdel_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = EV.read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "deleted",
+                F.when(F.col("value") < 10, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+        )
+        if tl.current_version(path) is None:
+            tl.create_table(
+                spark, latest.repartitionByRange(4, "user_id"), path
+            )
+        else:
+            tl.upsert_table(
+                spark, latest, path, key="user_id",
+                order_by=("ts", "event_id"),
+            )
+
+    EV.run_foreach_batch(ev, merge_batch, output_mode="append")
+    # maintenance: physically purge tombstones via deletion vectors
+    tl.delete_from_table(spark, path, "deleted = 1", mode="dv")
+    cur = tl.read_table(spark, path)
+    return cur.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
