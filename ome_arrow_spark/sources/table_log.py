@@ -250,6 +250,9 @@ def _read_entry(table: str, version: int) -> dict[str, Any]:
 
 DV_DIR = "deletion_vectors"
 _DV_MAGIC = b"OADV1\n"
+# Above this many total deleted positions the read path decodes
+# sidecars on the executors instead of the driver.
+_DV_DRIVER_LOAD_CAP = 2_000_000
 
 
 def _dv_encode(positions) -> bytes:
@@ -304,23 +307,54 @@ def _scan(
             )
         )
     if dvd:
-        import pandas as pd
-
-        chunks = []
-        for p in dvd:
-            pos = _read_dv(table, files[p]["dv"]["path"])
-            chunks.append(
-                pd.DataFrame(
-                    {
-                        "__dv_file": os.path.basename(p),
-                        "__dv_pos": pos.astype("int64"),
-                    }
-                )
-            )
-        dv_df = spark.createDataFrame(
-            pd.concat(chunks, ignore_index=True),
-            "__dv_file string, __dv_pos long",
+        total_card = sum(
+            files[p]["dv"].get("cardinality", 0) for p in dvd
         )
+        if total_card <= _DV_DRIVER_LOAD_CAP:
+            import pandas as pd
+
+            chunks = []
+            for p in dvd:
+                pos = _read_dv(table, files[p]["dv"]["path"])
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "__dv_file": os.path.basename(p),
+                            "__dv_pos": pos.astype("int64"),
+                        }
+                    )
+                )
+            dv_df = spark.createDataFrame(
+                pd.concat(chunks, ignore_index=True),
+                "__dv_file string, __dv_pos long",
+            )
+        else:
+            # large vectors: decode the sidecars ON the executors —
+            # the driver never holds the position lists (manifest
+            # cardinalities are known, so the split is free)
+            abs_table = os.path.abspath(table)
+            pairs = [
+                (os.path.basename(p), files[p]["dv"]["path"]) for p in dvd
+            ]
+
+            def _decode_dv(rows):
+                import pandas as pd
+
+                for pdf in rows:
+                    for fname, rel in zip(pdf["f"], pdf["rel"]):
+                        pos = _read_dv(abs_table, rel)
+                        yield pd.DataFrame(
+                            {
+                                "__dv_file": fname,
+                                "__dv_pos": pos.astype("int64"),
+                            }
+                        )
+
+            dv_df = (
+                spark.createDataFrame(pairs, "f string, rel string")
+                .repartition(min(len(pairs), 64))
+                .mapInPandas(_decode_dv, "__dv_file string, __dv_pos long")
+            )
         df = (
             spark.read.schema(schema)
             .parquet(*[os.path.join(table, p) for p in dvd])

@@ -237,3 +237,13 @@ class TestDvInteractions:
         tl.delete_from_table(spark, tdir, "k >= 95", mode="dv")
         assert tl.read_table(spark, tdir).count() == 85
         assert tl.table_details(tdir)["deleted_rows"] == 15
+
+    def test_executor_side_dv_decode_path(self, spark, tdir, monkeypatch):
+        """Above the driver-load cap the sidecars decode on executors;
+        results must be identical."""
+        tl.create_table(spark, _base(spark).repartition(3), tdir)
+        tl.delete_from_table(spark, tdir, "k % 5 = 0", mode="dv")
+        want = _sorted(tl.read_table(spark, tdir))
+        monkeypatch.setattr(tl, "_DV_DRIVER_LOAD_CAP", 0)
+        assert _sorted(tl.read_table(spark, tdir)) == want
+        assert tl.read_table(spark, tdir).count() == 800
