@@ -4,7 +4,7 @@ historical version must replay to what the model said at that point.
 
 Spark jobs are slow, so the example budget is small but each example
 exercises a full random op sequence (append/upsert/conditional-upsert/
-delete/compact/zorder/vacuum) — the interleavings are where log-replay
+delete/dv-delete/restore/compact/zorder/vacuum) — the interleavings are where log-replay
 bugs live, not in any single op."""
 
 from __future__ import annotations
@@ -31,6 +31,9 @@ _op = st.one_of(
     st.tuples(st.just("upsert_ordered"), _rows_strategy(),
               st.integers(0, 3)),
     st.tuples(st.just("delete"), KEYS),
+    st.tuples(st.just("delete_dv"), KEYS),
+    st.tuples(st.just("delete_dv_range"), KEYS),
+    st.tuples(st.just("restore"),),
     st.tuples(st.just("compact")),
     st.tuples(st.just("zorder")),
 )
@@ -98,6 +101,28 @@ def test_ops_match_model(spark, tmp_path_factory, initial, ops):
                 prune_predicates=[("k", "=", key)],
             )
             model.pop(key, None)
+        elif kind == "delete_dv":
+            key = op[1]
+            tl.delete_from_table(
+                spark, tdir, f"k = {key}",
+                prune_predicates=[("k", "=", key)], mode="dv",
+            )
+            model.pop(key, None)
+        elif kind == "delete_dv_range":
+            key = op[1]
+            tl.delete_from_table(
+                spark, tdir, f"k >= {key}",
+                prune_predicates=[("k", ">=", key)], mode="dv",
+            )
+            model = {k: v for k, v in model.items() if k < key}
+        elif kind == "restore":
+            # roll back one version, then verify and ROLL FORWARD by
+            # restoring the pre-restore head so the model stays in step
+            head = tl.current_version(tdir)
+            prev_version, prev_model = history[-2] if len(history) > 1 else history[-1]
+            tl.restore_table(spark, tdir, version=prev_version)
+            assert _materialize(spark, tdir) == prev_model, "restore back"
+            tl.restore_table(spark, tdir, version=head)
         elif kind == "compact":
             tl.compact_table(spark, tdir, target_bytes=1 << 20)
         elif kind == "zorder":
