@@ -1231,6 +1231,43 @@ def table_changes(
     return inserts.unionByName(deletes)
 
 
+def table_changes_by_version(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Per-commit change feed — :func:`table_changes` with Delta's
+    ``_commit_version`` attribution: one endpoint diff per consecutive
+    version pair in ``(from_version, to_version]``, unioned.  Costs
+    one changed-files diff per commit (each scans only that commit's
+    churn), so a K-commit feed over an N-file table reads the K
+    commits' touched files, never N."""
+    versions = [
+        v for v in _list_versions(table)
+        if v >= from_version
+        and (to_version is None or v <= to_version)
+    ]
+    if len(versions) < 2:
+        snap = _resolve_snapshot(table, from_version)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        empty = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = None
+    for lo, hi in zip(versions, versions[1:]):
+        part = table_changes(spark, table, lo, hi).withColumn(
+            "_commit_version", F.lit(hi).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def recluster_table(
     spark: SparkSession,
     table: str,

@@ -247,3 +247,20 @@ class TestDvInteractions:
         monkeypatch.setattr(tl, "_DV_DRIVER_LOAD_CAP", 0)
         assert _sorted(tl.read_table(spark, tdir)) == want
         assert tl.read_table(spark, tdir).count() == 800
+
+    def test_changes_by_version_attribution(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
+        tl.delete_from_table(spark, tdir, "k < 5", mode="dv")     # v1
+        tl.delete_from_table(spark, tdir, "k >= 95", mode="dv")   # v2
+        ch = tl.table_changes_by_version(spark, tdir, 0, 2).collect()
+        by_ver = {}
+        for r in ch:
+            by_ver.setdefault(r["_commit_version"], []).append(
+                (r["_change_type"], r["k"])
+            )
+        assert sorted(by_ver[1]) == [("delete", k) for k in range(5)]
+        assert sorted(by_ver[2]) == [("delete", k) for k in range(95, 100)]
+        # empty range -> empty frame with the CDF schema
+        empty = tl.table_changes_by_version(spark, tdir, 2, 2)
+        assert empty.count() == 0
+        assert "_commit_version" in empty.columns
