@@ -528,3 +528,72 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The commit log AS a streaming source (streaming/log_source.py, Spark
+# Python DataSource API): offsets are commit versions, each micro-batch
+# reads only its commits' added files (executor-side Arrow, deletion
+# vectors applied by position mask inside the scan — no join). The
+# query creates the table (v0), appends a second slice (v1), DV-deletes
+# one priority class (v2), then streams the whole thing AvailableNow
+# and aggregates what arrived. Oracle: the same two slices minus the
+# deleted class, straight from the raw table.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_table_log_source",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE (o_custkey % 10 = 0 OR o_custkey % 10 = 1)
+      AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_table_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.streaming import log_source
+    from ome_arrow_spark.suite import _t
+
+    log_source.register(spark)
+    base = (
+        f"/tmp/ome_arrow_rt_logsrc_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "tbl")
+    ckpt = os.path.join(base, "ckpt")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice",
+    )
+    tl.create_table(
+        spark,
+        orders.filter(F.col("o_custkey") % 10 == 0)
+        .repartitionByRange(4, "o_orderkey"),
+        t,
+    )
+    tl.append_table(spark, orders.filter(F.col("o_custkey") % 10 == 1), t)
+    tl.delete_from_table(
+        spark, t, "o_orderpriority = '1-URGENT'", mode="dv"
+    )
+    name = f"logsrc_{os.getpid()}"
+    q = (
+        spark.readStream.format("ome_table_log").option("path", t).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
