@@ -40,7 +40,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -155,6 +158,180 @@ class _LogStreamReader(DataSourceStreamReader):
         pass  # offsets live in the stream checkpoint
 
 
+class _FilesMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+def _spark_to_arrow_schema(schema: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), f.nullable)
+         for f in schema.fields]
+    )
+
+
+class _LogWriterBase:
+    """Shared task-side write: each task lands ONE uniquely-named
+    parquet file in the table directory (crash before commit leaves an
+    orphan for vacuum — identical to the staged-swap contract of
+    `_write_data_files`) and reports its name in the commit message.
+    The DRIVER then publishes all files in one atomic log commit —
+    the two-phase write the DataSource API is shaped for.
+
+    Schema is validated name+type against the table; CHECK constraints
+    are a DataFrame-API feature and are NOT evaluated on this path
+    (documented: the writer is the raw-file seam)."""
+
+    def __init__(self, table: str, schema: T.StructType):
+        self.table = table
+        self.schema_json = schema.json()
+
+    def write(self, iterator) -> _FilesMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        pa_schema = _spark_to_arrow_schema(schema)
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _FilesMessage([])
+        tbl = pa.Table.from_pylist(rows, schema=pa_schema)
+        os.makedirs(self.table, exist_ok=True)
+        name = f"part-w-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            tbl, os.path.join(self.table, name), compression="zstd"
+        )
+        return _FilesMessage([name])
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            for f in getattr(m, "files", []) or []:
+                try:
+                    os.unlink(os.path.join(self.table, f))
+                except OSError:
+                    pass
+
+    # -- driver-side helpers -------------------------------------------
+    def _adds(self, messages):
+        from ome_arrow_spark.sources.table_log import _file_add_action
+
+        files = [
+            f for m in messages if m is not None
+            for f in getattr(m, "files", [])
+        ]
+        return [_file_add_action(self.table, f, self._stat_cols(), ())
+                for f in files]
+
+    def _stat_cols(self):
+        from ome_arrow_spark.sources.table_log import _stats_columns
+
+        return tuple(_stats_columns(
+            T.StructType.fromJson(json.loads(self.schema_json))
+        ))
+
+    def _check_schema(self, snap) -> None:
+        from ome_arrow_spark.sources.table_log import TableLogError
+
+        want = T.StructType.fromJson(json.loads(snap["schema"]))
+        got = T.StructType.fromJson(json.loads(self.schema_json))
+        if {(f.name, f.dataType.simpleString()) for f in want.fields} != {
+            (f.name, f.dataType.simpleString()) for f in got.fields
+        }:
+            raise TableLogError(
+                f"schema mismatch writing to {self.table}: table has "
+                f"{want.simpleString()}, stream has {got.simpleString()}"
+            )
+
+    def _publish(self, adds, extra_props=None, overwrite=False) -> None:
+        """Atomic commit with blind-append race retry; creates the
+        table (v0 + schema) when absent."""
+        from ome_arrow_spark.sources import table_log as tl
+
+        for attempt in range(20):
+            if tl.current_version(self.table) is None:
+                entry = {
+                    "version": 0,
+                    "operation": "create",
+                    "schema": self.schema_json,
+                    "properties": dict(extra_props or {}),
+                    "actions": [{"add": a} for a in adds],
+                }
+                version = 0
+            else:
+                snap = tl._resolve_snapshot(self.table)
+                self._check_schema(snap)
+                version = snap["version"] + 1
+                actions = [{"add": a} for a in adds]
+                if overwrite:
+                    actions += [
+                        {"remove": {"path": p}} for p in snap["files"]
+                    ]
+                entry = {
+                    "version": version,
+                    "operation": "overwrite" if overwrite else "append",
+                    "actions": actions,
+                }
+                if extra_props:
+                    entry["properties"] = dict(extra_props)
+            try:
+                tl._commit(self.table, version, entry)
+                return
+            except tl.ConcurrentCommit:
+                if attempt == 19:
+                    raise
+        raise AssertionError("unreachable")
+
+
+class _LogBatchWriter(_LogWriterBase, DataSourceWriter):
+    def __init__(self, table, schema, overwrite):
+        super().__init__(table, schema)
+        self.overwrite = overwrite
+
+    def commit(self, messages):
+        os.makedirs(self.table, exist_ok=True)
+        self._publish(self._adds(messages), overwrite=self.overwrite)
+
+
+class _LogStreamWriter(_LogWriterBase, DataSourceStreamWriter):
+    """Exactly-once streaming sink: with option ``txnAppId`` set, each
+    micro-batch commit also records ``txn.<app> = batchId`` in the
+    table properties; a REPLAYED batch (restart after a commit but
+    before the checkpoint advanced) is detected and skipped, its files
+    left as vacuum-able orphans — Delta's idempotent-writes
+    (txnAppId/txnVersion) contract.  Without ``txnAppId`` the sink is
+    at-least-once under crash replay."""
+
+    def __init__(self, table, schema, txn_app):
+        super().__init__(table, schema)
+        self.txn_app = txn_app
+
+    def commit(self, messages, batchId: int) -> None:
+        from ome_arrow_spark.sources import table_log as tl
+
+        os.makedirs(self.table, exist_ok=True)
+        adds = self._adds(messages)
+        if self.txn_app:
+            key = f"txn.{self.txn_app}"
+            if tl.current_version(self.table) is not None:
+                snap = tl._resolve_snapshot(self.table)
+                prev = snap["properties"].get(key)
+                if prev is not None and int(prev) >= batchId:
+                    self.abort(messages)  # replayed batch: drop files
+                    return
+            self._publish(adds, extra_props={key: str(batchId)})
+        else:
+            self._publish(adds)
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        _LogWriterBase.abort(self, messages)
+
+
 class OmeTableLogDataSource(DataSource):
     """``format("ome_table_log")`` — options: ``path`` (required),
     ``ignoreChanges`` ("true"/"false"), ``startVersion`` (stream
@@ -190,6 +367,15 @@ class OmeTableLogDataSource(DataSource):
             self._names(),
             str(opt.get("ignorechanges", "false")).lower() == "true",
             int(sv) if sv is not None else None,
+        )
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _LogBatchWriter(self._table(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        opt = {k.lower(): v for k, v in self.options.items()}
+        return _LogStreamWriter(
+            self._table(), schema, opt.get("txnappid")
         )
 
 

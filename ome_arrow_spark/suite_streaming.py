@@ -597,3 +597,55 @@ def stream_table_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The commit log AS a streaming SINK (log_source.py streamWriter):
+# events stream in micro-batches; each batch's tasks land uniquely-
+# named parquet files and the driver publishes them in ONE atomic log
+# commit carrying txn.<app>=batchId (Delta's idempotent-writes
+# contract — a replayed batch is detected and skipped). The driver
+# aggregates the committed table; the oracle recomputes from the raw
+# events.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_table_log_sink",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_table_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.streaming import log_source
+
+    log_source.register(spark)
+    base = (
+        f"/tmp/ome_arrow_rt_logsink_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = os.path.join(base, "tbl")
+    ev = EV.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("ome_table_log")
+        .option("path", t)
+        .option("txnAppId", f"sink_{os.getpid()}")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return tl.read_table(spark, t).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -127,3 +127,85 @@ class TestStreamSource:
         # start after the delete commit: first batch = current snapshot
         _run(spark, t, out, ckpt)
         assert spark.read.parquet(out).count() == 90
+
+
+class TestWriter:
+    def test_batch_write_create_append_overwrite_time_travel(
+        self, spark, dirs
+    ):
+        t, _, _ = dirs
+        log_source.register(spark)
+        df = _df(spark, 0, 100)
+        df.repartition(3).write.format("ome_table_log").option(
+            "path", t
+        ).mode("append").save()
+        assert tl.current_version(t) == 0  # created the table
+        assert tl.read_table(spark, t).count() == 100
+        df.write.format("ome_table_log").option("path", t).mode(
+            "append"
+        ).save()
+        assert tl.read_table(spark, t).count() == 200
+        _df(spark, 0, 5).write.format("ome_table_log").option(
+            "path", t
+        ).mode("overwrite").save()
+        assert tl.read_table(spark, t).count() == 5
+        # the overwrite is one commit; prior snapshots stay readable
+        assert [h["operation"] for h in tl.table_history(t)] == [
+            "create", "append", "overwrite"
+        ]
+        assert tl.read_table(spark, t, version=1).count() == 200
+
+    def test_write_schema_mismatch_rejected(self, spark, dirs):
+        t, _, _ = dirs
+        log_source.register(spark)
+        _df(spark, 0, 10).write.format("ome_table_log").option(
+            "path", t
+        ).mode("append").save()
+        bad = spark.range(3).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+        )
+        with pytest.raises(Exception, match="schema mismatch"):
+            bad.write.format("ome_table_log").option("path", t).mode(
+                "append"
+            ).save()
+
+    def test_stream_sink_txn_idempotence(self, spark, dirs, tmp_path):
+        t, _, ckpt = dirs
+        log_source.register(spark)
+        src = str(tmp_path / "src")
+        _df(spark, 0, 50).write.parquet(src)
+        q = (
+            spark.readStream.schema("k long, v long").parquet(src)
+            .writeStream.format("ome_table_log").option("path", t)
+            .option("txnAppId", "app1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert tl.read_table(spark, t).count() == 50
+        assert tl.table_properties(t)["txn.app1"] == "0"
+        # a REPLAYED batch (same batchId) must be skipped, not doubled
+        from ome_arrow_spark.streaming.log_source import _LogStreamWriter
+
+        w = _LogStreamWriter(t, tl.read_table(spark, t).schema, "app1")
+        msg = w.write(iter(_df(spark, 100, 110).collect()))
+        w.commit([msg], batchId=0)
+        assert tl.read_table(spark, t).count() == 50  # skipped
+        # a NEW batch id lands
+        msg = w.write(iter(_df(spark, 100, 110).collect()))
+        w.commit([msg], batchId=1)
+        assert tl.read_table(spark, t).count() == 60
+        assert tl.table_properties(t)["txn.app1"] == "1"
+
+    def test_sink_then_source_roundtrip(self, spark, dirs, tmp_path):
+        """Write through the sink, stream back through the source."""
+        t, out, ckpt = dirs
+        log_source.register(spark)
+        _df(spark, 0, 80).write.format("ome_table_log").option(
+            "path", t
+        ).mode("append").save()
+        _run(spark, t, out, str(tmp_path / "ck2"))
+        assert sorted(
+            r["k"] for r in spark.read.parquet(out).collect()
+        ) == list(range(80))
