@@ -64,7 +64,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # safe.
     #
     # round-8 additions / touched surfaces (first driver rows)
-    "table_delete_dv", "stream_table_log_source", "stream_table_log_sink",
+    "table_delete_dv", "table_restore", "stream_table_log_source",
+    "stream_table_log_sink",
     "stream_cdc_deletes",
     "media_audio_g711",
     "media_audio_adpcm", "media_audio_flac", "ome_render_png",

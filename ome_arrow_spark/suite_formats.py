@@ -737,3 +737,69 @@ def table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return live.unionByName(feed)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE TABLE TO VERSION (table_log.restore_table): create from an
+# orders slice, DV-delete a priority class, then RESTORE to v0 — a
+# metadata-only rollback (nothing rewritten; the delete stays
+# time-travelable). The query aggregates the restored head UNION the
+# still-readable deleted snapshot; the oracle recomputes both from the
+# raw table. Matching proves restore re-exposes the exact pre-delete
+# file set while history remains intact.
+# ---------------------------------------------------------------------------
+@register(
+    "table_restore",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 3)
+    SELECT 'restored' AS side, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'deleted_snapshot', o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM base WHERE o_orderpriority <> '2-HIGH'
+    GROUP BY o_orderstatus
+    """,
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "restore")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+    tl.create_table(spark, base.repartitionByRange(4, "o_orderkey"), path)
+    tl.delete_from_table(
+        spark, path, "o_orderpriority = '2-HIGH'", mode="dv"
+    )
+    tl.restore_table(spark, path, version=0)
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    ]
+    head = (
+        tl.read_table(spark, path)
+        .groupBy("o_orderstatus").agg(*agg)
+        .select(F.lit("restored").alias("side"), "o_orderstatus", "n",
+                "sum_price")
+    )
+    old = (
+        tl.read_table(spark, path, version=1)
+        .groupBy("o_orderstatus").agg(*agg)
+        .select(F.lit("deleted_snapshot").alias("side"), "o_orderstatus",
+                "n", "sum_price")
+    )
+    return head.unionByName(old)
