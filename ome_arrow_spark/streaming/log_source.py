@@ -55,14 +55,19 @@ class _FilePartition(InputPartition):
 
 
 def _read_file_arrow(table: str, rel_path: str, dv_rel: str | None,
-                     columns: list[str]):
+                     schema_json: str):
     """Executor-side: one manifest file → Arrow batches, deletion
-    vector applied by position mask (no join)."""
+    vector applied by position mask (no join).  Batches are cast to
+    the table schema's Arrow form — parquet physical drift (e.g.
+    nanosecond timestamps from pyarrow-written files vs Spark's
+    microseconds) is resolved here, once, in the scan."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from ome_arrow_spark.sources.table_log import _read_dv
 
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    columns = [f.name for f in schema.fields]
     tbl = pq.read_table(os.path.join(table, rel_path), columns=columns)
     if dv_rel is not None:
         deleted = _read_dv(table, dv_rel)
@@ -70,13 +75,14 @@ def _read_file_arrow(table: str, rel_path: str, dv_rel: str | None,
         idx = deleted[deleted < tbl.num_rows].astype("int64")
         mask[idx] = False
         tbl = tbl.filter(mask)
+    tbl = tbl.select(columns).cast(_spark_to_arrow_schema(schema))
     yield from tbl.to_batches()
 
 
 class _LogBatchReader(DataSourceReader):
-    def __init__(self, table: str, schema_names: list[str]):
+    def __init__(self, table: str, schema_json: str):
         self.table = table
-        self.schema_names = schema_names
+        self.schema_json = schema_json
 
     def partitions(self):
         from ome_arrow_spark.sources import table_log as tl
@@ -92,15 +98,15 @@ class _LogBatchReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         yield from _read_file_arrow(
             partition.table, partition.rel_path, partition.dv_rel,
-            self.schema_names,
+            self.schema_json,
         )
 
 
 class _LogStreamReader(DataSourceStreamReader):
-    def __init__(self, table: str, schema_names: list[str],
+    def __init__(self, table: str, schema_json: str,
                  ignore_changes: bool, start_version: int | None):
         self.table = table
-        self.schema_names = schema_names
+        self.schema_json = schema_json
         self.ignore_changes = ignore_changes
         self.start_version = start_version
 
@@ -151,7 +157,7 @@ class _LogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         yield from _read_file_arrow(
             partition.table, partition.rel_path, partition.dv_rel,
-            self.schema_names,
+            self.schema_json,
         )
 
     def commit(self, end: dict) -> None:
@@ -353,18 +359,15 @@ class OmeTableLogDataSource(DataSource):
         snap = tl._resolve_snapshot(self._table())
         return T.StructType.fromJson(json.loads(snap["schema"]))
 
-    def _names(self) -> list[str]:
-        return [f.name for f in self.schema().fields]
-
     def reader(self, schema) -> DataSourceReader:
-        return _LogBatchReader(self._table(), self._names())
+        return _LogBatchReader(self._table(), self.schema().json())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         opt = {k.lower(): v for k, v in self.options.items()}
         sv = opt.get("startversion")
         return _LogStreamReader(
             self._table(),
-            self._names(),
+            self.schema().json(),
             str(opt.get("ignorechanges", "false")).lower() == "true",
             int(sv) if sv is not None else None,
         )

@@ -209,3 +209,23 @@ class TestWriter:
         assert sorted(
             r["k"] for r in spark.read.parquet(out).collect()
         ) == list(range(80))
+
+
+def test_source_streams_nested_ome_schema(spark, tmp_path):
+    """The deeply nested OME struct (arrays of structs of arrays)
+    round-trips through the DataSource's Arrow path."""
+    from ome_arrow_spark import synth
+    from ome_arrow_spark.sources.table_log import create_ome_table
+
+    log_source.register(spark)
+    t = str(tmp_path / "ome")
+    imgs = synth.golden_images_df(spark, ids=["z-series", "single-channel"])
+    create_ome_table(spark, imgs, t)
+    got = spark.read.format("ome_table_log").option("path", t).load()
+    want = tl.read_table(spark, t)
+    assert got.schema == want.schema
+    a = {r["image_id"]: r for r in got.collect()}
+    b = {r["image_id"]: r for r in want.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k]
