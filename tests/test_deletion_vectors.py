@@ -264,3 +264,19 @@ class TestDvInteractions:
         empty = tl.table_changes_by_version(spark, tdir, 2, 2)
         assert empty.count() == 0
         assert "_commit_version" in empty.columns
+
+    def test_dv_delete_with_no_matches_is_a_noop_commit(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 50), tdir)
+        v = tl.delete_from_table(spark, tdir, "k > 1000", mode="dv")
+        assert v == 1
+        assert tl.read_table(spark, tdir).count() == 50
+        snap = tl._resolve_snapshot(tdir)
+        assert not any(a.get("dv") for a in snap["files"].values())
+
+    def test_dv_after_schema_evolution(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
+        tl.add_table_column(spark, tdir, "extra", "long")
+        tl.delete_from_table(spark, tdir, "k < 10", mode="dv")
+        got = tl.read_table(spark, tdir)
+        assert got.count() == 90
+        assert got.filter(F.col("extra").isNull()).count() == 90
