@@ -196,6 +196,8 @@ class _LogWriterBase:
         self.table = table
         self.schema_json = schema.json()
 
+    _CHUNK_ROWS = 65536
+
     def write(self, iterator) -> _FilesMessage:
         import uuid as _uuid
 
@@ -204,15 +206,34 @@ class _LogWriterBase:
 
         schema = T.StructType.fromJson(json.loads(self.schema_json))
         pa_schema = _spark_to_arrow_schema(schema)
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
-            return _FilesMessage([])
-        tbl = pa.Table.from_pylist(rows, schema=pa_schema)
-        os.makedirs(self.table, exist_ok=True)
+        writer = None
         name = f"part-w-{_uuid.uuid4().hex}.parquet"
-        pq.write_table(
-            tbl, os.path.join(self.table, name), compression="zstd"
-        )
+        full = os.path.join(self.table, name)
+        chunk: list[dict] = []
+
+        def flush():
+            nonlocal writer
+            if not chunk:
+                return
+            batch = pa.Table.from_pylist(chunk, schema=pa_schema)
+            if writer is None:
+                os.makedirs(self.table, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    full, pa_schema, compression="zstd"
+                )
+            writer.write_table(batch)
+            chunk.clear()
+
+        # chunked row groups: a 128 MB task partition never sits in
+        # memory as python dicts all at once
+        for r in iterator:
+            chunk.append(r.asDict(recursive=True))
+            if len(chunk) >= self._CHUNK_ROWS:
+                flush()
+        flush()
+        if writer is None:
+            return _FilesMessage([])
+        writer.close()
         return _FilesMessage([name])
 
     def abort(self, messages) -> None:
