@@ -310,7 +310,8 @@ def _scan(
         total_card = sum(
             files[p]["dv"].get("cardinality", 0) for p in dvd
         )
-        if total_card <= _DV_DRIVER_LOAD_CAP:
+        small = total_card <= _DV_DRIVER_LOAD_CAP
+        if small:
             import pandas as pd
 
             chunks = []
@@ -355,12 +356,16 @@ def _scan(
                 .repartition(min(len(pairs), 64))
                 .mapInPandas(_decode_dv, "__dv_file string, __dv_pos long")
             )
+        # small vectors broadcast (the common case: deletes since the
+        # last compaction); huge ones skip the hint so AQE can fall
+        # back to a shuffled anti-join instead of OOMing the driver
+        dv_side = F.broadcast(dv_df) if small else dv_df
         df = (
             spark.read.schema(schema)
             .parquet(*[os.path.join(table, p) for p in dvd])
             .withColumn("__dv_file", F.col("_metadata.file_name"))
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(dv_df), ["__dv_file", "__dv_pos"], "left_anti")
+            .join(dv_side, ["__dv_file", "__dv_pos"], "left_anti")
             .drop("__dv_file", "__dv_pos")
         )
         parts.append(df.select([f.name for f in schema.fields]))
