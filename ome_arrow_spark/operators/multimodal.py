@@ -544,3 +544,123 @@ def synth_media_df(
     # defaultParallelism partitions → dozens of one-row Python-worker
     # tasks for a 9-row table
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+
+
+def image_ahash(media: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Perceptual average-hash per image: decode → integer grayscale
+    ((r+g+b)//3) → 8×8 block means (exact integer block means when the
+    dimensions divide evenly, bilinear resize otherwise) → one bit per
+    block, set when the block exceeds the integer mean of the 64
+    blocks.  Returned as TWO 32-bit halves (``ahash_hi``/``ahash_lo``)
+    so every downstream bit operation (xor, popcount, band extraction)
+    stays in small positive integers both here and in a SQL oracle —
+    no 2^63 overflow cliffs.  Non-image rows are skipped."""
+    schema = "media_id long, ahash_hi long, ahash_lo long"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    kind, arr, _meta = decode_media(bytes(blob))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                if kind != "image":
+                    continue
+                g = arr.astype(np.int64).sum(axis=2) // 3
+                h, w = g.shape
+                if h % 8 == 0 and w % 8 == 0:
+                    blocks = (
+                        g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                        // ((h // 8) * (w // 8))
+                    )
+                else:
+                    blocks = bilinear_resize(
+                        g[:, :, None].astype(np.float64), 8, 8
+                    )[:, :, 0].astype(np.int64)
+                mean = int(blocks.sum()) // 64
+                bits = (blocks > mean).astype(np.uint64).reshape(-1)
+                idx = np.arange(64, dtype=np.uint64)
+                hi = int((bits[32:] << (idx[:32])).sum())
+                lo = int((bits[:32] << (idx[:32])).sum())
+                rows.append(
+                    {"media_id": int(mid), "ahash_hi": hi, "ahash_lo": lo}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ahash_hi", "ahash_lo"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, schema=schema
+    )
+
+
+def image_neardup(
+    media: DataFrame, max_distance: int = 3, on_error: str = "fail"
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    found via BAND BUCKETS, never an all-pairs product: the 64-bit
+    aHash splits into four 16-bit bands; two hashes within Hamming
+    distance ≤ 3 must agree on at least one whole band (pigeonhole:
+    ≤3 differing bits cannot touch all 4 bands), so the band-bucket
+    equi-join is EXACT for ``max_distance`` ≤ 3 — the image twin of
+    the MinHash-LSH text pipeline (operators/dedup.py), with the same
+    one-shuffle-per-side scale shape.  Returns (media_a, media_b,
+    distance), a < b, deduplicated across bands."""
+    if max_distance > 3:
+        raise ValueError(
+            "band-bucket search is exact only for max_distance <= 3 "
+            "(4 bands x 16 bits); raise the band count for looser "
+            "thresholds"
+        )
+    hashes = image_ahash(media, on_error=on_error)
+    bands = hashes.select(
+        "media_id", "ahash_hi", "ahash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("ahash_hi") if i >= 2
+                                else F.col("ahash_lo"),
+                                (i % 2) * 16,
+                            ).bitwiseAND(F.lit(0xFFFF))
+                        ).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "ahash_hi", "ahash_lo", "b.band", "b.val")
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        "band", "val",
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b",
+            (
+                F.bit_count(
+                    F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+                )
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("distance"),
+        )
+        .distinct()
+        .filter(F.col("distance") <= max_distance)
+    )
+    return pairs

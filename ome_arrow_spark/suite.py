@@ -68,7 +68,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_table_log_sink",
     "stream_cdc_deletes",
     "media_audio_g711",
-    "media_audio_adpcm", "media_audio_flac", "ome_render_png",
+    "media_audio_adpcm", "media_audio_flac", "media_image_neardup", "ome_render_png",
     "ome_tiff_codec_ingest",
     "ann_index_search", "ann_pq_rerank", "ann_ivfpq_rerank",
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf", "knn_cosine_sq8",

@@ -2988,3 +2988,77 @@ def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "embedding"
     )
     return sq8_topk(q, c, k=3).withColumn("rk", F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-duplicate detection (multimodal.image_neardup):
+# PNG-decoded images → integer-arithmetic aHash (8×8 block means vs
+# their global mean, packed as two 32-bit halves) → four 16-bit BAND
+# buckets → equi-join candidates → Hamming verify. For distance ≤ 3
+# the banding is EXACT (pigeonhole over 4 bands), so the all-pairs
+# DuckDB oracle — which replays the pixel formula, the grayscale/
+# block/threshold integer arithmetic, and xor+bit_count — must match
+# the banded pipeline row-for-row. The image twin of MinHash-LSH text
+# dedup, with lossless PNG as the carrier so decode is exact.
+# ---------------------------------------------------------------------------
+_AHASH_PX = (
+    "((x.x*7 + y.y*13 + (i.i//2)*41 + {c}*5 + CASE WHEN i.i%2=1 "
+    "AND x.x>=14 AND y.y>=14 THEN 60 ELSE 0 END) % 256)"
+)
+
+
+@register(
+    "media_image_neardup",
+    f"""
+    WITH g AS (
+      SELECT i.i AS id, x.x // 2 AS bx, y.y // 2 AS by,
+             ({_AHASH_PX.format(c=0)} + {_AHASH_PX.format(c=1)}
+              + {_AHASH_PX.format(c=2)}) // 3 AS gray
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) i,
+           (SELECT unnest(generate_series(0, 15)) AS x) x,
+           (SELECT unnest(generate_series(0, 15)) AS y) y),
+    blocks AS (
+      SELECT id, by, bx, SUM(gray) // 4 AS blk
+      FROM g GROUP BY id, by, bx),
+    means AS (SELECT id, SUM(blk) // 64 AS m FROM blocks GROUP BY id),
+    bits AS (
+      SELECT b.id, b.by * 8 + b.bx AS idx,
+             CASE WHEN b.blk > m.m THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN means m ON m.id = b.id),
+    hashes AS (
+      SELECT id,
+             SUM(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS hi,
+             SUM(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS lo
+      FROM bits GROUP BY id)
+    SELECT a.id AS media_a, b.id AS media_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS distance
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ome_arrow_spark.operators import multimodal as MM
+    from ome_arrow_spark.sources.png_minimal import png_encode
+
+    def img(i):
+        x = np.arange(16)[None, :, None]
+        y = np.arange(16)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        delta = np.zeros((16, 16, 1), np.int64)
+        if i % 2:
+            delta[14:, 14:, 0] = 60
+        return ((x * 7 + y * 13 + (i // 2) * 41 + c * 5 + delta) % 256
+                ).astype(np.uint8)
+
+    rows = [
+        (i, "image", bytearray(png_encode(img(i))),
+         (16, 16, None, None, "png"))
+        for i in range(8)
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    return MM.image_neardup(media, max_distance=3).select(
+        "media_a", "media_b", F.col("distance").cast("long").alias("distance")
+    )
