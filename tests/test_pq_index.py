@@ -74,6 +74,7 @@ def test_codes_bounded_and_compression_ratio(spark, index):
         assert all(0 <= c < 16 for c in r["codes"])
 
 
+@pytest.mark.heavy
 def test_rerank_equals_brute_force(spark, tmp_path, corpus, queries):
     from ome_arrow_spark.operators.similarity import cosine_topk
 
@@ -109,6 +110,7 @@ def test_indivisible_dim_rejected(spark, corpus):
         PQ.build_pq_index(spark, corpus, "/tmp/nope_pq", m=7)
 
 
+@pytest.mark.heavy
 def test_incremental_add_codes_match_build(spark, tmp_path, corpus):
     """Vectors added via MERGE must get the SAME codes build-time
     encoding gives (stored-codebook contract) — the incremental index
@@ -138,6 +140,7 @@ def test_incremental_add_codes_match_build(spark, tmp_path, corpus):
     assert res.count() == 6
 
 
+@pytest.mark.heavy
 class TestIvfPq:
     @pytest.fixture()
     def ivfpq(self, spark, tmp_path, corpus):
@@ -204,6 +207,7 @@ def test_distributed_lut_equals_driver_path(spark, index, queries):
     assert a == b
 
 
+@pytest.mark.heavy
 def test_distributed_ivfpq_equals_driver_path(spark, tmp_path, corpus, queries):
     t = str(tmp_path / "ivfpq_dist")
     PQ.build_ivfpq_index(spark, corpus, t, n_centroids=4, m=8, k=16)
