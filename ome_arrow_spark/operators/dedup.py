@@ -206,3 +206,161 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "inter", "jaccard"
     )
+
+
+def _gram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gh) for every token-position k-gram: pos is the
+    1-based token index of the gram's first token, gh the md5 of the
+    space-joined gram. One explode over the corpus; gram strings never
+    leave the expression (only the 128-bit hash is shuffled)."""
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    return t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))).alias(
+                        "gh"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring spans — the span-level form of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every token position whose
+    k-gram occurs >= min_count times corpus-wide is duplicated;
+    overlapping/adjacent duplicated k-gram intervals merge into
+    maximal spans per document.
+
+    Returns (id, span_start, span_end, span_len, n_grams) with 1-based
+    inclusive token positions.
+
+    Scale shape: one gram explode, one count shuffle on the gram hash
+    (map-side combined; uniform 128-bit keys, skew-free), one hash join
+    back (dup grams are a small fraction but unbounded — a broadcast
+    would be wrong at corpus scale, so it stays a shuffle join), one
+    per-document window merge. No pairwise doc join at any point — cost
+    is linear in corpus token count, unlike the suffix-array
+    formulation which needs a global sort."""
+    pos = _gram_positions(df, text_col, id_col, k)
+    dup_gh = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("gh")
+    )
+    dup = pos.join(dup_gh, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "new_span",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+    )
+    return spans.select(
+        id_col, "span_start", "span_end", "span_len", "n_grams"
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove duplicated substrings, keeping one occurrence: for each
+    duplicated k-gram the globally-first occurrence (min (id, pos)) is
+    KEPT; every other occurrence marks its k tokens for removal.
+    Removal intervals merge per document and the surviving token
+    stream is re-joined with single spaces (output is the normalized
+    lower-cased token stream — the dedup sink contract, not a byte-
+    preserving rewrite).
+
+    Returns every input row: (id, clean_text, n_tokens, n_removed).
+
+    Same linear scale shape as dup_spans plus: a per-gram first-
+    occurrence window (one shuffle on gh), a per-doc interval collect
+    (bounded by document length), and a Catalyst filter-by-index HOF
+    over the token array — no UDF, no per-token explode on the Spark
+    side."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    pos = _gram_positions(df, text_col, id_col, k)
+    wg = Window.partitionBy("gh").orderBy(id_col, "pos")
+    occ = pos.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("gh"))
+    )
+    removals = occ.filter(
+        (F.col("n_occ") >= min_count) & (F.col("rn") >= 2)
+    ).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ivs = (
+        removals.withColumn(
+            "new_span",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    joined = base.join(ivs, id_col, "left").withColumn(
+        "ivs",
+        F.coalesce(
+            F.col("ivs"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )

@@ -3062,3 +3062,85 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_neardup(media, max_distance=3).select(
         "media_a", "media_b", F.col("distance").cast("long").alias("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, span-level — the real
+# "remove repeated training text" operator, vs ngram_exact_overlap's
+# doc-pair counts): every token position whose 8-gram repeats
+# corpus-wide, merged into maximal per-document spans. One gram
+# explode, one count shuffle on the md5 gram hash, one join back, one
+# per-doc window merge — linear in corpus tokens, no pairwise doc join,
+# no suffix-array global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_span_detect",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+          FROM t, unnest(range(1, len(toks)-6)) AS u(i) WHERE len(toks) >= 8),
+    c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    d AS (SELECT doc_id, pos FROM g JOIN c USING (gh)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
+                 ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) + 1 THEN 1 ELSE 0 END AS new_span
+          FROM d),
+    s AS (SELECT doc_id, pos,
+            SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM m)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos)+7 AS span_end,
+           MAX(pos)+7-MIN(pos)+1 AS span_len, COUNT(*) AS n_grams
+    FROM s GROUP BY doc_id, span_id
+    """,
+)
+def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.dup_spans(docs, k=8)
+
+
+# ---------------------------------------------------------------------------
+# Apply the dedup: strip every duplicated span except its globally-
+# first occurrence (min (doc_id, pos) per gram hash) and re-join the
+# surviving token stream. Spark side rebuilds each document with ONE
+# Catalyst filter-by-index HOF over the token array (no per-token
+# explode); the oracle replays it relationally (position anti-join).
+# ---------------------------------------------------------------------------
+@register(
+    "substring_dedup_apply",
+    f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+          FROM t0, unnest(range(1, len(toks)-6)) AS u(i) WHERE len(toks) >= 8),
+    o AS (SELECT doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+            COUNT(*) OVER (PARTITION BY gh) AS n_occ
+          FROM g),
+    r AS (SELECT doc_id, pos FROM o WHERE n_occ >= 2 AND rn >= 2),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (PARTITION BY doc_id
+                 ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -1) + 1 THEN 1 ELSE 0 END AS new_span
+          FROM r),
+    s AS (SELECT doc_id, pos,
+            SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM m),
+    iv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos)+7 AS e
+           FROM s GROUP BY doc_id, span_id),
+    tp AS (SELECT doc_id, i AS pos, toks[i] AS tok
+           FROM t0, unnest(range(1, len(toks)+1)) AS u(i)),
+    cov AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tp
+            JOIN iv ON tp.doc_id = iv.doc_id AND tp.pos BETWEEN iv.s AND iv.e),
+    keep AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+             ANTI JOIN cov USING (doc_id, pos))
+    SELECT t0.doc_id,
+           COALESCE(string_agg(keep.tok, ' ' ORDER BY keep.pos), '') AS clean_text,
+           len(t0.toks) AS n_tokens,
+           len(t0.toks) - COUNT(keep.tok) AS n_removed
+    FROM t0 LEFT JOIN keep ON t0.doc_id = keep.doc_id
+    GROUP BY t0.doc_id, len(t0.toks)
+    """,
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.strip_dup_spans(docs, k=8)

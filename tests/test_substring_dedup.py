@@ -1,0 +1,148 @@
+"""Span-level exact substring dedup (operators/dedup.py dup_spans /
+strip_dup_spans): hand-computed fixtures for span detection, merging,
+and first-occurrence retention, plus a seeded random-corpus check
+against a pure-Python model.
+"""
+
+from __future__ import annotations
+
+import random
+
+from ome_arrow_spark.operators.dedup import dup_spans, strip_dup_spans
+
+K = 4  # small gram size keeps fixtures readable
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _toks(t):
+    import re
+
+    return re.findall(r"[a-z0-9]+", t.lower())
+
+
+def _py_spans(texts, k=K, min_count=2):
+    """Pure-Python model: duplicated k-gram positions merged to maximal
+    per-doc spans (1-based inclusive token positions)."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = []
+    for t in texts:
+        toks = _toks(t)
+        gs = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc.append(gs)
+        grams.update(gs)
+    out = []
+    for d, gs in enumerate(per_doc):
+        positions = [
+            i + 1 for i, g in enumerate(gs) if grams[g] >= min_count
+        ]
+        spans = []
+        for p in positions:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + k - 1, 1])
+        out += [(d, s, e, e - s + 1, n) for s, e, n in spans]
+    return sorted(out)
+
+
+def _py_strip(texts, k=K, min_count=2):
+    """Model for strip_dup_spans: global-first occurrence per gram kept,
+    other occurrences' token intervals removed (merged per doc)."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    toks_by_doc = []
+    for d, t in enumerate(texts):
+        toks = _toks(t)
+        toks_by_doc.append(toks)
+        for i in range(len(toks) - k + 1):
+            occ[tuple(toks[i : i + k])].append((d, i + 1))
+    removals = defaultdict(set)
+    for g, sites in occ.items():
+        if len(sites) < min_count:
+            continue
+        for d, p in sorted(sites)[1:]:
+            removals[d].update(range(p, p + k))
+    out = []
+    for d, toks in enumerate(toks_by_doc):
+        kept = [t for i, t in enumerate(toks, start=1) if i not in removals[d]]
+        out.append((d, " ".join(kept), len(toks), len(toks) - len(kept)))
+    return out
+
+
+def test_dup_spans_hand_fixture(spark):
+    # doc0 and doc1 share tokens "one two three four" (one 4-gram);
+    # doc2 repeats "a b c d e" internally giving overlapping dup grams
+    # that must merge into one maximal span per occurrence region.
+    texts = [
+        "x one two three four y",
+        "p q one two three four",
+        "a b c d e z a b c d e",
+    ]
+    got = sorted(
+        tuple(r)
+        for r in dup_spans(_df(spark, texts), k=K).collect()
+    )
+    assert got == [
+        # doc0: span covers positions 2-5
+        (0, 2, 5, 4, 1),
+        # doc1: positions 3-6
+        (1, 3, 6, 4, 1),
+        # doc2: "a b c d" and "b c d e" both duplicated -> merged 1-5, 7-11
+        (2, 1, 5, 5, 2),
+        (2, 7, 11, 5, 2),
+    ]
+    assert got == _py_spans(texts)
+
+
+def test_strip_keeps_globally_first_occurrence(spark):
+    texts = [
+        "x one two three four y",   # first occurrence (doc0 < doc1): kept
+        "p q one two three four",   # stripped
+        "fully unique text with no repeats at all",
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in strip_dup_spans(_df(spark, texts), k=K).collect()
+    }
+    assert got[0] == ("x one two three four y", 6, 0)
+    assert got[1] == ("p q", 6, 4)
+    assert got[2][2] == 0 and got[2][0] == texts[2]
+
+
+def test_strip_intra_document_repeat(spark):
+    # The same doc repeats a phrase: second occurrence removed.
+    texts = ["a b c d junk a b c d"]
+    got = strip_dup_spans(_df(spark, texts), k=K).collect()[0]
+    assert got["clean_text"] == "a b c d junk"
+    assert got["n_removed"] == 4
+
+
+def test_short_docs_pass_through(spark):
+    texts = ["one two", "", "one two"]  # shorter than k: no grams
+    rows = strip_dup_spans(_df(spark, texts), k=K).collect()
+    assert len(rows) == 3
+    assert all(r["n_removed"] == 0 for r in rows)
+    assert dup_spans(_df(spark, texts), k=K).count() == 0
+
+
+def test_random_corpus_matches_python_model(spark):
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> many collisions
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(40)
+    ]
+    df = _df(spark, texts)
+    got_spans = sorted(tuple(r) for r in dup_spans(df, k=K).collect())
+    assert got_spans == _py_spans(texts)
+    got_strip = sorted(tuple(r) for r in strip_dup_spans(df, k=K).collect())
+    assert got_strip == sorted(_py_strip(texts))
