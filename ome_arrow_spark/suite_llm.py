@@ -3144,3 +3144,111 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.strip_dup_spans(docs, k=8)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) bottom-k sketch — the third mergeable sketch
+# family next to HLL (distinct) and Misra-Gries (frequency): the k
+# smallest md5 hashes of the DISTINCT values per group are
+# simultaneously (a) a distinct-count estimator ((k-1)/h_k) and (b) a
+# uniform sample of the distinct-value distribution, so quantiles ride
+# free. Mergeability is exercised for real: per-(priority, month)
+# partial sketches -> per-priority union (array_distinct + re-sort +
+# re-truncate), never a re-scan. Unlike HLL the whole sketch is
+# deterministic, so the oracle pins every output bit (hash ordering,
+# the (k-1)/h_k division, and both quantile ranks). Values hash via a
+# fixed DECIMAL(15,2) rendering so both engines hash identical bytes.
+# Scale: two hash aggregations; sketch arrays are k-bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_sketch_quantiles",
+    """
+    WITH t AS (SELECT DISTINCT o_orderpriority AS pri,
+                      month(o_orderdate) AS m,
+                      CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS vs,
+                      o_totalprice AS v FROM orders),
+    g AS (SELECT pri, m, md5(vs) AS h, v FROM t),
+    pk AS (SELECT pri, m, h, v,
+             ROW_NUMBER() OVER (PARTITION BY pri, m ORDER BY h) AS rn FROM g),
+    mrg AS (SELECT DISTINCT pri, h, v FROM pk WHERE rn <= 64),
+    f AS (SELECT pri, h, v,
+            ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h) AS rn,
+            COUNT(*) OVER (PARTITION BY pri) AS ns FROM mrg),
+    kept AS (SELECT pri, h, v, rn, ns,
+            ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v) AS vr,
+            COUNT(*) OVER (PARTITION BY pri) AS n_sample
+            FROM f WHERE rn <= 64),
+    hk AS (SELECT pri, MAX(CASE WHEN rn = 64 THEN h END) AS h_k,
+                  MAX(ns) AS ns, MAX(n_sample) AS n_sample
+           FROM kept GROUP BY pri),
+    qv AS (SELECT k.pri,
+             MAX(CASE WHEN k.vr = CAST(FLOOR((k.n_sample-1) * 0.5) + 1 AS BIGINT)
+                 THEN k.v END) AS est_median,
+             MAX(CASE WHEN k.vr = CAST(FLOOR((k.n_sample-1) * 0.9) + 1 AS BIGINT)
+                 THEN k.v END) AS est_p90
+           FROM kept k GROUP BY k.pri)
+    SELECT hk.pri, hk.n_sample,
+           CASE WHEN hk.ns < 64 THEN CAST(hk.ns AS DOUBLE)
+                ELSE ROUND(CAST(63 AS DOUBLE) /
+                     (CAST(('0x' || substr(hk.h_k, 1, 13))::BIGINT AS DOUBLE)
+                      / 4503599627370496.0), 6)
+           END AS est_distinct,
+           qv.est_median, qv.est_p90
+    FROM hk JOIN qv USING (pri)
+    """,
+)
+def kmv_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 64
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string").alias("vs"),
+        F.col("o_totalprice").alias("v"),
+    ).distinct()
+    partial = (
+        base.select(
+            "pri",
+            "m",
+            F.struct(F.md5("vs").alias("h"), F.col("v").alias("v")).alias("hv"),
+        )
+        .groupBy("pri", "m")
+        .agg(F.slice(F.sort_array(F.collect_set("hv")), 1, K).alias("sk"))
+    )
+    merged = partial.groupBy("pri").agg(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("sk")))).alias(
+            "full"
+        )
+    )
+    sk = F.slice(F.col("full"), 1, K)
+    vals = F.array_sort(F.transform(sk, lambda x: x["v"]))
+    n = F.size(sk)
+
+    def q(p: float):
+        return F.element_at(
+            vals, (F.floor((n - 1).cast("double") * F.lit(p)) + 1).cast("int")
+        )
+
+    h_k = F.element_at(sk, K)["h"]
+    # 4503599627370496 = 2^52 = 16^13: 13 hex chars parse exactly into
+    # a double-precision integer, so the division is identical in both
+    # engines.
+    est = F.when(F.size("full") < K, F.size("full").cast("double")).otherwise(
+        F.round(
+            F.lit(float(K - 1))
+            / (
+                F.conv(F.substring(h_k, 1, 13), 16, 10)
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(1 << 52))
+            ),
+            6,
+        )
+    )
+    return merged.select(
+        "pri",
+        n.alias("n_sample"),
+        est.alias("est_distinct"),
+        q(0.5).alias("est_median"),
+        q(0.9).alias("est_p90"),
+    )

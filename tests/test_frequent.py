@@ -63,3 +63,44 @@ def test_empty_and_null_docs(spark):
     )
     got = heavy_hitters(docs, k=5, m=64).collect()
     assert [(r["term"], r["cnt"]) for r in got] == [("one", 2), ("two", 1)]
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sketch (suite_llm.kmv_sketch_quantiles): the sketch
+# invariants that make the driver row trustworthy, checked against a
+# pure-Python model on synthetic data with a known distinct count.
+# --------------------------------------------------------------------------
+def _py_kmv(values, k=64):
+    import hashlib
+
+    hv = sorted(
+        {(hashlib.md5(v.encode()).hexdigest(), v) for v in values}
+    )
+    return hv[:k]
+
+
+def test_kmv_merge_of_partials_equals_direct_sketch():
+    # Truncated partial sketches union to the same bottom-k as one
+    # direct pass — the property the two-level Spark plan relies on.
+    vals = [f"{i * 37 % 991}.00" for i in range(500)]
+    parts = [vals[0:200], vals[200:350], vals[350:500]]
+    merged = sorted(
+        {hv for p in parts for hv in _py_kmv(p, 64)}
+    )[:64]
+    assert merged == _py_kmv(vals, 64)
+
+
+def test_kmv_estimate_within_25pct_at_k64():
+    import hashlib
+
+    vals = [f"{i}.00" for i in range(5000)]  # 5000 distinct
+    sk = _py_kmv(vals, 64)
+    h_k = int(sk[-1][0][:13], 16) / float(1 << 52)
+    est = 63 / h_k
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_kmv_exact_below_k():
+    vals = [f"{i}.00" for i in range(40)] * 3  # 40 distinct, k=64
+    sk = _py_kmv(vals, 64)
+    assert len(sk) == 40  # sketch IS the distinct set -> exact count
