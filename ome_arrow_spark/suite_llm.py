@@ -3252,3 +3252,147 @@ def kmv_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.5).alias("est_median"),
         q(0.9).alias("est_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram LM perplexity — the classical statistical-LM
+# curation scorer one order above lm_bigram_score: train counts on the
+# 90% split (doc_id % 10 != 0), score held-out docs with the Jelinek-
+# Mercer mixture 0.6*P(w3|w1w2) + 0.29*P(w3|w2) + 0.1*P(w3) +
+# 0.01*(1/V) (the uniform floor keeps p > 0 for unseen tokens).
+# Determinism contract: each term is one bigint/bigint division in
+# double (identical both engines), ln() on identical doubles, per-
+# position NLL rounded to 9 and summed as DECIMAL(20,9) — exact and
+# order-independent — so the per-doc average is bit-stable without any
+# ordered-sum gymnastics. Scale: count tables are vocabulary-bounded;
+# the five scoring joins are plain shuffle hash joins Catalyst may
+# broadcast when small (no hint — corpus-general).
+# ---------------------------------------------------------------------------
+@register(
+    "lm_trigram_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    train AS (SELECT * FROM t WHERE doc_id % 10 != 0),
+    held AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+    tri AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+            FROM train, unnest(range(1, len(toks)-1)) AS u(i)
+            WHERE len(toks) >= 3),
+    bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+           FROM train, unnest(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+    uni AS (SELECT unnest(toks) AS w1 FROM train),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1,2,3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1,2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM train),
+    voc AS (SELECT COUNT(*) AS v FROM c1),
+    ht AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+           FROM held, unnest(range(1, len(toks)-1)) AS u(i)
+           WHERE len(toks) >= 3),
+    sc AS (SELECT ht.doc_id,
+             ROUND(-LN(0.6 * COALESCE(CAST(c3.c3 AS DOUBLE) / CAST(p.c2 AS DOUBLE), 0.0)
+                     + 0.29 * COALESCE(CAST(s.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE), 0.0)
+                     + 0.1 * COALESCE(CAST(u3.c1 AS DOUBLE) / CAST(tot.n_tok AS DOUBLE), 0.0)
+                     + 0.01 * (1.0 / CAST(voc.v AS DOUBLE))), 9)::DECIMAL(20,9) AS nll
+           FROM ht
+           LEFT JOIN c3 ON ht.w1 = c3.w1 AND ht.w2 = c3.w2 AND ht.w3 = c3.w3
+           LEFT JOIN c2 p ON ht.w1 = p.w1 AND ht.w2 = p.w2
+           LEFT JOIN c2 s ON ht.w2 = s.w1 AND ht.w3 = s.w2
+           LEFT JOIN c1 u2 ON ht.w2 = u2.w1
+           LEFT JOIN c1 u3 ON ht.w3 = u3.w1
+           , tot, voc)
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
+    FROM sc GROUP BY doc_id
+    """,
+)
+def lm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    train = t.filter(F.col("doc_id") % 10 != 0)
+    held = t.filter(F.col("doc_id") % 10 == 0)
+
+    def grams(df: DataFrame, n: int) -> DataFrame:
+        # sequence(1, 0) counts DOWN — guard short docs explicitly.
+        arr = F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.slice(F.col("toks"), i, n),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+        g = df.select("doc_id", F.explode(arr).alias("g"))
+        return g.select(
+            "doc_id",
+            *[F.col("g").getItem(j).alias(f"w{j + 1}") for j in range(n)],
+        )
+
+    tri_c = grams(train, 3).groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("c3")
+    )
+    bi_c = grams(train, 2).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni_c = grams(train, 1).groupBy("w1").agg(F.count("*").alias("c1"))
+    tot = train.agg(F.sum(F.size("toks")).alias("n_tok"))
+    vocab = uni_c.agg(F.count("*").alias("v"))
+
+    j = (
+        grams(held, 3)
+        .join(tri_c, ["w1", "w2", "w3"], "left")
+        .join(
+            bi_c.select("w1", "w2", F.col("c2").alias("c2_p")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi_c.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2_s"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni_c.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni_c.select(F.col("w1").alias("w3"), F.col("c1").alias("c1_3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+    )
+    p3 = F.coalesce(
+        F.col("c3").cast("double") / F.col("c2_p").cast("double"), F.lit(0.0)
+    )
+    p2 = F.coalesce(
+        F.col("c2_s").cast("double") / F.col("c1_2").cast("double"), F.lit(0.0)
+    )
+    p1 = F.coalesce(
+        F.col("c1_3").cast("double") / F.col("n_tok").cast("double"), F.lit(0.0)
+    )
+    pu = F.lit(1.0) / F.col("v").cast("double")
+    p = (
+        F.lit(0.6) * p3
+        + F.lit(0.29) * p2
+        + F.lit(0.1) * p1
+        + F.lit(0.01) * pu
+    )
+    nll = F.round(-F.log(p), 9).cast("decimal(20,9)")
+    return (
+        j.groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"), F.sum(nll).alias("s"))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp("avg_nll"), 4))
+    )

@@ -146,3 +146,74 @@ def test_random_corpus_matches_python_model(spark):
     assert got_spans == _py_spans(texts)
     got_strip = sorted(tuple(r) for r in strip_dup_spans(df, k=K).collect())
     assert got_strip == sorted(_py_strip(texts))
+
+
+def test_trigram_perplexity_matches_python_model(spark):
+    """suite_llm.lm_trigram_perplexity against an independent pure-
+    Python JM-interpolated trigram model on a tiny synthetic corpus
+    written as a parquet sf_dir (only `documents` is touched)."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ome_arrow_spark.suite_llm import lm_trigram_perplexity
+
+    texts = {
+        0: "the cat sat on the mat",          # held out (doc 0)
+        1: "the cat sat on the hat",
+        2: "the dog sat on the mat",
+        3: "a cat and a dog sat",
+        10: "the dog sat on the unknownword", # held out
+        11: "cats everywhere",
+    }
+    d = tempfile.mkdtemp(prefix="lm3_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    train = [toks[k] for k in texts if k % 10 != 0]
+    c3 = Counter(tuple(t[i : i + 3]) for t in train for i in range(len(t) - 2))
+    c2 = Counter(tuple(t[i : i + 2]) for t in train for i in range(len(t) - 1))
+    c1 = Counter(w for t in train for w in t)
+    n_tok = sum(len(t) for t in train)
+    v = len(c1)
+
+    def score(t):
+        nlls = []
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i : i + 3]
+            p3 = c3[(w1, w2, w3)] / c2[(w1, w2)] if c2[(w1, w2)] else 0.0
+            p2 = c2[(w2, w3)] / c1[w2] if c1[w2] else 0.0
+            p1 = c1[w3] / n_tok
+            p = 0.6 * p3 + 0.29 * p2 + 0.1 * p1 + 0.01 * (1.0 / v)
+            nlls.append(round(-math.log(p), 9))
+        s = round(sum(nlls), 9)  # decimal-sum is exact; float sum of
+        # round-9 terms at this size is too
+        avg = round(s / len(nlls), 6)
+        return len(nlls), avg, round(math.exp(avg), 4)
+
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_nll"], r["ppl"])
+        for r in lm_trigram_perplexity(spark, d).collect()
+    }
+    assert set(got) == {0, 10}
+    for k in (0, 10):
+        n, avg, ppl = score(toks[k])
+        assert got[k][0] == n
+        assert abs(got[k][1] - avg) < 1e-9
+        assert abs(got[k][2] - ppl) < 1e-6
