@@ -3396,3 +3396,90 @@ def lm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ppl", F.round(F.exp("avg_nll"), 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (edit distance <= 1) via deletion-neighborhood
+# blocking — the SymSpell trick: two strings within one edit always
+# share a member of each other's {self} ∪ {single-char-deletion}
+# variant sets, so an equi-join on variants replaces the all-pairs
+# levenshtein scan; exact verification runs only on blocked candidates.
+# The synthetic vocabulary has no natural typos, so the query plants
+# them on BOTH engines identically (drop the 2nd char of df>=20
+# tokens, carried with a negated df marker). Blocking completeness vs
+# the brute-force join is asserted in tests. Scale: variant explode is
+# O(total token length); the variant equi-join only meets true
+# near-matches — production adds the LSH-style max_bucket guard for
+# hub variants of very short tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_join_editdist",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    base AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+             HAVING COUNT(*) >= 5 AND length(tok) BETWEEN 4 AND 12),
+    vocab AS (SELECT tok, MIN(df) AS df FROM (
+                SELECT tok, df FROM base
+                UNION ALL
+                SELECT substr(tok, 1, 1) || substr(tok, 3) AS tok, -df
+                FROM base WHERE df >= 20
+              ) GROUP BY tok),
+    v AS (SELECT DISTINCT tok, df,
+            CASE WHEN i = 0 THEN tok
+                 ELSE substr(tok, 1, i-1) || substr(tok, i+1) END AS var
+          FROM vocab, unnest(range(0, length(tok)+1)) AS u(i)),
+    p AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+                 a.df AS df_a, b.df AS df_b
+          FROM v a JOIN v b ON a.var = b.var AND a.tok < b.tok)
+    SELECT tok_a, tok_b, df_a, df_b, levenshtein(tok_a, tok_b) AS dist
+    FROM p WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter((F.length("tok").between(4, 12)) & (F.col("df") >= 5))
+    )
+    typos = base.filter(F.col("df") >= 20).select(
+        F.concat(
+            F.col("tok").substr(1, 1), F.expr("substring(tok, 3)")
+        ).alias("tok"),
+        (-F.col("df")).alias("df"),
+    )
+    vocab = base.unionAll(typos).groupBy("tok").agg(F.min("df").alias("df"))
+    t = F.col("tok")
+    variants = vocab.select(
+        "tok",
+        "df",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length(t)),
+                lambda i: F.when(i == 0, t).otherwise(
+                    F.concat(
+                        t.substr(F.lit(1), i - 1),
+                        t.substr(i + 1, F.length(t)),
+                    )
+                ),
+            )
+        ).alias("var"),
+    ).distinct()
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -217,3 +217,74 @@ def test_trigram_perplexity_matches_python_model(spark):
         assert got[k][0] == n
         assert abs(got[k][1] - avg) < 1e-9
         assert abs(got[k][2] - ppl) < 1e-6
+
+
+def test_fuzzy_join_blocking_is_complete(spark):
+    """Deletion-neighborhood blocking finds EVERY edit-distance<=1 pair
+    the brute-force cross join finds (suite_llm.fuzzy_join_editdist's
+    scale claim), including substitutions, insertions, and deletions."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.suite_llm import fuzzy_join_editdist
+
+    # Build a corpus whose vocab contains known typo families. Each
+    # token needs df >= 5 to enter the vocab.
+    words = [
+        "hello", "hallo", "helo", "helloo",      # sub / del / ins of hello
+        "world", "wordl",                          # transposition: dist 2, excluded
+        "spark", "spork", "sprk",
+        "unrelated",
+    ]
+    text = " ".join(w for w in words for _ in range(5))
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="fuzzy_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0],
+                "text": [text],
+                "lang": ["en"],
+                "source": ["t"],
+                "n_chars": [len(text)],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {
+        (r["tok_a"], r["tok_b"])
+        for r in fuzzy_join_editdist(spark, d).collect()
+    }
+    # brute force over the same vocab (df>=5, len 4..12, + planted
+    # df>=20 typos — none here since every df is 5)
+    import itertools
+
+    def ed(a, b):
+        import numpy as np
+
+        m = np.zeros((len(a) + 1, len(b) + 1), int)
+        m[:, 0] = range(len(a) + 1)
+        m[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(
+                    m[i - 1, j] + 1,
+                    m[i, j - 1] + 1,
+                    m[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a), len(b)]
+
+    vocab = [w for w in set(words) if 4 <= len(w) <= 12]
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if ed(a, b) <= 1
+    }
+    assert got == brute
+    assert ("hallo", "hello") in got and ("hello", "helloo") in got
+    assert ("spark", "spork") in got and ("spark", "sprk") in got
+    assert ("wordl", "world") not in got  # transposition = distance 2
