@@ -133,4 +133,11 @@ def cluster_defaults(executors: int = 1000, executor_cores: int = 8) -> dict[str
         "spark.dynamicAllocation.enabled": "true",
         "spark.dynamicAllocation.maxExecutors": str(executors),
         "spark.shuffle.service.enabled": "true",
+        # Runtime Bloom-filter join pruning: on selective fact-dim
+        # joins the probe-side scan gets a might_contain(xxhash64(key))
+        # filter built from the filtered build side. Defaults only
+        # activate past a 10 GB probe scan — exactly the 100 TB regime;
+        # tests/test_plans.py proves the injection shape by lowering
+        # the threshold locally. Left at defaults here on purpose.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }

@@ -321,3 +321,57 @@ def test_sq8_scoring_stays_in_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (cluster_defaults posture):
+    a selective filter on the build side injects
+    might_contain(xxhash64(key)) into the probe-side scan, cutting
+    shuffle volume before the join. Defaults activate past a 10 GB
+    probe scan (the 100 TB regime); locally we lower the threshold to
+    prove the plan shape, and restore it after."""
+    from pyspark.sql import functions as F
+
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    bcast_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    def _safe_get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:
+            return None
+
+    old = {k: _safe_get(k) for k in (thresh_key, *bcast_keys)}
+    try:
+        spark.conf.set(thresh_key, "1KB")
+        for k in bcast_keys:  # force a shuffle join; blooms skip BHJ
+            spark.conf.set(k, "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        # the filter guards the probe (lineitem) scan's key
+        assert "xxhash64(l_orderkey" in plan
+        # and the result is still right
+        assert j.collect()[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in old.items():
+            try:
+                if v in (None, ""):
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                spark.conf.unset(k)
