@@ -219,6 +219,12 @@ def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
         # Checkpoints are derived state: best-effort, never raced over
         # (a duplicate write produces identical content).
         snap = _resolve_snapshot(table, version, _replay=True)
+        if snap.pop("pending_txn_versions", None):
+            # a cross-table txn in range is still pending: its entries'
+            # visibility may flip, so baking this resolution would be
+            # wrong.  Defer — the next boundary after finalization
+            # checkpoints normally.
+            return
         with open(_checkpoint_file(table, version) + ".tmp", "w") as f:
             json.dump(snap, f, separators=(",", ":"))
         os.replace(
@@ -230,6 +236,217 @@ def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
 def _read_entry(table: str, version: int) -> dict[str, Any]:
     with open(_version_file(table, version)) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table transactions
+# ---------------------------------------------------------------------------
+# All-or-nothing commits across N log tables WITHOUT a central catalog,
+# built from the same put_if_absent primitive as single-table commits.
+# The shape (the use case is a table and its derived index staying
+# snapshot-consistent):
+#
+#   1. every table except the first stages a PARTICIPANT entry at its
+#      own next version, carrying ``txn = {id, coordinator,
+#      coordinator_version}``;
+#   2. the first table (the COORDINATOR) then commits normally — ONE
+#      put_if_absent — with the same txn id in its entry.
+#
+# That single coordinator commit is the atomic visibility flip:
+# a participant entry is EFFECTIVE iff the coordinator's version slot
+# holds an entry with the matching txn id.  If the slot is empty the
+# txn is PENDING (participant entries resolve to no-ops); once any
+# OTHER entry takes the slot — a racing writer, or the abort helper —
+# the txn is ABORTED permanently and deterministically.  There are no
+# separate marker files and no mutable state: finalization is decided
+# by whichever commit wins the coordinator slot.
+#
+# Consequences, by design:
+# * resolution of a PENDING participant entry can change exactly once
+#   (to committed or aborted) when the coordinator slot fills; time
+#   travel / CDF over a still-pending range is therefore unstable
+#   until finalization.  Checkpoints never bake pending entries —
+#   _commit defers the checkpoint while any entry in range is pending.
+# * coordinator slot contention aborts the txn (standard OCC) — the
+#   committer retries with a fresh txn id and freshly staged
+#   participant entries; the aborted slots stay as permanent no-ops.
+# * vacuum retains files referenced by pending entries (it walks raw
+#   log entries, not resolved snapshots), so a late commit never
+#   resurrects deleted data files.
+
+_TXN_OP = "txn_append"
+
+
+def _txn_state(txn: dict[str, Any], cache: dict | None = None) -> str:
+    """'committed' | 'aborted' | 'pending' for a participant entry's
+    transaction reference, resolved from the coordinator version slot."""
+    key = (txn["coordinator"], int(txn["coordinator_version"]))
+    if cache is not None and key in cache:
+        coord_entry = cache[key]
+    else:
+        try:
+            coord_entry = _read_entry(txn["coordinator"],
+                                      int(txn["coordinator_version"]))
+        except FileNotFoundError:
+            coord_entry = None
+        if cache is not None:
+            cache[key] = coord_entry
+    if coord_entry is None:
+        return "pending"
+    if (coord_entry.get("txn") or {}).get("id") == txn["id"]:
+        return "committed"
+    return "aborted"
+
+
+def _stage_participant(
+    table: str,
+    adds: list[dict[str, Any]],
+    txn: dict[str, Any],
+    commit_attempts: int,
+) -> int:
+    """Publish a participant append entry at the table's next version
+    (its own slot contention retries like a blind append — the txn
+    reference is independent of the participant's version number)."""
+    for attempt in range(commit_attempts):
+        version = _resolve_snapshot(table)["version"] + 1
+        entry = {
+            "version": version,
+            "operation": _TXN_OP,
+            "actions": [{"add": a} for a in adds],
+            "txn": {**txn, "role": "participant"},
+        }
+        try:
+            _commit(table, version, entry)
+            return version
+        except ConcurrentCommit:
+            if attempt == commit_attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def atomic_multi_append(
+    spark: SparkSession,
+    appends: Sequence[tuple[str, DataFrame]],
+    commit_attempts: int = 20,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> dict[str, int]:
+    """All-or-nothing append across ``len(appends) >= 2`` log tables.
+    Returns {table: committed version} ({} when a replay is skipped).
+    Appends are blind (the new files never depend on the snapshot
+    read), so retries re-reference the SAME data files at fresh
+    versions — no rewrite under contention.  The first table
+    coordinates (see section comment).
+
+    ``txn_app``/``txn_batch`` give Delta's idempotent-writes contract
+    for streaming foreachBatch sinks: the coordinator records
+    ``txn.<app> = batch`` in its properties, and a replayed batch
+    (restart after commit, before checkpoint advance) is detected
+    there and skipped BEFORE any data file lands.  One check suffices
+    for every table because visibility is atomic — the participants'
+    entries flip with the same coordinator slot the property rides
+    on."""
+    if len(appends) < 2:
+        raise TableLogError("atomic_multi_append needs >= 2 tables")
+    appends = [(os.path.abspath(t), df) for t, df in appends]
+    if txn_app is not None:
+        if txn_batch is None:
+            raise TableLogError("txn_app requires txn_batch")
+        prev = _resolve_snapshot(appends[0][0])["properties"].get(
+            f"txn.{txn_app}"
+        )
+        if prev is not None and int(prev) >= int(txn_batch):
+            return {}
+    seen = set()
+    for t, _ in appends:
+        if t in seen:
+            raise TableLogError(f"duplicate table in transaction: {t}")
+        seen.add(t)
+    # data files land once; only commit entries retry
+    adds_by_table: dict[str, list[dict[str, Any]]] = {}
+    for t, df in appends:
+        snap = _resolve_snapshot(t)
+        _check_schema(df, snap, t)
+        _enforce_constraints(df, snap, t)
+        adds_by_table[t] = _write_data_files(
+            df, t, snap["version"] + 1, _bloom_cols(snap)
+        )
+    coord, coord_df = appends[0]
+    for attempt in range(commit_attempts):
+        txn_id = uuid.uuid4().hex
+        coord_version = _resolve_snapshot(coord)["version"] + 1
+        txn_ref = {
+            "id": txn_id,
+            "coordinator": coord,
+            "coordinator_version": coord_version,
+        }
+        staged = {
+            t: _stage_participant(
+                t, adds_by_table[t], txn_ref, commit_attempts
+            )
+            for t, _ in appends[1:]
+        }
+        coord_entry = {
+            "version": coord_version,
+            "operation": _TXN_OP,
+            "actions": [{"add": a} for a in adds_by_table[coord]],
+            "txn": {
+                "id": txn_id,
+                "role": "coordinator",
+                "participants": [[t, v] for t, v in staged.items()],
+            },
+        }
+        if txn_app is not None:
+            coord_entry["properties"] = {f"txn.{txn_app}": str(txn_batch)}
+        try:
+            _commit(coord, coord_version, coord_entry)
+            return {coord: coord_version, **staged}
+        except ConcurrentCommit:
+            # slot lost -> txn aborted (staged entries are now
+            # permanent no-ops); retry with a fresh identity
+            if attempt == commit_attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def finalize_stale_txns(table: str, max_age_s: float = 3600.0) -> int:
+    """Maintenance: force a decision on transactions left pending by a
+    crashed committer.  For each pending participant entry older than
+    ``max_age_s``, try to take the coordinator slot with an explicit
+    no-op abort entry — if a racing (slow) committer gets there first,
+    the txn commits instead; either way it is finalized.  Returns the
+    number of transactions finalized by this call."""
+    now = time.time()
+    cache: dict = {}
+    done = 0
+    for v in _list_versions(table):
+        e = _read_entry(table, v)
+        txn = e.get("txn")
+        if not txn or txn.get("role") != "participant":
+            continue
+        if _txn_state(txn, cache) != "pending":
+            continue
+        age = now - float(e.get("ts", now))
+        if age < max_age_s:
+            continue
+        cv = int(txn["coordinator_version"])
+        try:
+            _commit(
+                txn["coordinator"],
+                cv,
+                {
+                    "version": cv,
+                    "operation": "txn_abort",
+                    "actions": [],
+                    "txn": {"id": f"abort-{uuid.uuid4().hex}",
+                            "role": "abort"},
+                },
+            )
+        except ConcurrentCommit:
+            pass  # someone finalized it — equally done
+        cache.pop((txn["coordinator"], cv), None)
+        done += 1
+    return done
 
 
 # ---------------------------------------------------------------------------
@@ -401,10 +618,22 @@ def _resolve_snapshot(
                     state = json.load(f)
                 start = v + 1
                 break
+    txn_cache: dict = {}
+    pending: list[int] = []
     for v in versions:
         if v < start or v > version:
             continue
         entry = _read_entry(table, v)
+        txn = entry.get("txn")
+        if txn and txn.get("role") == "participant":
+            # cross-table txn: effective iff the coordinator slot holds
+            # the matching txn id (see the transactions section)
+            st = _txn_state(txn, txn_cache)
+            if st == "aborted":
+                continue
+            if st == "pending":
+                pending.append(v)
+                continue
         if entry.get("schema"):
             state["schema"] = entry["schema"]
         if entry.get("properties"):
@@ -415,6 +644,10 @@ def _resolve_snapshot(
             elif "remove" in action:
                 state["files"].pop(action["remove"]["path"], None)
     state["version"] = version
+    if pending:
+        # surfaced so _commit defers checkpoints over unstable ranges;
+        # never written to disk (checkpoints are skipped while set)
+        state["pending_txn_versions"] = pending
     return state
 
 
@@ -1885,6 +2118,22 @@ def vacuum_table(
         referenced_dv.update(
             a["dv"]["path"] for a in snap_files.values() if a.get("dv")
         )
+    # PENDING cross-table-txn entries resolve to no-ops today but may
+    # commit later — their files must survive vacuum at ANY version
+    # (resolution replays the whole log).  finalize_stale_txns bounds
+    # how long this can hold files.
+    txn_cache: dict = {}
+    for v in versions:
+        e = _read_entry(table, v)
+        txn = e.get("txn")
+        if (
+            txn
+            and txn.get("role") == "participant"
+            and _txn_state(txn, txn_cache) == "pending"
+        ):
+            referenced.update(
+                a["add"]["path"] for a in e["actions"] if "add" in a
+            )
     cutoff = time.time() - max(0.0, retention_seconds)
     deleted = []
     for name in os.listdir(table):

@@ -803,3 +803,116 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n", "sum_price")
     )
     return head.unionByName(old)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table transaction (table_log.atomic_multi_append): a facts
+# table and its derived index stay snapshot-consistent through an
+# all-or-nothing commit. The query drives the full protocol: a
+# committed txn (batch B lands in BOTH tables via one coordinator-slot
+# flip), then an ABORTED txn (a participant entry staged by a
+# "crashed" committer whose coordinator slot is then taken by a normal
+# append of batch C) — the staged rows must appear NOWHERE while batch
+# C lands normally. The oracle recomputes both tables from raw orders;
+# matching proves atomic visibility and deterministic abort.
+# ---------------------------------------------------------------------------
+@register(
+    "table_multi_txn",
+    """
+    WITH facts AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 4)
+    SELECT 'facts' AS side, o_orderstatus AS k1, '' AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM facts GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'index', b.batch, f.o_orderpriority,
+           COUNT(*), CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM facts f
+    JOIN (VALUES ('A', 0), ('B', 1)) AS b(batch, r)
+      ON f.o_orderkey % 3 = b.r
+    GROUP BY b.batch, f.o_orderpriority
+    """,
+)
+def table_multi_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid as _uuid
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    facts_path = _rt_dir(sf_dir, "txn_facts")
+    index_path = _rt_dir(sf_dir, "txn_index")
+    shutil.rmtree(facts_path, ignore_errors=True)
+    shutil.rmtree(index_path, ignore_errors=True)
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 4)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+
+    def batch(r: int) -> DataFrame:
+        return base.filter(F.col("o_orderkey") % 3 == r)
+
+    def idx(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("s"),
+        ).select(F.lit(tag).alias("batch"), "o_orderpriority", "n", "s")
+
+    tl.create_table(spark, batch(0), facts_path)
+    tl.create_table(spark, idx(batch(0), "A"), index_path)
+
+    # committed txn: batch B into facts AND its index entries, atomically
+    tl.atomic_multi_append(
+        spark, [(facts_path, batch(1)), (index_path, idx(batch(1), "B"))]
+    )
+
+    # aborted txn: a committer stages the index side (re-indexing batch
+    # A under tag X) and crashes before the coordinator commit ...
+    index_abs = os.path.abspath(index_path)
+    stale_adds = tl._write_data_files(
+        idx(batch(0), "X"),
+        index_abs,
+        tl._resolve_snapshot(index_path)["version"] + 1,
+        (),
+    )
+    txn_ref = {
+        "id": _uuid.uuid4().hex,
+        "coordinator": os.path.abspath(facts_path),
+        "coordinator_version": tl._resolve_snapshot(facts_path)["version"]
+        + 1,
+    }
+    tl._stage_participant(index_abs, stale_adds, txn_ref, 5)
+    # ... and a normal append of batch C takes the coordinator slot,
+    # aborting the staged entry permanently
+    tl.append_table(spark, batch(2), facts_path)
+
+    fact_rows = (
+        tl.read_table(spark, facts_path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.lit("facts").alias("side"),
+            F.col("o_orderstatus").alias("k1"),
+            F.lit("").alias("k2"),
+            "n",
+            "sum_price",
+        )
+    )
+    index_rows = tl.read_table(spark, index_path).select(
+        F.lit("index").alias("side"),
+        F.col("batch").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n",
+        F.col("s").cast("double").alias("sum_price"),
+    )
+    return fact_rows.unionByName(index_rows)

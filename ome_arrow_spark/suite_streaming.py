@@ -649,3 +649,125 @@ def stream_table_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once MULTI-TABLE streaming sink: each micro-batch lands in a
+# raw events table AND a per-type aggregate index table through ONE
+# cross-table transaction (table_log.atomic_multi_append) carrying the
+# txnAppId idempotence contract — the streaming composition of the
+# coordinator-slot protocol. After the stream drains, the query
+# replays batch 0 by hand (the restart-after-commit crash window) and
+# asserts it is skipped before any file lands. Output folds the index
+# partials per type next to the raw-table aggregate; they must agree
+# with each other and with the oracle regardless of how the source
+# batched, proving neither side ever saw a partial or doubled batch.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_txn_sink",
+    """
+    WITH e AS (SELECT event_type, value FROM events)
+    SELECT 'raw' AS side, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT 'index', event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+    FROM e GROUP BY event_type
+    """,
+)
+def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    base = (
+        f"/tmp/ome_arrow_rt_txnsink_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    raw_t = os.path.join(base, "raw")
+    idx_t = os.path.join(base, "idx")
+    tl.create_table(
+        spark,
+        spark.createDataFrame(
+            [], "event_id bigint, event_type string, value double"
+        ),
+        raw_t,
+    )
+    tl.create_table(
+        spark,
+        spark.createDataFrame(
+            [], "event_type string, n bigint, s decimal(38,6)"
+        ),
+        idx_t,
+    )
+    app = f"txnsink_{os.getpid()}"
+
+    def _idx(bdf: DataFrame) -> DataFrame:
+        return bdf.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+        )
+
+    replayable = []
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        rows = bdf.select("event_id", "event_type", "value")
+        rows.persist()  # scanned twice (raw + index aggregate)
+        try:
+            tl.atomic_multi_append(
+                spark,
+                [(raw_t, rows), (idx_t, _idx(rows))],
+                txn_app=app,
+                txn_batch=bid,
+            )
+            if bid == 0:
+                replayable.append(rows.collect())
+        finally:
+            rows.unpersist()
+
+    ev = EV.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # crash-replay window: re-deliver batch 0 — must be skipped whole
+    if replayable:
+        rep = spark.createDataFrame(
+            replayable[0], "event_id bigint, event_type string, value double"
+        )
+        skipped = tl.atomic_multi_append(
+            spark, [(raw_t, rep), (idx_t, _idx(rep))],
+            txn_app=app, txn_batch=0,
+        )
+        if skipped != {}:
+            raise AssertionError("replayed batch was not skipped")
+
+    raw_rows = (
+        tl.read_table(spark, raw_t)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.lit("raw").alias("side"), "event_type", "n", "sum_value")
+    )
+    idx_rows = (
+        tl.read_table(spark, idx_t)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .select(F.lit("index").alias("side"), "event_type", "n", "sum_value")
+    )
+    return raw_rows.unionByName(idx_rows)
