@@ -771,3 +771,70 @@ def stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("index").alias("side"), "event_type", "n", "sum_value")
     )
     return raw_rows.unionByName(idx_rows)
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join — the attribution join including
+# never-converted clicks. The semantics the oracle must replay: a
+# matched pair emits exactly once (inner semantics); an UNMATCHED
+# click emits its null-extended row only when the join state can be
+# finalized, i.e. the global watermark (min over both sides of
+# max(event ts) - 1 hour, since watermarks advance per-side) has
+# passed click_ts + the 30-minute join bound. Clicks younger than
+# that at end-of-stream are still "maybe matchable" and are withheld
+# — exactly what a restarted stream would need. The AvailableNow
+# harness relies on the trailing no-data micro-batch (on by default)
+# to flush finalized state.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_left_outer",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS u2,
+                 CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                        (SELECT MAX(purchase_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w),
+    m AS (SELECT click_id, purchase_id, user_id, click_ts, purchase_ts
+          FROM c JOIN p ON user_id = u2
+           AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + INTERVAL 30 MINUTE),
+    un AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                  c.user_id, c.click_ts,
+                  CAST(NULL AS TIMESTAMP) AS purchase_ts
+           FROM c ANTI JOIN m USING (click_id)
+           WHERE c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+    SELECT * FROM m UNION ALL SELECT * FROM un
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = EV.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = EV.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return EV.run_available_now(j, output_mode="append")
