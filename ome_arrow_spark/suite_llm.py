@@ -3483,3 +3483,61 @@ def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG / pretraining document chunker: fixed-size token windows
+# (size 64, stride 48 -> overlap 16) as one Catalyst transform+explode
+# — no UDF, no shuffle (projection-only over the corpus scan). Chunk
+# count is GREATEST(1, ceil((n-overlap)/stride)) so every token is
+# covered, short docs yield exactly one chunk, and no trailing chunk
+# is fully contained in its predecessor. first_pos is 1-based.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
+               FROM documents WHERE len({_TOKS_SQL}) >= 1),
+    k AS (SELECT doc_id, toks, i AS chunk_id FROM t,
+          unnest(range(0, GREATEST(1, (len(toks) + 31) // 48))) AS u(i))
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           chunk_id * 48 + 1 AS first_pos,
+           len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')
+             AS chunk_text
+    FROM k
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SIZE, STRIDE = 64, 48
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n = F.size("toks")
+    # ceil((n - overlap) / stride), floored at one chunk
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n + (STRIDE - (SIZE - STRIDE) - 1)) / STRIDE).cast("int"),
+    )
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.struct(
+                    k.alias("chunk_id"),
+                    (k * STRIDE + 1).alias("first_pos"),
+                    F.slice(F.col("toks"), k * STRIDE + 1, SIZE).alias(
+                        "ctoks"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.first_pos").cast("bigint").alias("first_pos"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+    )

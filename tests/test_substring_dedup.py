@@ -288,3 +288,54 @@ def test_fuzzy_join_blocking_is_complete(spark):
     assert ("hallo", "hello") in got and ("hello", "helloo") in got
     assert ("spark", "spork") in got and ("spark", "sprk") in got
     assert ("wordl", "world") not in got  # transposition = distance 2
+
+
+def test_doc_chunking_edges_and_plan(spark):
+    """suite_llm.doc_chunking: coverage/containment invariants on edge
+    lengths, and the plan is projection-only (zero exchanges)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ome_arrow_spark.suite_llm import doc_chunking
+
+    texts = {
+        0: "only",                          # 1 token  -> 1 chunk
+        1: " ".join(f"w{i}" for i in range(64)),   # exactly size
+        2: " ".join(f"w{i}" for i in range(65)),   # one past size
+        3: " ".join(f"w{i}" for i in range(113)),  # 3 chunks
+        4: "",                              # no tokens -> no chunks
+    }
+    d = tempfile.mkdtemp(prefix="chunk_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    df = doc_chunking(spark, d)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r for r in df.collect()
+    }
+    counts = {}
+    for (doc, _), r in rows.items():
+        counts[doc] = counts.get(doc, 0) + 1
+    assert counts == {0: 1, 1: 1, 2: 2, 3: 3}
+    assert rows[(0, 0)]["n_chunk_tokens"] == 1
+    assert rows[(1, 0)]["n_chunk_tokens"] == 64
+    assert rows[(2, 1)]["n_chunk_tokens"] == 17 and rows[(2, 1)]["first_pos"] == 49
+    # every token covered: last chunk of doc 3 reaches position 113
+    assert rows[(3, 2)]["first_pos"] + rows[(3, 2)]["n_chunk_tokens"] - 1 == 113
+    # overlap contract: consecutive chunks share exactly 16 tokens
+    c0, c1 = rows[(3, 0)], rows[(3, 1)]
+    assert c1["first_pos"] - c0["first_pos"] == 48
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # projection-only: no shuffle
