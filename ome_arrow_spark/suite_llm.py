@@ -3541,3 +3541,108 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.ctoks").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra — what HLL cannot do: bottom-k sketches support
+# INTERSECTION and Jaccard estimation, not just union cardinality.
+# Per-source sketches over distinct 3-token shingles; for each source
+# pair, the union sketch is bottom-k of the two sketch unions (valid
+# because both inputs are bottom-k), est_union = (k-1)/h_k, and
+# rho = |union-sketch members present in BOTH sketches| gives
+# est_jaccard = rho/k and est_inter = rho/k * est_union (Beyer et al.
+# 2007). Everything is deterministic, so the oracle pins every bit —
+# including the estimator branch (unions here are ~10x k).
+# Scale: one shingle pass, one k-bounded sketch per group; pair
+# algebra is array ops over k-length arrays.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents
+               WHERE source IN ('src0','src1','src2','src3')),
+    sh AS (SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS s
+           FROM t, unnest(range(1, len(toks)-1)) AS u(i)
+           WHERE len(toks) >= 3),
+    h AS (SELECT source, md5(s) AS h FROM sh),
+    r AS (SELECT source, h,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+    sk AS (SELECT source, h FROM r WHERE rn <= 256),
+    pairs AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b
+              FROM sk a JOIN sk b ON a.source < b.source),
+    u0 AS (SELECT p.src_a, p.src_b, s.h
+           FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+           GROUP BY p.src_a, p.src_b, s.h),
+    ur AS (SELECT src_a, src_b, h,
+             ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY src_a, src_b) AS nu
+           FROM u0),
+    uk AS (SELECT * FROM ur WHERE rn <= 256),
+    agg AS (SELECT uk.src_a, uk.src_b,
+              COUNT(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL)
+                AS rho,
+              MAX(CASE WHEN uk.rn = 256 THEN uk.h END) AS h_k,
+              MAX(uk.nu) AS nu
+            FROM uk
+            LEFT JOIN sk sa ON sa.source = uk.src_a AND sa.h = uk.h
+            LEFT JOIN sk sb ON sb.source = uk.src_b AND sb.h = uk.h
+            GROUP BY uk.src_a, uk.src_b),
+    est AS (SELECT src_a, src_b, rho, nu,
+              CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+                   ELSE ROUND(CAST(255 AS DOUBLE) /
+                        (CAST(('0x' || substr(h_k, 1, 13))::BIGINT AS DOUBLE)
+                         / 4503599627370496.0), 6)
+              END AS est_union
+            FROM agg)
+    SELECT src_a, src_b, est_union,
+           ROUND(CAST(rho AS DOUBLE) / LEAST(nu, 256), 6) AS est_jaccard,
+           ROUND(CAST(rho AS DOUBLE) / LEAST(nu, 256) * est_union, 6)
+             AS est_inter
+    FROM est
+    """,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 256
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    sh = docs.select(
+        "source", F.explode(DD.shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sk = (
+        sh.select("source", F.md5("s").alias("h"))
+        .groupBy("source")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, K).alias("sk"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pair = a.join(b, F.col("a.source") < F.col("b.source"))
+    u_full = F.array_sort(
+        F.array_distinct(F.concat(F.col("a.sk"), F.col("b.sk")))
+    )
+    u = F.slice(u_full, 1, K)
+    rho = F.size(
+        F.array_intersect(F.array_intersect(u, F.col("a.sk")), F.col("b.sk"))
+    )
+    h_k = F.element_at(u, K)
+    est_union = F.when(
+        F.size(u_full) < K, F.size(u_full).cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(K - 1))
+            / (
+                F.conv(F.substring(h_k, 1, 13), 16, 10)
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(1 << 52))
+            ),
+            6,
+        )
+    )
+    ksz = F.least(F.size(u_full), F.lit(K)).cast("double")
+    return pair.select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        est_union.alias("est_union"),
+        F.round(rho.cast("double") / ksz, 6).alias("est_jaccard"),
+        F.round(rho.cast("double") / ksz * est_union, 6).alias("est_inter"),
+    )

@@ -104,3 +104,31 @@ def test_kmv_exact_below_k():
     vals = [f"{i}.00" for i in range(40)] * 3  # 40 distinct, k=64
     sk = _py_kmv(vals, 64)
     assert len(sk) == 40  # sketch IS the distinct set -> exact count
+
+
+def test_kmv_set_ops_accuracy():
+    """Intersection/Jaccard estimation from bottom-k sketches (Beyer
+    et al. 2007) against known ground truth on synthetic sets with a
+    controlled overlap."""
+    import hashlib
+
+    K = 256
+    A = {f"a{i}" for i in range(3000)} | {f"c{i}" for i in range(1000)}
+    B = {f"b{i}" for i in range(3000)} | {f"c{i}" for i in range(1000)}
+    true_union = len(A | B)          # 7000
+    true_inter = len(A & B)          # 1000
+    true_jac = true_inter / true_union
+
+    def sketch(s):
+        return sorted(hashlib.md5(v.encode()).hexdigest() for v in s)[:K]
+
+    ska, skb = set(sketch(A)), set(sketch(B))
+    u = sorted(ska | skb)[:K]
+    rho = sum(1 for h in u if h in ska and h in skb)
+    h_k = int(u[-1][:13], 16) / float(1 << 52)
+    est_union = (K - 1) / h_k
+    est_jac = rho / K
+    est_inter = est_jac * est_union
+    assert abs(est_union - true_union) / true_union < 0.15
+    assert abs(est_jac - true_jac) < 0.08
+    assert abs(est_inter - true_inter) / true_inter < 0.6  # k-limited
