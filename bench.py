@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     # composed pipeline + multimodal
     "near_dedup_full",
     "media_features",
+    # r8 continued: span-level exact substring dedup (gram explode +
+    # count shuffle + window merge) and the zero-shuffle RAG chunker
+    "substring_dedup_apply",
+    "doc_chunking",
 ]
 
 
@@ -66,6 +70,7 @@ SF1_QUERIES = [
     "dedup_exact",
     "neardup_lsh",
     "text_stats",
+    "substring_dedup_apply",
 ]
 
 
