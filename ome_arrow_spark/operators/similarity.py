@@ -482,3 +482,131 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .drop("__qraw", "__nv", "sq8_sim")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    n_select: int = 4,
+    lam: float = 0.7,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    rel_col: str = "cos_sim",
+    vec: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification of a per-query
+    candidate set (Carbonell & Goldstein 1998): greedily select
+    n_select items maximizing ``lam*rel - (1-lam)*max_sim_to_selected``
+    — the standard retrieval-diversity rerank.
+
+    The greedy loop is ONE Catalyst ``aggregate`` fold over the
+    collected per-query candidate array (no UDF, no driver loop, no
+    per-step shuffle): pairwise candidate similarities come from a
+    k²-bounded self-join computed once, then each fold step scores the
+    remaining items against the selected set with HOF lookups. All
+    similarities and scores round to ``digits`` BEFORE comparisons, so
+    selection (ties broken by ascending corpus id) is deterministic
+    and engine-portable.
+
+    Scale: candidate sets are k-bounded per query (k = rel top-k), so
+    state is O(|Q| * k) rows and O(k²) sim entries per query — the
+    expensive part stays the upstream top-k scan, as it should."""
+    cv = candidates.join(corpus, corpus_id).select(
+        query_id, corpus_id, rel_col, vec
+    )
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.size(x) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(x, i + 1).cast("double")
+            * F.element_at(y, i + 1).cast("double"),
+        )
+
+    a, b = cv.alias("a"), cv.alias("b")
+    av, bv = F.col(f"a.{vec}"), F.col(f"b.{vec}")
+    sims = a.join(
+        b,
+        (F.col(f"a.{query_id}") == F.col(f"b.{query_id}"))
+        & (F.col(f"a.{corpus_id}") != F.col(f"b.{corpus_id}")),
+    ).select(
+        F.col(f"a.{query_id}").alias(query_id),
+        F.col(f"a.{corpus_id}").alias("ca"),
+        F.col(f"b.{corpus_id}").alias("cb"),
+        F.round(
+            dot(av, bv) / (F.sqrt(dot(av, av)) * F.sqrt(dot(bv, bv))),
+            digits,
+        ).alias("sim"),
+    )
+    per_q = cv.groupBy(query_id).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(corpus_id).alias("cid"),
+                         F.col(rel_col).alias("rel"))
+            )
+        ).alias("cands")
+    ).join(
+        sims.groupBy(query_id).agg(
+            F.collect_list(F.struct("ca", "cb", "sim")).alias("simmap")
+        ),
+        query_id,
+    )
+
+    def lookup(simmap, x, y):
+        return F.element_at(
+            F.filter(simmap, lambda e: (e["ca"] == x) & (e["cb"] == y)), 1
+        )["sim"]
+
+    def step(state, _):
+        sel, rem = state["sel"], state["rem"]
+        simmap = F.col("simmap")
+        scored = F.transform(
+            rem,
+            lambda r: F.struct(
+                F.when(F.size(sel) == 0, r["rel"])
+                .otherwise(
+                    F.round(
+                        F.lit(lam) * r["rel"]
+                        - F.lit(1 - lam)
+                        * F.array_max(
+                            F.transform(
+                                sel, lambda s: lookup(simmap, r["cid"], s["cid"])
+                            )
+                        ),
+                        digits,
+                    )
+                )
+                .alias("score"),
+                r["cid"].alias("cid"),
+            ),
+        )
+        best_score = F.array_max(F.transform(scored, lambda s: s["score"]))
+        best_cid = F.array_min(
+            F.transform(
+                F.filter(scored, lambda s: s["score"] == best_score),
+                lambda s: s["cid"],
+            )
+        )
+        chosen = F.element_at(F.filter(rem, lambda r: r["cid"] == best_cid), 1)
+        return F.struct(
+            F.concat(sel, F.array(chosen)).alias("sel"),
+            F.filter(rem, lambda r: r["cid"] != best_cid).alias("rem"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<struct<cid:bigint,rel:double>>").alias("sel"),
+        F.col("cands").alias("rem"),
+    )
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(n_select)), init, step)[
+        "sel"
+    ]
+    return per_q.select(
+        query_id, F.posexplode(final).alias("i", "s")
+    ).select(
+        query_id,
+        (F.col("i") + 1).cast("int").alias("mmr_rank"),
+        F.col("s.cid").alias(corpus_id),
+        F.col("s.rel").alias(rel_col),
+    )

@@ -3646,3 +3646,99 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho.cast("double") / ksz, 6).alias("est_jaccard"),
         F.round(rho.cast("double") / ksz * est_union, 6).alias("est_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR retrieval diversification (Carbonell & Goldstein 1998): rerank
+# the exact cosine top-8 per query with greedy Maximal Marginal
+# Relevance (lambda 0.7, select 4) — the greedy loop is ONE Catalyst
+# aggregate fold over the collected candidate array (operators/
+# similarity.py:mmr_rerank; no UDF, no driver loop). Every similarity
+# and score rounds to 6 BEFORE comparison with ascending-cid
+# tiebreaks, so the selection sequence is deterministic; the oracle
+# unrolls the 4 greedy steps as plain CTEs over the same rounded sim
+# table. State is k-bounded per query: the expensive part stays the
+# upstream top-k scan.
+# ---------------------------------------------------------------------------
+@register(
+    "retrieval_mmr",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= 10),
+    p AS (SELECT qid, cid, ce,
+                 ROUND({_DOT.format(a='qe', b='ce')}
+                       / (sqrt({_DOT.format(a='qe', b='qe')})
+                          * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS rel
+          FROM q, c),
+    cand AS (SELECT qid, cid, ce, rel FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY rel DESC, cid) AS rk
+               FROM p) WHERE rk <= 8),
+    sims AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                    ROUND({_DOT.format(a='a.ce', b='b.ce')}
+                          / (sqrt({_DOT.format(a='a.ce', b='a.ce')})
+                             * sqrt({_DOT.format(a='b.ce', b='b.ce')})), 6)
+                      AS sim
+             FROM cand a JOIN cand b
+               ON a.qid = b.qid AND a.cid != b.cid),
+    s1 AS (SELECT qid, cid, rel FROM (
+             SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, cid) rn
+             FROM cand) WHERE rn = 1),
+    r2 AS (SELECT c.qid, c.cid, c.rel,
+             ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS score
+           FROM cand c JOIN s1 ON c.qid = s1.qid AND c.cid != s1.cid
+           JOIN sims s ON s.qid = c.qid AND s.ca = c.cid AND s.cb = s1.cid
+           GROUP BY c.qid, c.cid, c.rel),
+    s2 AS (SELECT qid, cid, rel FROM (
+             SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid) rn
+             FROM r2) WHERE rn = 1),
+    sel2 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+    r3 AS (SELECT c.qid, c.cid, c.rel,
+             ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS score
+           FROM cand c
+           JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+           JOIN sel2 ON sel2.qid = c.qid AND s.cb = sel2.cid
+           WHERE c.cid NOT IN (SELECT cid FROM sel2
+                               WHERE sel2.qid = c.qid)
+           GROUP BY c.qid, c.cid, c.rel),
+    s3 AS (SELECT qid, cid, rel FROM (
+             SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid) rn
+             FROM r3) WHERE rn = 1),
+    sel3 AS (SELECT * FROM sel2 UNION ALL SELECT qid, cid FROM s3),
+    r4 AS (SELECT c.qid, c.cid, c.rel,
+             ROUND(0.7*c.rel - 0.3*MAX(s.sim), 6) AS score
+           FROM cand c
+           JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+           JOIN sel3 ON sel3.qid = c.qid AND s.cb = sel3.cid
+           WHERE c.cid NOT IN (SELECT cid FROM sel3
+                               WHERE sel3.qid = c.qid)
+           GROUP BY c.qid, c.cid, c.rel),
+    s4 AS (SELECT qid, cid, rel FROM (
+             SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid) rn
+             FROM r4) WHERE rn = 1)
+    SELECT qid, 1 AS mmr_rank, cid, rel FROM s1
+    UNION ALL SELECT qid, 2, cid, rel FROM s2
+    UNION ALL SELECT qid, 3, cid, rel FROM s3
+    UNION ALL SELECT qid, 4, cid, rel FROM s4
+    """,
+)
+def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    rel = cosine_topk(q, c, k=8)
+    return mmr_rerank(rel, c, n_select=4, lam=0.7).select(
+        "qid", "mmr_rank", "cid", F.col("cos_sim").alias("rel")
+    )

@@ -53,6 +53,14 @@ QUERIES = [
     ("hybrid_retrieval_rrf", "BM25 + cosine full-outer RRF fusion"),
     ("table_delete_dv", "deletion-vector DELETE + DV-applied read/CDF"),
     ("knn_cosine_sq8", "SQ8 byte-code ANN: in-plan quantize + score"),
+    ("dup_span_detect", "substring-span dedup: gram explode + count join + window merge"),
+    ("substring_dedup_apply", "span strip: first-occurrence window + HOF rebuild"),
+    ("doc_chunking", "RAG chunker: transform+explode, projection-only"),
+    ("kmv_sketch_quantiles", "KMV: two k-bounded hash aggs"),
+    ("kmv_set_ops", "KMV set algebra: k-length array ops per pair"),
+    ("lm_trigram_perplexity", "JM trigram scorer: 5 count joins + decimal agg"),
+    ("fuzzy_join_editdist", "deletion-variant equi-join + exact verify"),
+    ("table_multi_txn", "cross-table txn: facts + index reads post-commit"),
 ]
 
 
