@@ -61,6 +61,7 @@ QUERIES = [
     ("lm_trigram_perplexity", "JM trigram scorer: 5 count joins + decimal agg"),
     ("fuzzy_join_editdist", "deletion-variant equi-join + exact verify"),
     ("table_multi_txn", "cross-table txn: facts + index reads post-commit"),
+    ("retrieval_mmr", "greedy MMR diversification as one aggregate fold"),
 ]
 
 
