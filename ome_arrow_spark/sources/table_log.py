@@ -2087,6 +2087,76 @@ def restore_table(
     return new_version
 
 
+def sync_table(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    key: str,
+    scope: str | None = None,
+    prune_predicates: Iterable[tuple[str, str, Any]] | None = None,
+) -> int:
+    """Full three-clause MERGE — Delta\'s ``WHEN MATCHED UPDATE SET * /
+    WHEN NOT MATCHED INSERT * / WHEN NOT MATCHED BY SOURCE DELETE``
+    with every clause unconditional, i.e. SYNC: after the commit the
+    table\'s content INSIDE ``scope`` is exactly ``source``; rows
+    outside ``scope`` are untouched, and files whose footer stats
+    prove them scope-free (via ``prune_predicates``) are carried by
+    reference without a read.  With ``scope=None`` the whole table is
+    the domain (a transactional overwrite).
+
+    Because all three clauses are unconditional the rewrite is a
+    wholesale replacement of the in-scope slice — no per-key
+    reconciliation join is needed for the DATA; the ``key`` join runs
+    only to report (updated, inserted, deleted) counts in the commit
+    entry.  Source rows must satisfy ``scope`` (validated; one row
+    outside would silently escape its own deletion domain on the next
+    sync).  Cost scales with the scope\'s touched files, not table
+    size — the same pruning contract as MERGE/DELETE."""
+    snap = _resolve_snapshot(table)
+    _check_schema(source, snap, table)
+    _enforce_constraints(source, snap, table)
+    version = snap["version"] + 1
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    cols = [f.name for f in schema.fields]
+    if scope:
+        bad = source.filter(f"NOT ({scope})").limit(1).count()
+        if bad:
+            raise TableLogError(
+                f"sync_table: source rows violate scope {scope!r}"
+            )
+    touched = _prune(snap["files"], prune_predicates)
+    existing = (
+        _scan(spark, table, snap["files"], touched, schema)
+        if touched
+        else spark.createDataFrame([], schema)
+    )
+    in_scope = existing.filter(scope) if scope else existing
+    keep = existing.filter(f"NOT ({scope})") if scope else None
+    src = source.select(cols)
+    # commit-entry stats via the key join (metadata only)
+    old_keys = in_scope.select(F.col(key).alias("__k")).distinct()
+    new_keys = src.select(F.col(key).alias("__k")).distinct()
+    n_upd = new_keys.join(old_keys, "__k").count()
+    n_ins = new_keys.join(old_keys, "__k", "left_anti").count()
+    n_del = old_keys.join(new_keys, "__k", "left_anti").count()
+    new_content = keep.unionByName(src) if keep is not None else src
+    adds = _write_data_files(new_content, table, version, _bloom_cols(snap))
+    actions = [{"add": a} for a in adds]
+    actions += [{"remove": {"path": p}} for p in touched]
+    _commit(
+        table,
+        version,
+        {
+            "version": version,
+            "operation": "sync",
+            "stats": {"updated": n_upd, "inserted": n_ins,
+                      "deleted": n_del},
+            "actions": actions,
+        },
+    )
+    return version
+
+
 def vacuum_table(
     table: str,
     keep_versions: int = 1,

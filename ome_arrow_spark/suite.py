@@ -67,7 +67,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dup_span_detect", "substring_dedup_apply", "kmv_sketch_quantiles",
     "lm_trigram_perplexity", "fuzzy_join_editdist", "table_multi_txn",
     "stream_txn_sink", "stream_stream_left_outer", "doc_chunking",
-    "kmv_set_ops", "retrieval_mmr",
+    "kmv_set_ops", "retrieval_mmr", "agg_approx_percentile", "table_sync",
     "table_delete_dv", "table_restore", "stream_table_log_source",
     "stream_table_log_sink",
     "stream_cdc_deletes",
@@ -2168,3 +2168,74 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = prof("o_totalprice").unionByName(prof("o_custkey"))
     return out.select("col", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile (t-digest-backed) vs exact percentile_disc: the
+# estimate is engine-specific, so the gradeable contract is the exact
+# discrete percentile plus an in-engine relative-rank-error verdict
+# the oracle pins TRUE (accuracy=10000 -> rank error <= 1/10000; the
+# verdict allows the corresponding value-rank slack by recomputing the
+# approx value's true rank and bounding its distance from the target
+# rank). Mergeable-sketch percentiles are the 100 TB path — exact
+# percentile_disc needs a global sort, the sketch one pass + merge.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_approx_percentile",
+    """
+    WITH r AS (SELECT o_orderpriority,
+                      o_totalprice,
+                      PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice) AS pr
+               FROM orders)
+    SELECT o_orderpriority,
+           MIN(CASE WHEN pr >= 0.5 THEN o_totalprice END) AS exact_p50,
+           MIN(CASE WHEN pr >= 0.9 THEN o_totalprice END) AS exact_p90,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    exact = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("pr") >= 0.5, F.col("o_totalprice"))).alias(
+            "exact_p50"
+        ),
+        F.min(F.when(F.col("pr") >= 0.9, F.col("o_totalprice"))).alias(
+            "exact_p90"
+        ),
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("a90"),
+    )
+    # verdict: the approx value's true percent-rank must sit within
+    # 1% of the target rank (generous vs the 1/accuracy guarantee,
+    # tight enough that a broken sketch goes red)
+    rank_of = ranked.groupBy("o_orderpriority").agg(
+        F.collect_list(F.struct("o_totalprice", "pr")).alias("vals")
+    )
+
+    def true_rank(val):
+        # greatest pr among values <= the approx value
+        return F.array_max(
+            F.transform(
+                F.filter(F.col("vals"), lambda v: v["o_totalprice"] <= val),
+                lambda v: v["pr"],
+            )
+        )
+
+    j = exact.join(approx, "o_orderpriority").join(rank_of, "o_orderpriority")
+    return j.select(
+        "o_orderpriority",
+        "exact_p50",
+        "exact_p90",
+        (F.abs(true_rank(F.col("a50")) - 0.5) <= 0.01).alias("p50_rank_ok"),
+        (F.abs(true_rank(F.col("a90")) - 0.9) <= 0.01).alias("p90_rank_ok"),
+    )

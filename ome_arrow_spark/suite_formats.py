@@ -916,3 +916,68 @@ def table_multi_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_price"),
     )
     return fact_rows.unionByName(index_rows)
+
+
+# ---------------------------------------------------------------------------
+# Full three-clause MERGE (table_log.sync_table): WHEN MATCHED UPDATE
+# SET * / WHEN NOT MATCHED INSERT * / WHEN NOT MATCHED BY SOURCE
+# DELETE — Delta's sync semantics with a scope predicate. The query
+# creates the table from an orders slice, then syncs the 'O'-status
+# scope against a source that doubles prices of even orderkeys (odd
+# ones therefore DELETE, new keys would insert); rows outside the
+# scope are untouched. The oracle recomputes the expected final state
+# from raw orders; matching proves the delete-by-source clause, the
+# scope fence, and the wholesale-replacement rewrite all landed in one
+# atomic commit.
+# ---------------------------------------------------------------------------
+@register(
+    "table_sync",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 6),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+      WHERE o_orderstatus <> 'O'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2 FROM base
+      WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    path = _rt_dir(sf_dir, "sync")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 6)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tl.create_table(spark, base.repartitionByRange(4, "o_orderkey"), path)
+    src = (
+        base.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    tl.sync_table(
+        spark, src, path, key="o_orderkey", scope="o_orderstatus = 'O'"
+    )
+    return (
+        tl.read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

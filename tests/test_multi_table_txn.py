@@ -205,3 +205,61 @@ def test_txn_app_idempotent_replay_skipped(spark, tmp_path):
         spark, [(ta, batch), (tb, batch)], txn_app="app1", txn_batch=8
     )
     assert got and _count(spark, ta) == 20 and _count(spark, tb) == 20
+
+
+# ---- sync_table (WHEN NOT MATCHED BY SOURCE DELETE) ----------------------
+
+
+def test_sync_table_three_clause_semantics(spark, tmp_path):
+    tl_mod = tl
+    t = str(tmp_path / "sync")
+    base = spark.createDataFrame(
+        [(1, "in", 10), (2, "in", 20), (3, "in", 30), (9, "out", 90)],
+        "k long, zone string, v long",
+    )
+    tl_mod.create_table(spark, base, t)
+    # source: k=1 updated, k=2 missing (-> deleted), k=4 new
+    src = spark.createDataFrame(
+        [(1, "in", 11), (4, "in", 40)], "k long, zone string, v long"
+    )
+    v = tl_mod.sync_table(spark, src, t, key="k", scope="zone = 'in'")
+    rows = {
+        r["k"]: (r["zone"], r["v"])
+        for r in tl_mod.read_table(spark, t).collect()
+    }
+    assert rows == {1: ("in", 11), 4: ("in", 40), 9: ("out", 90)}
+    e = tl_mod._read_entry(t, v)
+    assert e["operation"] == "sync"
+    assert e["stats"] == {"updated": 1, "inserted": 1, "deleted": 2}
+    # old snapshot still time-travels
+    old = {r["k"] for r in tl_mod.read_table(spark, t, version=0).collect()}
+    assert old == {1, 2, 3, 9}
+
+
+def test_sync_table_scope_violation_rejected(spark, tmp_path):
+    t = str(tmp_path / "sync2")
+    tl.create_table(
+        spark,
+        spark.createDataFrame([(1, "in", 10)], "k long, zone string, v long"),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(2, "out", 20)], "k long, zone string, v long"
+    )
+    with pytest.raises(tl.TableLogError):
+        tl.sync_table(spark, src, t, key="k", scope="zone = 'in'")
+
+
+def test_sync_table_no_scope_is_transactional_overwrite(spark, tmp_path):
+    t = str(tmp_path / "sync3")
+    tl.create_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 2)], "k long, zone string, v long"
+        ),
+        t,
+    )
+    src = spark.createDataFrame([(7, "z", 7)], "k long, zone string, v long")
+    tl.sync_table(spark, src, t, key="k")
+    rows = [tuple(r) for r in tl.read_table(spark, t).collect()]
+    assert rows == [(7, "z", 7)]
