@@ -1187,3 +1187,60 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.col("last_order_ts").cast("date").alias("last_order_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (the TimescaleDB `time_weight('LOCF')` shape):
+# irregular samples weighted by how long each value HELD, not how
+# often it was sampled — dt_i = micros to the next event (exact
+# bigint via unix_micros/epoch_us), last observation carries no
+# weight. Numerator value_i*dt_i rounds to 9 and sums as
+# DECIMAL(38,9) (order-independent); the final division runs in
+# double on identical inputs. One shuffle on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_avg",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+      FROM events WHERE user_id % 20 = 5),
+    d AS (SELECT user_id,
+                 ROUND(value * (next_us - us), 9)::DECIMAL(38,9) AS num,
+                 (next_us - us) AS dt
+          FROM r WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) + 1 AS n_events,
+           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+             AS twa
+    FROM d GROUP BY user_id HAVING COUNT(*) >= 1
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    r = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    num = F.round(F.col("value") * (F.col("next_us") - F.col("us")), 9).cast(
+        "decimal(38,9)"
+    )
+    return (
+        r.select("user_id", num.alias("num"),
+                 (F.col("next_us") - F.col("us")).alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).alias("n_events"),
+            F.round(
+                F.sum("num").cast("double") / F.sum("dt").cast("double"), 6
+            ).alias("twa"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
