@@ -67,7 +67,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dup_span_detect", "substring_dedup_apply", "kmv_sketch_quantiles",
     "lm_trigram_perplexity", "fuzzy_join_editdist", "table_multi_txn",
     "stream_txn_sink", "stream_stream_left_outer", "doc_chunking",
-    "kmv_set_ops", "retrieval_mmr", "agg_approx_percentile", "table_sync", "time_weighted_avg",
+    "kmv_set_ops", "retrieval_mmr", "agg_approx_percentile", "table_sync", "time_weighted_avg", "temperature_mixture",
     "table_delete_dv", "table_restore", "stream_table_log_source",
     "stream_table_log_sink",
     "stream_cdc_deletes",

@@ -3742,3 +3742,78 @@ def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(rel, c, n_select=4, lam=0.7).select(
         "qid", "mmr_rank", "cid", F.col("cos_sim").alias("rel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (the multilingual-pretraining
+# standard, Conneau & Lample 2019): per-language quotas proportional
+# to n_l^(1/T) with T=2 — upsampling the tail relative to raw
+# frequency — materialized to a 100-doc budget by md5-rank within each
+# language. Determinism: sqrt(n_l) rounds to 9 and sums as DECIMAL so
+# the normalizer is order-independent; each quota is one identical
+# double division + floor. Selection is the same hash-rank rule as
+# the other samplers (no RNG, engine-portable).
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mixture",
+    """
+    WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_l, ROUND(SQRT(n_l), 9)::DECIMAL(28,9) AS s FROM n),
+    z AS (SELECT CAST(SUM(s) AS DOUBLE) AS z FROM w),
+    q AS (SELECT lang, n_l,
+                 CAST(FLOOR(100 * (CAST(s AS DOUBLE) / z.z)) AS BIGINT)
+                   AS quota
+          FROM w, z),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT q.lang, q.n_l, q.quota,
+           COUNT(ranked.doc_id) AS n_sampled,
+           CAST(MIN(CASE WHEN ranked.rn = 1
+                    THEN ranked.doc_id END) AS BIGINT) AS first_pick
+    FROM q LEFT JOIN ranked
+      ON ranked.lang = q.lang AND ranked.rn <= q.quota
+    GROUP BY q.lang, q.n_l, q.quota
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    w = n.select(
+        "lang", "n_l",
+        F.round(F.sqrt("n_l"), 9).cast("decimal(28,9)").alias("s"),
+    )
+    z = w.agg(F.sum("s").cast("double").alias("z"))
+    q = w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            F.lit(100) * (F.col("s").cast("double") / F.col("z"))
+        ).cast("bigint").alias("quota"),
+    )
+    wnd = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id",
+        F.col("lang").alias("r_lang"),
+        F.row_number().over(wnd).alias("rn"),
+    )
+    return (
+        q.join(
+            ranked,
+            (F.col("r_lang") == q["lang"]) & (F.col("rn") <= F.col("quota")),
+            "left",
+        )
+        .groupBy("lang", "n_l", "quota")
+        .agg(
+            F.count("doc_id").alias("n_sampled"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_pick"),
+        )
+    )
