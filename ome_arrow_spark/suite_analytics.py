@@ -1244,3 +1244,62 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (candlesticks): per (user cohort, day) the first/
+# highest/lowest/last value with (ts, event_id) as the deterministic
+# open/close tiebreak — the time-series compaction shape every
+# metrics store needs. Both engines take open/close from row_number
+# windows (no arg_min ambiguity), high/low/volume from plain
+# aggregation; one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "ohlc_downsample",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn_d
+      FROM events WHERE user_id % 50 = 7)
+    SELECT user_id, day,
+           ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS volume
+    FROM e GROUP BY user_id, day
+    """,
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 7)
+    day = F.col("ts").cast("date").alias("day")
+    base = ev.select("user_id", day, "value", "ts", "event_id")
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = base.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.round(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias(
+            "close"
+        ),
+        F.count("*").alias("volume"),
+    )

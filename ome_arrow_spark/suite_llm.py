@@ -3817,3 +3817,57 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_pick"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative mining: for each anchor document, k=3 HARD
+# negatives — same language (so the pair is non-trivial), chosen by
+# deterministic per-pair hash rank (md5(anchor:candidate)) instead of
+# RNG, the reproducible-sampling rule used across the samplers. Scale
+# note: the lang equi-join is the blocking step; at corpus scale the
+# block key becomes (lang, hash_bucket(anchor) % B) so no single
+# language pairs anchors against the whole corpus — the per-anchor
+# window is already k-bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "contrastive_negatives",
+    """
+    WITH a AS (SELECT doc_id AS anchor_id, lang FROM documents
+               WHERE doc_id < 30),
+    c AS (SELECT doc_id AS neg_id, lang FROM documents WHERE doc_id >= 100),
+    p AS (SELECT a.anchor_id, c.neg_id, a.lang,
+                 ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                   ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':' ||
+                                CAST(c.neg_id AS VARCHAR)), c.neg_id)
+                   AS neg_rank
+          FROM a JOIN c ON a.lang = c.lang)
+    SELECT anchor_id, neg_id, lang, CAST(neg_rank AS INT) AS neg_rank
+    FROM p WHERE neg_rank <= 3
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("anchor_id"), "lang"
+    )
+    c = docs.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("c_lang")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        "neg_id",
+    )
+    return (
+        a.join(c, a["lang"] == c["c_lang"])
+        .select("anchor_id", "neg_id", "lang")
+        .withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= 3)
+    )
