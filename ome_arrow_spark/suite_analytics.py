@@ -1303,3 +1303,137 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (the Deequ / dbt-tests shape):
+# a constraint battery evaluated in ONE aggregation pass per table —
+# completeness (null fraction), uniqueness (count vs distinct),
+# range conformance, set membership — plus one anti-join for
+# referential integrity. Output is the standard expectations report:
+# (check, target, metric value, passed). Scale: single-pass
+# aggregates; the FK check is an anti-join count that AQE broadcasts
+# when the dimension is small.
+# ---------------------------------------------------------------------------
+@register(
+    "data_expectations",
+    """
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderkey) AS nn_key,
+             COUNT(DISTINCT o_orderkey) AS nd_key,
+             SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                 THEN 1 ELSE 0 END) AS n_status
+      FROM orders),
+    fk AS (SELECT COUNT(*) AS n_orphans FROM orders
+           ANTI JOIN customer ON o_custkey = c_custkey)
+    SELECT 'completeness' AS check_name, 'o_orderkey' AS target,
+           ROUND(CAST(nn_key AS DOUBLE) / n, 6) AS metric,
+           nn_key = n AS passed
+    FROM o
+    UNION ALL
+    SELECT 'uniqueness', 'o_orderkey',
+           ROUND(CAST(nd_key AS DOUBLE) / n, 6), nd_key = n FROM o
+    UNION ALL
+    SELECT 'range_positive', 'o_totalprice',
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6), n_pos = n FROM o
+    UNION ALL
+    SELECT 'set_membership', 'o_orderstatus',
+           ROUND(CAST(n_status AS DOUBLE) / n, 6), n_status = n FROM o
+    UNION ALL
+    SELECT 'referential_integrity', 'o_custkey -> c_custkey',
+           CAST(fk.n_orphans AS DOUBLE), fk.n_orphans = 0
+    FROM fk
+    """,
+)
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 0, 1).otherwise(0)
+        ).alias("n_pos"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_status"),
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    a = agg.crossJoin(F.broadcast(orphans))
+    rows = [
+        ("completeness", "o_orderkey",
+         F.round(F.col("nn_key").cast("double") / F.col("n"), 6),
+         F.col("nn_key") == F.col("n")),
+        ("uniqueness", "o_orderkey",
+         F.round(F.col("nd_key").cast("double") / F.col("n"), 6),
+         F.col("nd_key") == F.col("n")),
+        ("range_positive", "o_totalprice",
+         F.round(F.col("n_pos").cast("double") / F.col("n"), 6),
+         F.col("n_pos") == F.col("n")),
+        ("set_membership", "o_orderstatus",
+         F.round(F.col("n_status").cast("double") / F.col("n"), 6),
+         F.col("n_status") == F.col("n")),
+        ("referential_integrity", "o_custkey -> c_custkey",
+         F.col("n_orphans").cast("double"),
+         F.col("n_orphans") == 0),
+    ]
+    parts = [
+        a.select(
+            F.lit(name).alias("check_name"),
+            F.lit(target).alias("target"),
+            metric.alias("metric"),
+            passed.alias("passed"),
+        )
+        for name, target, metric, passed in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy tooling's core check): group by the
+# quasi-identifier tuple and report equivalence classes smaller than
+# k — each is a re-identification risk. One shuffle on the QI tuple;
+# the anonymity level of the whole table is the min class size.
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, class_size,
+           class_size < 5 AS below_k
+    FROM qi WHERE class_size < 5
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'TABLE_MIN',
+           MIN(class_size), MIN(class_size) < 5
+    FROM qi
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    small = qi.filter(F.col("class_size") < 5).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        (F.col("class_size") < 5).alias("below_k"),
+    )
+    summary = qi.agg(
+        F.lit(-1).cast("bigint").alias("c_nationkey"),
+        F.lit("TABLE_MIN").alias("c_mktsegment"),
+        F.min("class_size").alias("class_size"),
+        (F.min("class_size") < 5).alias("below_k"),
+    )
+    return small.unionByName(summary)
