@@ -1437,3 +1437,60 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("class_size") < 5).alias("below_k"),
     )
     return small.unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# Band join (|t_a - t_b| <= delta) as a BUCKETED EQUI-JOIN — the scale
+# formulation of numeric-proximity joins: a theta/range condition
+# alone forces a nested-loop/cartesian plan, but on a delta-wide
+# bucket grid two in-band rows are always in the same or adjacent
+# buckets, so exploding one side to {b-1, b, b+1} turns the join into
+# a plain hash equi-join + exact residual filter. Each qualifying
+# pair meets exactly once (the probe row keeps its single bucket).
+# The oracle is the naive theta join — value equality proves the
+# rewrite; tests/test_plans.py proves no nested-loop survives.
+# ---------------------------------------------------------------------------
+@register(
+    "band_join_bucketed",
+    """
+    WITH e AS (SELECT event_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events WHERE user_id % 20 = 3),
+    a AS (SELECT event_id AS click_id, us AS a_us FROM e
+          WHERE event_type = 'click'),
+    b AS (SELECT event_id AS purchase_id, us AS b_us FROM e
+          WHERE event_type = 'purchase')
+    SELECT click_id, purchase_id, b_us - a_us AS dt_us
+    FROM a JOIN b ON ABS(b_us - a_us) <= 3600000000
+    """,
+)
+def band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 3_600_000_000  # one-hour band, microseconds
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 3).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(
+                F.floor(F.col("us") / W) - 1,
+                F.floor(F.col("us") / W),
+                F.floor(F.col("us") / W) + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / W).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.abs(F.col("b_us") - F.col("a_us")) <= W)
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.col("b_us") - F.col("a_us")).alias("dt_us"),
+        )
+    )

@@ -375,3 +375,45 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                     spark.conf.set(k, v)
             except Exception:
                 spark.conf.unset(k)
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """suite_analytics.band_join_bucketed: the bucket-grid rewrite must
+    produce a hash equi-join — a naive |a-b| <= delta condition alone
+    would plan BroadcastNestedLoopJoin/CartesianProduct, which is the
+    scale failure this operator exists to avoid. Results are verified
+    against the naive theta join by the driver oracle; here we pin the
+    plan shape and spot-check pair equivalence."""
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.suite_analytics import band_join_bucketed
+
+    df = band_join_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    got = {
+        (r["click_id"], r["purchase_id"], r["dt_us"]) for r in df.collect()
+    }
+    # naive theta-join reference on the same cohort
+    from ome_arrow_spark.suite import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 3).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("us").alias("a_us")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("us").alias("b_us")
+    )
+    naive = a.join(
+        b, F.abs(F.col("b_us") - F.col("a_us")) <= 3_600_000_000
+    ).select(
+        "click_id", "purchase_id", (F.col("b_us") - F.col("a_us")).alias("dt_us")
+    )
+    exp = {
+        (r["click_id"], r["purchase_id"], r["dt_us"]) for r in naive.collect()
+    }
+    assert got == exp and len(got) > 0
