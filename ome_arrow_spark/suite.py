@@ -80,7 +80,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf", "knn_cosine_sq8",
     "kmeans_embeddings", "embedding_centroids", "embedding_neardup",
     # re-verification tail (rotating flagships, r1-r4 resample)
-    "q3_shipping_priority", "q5_revenue_by_nation", "q6_forecast_revenue",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue",
     "window_rank", "window_analytic", "window_range_frame",
     "sort_topk", "set_ops", "set_ops_all", "filter_predicates",
     "scalar_string", "scalar_date", "scalar_math", "scalar_array",
