@@ -3871,3 +3871,54 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("neg_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006,
+# A-ES): item i survives with key ln(u_i)/w_i where u_i is a
+# deterministic md5-derived uniform — the one-pass, mergeable,
+# RNG-free way to draw an importance-weighted sample (here: docs
+# weighted by length, the data-mixing primitive). Top-k by key
+# compiles to TakeOrderedAndProject — per-partition top-k, no global
+# sort; the rank window runs on k rows. The 13-hex-digit hash parse
+# and ln/divide are identical doubles in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             LN(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     ::BIGINT AS DOUBLE) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS key
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, n_chars, key,
+            ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS sample_rank
+          FROM k)
+    SELECT doc_id, n_chars, ROUND(key, 9) AS key, sample_rank
+    FROM r WHERE sample_rank <= 40
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    top = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(40)  # TakeOrderedAndProject: per-partition top-k
+    )
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w)
+    ).select("doc_id", "n_chars", F.round("key", 9).alias("key"), "sample_rank")
