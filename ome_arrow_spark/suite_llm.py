@@ -3922,3 +3922,114 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "sample_rank", F.row_number().over(w)
     ).select("doc_id", "n_chars", F.round("key", 9).alias("key"), "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end (the record-linkage composition):
+# synthesize dirty records on BOTH engines (per-rid deterministic
+# mutation class: one deletion / two deletions / corrupted block
+# key), then BLOCK on (nation, name-suffix) so no all-pairs scan ever
+# happens, MATCH within blocks by exact levenshtein <= 2, cluster
+# matches with min-label CONNECTED COMPONENTS (the recursive-CTE-
+# oracled operator), and assign every record a canonical entity id
+# (its component, or itself for singletons — corrupted-key variants
+# MUST come out unmerged). Scale: blocking bounds the candidate join;
+# components run on the verified-pair graph only.
+# ---------------------------------------------------------------------------
+@register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE base AS (
+      SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nat
+      FROM customer WHERE c_custkey < 300),
+    variants AS (
+      SELECT rid + 10000 AS rid,
+             CASE WHEN rid % 3 = 0 THEN substr(name, 1, 2) || substr(name, 4)
+                  WHEN rid % 3 = 1 THEN substr(name, 1, 2) || substr(name, 5)
+                  ELSE substr(name, 1, length(name)-1) || 'x' END AS name,
+             nat
+      FROM base),
+    records AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    blocked AS (SELECT rid, name, nat,
+                       substr(name, length(name)-3) AS bkey FROM records),
+    pairs AS (
+      SELECT a.rid AS id_a, b.rid AS id_b
+      FROM blocked a JOIN blocked b
+        ON a.bkey = b.bkey AND a.nat = b.nat AND a.rid < b.rid
+      WHERE levenshtein(a.name, b.name) <= 2),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT COALESCE(comp.component, records.rid) AS entity,
+           COUNT(*) AS n_records,
+           MIN(records.rid) AS min_rid, MAX(records.rid) AS max_rid
+    FROM records LEFT JOIN comp ON records.rid = comp.node
+    GROUP BY 1
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.clustering import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") < 300).select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    name = F.col("name")
+    mut = (
+        F.when(
+            F.col("rid") % 3 == 0,
+            F.concat(
+                name.substr(F.lit(1), F.lit(2)), F.expr("substring(name, 4)")
+            ),
+        )
+        .when(
+            F.col("rid") % 3 == 1,
+            F.concat(
+                name.substr(F.lit(1), F.lit(2)), F.expr("substring(name, 5)")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.expr("substring(name, 1, length(name)-1)"), F.lit("x")
+            )
+        )
+    )
+    variants = base.select(
+        (F.col("rid") + 10000).alias("rid"), mut.alias("name"), "nat"
+    )
+    records = base.unionByName(variants)
+    blocked = records.withColumn(
+        "bkey", F.expr("substring(name, length(name)-3)")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+    return (
+        records.join(comp, records["rid"] == comp["node"], "left")
+        .select(
+            "rid",
+            F.coalesce(F.col("component"), F.col("rid")).alias("entity"),
+        )
+        .groupBy("entity")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("rid").alias("min_rid"),
+            F.max("rid").alias("max_rid"),
+        )
+    )
