@@ -1494,3 +1494,73 @@ def band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_us") - F.col("a_us")).alias("dt_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily event counts: the classic
+# level-shift locator — cumulative sum of (count - series mean) peaks
+# in magnitude at the day the regime changes. All arithmetic is exact:
+# integer counts, DECIMAL mean, DECIMAL running sums (a window
+# cumulative sum of decimals is order-fixed AND exact), so both
+# engines agree bit-for-bit; |CUSUM| argmax ties break on day. One
+# shuffle (per-type repartition) after the daily pre-aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(SUM(n) AS DECIMAL(28,9)) / COUNT(*) AS mu,
+                 COUNT(*) AS n_days
+          FROM d GROUP BY event_type),
+    c AS (SELECT d.event_type, d.day, m.n_days,
+                 SUM(CAST(d.n AS DECIMAL(28,9)) - m.mu)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day)
+                   AS cusum
+          FROM d JOIN m USING (event_type)),
+    r AS (SELECT event_type, day, n_days, cusum,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(cusum) DESC, day) AS rk
+          FROM c)
+    SELECT event_type, day AS changepoint_day,
+           ROUND(CAST(ABS(cusum) AS DOUBLE), 6) AS max_cusum, n_days
+    FROM r WHERE rk = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    m = d.groupBy("event_type").agg(
+        (
+            F.sum("n").cast("decimal(28,9)") / F.count("*")
+        ).alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        d.join(m, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n").cast("decimal(28,9)") - F.col("mu")).over(w),
+        )
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")).cast("double"), 6).alias(
+                "max_cusum"
+            ),
+            "n_days",
+        )
+    )
