@@ -1564,3 +1564,41 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (quantile-bucketed, the optimizer-statistics
+# shape): ntile(8) over order totals — every bucket holds the same row
+# count (±1) and the bucket edges ARE the octile boundaries, unlike
+# the fixed-width histogram_totalprice. ntile with a (value, key)
+# tiebreak is fully deterministic. Scale note: a global ntile window
+# single-partitions the sort — fine for the gate fixture and the
+# oracle contract, but the 100 TB formulation computes the 8 octile
+# edges once (approx_percentile or the KMV sample) and buckets rows
+# with a broadcast range lookup: one scan, no global sort, same
+# output within sketch error.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_equidepth",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
