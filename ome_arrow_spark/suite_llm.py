@@ -4033,3 +4033,151 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rid").alias("max_rid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join with PREFIX FILTERING (the SSJoin/PPJoin
+# technique): for Jaccard >= t, two sets must share a token among each
+# side's (|r| - ceil(t*|r|) + 1) RAREST tokens under one global
+# frequency order — so the candidate join runs on prefixes only,
+# shrinking candidates far below the full shingle-join, then exact
+# Jaccard verifies. The oracle is the NAIVE all-shared-shingle
+# formulation: value equality proves the prefix filter loses nothing
+# (tests also pin prefix == naive inside Spark). Near-dups are planted
+# on both engines (drop-first-token twins, the suite convention).
+# Scale: the token-rank table is vocabulary-sized; its global window
+# is rank-by-frequency over the vocab, not the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "set_similarity_prefix",
+    f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                WHERE doc_id < 200),
+    recs AS (
+      SELECT doc_id, toks FROM t0
+      UNION ALL
+      SELECT doc_id + 100000, toks[2:len(toks)] FROM t0
+      WHERE len(toks) >= 10),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+           FROM recs, unnest(range(1, len(toks)-1)) AS u(i)
+           WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, o AS inter,
+           ROUND(CAST(o AS DOUBLE) / (x.n + y.n - o), 6) AS jaccard
+    FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE CAST(o AS DOUBLE) / (x.n + y.n - o) >= 0.5
+    """,
+)
+def set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _set_similarity(spark, sf_dir, mode="prefix")
+
+
+def _set_similarity(
+    spark: SparkSession, sf_dir: str, mode: str = "prefix"
+) -> DataFrame:
+    """mode='prefix': PPJoin-style prefix-filtered candidates.
+    mode='naive': all shared-shingle pairs (the completeness
+    reference tests compare against)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t0 = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    recs = t0.unionByName(
+        t0.filter(F.size("toks") >= 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.slice("toks", 2, F.size("toks") - 1).alias("toks"),
+        )
+    )
+    sh = (
+        recs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, 3)
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if mode == "prefix":
+        # global rarest-first token order (vocabulary-sized window)
+        rank = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(Window.orderBy("df", "s")),
+            )
+        )
+        ordered = (
+            sh.join(rank.select("s", "rnk"), "s")
+            .join(sz, "doc_id")
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("rnk")
+                ),
+            )
+        )
+        # prefix for J >= 0.5: |r| - ceil(|r|/2) + 1 rarest tokens
+        prefix = ordered.filter(
+            F.col("pos")
+            <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+        ).select("doc_id", "s")
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+    jac = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.select(
+        "doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard")
+    )

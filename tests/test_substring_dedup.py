@@ -402,3 +402,21 @@ def test_mmr_rerank_matches_python_model(spark, sf_small):
     assert any(
         rel_order.get((qid, k)) != cid for qid, k, cid in got
     )
+
+
+def test_prefix_filtering_is_complete(spark, sf_small):
+    """suite_llm.set_similarity_prefix: the prefix-filtered candidate
+    join must find EXACTLY the pairs the naive all-shared-shingle join
+    finds — the prefix-filtering completeness theorem, checked
+    empirically on the fixture."""
+    from ome_arrow_spark.suite_llm import _set_similarity
+
+    pref = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+        for r in _set_similarity(spark, sf_small, mode="prefix").collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+        for r in _set_similarity(spark, sf_small, mode="naive").collect()
+    }
+    assert pref == naive and len(pref) > 0
