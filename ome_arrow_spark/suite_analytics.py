@@ -1602,3 +1602,56 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D SKYLINE (Pareto frontier): maximize l_extendedprice, minimize
+# l_discount. The Spark side is the one-pass window formulation —
+# group by price, take each group's min discount, running strict min
+# over higher-price groups decides survival (O(n log n), one sort) —
+# while the oracle is the O(n²) NOT-EXISTS *definition* of dominance:
+# value equality proves the window algorithm implements the
+# definition. Ties: equal (price, discount) points co-survive (no
+# strict dominance), equal-price-worse-discount points die.
+# ---------------------------------------------------------------------------
+@register(
+    "skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice AS x, l_discount AS y
+      FROM lineitem WHERE l_orderkey % 997 = 1),
+    sky AS (
+      SELECT p.* FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.x >= p.x AND q.y <= p.y AND (q.x > p.x OR q.y < p.y)))
+    SELECT l_orderkey, l_linenumber, x AS price, y AS discount FROM sky
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 997 == 1
+    )
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_discount").alias("y"),
+    )
+    g = pts.groupBy("x").agg(F.min("y").alias("my"))
+    w = Window.orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_x = g.withColumn("prev_min", F.min("my").over(w)).filter(
+        F.col("prev_min").isNull() | (F.col("my") < F.col("prev_min"))
+    )
+    return (
+        pts.join(sky_x.select("x", "my"), "x")
+        .filter(F.col("y") == F.col("my"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("price"),
+            F.col("y").alias("discount"),
+        )
+    )
