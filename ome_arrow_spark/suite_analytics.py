@@ -1655,3 +1655,133 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").alias("discount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences — the
+# behavior-model estimate P(next_type | type): one lead() window per
+# user (ordered by ts with the event_id tiebreak), count transitions,
+# divide by the source state's total (exact ints, one identical
+# double division). One shuffle on user_id + one on the pair.
+# ---------------------------------------------------------------------------
+@register(
+    "markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM s WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    tot AS (SELECT event_type, SUM(n) AS n_from FROM t GROUP BY event_type)
+    SELECT t.event_type, t.next_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / tot.n_from, 6) AS p
+    FROM t JOIN tot USING (event_type)
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV feature binning (the credit-scoring staple): bin customers
+# by account-balance quartile (deterministic ntile), label them
+# high/low spenders against the exact DECIMAL mean of per-customer
+# order totals, and report each bin's Weight of Evidence
+# ln((good_i/G)/(bad_i/B)) plus the feature's total Information
+# Value as a round-9 DECIMAL sum (order-independent). Every division
+# runs on identical integers/doubles in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "woe_binning",
+    """
+    WITH spend AS (
+      SELECT c_custkey, c_acctbal,
+             COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 0) AS sp
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_acctbal),
+    m AS (SELECT CAST(SUM(sp) AS DECIMAL(38,6)) / COUNT(*) AS mu FROM spend),
+    lab AS (SELECT c_custkey, c_acctbal,
+                   CASE WHEN sp > m.mu THEN 1 ELSE 0 END AS good
+            FROM spend, m),
+    b AS (SELECT *, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+          FROM lab),
+    agg AS (SELECT bin, SUM(good) AS g, SUM(1 - good) AS bad FROM b
+            GROUP BY bin),
+    tot AS (SELECT SUM(g) AS gt, SUM(bad) AS bt FROM agg),
+    woe AS (SELECT bin, g, bad,
+              ROUND(LN((CAST(g AS DOUBLE) / gt) / (CAST(bad AS DOUBLE) / bt)),
+                    6) AS woe,
+              ROUND((CAST(g AS DOUBLE) / gt - CAST(bad AS DOUBLE) / bt)
+                    * LN((CAST(g AS DOUBLE) / gt)
+                         / (CAST(bad AS DOUBLE) / bt)), 9)::DECIMAL(20,9)
+                AS iv_term
+            FROM agg, tot)
+    SELECT CAST(bin AS INT) AS bin, g AS n_good, bad AS n_bad, woe,
+           (SELECT ROUND(CAST(SUM(iv_term) AS DOUBLE), 6) FROM woe) AS iv
+    FROM woe
+    """,
+)
+def woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")),
+                F.lit(0).cast("decimal(30,6)"),
+            ).alias("sp")
+        )
+    )
+    m = spend.agg(
+        (F.sum("sp").cast("decimal(38,6)") / F.count("*")).alias("mu")
+    )
+    lab = spend.crossJoin(F.broadcast(m)).select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("sp") > F.col("mu"), 1).otherwise(0).alias("good"),
+    )
+    b = lab.withColumn(
+        "bin", F.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey"))
+    )
+    agg = b.groupBy("bin").agg(
+        F.sum("good").alias("g"), F.sum(1 - F.col("good")).alias("bad")
+    )
+    tot = agg.agg(F.sum("g").alias("gt"), F.sum("bad").alias("bt"))
+    gshare = F.col("g").cast("double") / F.col("gt")
+    bshare = F.col("bad").cast("double") / F.col("bt")
+    woe = agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "g",
+        "bad",
+        F.round(F.log(gshare / bshare), 6).alias("woe"),
+        F.round((gshare - bshare) * F.log(gshare / bshare), 9)
+        .cast("decimal(20,9)")
+        .alias("iv_term"),
+    )
+    iv = woe.agg(
+        F.round(F.sum("iv_term").cast("double"), 6).alias("iv")
+    )
+    return woe.crossJoin(F.broadcast(iv)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("g").alias("n_good"),
+        F.col("bad").alias("n_bad"),
+        "woe",
+        "iv",
+    )
