@@ -69,7 +69,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_txn_sink", "stream_stream_left_outer", "doc_chunking",
     "kmv_set_ops", "retrieval_mmr", "agg_approx_percentile", "table_sync", "time_weighted_avg", "temperature_mixture",
     "ohlc_downsample", "contrastive_negatives", "data_expectations",
-    "k_anonymity", "band_join_bucketed", "weighted_sample", "entity_resolution", "cusum_changepoint", "histogram_equidepth", "set_similarity_prefix", "skyline_pareto", "markov_transitions", "woe_binning",
+    "k_anonymity", "band_join_bucketed", "weighted_sample", "entity_resolution", "cusum_changepoint", "histogram_equidepth", "set_similarity_prefix", "skyline_pareto", "markov_transitions", "woe_binning", "frequent_itemsets",
     "table_delete_dv", "table_restore", "stream_table_log_source",
     "stream_table_log_sink",
     "stream_cdc_deletes",

@@ -1785,3 +1785,91 @@ def woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "woe",
         "iv",
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemset mining (market-basket 2-itemsets with lift): which
+# part brands co-occur in an order beyond chance. Baskets are DISTINCT
+# brands per order; pair candidates come from the within-basket
+# self-join (bounded by basket size, never an all-pairs over orders);
+# support and lift are exact integer counts + identical double
+# divisions. The apriori property is explicit: pair supports are
+# computed only for pairs whose BOTH members pass the item minsup.
+# ---------------------------------------------------------------------------
+@register(
+    "frequent_itemsets",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (SELECT p_brand, COUNT(*) AS sup FROM basket GROUP BY p_brand
+             HAVING COUNT(*) >= 50),
+    pair AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS sup_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      JOIN item ia ON ia.p_brand = a.p_brand
+      JOIN item ib ON ib.p_brand = b.p_brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+    SELECT brand_a, brand_b, sup_ab,
+           ROUND(CAST(sup_ab AS DOUBLE) * n.n_orders
+                 / (ia.sup * ib.sup), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.p_brand = brand_a
+    JOIN item ib ON ib.p_brand = brand_b, n
+    """,
+)
+def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    basket = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = (
+        basket.groupBy("p_brand")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 50)
+    )
+    a = basket.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
+    ).join(item.select(F.col("p_brand").alias("brand_a")), "brand_a")
+    b = basket.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_b")
+    ).join(item.select(F.col("p_brand").alias("brand_b")), "brand_b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 20)
+    )
+    return (
+        pair.join(
+            item.select(
+                F.col("p_brand").alias("brand_a"), F.col("sup").alias("sa")
+            ),
+            "brand_a",
+        )
+        .join(
+            item.select(
+                F.col("p_brand").alias("brand_b"), F.col("sup").alias("sb")
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "sup_ab",
+            F.round(
+                F.col("sup_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
