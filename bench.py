@@ -558,6 +558,7 @@ def main() -> None:
         times[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s (best of {REPEATS})", file=sys.stderr)
+    times_suite = list(times)  # the BASELINE-comparable suite core
 
     # min-of-4 for the small ingest fixtures: their ~1 s walls are the
     # most ambient-load-sensitive numbers in the suite (r3→r6 history)
@@ -647,22 +648,60 @@ def main() -> None:
 
     load = ambient_load_factor()
     print(f"# ambient_load_factor: {load}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "tiff_ingest_images_per_sec": round(ingest_rate, 2),
-                "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
-                "stream_ingest_images_per_sec": round(strm_rate, 2),
-                "ambient_load_factor": load,
-                "spreads": REC.spreads(),
-            }
-        )
+
+    # The driver captures only the LAST ~2000 chars of stdout; the r8
+    # stamp (spreads + every standalone metric inline) exceeded that and
+    # was truncated to unparseable (`parsed: null`). Emit a COMPACT
+    # single-line stamp as the final stdout line — suite total, the
+    # suite per-query scalars, ingest throughputs, and the sf1 section —
+    # and spill everything else (spreads, table-log / text-index / ANN
+    # standalone metrics) to the BENCH_DETAIL.json sidecar next to this
+    # script, echoed on stderr above.
+    stamp_keys = (
+        list(times_suite)
+        + [
+            "tiff_ingest_100x512",
+            "ometiff_ingest_100x512",
+            "tiff_ingest_steady_800",
+            "zarr_ingest_30x512",
+            "stream_ingest_steady_200",
+        ]
+        + sorted(sf1_times)
     )
+    stamp = {
+        "metric": "suite_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {k: times[k] for k in stamp_keys if k in times},
+        "sf": sf,
+        "tiff_ingest_images_per_sec": round(ingest_rate, 2),
+        "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
+        "stream_ingest_images_per_sec": round(strm_rate, 2),
+        "ambient_load_factor": load,
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail = {
+        "queries": times,
+        "spreads": REC.spreads(),
+        "tiff_ingest_images_per_sec": round(ingest_rate, 2),
+        "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
+        "stream_ingest_images_per_sec": round(strm_rate, 2),
+        "ambient_load_factor": load,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: stderr still has it all
+        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+    line = json.dumps(stamp)
+    if len(line) > 1900:  # hard guard: never hand the driver a truncated line
+        stamp["queries"] = {k: times[k] for k in times_suite}
+        line = json.dumps(stamp)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1704,7 +1704,11 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order totals, and report each bin's Weight of Evidence
 # ln((good_i/G)/(bad_i/B)) plus the feature's total Information
 # Value as a round-9 DECIMAL sum (order-independent). Every division
-# runs on identical integers/doubles in both engines.
+# runs on identical integers/doubles in both engines. The good/bad
+# counts are CAST(... AS BIGINT) in the oracle because DuckDB's SUM
+# over integers yields HUGEINT (int128), which the driver's Arrow
+# hash path renders differently from Spark's bigint even when the
+# values are equal (the r8 hash-mismatch root cause).
 # ---------------------------------------------------------------------------
 @register(
     "woe_binning",
@@ -1731,7 +1735,8 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (CAST(bad AS DOUBLE) / bt)), 9)::DECIMAL(20,9)
                 AS iv_term
             FROM agg, tot)
-    SELECT CAST(bin AS INT) AS bin, g AS n_good, bad AS n_bad, woe,
+    SELECT CAST(bin AS INT) AS bin, CAST(g AS BIGINT) AS n_good,
+           CAST(bad AS BIGINT) AS n_bad, woe,
            (SELECT ROUND(CAST(SUM(iv_term) AS DOUBLE), 6) FROM woe) AS iv
     FROM woe
     """,
