@@ -182,7 +182,17 @@ class ConditionalPutCommitter(Committer):
     POSIX twin of S3 ``PUT If-None-Match: *`` / GCS
     ``if-generation-match=0``; a real object-store subclass replaces
     the body with that HTTP call and the rest of the format is
-    untouched."""
+    untouched.
+
+    Local-emulation caveat: unlike a real object-store PUT (atomic
+    whole-object) or the HardLinkCommitter (publishes fully-written
+    bytes), create-exclusive-then-write briefly exposes an
+    empty/partial version file to concurrent readers — ``_read_entry``
+    absorbs that window by treating young undecodable version files as
+    still-in-flight and retrying.  A writer that CRASHES between create
+    and write leaves the slot poisoned; that failure mode cannot occur
+    with the (default, production-local) HardLinkCommitter, and the
+    object-store subclass inherits atomicity from the store."""
 
     def put_if_absent(self, path: str, data: bytes) -> None:
         try:
@@ -233,9 +243,39 @@ def _commit(table: str, version: int, entry: dict[str, Any]) -> None:
         )
 
 
+# How long a zero-length/undecodable version file is presumed to be a
+# ConditionalPutCommitter write still in flight (created O_EXCL, payload
+# not yet flushed) before _read_entry declares the slot corrupt.
+_INFLIGHT_GRACE_S = 5.0
+
+
 def _read_entry(table: str, version: int) -> dict[str, Any]:
-    with open(_version_file(table, version)) as f:
-        return json.load(f)
+    path = _version_file(table, version)
+    deadline = time.time() + _INFLIGHT_GRACE_S
+    while True:
+        with open(path) as f:
+            raw = f.read()
+        if raw:
+            try:
+                return json.loads(raw)
+            except ValueError:
+                pass
+        # Empty or truncated: a conditional-put writer may be between
+        # create and write.  Age-gate on mtime so an old corrupt file
+        # fails fast instead of sleeping the full grace window.
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            age = 0.0
+        if age > _INFLIGHT_GRACE_S or time.time() > deadline:
+            raise TableLogError(
+                f"version file {os.path.basename(path)} of {table} is "
+                "empty/undecodable past the in-flight grace window — "
+                "likely a committer that crashed between create and "
+                "write; restore it from a replica or remove the file "
+                "to recommit the slot"
+            )
+        time.sleep(0.05)
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +466,16 @@ def finalize_stale_txns(table: str, max_age_s: float = 3600.0) -> int:
             continue
         if _txn_state(txn, cache) != "pending":
             continue
-        age = now - float(e.get("ts", now))
+        ts = e.get("ts")
+        if ts is None:
+            # entries committed before the 'ts' field existed: fall
+            # back to the version file's mtime (as version_at_timestamp
+            # does) so they age out instead of pinning files forever
+            try:
+                ts = os.path.getmtime(_version_file(table, v))
+            except OSError:
+                ts = now
+        age = now - float(ts)
         if age < max_age_s:
             continue
         cv = int(txn["coordinator_version"])
@@ -815,11 +864,18 @@ def _footer_stats(path: str, columns: Sequence[str]) -> dict[str, Any]:
         ok = True
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(idx).statistics
-            if s is None or not s.has_min_max:
+            try:
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            except NotImplementedError:
+                # pyarrow can't materialize min/max for some logical
+                # types (e.g. certain decimals): degrade to statless —
+                # the file is simply never pruned on this column
                 ok = False
                 break
-            mins.append(s.min)
-            maxs.append(s.max)
             nulls += s.null_count or 0
         if ok and mins:
             stats[col] = {
@@ -1316,17 +1372,42 @@ def delete_keys_from_table(
             statless.append(p)
     touched = list(statless)
     if ranged:
-        key_type = schema[key].dataType.simpleString()
-        ranges_df = spark.createDataFrame(
-            ranged, f"_path string, _lo {key_type}, _hi {key_type}"
-        )
+        key_dt = schema[key].dataType
+        cmp_key = F.col("_del_key")
+        if isinstance(
+            key_dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
+            # _stats stores temporal min/max as ISO strings
+            # (_json_safe); build the ranges as strings and cast back —
+            # exact, since ISO lexicographic order == temporal order.
+            ranges_df = spark.createDataFrame(
+                [(p, str(lo), str(hi)) for p, lo, hi in ranged],
+                "_path string, _lo string, _hi string",
+            ).select(
+                "_path",
+                F.col("_lo").cast(key_dt).alias("_lo"),
+                F.col("_hi").cast(key_dt).alias("_hi"),
+            )
+        elif isinstance(key_dt, T.DecimalType):
+            # decimal stats are stored as floats widened outward by one
+            # ulp; compare in double space (monotone rounding keeps the
+            # bound conservative) instead of casting float→decimal.
+            ranges_df = spark.createDataFrame(
+                [(p, float(lo), float(hi)) for p, lo, hi in ranged],
+                "_path string, _lo double, _hi double",
+            )
+            cmp_key = F.col("_del_key").cast("double")
+        else:
+            key_type = key_dt.simpleString()
+            ranges_df = spark.createDataFrame(
+                ranged, f"_path string, _lo {key_type}, _hi {key_type}"
+            )
         touched += [
             r["_path"]
             for r in F.broadcast(ranges_df)
             .join(
                 kdf,
-                (F.col("_del_key") >= F.col("_lo"))
-                & (F.col("_del_key") <= F.col("_hi")),
+                (cmp_key >= F.col("_lo")) & (cmp_key <= F.col("_hi")),
                 "left_semi",
             )
             .select("_path")
@@ -2046,13 +2127,19 @@ def restore_table(
     if version == cur["version"]:
         return version
     target = _resolve_snapshot(table, version)
+    # Check deletion-vector sidecars alongside data files: vacuum
+    # retains only DVs referenced by the kept snapshots, so restoring
+    # past it would otherwise commit a manifest whose _read_dv fails
+    # on every read of the DV'd file.
+    needed = list(target["files"]) + [
+        a["dv"]["path"] for a in target["files"].values() if a.get("dv")
+    ]
     missing = [
-        p for p in target["files"]
-        if not os.path.exists(os.path.join(table, p))
+        p for p in needed if not os.path.exists(os.path.join(table, p))
     ]
     if missing:
         raise TableLogError(
-            f"cannot restore {table} to v{version}: {len(missing)} data "
+            f"cannot restore {table} to v{version}: {len(missing)} "
             f"file(s) already vacuumed (e.g. {missing[0]})"
         )
     new_version = cur["version"] + 1

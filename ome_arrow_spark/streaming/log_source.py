@@ -117,13 +117,19 @@ class _LogStreamReader(DataSourceStreamReader):
 
         if self.start_version is not None:
             return {"version": int(self.start_version)}
-        first = tl._list_versions(self.table)[0]
-        return {"version": first - 1}
+        versions = tl._list_versions(self.table)
+        if not versions:
+            # not a log table yet (e.g. the writer starts after the
+            # stream): wait-for-data offset; partitions() emits no
+            # batch until a version lands and latestOffset advances
+            return {"version": -1}
+        return {"version": versions[0] - 1}
 
     def latestOffset(self) -> dict:
         from ome_arrow_spark.sources import table_log as tl
 
-        return {"version": int(tl.current_version(self.table))}
+        cur = tl.current_version(self.table)
+        return {"version": -1 if cur is None else int(cur)}
 
     def partitions(self, start: dict, end: dict):
         from ome_arrow_spark.sources import table_log as tl
