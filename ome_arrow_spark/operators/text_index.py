@@ -270,13 +270,12 @@ def text_index_search(
     from ome_arrow_spark.sources import table_log as tl
 
     if isinstance(query, str):
-        qdf = spark.createDataFrame([(query,)], "q string")
-        terms = [
-            r["t"]
-            for r in qdf.select(
-                F.explode(TX.tokens(F.col("q"))).alias("t")
-            ).collect()
-        ]
+        # driver-side twin of TX.tokens (lower + [a-z0-9]+ extraction):
+        # tokenizing ONE string must not cost a Spark job — this was
+        # ~40% of the single-query search wall at sf0.1
+        import re
+
+        terms = re.findall("[a-z0-9]+", query.lower())
     else:
         terms = [str(t).lower() for t in query]
     terms = sorted(set(terms))
@@ -480,12 +479,10 @@ def phrase_search(
     needs (BM25 finds topical overlap; this finds verbatim reuse)."""
     from ome_arrow_spark.sources import table_log as tl
 
-    terms = [
-        r["t"]
-        for r in spark.createDataFrame([(phrase,)], "q string")
-        .select(F.explode(TX.tokens(F.col("q"))).alias("t"))
-        .collect()
-    ]
+    import re
+
+    # driver-side twin of TX.tokens — see text_index_search
+    terms = re.findall("[a-z0-9]+", phrase.lower())
     empty = spark.createDataFrame([], "doc_id long, phrase_count int")
     if not terms:
         return empty
