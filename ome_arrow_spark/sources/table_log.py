@@ -316,16 +316,48 @@ def _read_entry(table: str, version: int) -> dict[str, Any]:
 
 _TXN_OP = "txn_append"
 
+# Catalog seam: participant entries reference their coordinator by the
+# path that was current at commit time.  In a relocating deployment
+# (table trees moved, mounted elsewhere, or addressed through a real
+# catalog), install a resolver that maps that stored reference to the
+# coordinator's CURRENT location; with no resolver the reference is
+# used as a filesystem path directly (the single-host default).
+_TABLE_RESOLVER: Any = None
+
+
+def set_table_resolver(fn) -> Any:
+    """Install ``fn(ref: str) -> str | None`` to translate stored
+    coordinator references (e.g. old paths or catalog identifiers) to
+    current table paths.  Returning ``None`` falls back to the stored
+    reference verbatim.  Returns the previous resolver so tests can
+    restore it."""
+    global _TABLE_RESOLVER
+    prev = _TABLE_RESOLVER
+    _TABLE_RESOLVER = fn
+    return prev
+
+
+def _resolve_table_ref(ref: str) -> str:
+    if _TABLE_RESOLVER is not None:
+        p = _TABLE_RESOLVER(ref)
+        if p:
+            return p
+    return ref
+
 
 def _txn_state(txn: dict[str, Any], cache: dict | None = None) -> str:
     """'committed' | 'aborted' | 'pending' for a participant entry's
-    transaction reference, resolved from the coordinator version slot."""
-    key = (txn["coordinator"], int(txn["coordinator_version"]))
+    transaction reference, resolved from the coordinator version slot
+    (the stored coordinator reference goes through the catalog seam —
+    :func:`set_table_resolver` — so relocated coordinators still
+    finalize their participants)."""
+    coord = _resolve_table_ref(txn["coordinator"])
+    key = (coord, int(txn["coordinator_version"]))
     if cache is not None and key in cache:
         coord_entry = cache[key]
     else:
         try:
-            coord_entry = _read_entry(txn["coordinator"],
+            coord_entry = _read_entry(coord,
                                       int(txn["coordinator_version"]))
         except FileNotFoundError:
             coord_entry = None
@@ -479,9 +511,10 @@ def finalize_stale_txns(table: str, max_age_s: float = 3600.0) -> int:
         if age < max_age_s:
             continue
         cv = int(txn["coordinator_version"])
+        coord = _resolve_table_ref(txn["coordinator"])
         try:
             _commit(
-                txn["coordinator"],
+                coord,
                 cv,
                 {
                     "version": cv,
@@ -493,7 +526,7 @@ def finalize_stale_txns(table: str, max_age_s: float = 3600.0) -> int:
             )
         except ConcurrentCommit:
             pass  # someone finalized it — equally done
-        cache.pop((txn["coordinator"], cv), None)
+        cache.pop((coord, cv), None)
         done += 1
     return done
 

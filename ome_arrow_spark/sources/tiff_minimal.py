@@ -62,6 +62,12 @@ TAG_T4_OPTIONS = 292
 TAG_T6_OPTIONS = 293
 TAG_JPEG_INTERCHANGE = 513  # old-style JPEG: offset of a full stream
 TAG_JPEG_INTERCHANGE_LEN = 514
+TAG_JPEG_PROC = 512  # old-style JPEG process: 1 = baseline DCT
+TAG_JPEG_RESTART_INTERVAL = 517
+TAG_JPEG_QTABLES = 519  # per-component offsets: 64 zigzag quant bytes
+TAG_JPEG_DCTABLES = 520  # per-component offsets: 16 counts + values
+TAG_JPEG_ACTABLES = 521
+TAG_YCBCR_SUBSAMPLING = 530
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
@@ -88,7 +94,10 @@ COMPRESSION_NAMES = {"none": COMPRESSION_NONE, "lzw": COMPRESSION_LZW,
                      "jpeg": COMPRESSION_JPEG,
                      # SOF3 predictive streams under the same tag 7 —
                      # the DICOM/medical-TIFF class, EXACT for uint16
-                     "jpeg_lossless": COMPRESSION_JPEG}
+                     "jpeg_lossless": COMPRESSION_JPEG,
+                     # deprecated TIFF 6.0 §22 layout: table fragments
+                     # in tags 519-521 + bare entropy-coded strips
+                     "jpeg_old": COMPRESSION_JPEG_OLD}
 
 # BYTE ASCII SHORT LONG RATIONAL UNDEFINED ... LONG8 SLONG8 IFD8
 # (BigTIFF, TIFF supplement 2)
@@ -455,6 +464,173 @@ def _decode_jpeg_ifd(
     return np.vstack(parts)[:height, :width]
 
 
+def _split_jpeg_interchange(stream: bytes):
+    """Dissect a baseline interchange stream into TIFF §22 fragment
+    pieces: quant tables by id (64 zigzag bytes), DC/AC huffman
+    fragments by id (16 counts + values), per-component table
+    assignments (from SOF0/SOS), and the raw entropy-coded bytes."""
+    import struct
+
+    pos = 2
+    q: dict[int, bytes] = {}
+    dc: dict[int, bytes] = {}
+    ac: dict[int, bytes] = {}
+    comp_q: list[int] = []
+    comp_dc: list[int] = []
+    comp_ac: list[int] = []
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("malformed JPEG stream")
+        m = stream[pos + 1]
+        ln = struct.unpack(">H", stream[pos + 2 : pos + 4])[0]
+        payload = stream[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            i = 0
+            while i < len(payload):
+                if payload[i] >> 4 != 0:
+                    raise NotImplementedError(
+                        "16-bit quant tables have no §22 fragment form"
+                    )
+                q[payload[i] & 0x0F] = payload[i + 1 : i + 65]
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(payload):
+                cls, tid = payload[i] >> 4, payload[i] & 0x0F
+                counts = payload[i + 1 : i + 17]
+                nvals = sum(counts)
+                (dc if cls == 0 else ac)[tid] = payload[i + 1 : i + 17 + nvals]
+                i += 17 + nvals
+        elif m == 0xC0:
+            nf = payload[5]
+            comp_q = [payload[6 + 3 * ci + 2] for ci in range(nf)]
+        elif m == 0xDA:
+            ns = payload[0]
+            for ci in range(ns):
+                b = payload[2 + 2 * ci]
+                comp_dc.append(b >> 4)
+                comp_ac.append(b & 0x0F)
+            entropy = stream[pos + 2 + ln : -2]  # up to EOI
+            return q, dc, ac, comp_q, comp_dc, comp_ac, entropy
+        pos += 2 + ln
+    raise ValueError("malformed JPEG stream: no SOS")
+
+
+def _decode_jpeg_old_fragments(
+    data: bytes,
+    tags: dict[int, object],
+    width: int,
+    height: int,
+    photo: int,
+    spp: int,
+) -> np.ndarray:
+    """Old-style JPEG (Compression=6) in its TABLE-FRAGMENT layout
+    (TIFF 6.0 §22, tags 519/520/521): the quantization and Huffman
+    tables live as raw fragments in the file and each strip holds bare
+    entropy-coded data.  Decode by SYNTHESIZING a complete baseline
+    interchange stream per strip — SOI + DQT/DHT from the fragment
+    offsets + SOF0 sized to the strip + DRI(517) + SOS — and feeding
+    ``jpeg_minimal.jpeg_decode``.  A strip that already starts with SOI
+    (writers that stored per-strip abbreviated streams) is passed
+    through unchanged.  This closes the last tifffile-only codec gate
+    (the reference reaches these files through BioIO,
+    /root/reference/src/ome_arrow/ingest.py:321-327)."""
+    import struct
+
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
+
+    proc = int(tags.get(TAG_JPEG_PROC, [1])[0])
+    if proc != 1:
+        raise NotImplementedError(
+            f"old-style JPEG process {proc} unsupported (baseline only)"
+        )
+    if int(tags.get(TAG_PLANAR_CONFIG, [1])[0]) == 2 and spp > 1:
+        raise NotImplementedError("planar old-style JPEG unsupported")
+    qoffs = [int(o) for o in tags[TAG_JPEG_QTABLES]]
+    dcoffs = [int(o) for o in tags[TAG_JPEG_DCTABLES]]
+    acoffs = [int(o) for o in tags[TAG_JPEG_ACTABLES]]
+    if min(len(qoffs), len(dcoffs), len(acoffs)) < spp:
+        raise ValueError(
+            "malformed TIFF: old-style JPEG table offsets shorter than "
+            "SamplesPerPixel"
+        )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def table_ids(offsets: list[int]) -> tuple[dict[int, int], list[int]]:
+        # distinct fragment offsets → JPEG table ids (components often
+        # share the chroma tables; ids must stay within 0-3)
+        mapping: dict[int, int] = {}
+        per_comp = []
+        for o in offsets[:spp]:
+            if o not in mapping:
+                mapping[o] = len(mapping)
+            per_comp.append(mapping[o])
+        return mapping, per_comp
+
+    qmap, qid = table_ids(qoffs)
+    dmap, did = table_ids(dcoffs)
+    amap, aid = table_ids(acoffs)
+    head = bytearray(b"\xff\xd8")
+    for off, tid in qmap.items():
+        head += seg(0xDB, bytes([tid]) + data[off : off + 64])
+    for cls, mapping in ((0, dmap), (1, amap)):
+        for off, tid in mapping.items():
+            counts = data[off : off + 16]
+            n = sum(counts)
+            head += seg(
+                0xC4,
+                bytes([(cls << 4) | tid])
+                + counts
+                + data[off + 16 : off + 16 + n],
+            )
+    ri = int(tags.get(TAG_JPEG_RESTART_INTERVAL, [0])[0])
+    if ri:
+        head += seg(0xDD, struct.pack(">H", ri))
+    if photo == 6 and spp == 3:
+        sub = tags.get(TAG_YCBCR_SUBSAMPLING, [2, 2])
+        sh, sv = int(sub[0]), int(sub[1])
+    else:
+        sh = sv = 1
+    sos_payload = (
+        bytes([spp])
+        + b"".join(
+            bytes([ci + 1, (did[ci] << 4) | aid[ci]]) for ci in range(spp)
+        )
+        + bytes([0, 63, 0])
+    )
+    rps = int(tags.get(TAG_ROWS_PER_STRIP, [height])[0]) or height
+    offsets = tags[TAG_STRIP_OFFSETS]
+    counts = tags[TAG_STRIP_BYTE_COUNTS]
+    parts = []
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        frag = data[o : o + c]
+        rows = min(rps, height - i * rps)
+        if rows <= 0:
+            break
+        if frag[:2] == b"\xff\xd8":
+            stream = frag
+        else:
+            sof = bytes([8]) + struct.pack(">HH", rows, width) + bytes([spp])
+            for ci in range(spp):
+                h, v = (sh, sv) if (ci == 0 and spp == 3) else (1, 1)
+                sof += bytes([ci + 1, (h << 4) | v, qid[ci]])
+            if not frag.rstrip(b"\x00").endswith(b"\xff\xd9"):
+                frag = frag + b"\xff\xd9"
+            stream = (
+                bytes(head) + seg(0xC0, sof) + seg(0xDA, sos_payload) + frag
+            )
+        a = jpeg_decode(stream, color_transform=(photo != 2))
+        a = (a[..., np.newaxis] if a.ndim == 2 else a)[:rows, :width]
+        parts.append(a)
+    if not parts:
+        raise ValueError("malformed TIFF: old-style JPEG IFD with no strips")
+    return np.vstack(parts)[:height, :width]
+
+
 def _decode_ccitt_ifd(
     data: bytes, tags: dict[int, object], width: int, height: int, comp: int
 ) -> np.ndarray:
@@ -553,11 +729,22 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             raise NotImplementedError(
                 f"TIFF compression {comp} is outside the baseline subset"
             )
-        if comp == COMPRESSION_JPEG_OLD and not has_jpeg_interchange:
-            # table-fragment old-style layouts (tags 519-521) are the
-            # broken corner of TIFF 6.0 §22 — genuinely tifffile-only
+        has_old_tables = (
+            TAG_JPEG_QTABLES in tags
+            and TAG_JPEG_DCTABLES in tags
+            and TAG_JPEG_ACTABLES in tags
+            and has_strips
+        )
+        if (
+            comp == COMPRESSION_JPEG_OLD
+            and not has_jpeg_interchange
+            and not has_old_tables
+        ):
+            # neither a complete interchange stream (513/514) nor the
+            # table-fragment layout (519-521 + strips): nothing decodable
             raise NotImplementedError(
-                "old-style JPEG without JPEGInterchangeFormat unsupported"
+                "old-style JPEG without JPEGInterchangeFormat or "
+                "JPEG table fragments unsupported"
             )
         if spp > 1 and any(b != bits for b in bits_list):
             raise NotImplementedError("heterogeneous BitsPerSample unsupported")
@@ -608,24 +795,30 @@ def decode_tiff_pages(data: bytes) -> tuple[np.ndarray, str | None]:
             plane = _decode_jpeg_ifd(data, tags, width, height, has_tiles)
             spp = plane.shape[2]
         elif comp == COMPRESSION_JPEG_OLD:
-            # dominant wild layout: tags 513/514 point at ONE complete
-            # JPEG interchange stream for the whole page
-            from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
-
-            off = int(tags[TAG_JPEG_INTERCHANGE][0])
-            ln = int(tags[TAG_JPEG_INTERCHANGE_LEN][0])
             photo = tags.get(TAG_PHOTOMETRIC, [6])
             photo = int(photo[0]) if isinstance(photo, list) else int(photo)
             if photo not in (0, 1, 2, 6):
                 raise NotImplementedError(
                     f"old-style JPEG photometric {photo} unsupported"
                 )
-            arr = jpeg_decode(
-                data[off : off + ln], color_transform=(photo != 2)
-            )
-            plane = (arr[..., np.newaxis] if arr.ndim == 2 else arr)[
-                :height, :width
-            ]
+            if has_jpeg_interchange:
+                # dominant wild layout: tags 513/514 point at ONE
+                # complete JPEG interchange stream for the whole page
+                from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
+
+                off = int(tags[TAG_JPEG_INTERCHANGE][0])
+                ln = int(tags[TAG_JPEG_INTERCHANGE_LEN][0])
+                arr = jpeg_decode(
+                    data[off : off + ln], color_transform=(photo != 2)
+                )
+                plane = (arr[..., np.newaxis] if arr.ndim == 2 else arr)[
+                    :height, :width
+                ]
+            else:
+                # TIFF 6.0 §22 table-fragment layout (tags 519-521)
+                plane = _decode_jpeg_old_fragments(
+                    data, tags, width, height, photo, spp
+                )
             spp = plane.shape[2]
         elif comp in CCITT_COMPRESSIONS:
             if has_tiles:
@@ -880,6 +1073,21 @@ def encode_tiff_baseline(
             f"{sorted(COMPRESSION_NAMES)}"
         ) from None
     lossless_jpeg = compression == "jpeg_lossless"
+    old_jpeg = comp == COMPRESSION_JPEG_OLD
+    if old_jpeg:
+        if vol.dtype != np.uint8:
+            raise ValueError("compression='jpeg_old' is 8-bit only")
+        if predictor or planar or tile is not None:
+            raise NotImplementedError(
+                "predictor/planar/tiled old-style JPEG unsupported"
+            )
+        if jpeg_arithmetic:
+            raise ValueError("old-style JPEG is baseline Huffman only")
+        if jpeg_photometric not in ("ycbcr", "rgb"):
+            raise ValueError(
+                f"jpeg_photometric must be 'ycbcr' or 'rgb', "
+                f"got {jpeg_photometric!r}"
+            )
     if comp == COMPRESSION_JPEG:
         if vol.dtype != np.uint8 and not lossless_jpeg:
             raise ValueError(
@@ -932,6 +1140,18 @@ def encode_tiff_baseline(
         off_fmt, off_typ, inline = "I", 4, 4
 
     def _seg_bytes(arr: np.ndarray) -> bytes:
+        if old_jpeg:
+            from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode
+
+            a = arr[..., 0] if arr.shape[-1] == 1 else arr
+            # full interchange stream here; the writer below strips it
+            # into §22 table fragments + bare entropy data
+            return jpeg_encode(
+                np.ascontiguousarray(a),
+                quality=jpeg_quality,
+                color_transform=(jpeg_photometric != "rgb"),
+                restart_interval=jpeg_restart_interval,
+            )
         if comp == COMPRESSION_JPEG:
             from ome_arrow_spark.sources.jpeg_minimal import (
                 jpeg_encode,
@@ -980,6 +1200,43 @@ def encode_tiff_baseline(
         else:
             for r in range(0, height, rps):
                 segments.append(_seg_bytes(plane[r : r + rps]))
+        frag_entries: list = []
+        if old_jpeg:
+            # §22 fragment layout: shared tables as raw out-of-line
+            # fragments (tags 519-521), strips hold bare entropy data
+            q, dcm, acm, comp_q, comp_dc, comp_ac, _ = (
+                _split_jpeg_interchange(segments[0])
+            )
+            segments = [_split_jpeg_interchange(s)[6] for s in segments]
+
+            def _place(blob: bytes) -> int:
+                off = len(out)
+                out.extend(blob)
+                if len(out) % 2:
+                    out.extend(b"\x00")
+                return off
+
+            q_off = {tid: _place(bytes(b)) for tid, b in q.items()}
+            dc_off = {tid: _place(bytes(b)) for tid, b in dcm.items()}
+            ac_off = {tid: _place(bytes(b)) for tid, b in acm.items()}
+            frag_entries = [
+                (TAG_JPEG_PROC, 3, 1, [1]),
+                (TAG_JPEG_QTABLES, 4, spp,
+                 [q_off[comp_q[i]] for i in range(spp)]),
+                (TAG_JPEG_DCTABLES, 4, spp,
+                 [dc_off[comp_dc[i]] for i in range(spp)]),
+                (TAG_JPEG_ACTABLES, 4, spp,
+                 [ac_off[comp_ac[i]] for i in range(spp)]),
+            ]
+            if jpeg_restart_interval:
+                frag_entries.append(
+                    (TAG_JPEG_RESTART_INTERVAL, 3, 1,
+                     [jpeg_restart_interval])
+                )
+            if spp == 3 and jpeg_photometric != "rgb":
+                frag_entries.append(
+                    (TAG_YCBCR_SUBSAMPLING, 3, 2, [1, 1])
+                )
         seg_offsets = []
         for s in segments:
             seg_offsets.append(len(out))
@@ -995,7 +1252,8 @@ def encode_tiff_baseline(
             # WhiteIsZero (CCITT fax) / BlackIsZero / RGB / YCbCr (JPEG
             # segments carry the color transform themselves, TTN2)
             (TAG_PHOTOMETRIC, 3, 1,
-             [(6 if comp == COMPRESSION_JPEG and not lossless_jpeg
+             [(6 if (comp == COMPRESSION_JPEG or old_jpeg)
+               and not lossless_jpeg
                and jpeg_photometric != "rgb"
                else 2) if spp >= 3 else (0 if ccitt else 1)]),
             (TAG_SAMPLES_PER_PIXEL, 3, 1, [spp]),
@@ -1013,6 +1271,7 @@ def encode_tiff_baseline(
                 (TAG_ROWS_PER_STRIP, 4, 1, [rps]),
                 (TAG_STRIP_BYTE_COUNTS, 4, len(segments), [len(s) for s in segments]),
             ]
+        entries += frag_entries
         if spp > 1:
             entries.append((TAG_PLANAR_CONFIG, 3, 1, [2 if planar else 1]))
         if predictor:

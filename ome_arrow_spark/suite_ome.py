@@ -277,7 +277,13 @@ def ome_stack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- quantized coefficients as a Huffman twin, decode
              -- bit-identical — pins the T.81 Annex D entropy layer
              ('jpeg_arith', 0, 195788), ('jpeg_arith', 1, 195792),
-             ('jpeg_arith', 2, 195866), ('jpeg_arith', 3, 195914))
+             ('jpeg_arith', 2, 195866), ('jpeg_arith', 3, 195914),
+             -- old-style JPEG (Compression=6) in the TIFF 6.0 §22
+             -- table-fragment layout: tables in tags 519-521, strips
+             -- of bare entropy data, per-strip stream synthesis on
+             -- decode (r9 — closed the last tifffile-only codec gate)
+             ('jpeg_old_frag', 0, 195902), ('jpeg_old_frag', 1, 195838),
+             ('jpeg_old_frag', 2, 195864), ('jpeg_old_frag', 3, 195894))
              jp(image_id, z, s))
     SELECT image_id, CAST(z AS INT) AS z, CAST(s AS BIGINT) AS px_sum
     FROM u
@@ -332,6 +338,12 @@ def ome_tiff_codec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .astype(np.uint8),
             {"compression": "jpeg", "jpeg_quality": 90, "rows_per_strip": 16,
              "jpeg_arithmetic": True},
+        ),
+        "jpeg_old_frag": (
+            np.stack([((zi * 37 + 9 * i) % 256).reshape(y, x) for zi in range(z)])
+            .astype(np.uint8),
+            {"compression": "jpeg_old", "jpeg_quality": 90,
+             "rows_per_strip": 16},
         ),
         "ccitt_g4": (
             np.stack([(((zi * 3 + i) % 7) < 2).reshape(y, x) for zi in range(z)])

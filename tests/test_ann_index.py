@@ -57,6 +57,7 @@ def test_partial_probe_prunes_files(spark, index, corpus_and_queries):
     assert read < total
 
 
+@pytest.mark.heavy
 def test_incremental_add_found_by_search(spark, index):
     # a vector identical to a stored centroid: after MERGE it must be
     # the top hit for a query at that same point
@@ -79,6 +80,7 @@ def test_incremental_add_found_by_search(spark, index):
     assert tl.current_version(index) == 1
 
 
+@pytest.mark.heavy
 def test_maintenance_preserves_centroid_clustering(spark, index):
     """Incremental adds MERGE by cid but must keep files clustered on
     centroid_id — otherwise every maintenance pass would erode the
@@ -120,6 +122,7 @@ def test_search_scans_only_probed_files(spark, index, corpus_and_queries):
     assert len(files) == expected < total
 
 
+@pytest.mark.heavy
 def test_string_ids_roundtrip(spark, tmp_path, corpus_and_queries):
     """String corpus/query ids flow through build + search: the empty
     and non-empty result paths must share the derived (not hardcoded-
@@ -149,6 +152,7 @@ def test_string_ids_roundtrip(spark, tmp_path, corpus_and_queries):
     assert empty.count() == 0
 
 
+@pytest.mark.heavy
 def test_optimize_restores_probe_pruning(spark, tmp_path, corpus_and_queries):
     """After several incremental adds fragment the lists, optimize
     reclusters on centroid_id: search results identical, probe-pruned

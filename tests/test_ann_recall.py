@@ -93,6 +93,7 @@ def test_ivfpq_recall_floor(spark, fixture):
     assert _recall_at10(rows, truth) >= 0.85
 
 
+@pytest.mark.heavy
 def test_arrow_brute_equals_plan(spark, tmp_path):
     """cosine_topk impl='arrow' (mapInPandas, per-batch top-k) must
     reproduce the in-plan HOF path row-for-row."""
@@ -108,6 +109,7 @@ def test_arrow_brute_equals_plan(spark, tmp_path):
     assert arrow == plan
 
 
+@pytest.mark.heavy
 def test_arrow_adc_equals_plan(spark, tmp_path):
     """pq_search impl='arrow' (numpy LUT gather, sequential subspace
     accumulation) must reproduce the in-plan ADC fold row-for-row."""
@@ -125,6 +127,7 @@ def test_arrow_adc_equals_plan(spark, tmp_path):
     assert arrow == plan
 
 
+@pytest.mark.heavy
 def test_vectorized_lsh_signatures_equal_expression(spark, tmp_path):
     """The matmul signature path must bucket exactly like the in-plan
     xxhash hyperplane expressions (same sign matrix by construction)."""
@@ -165,6 +168,7 @@ def test_sample_train_rejects_unknown_mode(spark, tmp_path):
         PQ.build_pq_index(spark, corpus, str(tmp_path / "y"), m=8, train="bogus")
 
 
+@pytest.mark.heavy
 def test_sq8_recall_and_rerank(spark):
     import numpy as np
 

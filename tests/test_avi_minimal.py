@@ -121,6 +121,7 @@ class TestTolerantParsing:
 
 
 class TestMediaIntegration:
+    @pytest.mark.heavy
     def test_decode_media_and_sample_frames(self, spark):
         from ome_arrow_spark.operators import multimodal as MM
 
@@ -167,6 +168,7 @@ class TestMediaIntegration:
         assert row["zero_crossings"] == pytest.approx(2 * f0, abs=2)
         assert row["spectral_centroid_hz"] == pytest.approx(f0, rel=0.02)
 
+    @pytest.mark.heavy
     def test_audio_features_skips_non_audio(self, spark):
         from ome_arrow_spark.operators import multimodal as MM
 
@@ -199,6 +201,7 @@ class TestDecodeContracts:
             except ValueError:
                 pass  # the one allowed failure type
 
+    @pytest.mark.heavy
     def test_media_features_error_isolation(self, spark):
         """A corrupt blob among good ones: on_error='row' reports it as
         kind='error' and decodes the rest; 'skip' drops it; default
@@ -246,6 +249,7 @@ class TestDecodeContracts:
         assert feats["rms"] == pytest.approx(9000 / np.sqrt(2), rel=0.01)
         assert feats["spectral_centroid_hz"] == pytest.approx(440, rel=0.05)
 
+    @pytest.mark.heavy
     def test_resample_audio_skips_non_audio(self, spark):
         from ome_arrow_spark.operators import multimodal as MM
 

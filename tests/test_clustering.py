@@ -30,6 +30,7 @@ def test_connected_components_chains_and_isolates(spark, threshold):
 
 
 @pytest.mark.parametrize("threshold", [2_000_000, 0])
+@pytest.mark.heavy
 def test_connected_components_long_chain(spark, threshold):
     # 12-node chain exercises multi-round propagation (diameter > 2)
     pairs = spark.createDataFrame(
@@ -96,6 +97,7 @@ def test_udtf_sentence_split(spark):
     assert 3 not in by_doc
 
 
+@pytest.mark.heavy
 def test_ivf_topk_recall(spark, sf_dir):
     from ome_arrow_spark.operators.similarity import cosine_topk, ivf_topk
 
@@ -111,6 +113,7 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert approx == approx2
 
 
+@pytest.mark.heavy
 def test_lsh_topk_recall(spark, sf_dir):
     """Multi-table LSH recall floor at the calibrated defaults
     (planes=4 × tables=8): ≥0.6 on the synthetic embeddings — the

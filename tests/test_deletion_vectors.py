@@ -248,6 +248,7 @@ class TestDvInteractions:
         assert _sorted(tl.read_table(spark, tdir)) == want
         assert tl.read_table(spark, tdir).count() == 800
 
+    @pytest.mark.heavy
     def test_changes_by_version_attribution(self, spark, tdir):
         tl.create_table(spark, _base(spark, 100).coalesce(1), tdir)
         tl.delete_from_table(spark, tdir, "k < 5", mode="dv")     # v1

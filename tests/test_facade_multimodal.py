@@ -57,6 +57,7 @@ def test_export_unknown_mode(spark):
         oi.export("parquet")
 
 
+@pytest.mark.heavy
 def test_load_pattern_dispatch(spark, tmp_path):
     from ome_arrow_spark.sources.tiff import encode_ftif
 
@@ -99,6 +100,7 @@ def test_media_features(spark):
         assert abs(png[col] - rgb11.reshape(-1, 3)[:, ch].mean()) < 1e-9
 
 
+@pytest.mark.heavy
 def test_resize_and_frame_sample(spark):
     media = MM.synth_media_df(spark)
     small = MM.resize_images(media, 5, 4)

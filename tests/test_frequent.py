@@ -33,6 +33,7 @@ def docs(spark):
     ).select("doc_id", "text")
 
 
+@pytest.mark.heavy
 def test_matches_brute_force_unigram(spark, docs):
     got = heavy_hitters(docs, k=25, m=4096).collect()
     want = _brute_topk(docs, 25)

@@ -430,6 +430,7 @@ def test_prefix_fuzz_only_valueerror_escapes():
                 pass
 
 
+@pytest.mark.heavy
 def test_mutation_fuzz_only_valueerror_escapes():
     """Random byte corruption must never leak KeyError /
     ZeroDivisionError / IndexError out of jpeg_decode."""

@@ -71,6 +71,7 @@ class TestBatchSource:
 
 
 class TestStreamSource:
+    @pytest.mark.heavy
     def test_initial_batch_appends_and_exactly_once_restart(
         self, spark, dirs
     ):
@@ -89,6 +90,7 @@ class TestStreamSource:
         _run(spark, t, out, ckpt)
         assert spark.read.parquet(out).count() == 150
 
+    @pytest.mark.heavy
     def test_append_only_guard_and_ignore_changes(self, spark, dirs):
         t, out, ckpt = dirs
         log_source.register(spark)
@@ -130,6 +132,7 @@ class TestStreamSource:
 
 
 class TestWriter:
+    @pytest.mark.heavy
     def test_batch_write_create_append_overwrite_time_travel(
         self, spark, dirs
     ):

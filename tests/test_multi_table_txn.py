@@ -98,6 +98,7 @@ def test_slot_takeover_aborts_deterministically(spark, tmp_path):
     assert _count(spark, ta) == 12 and _count(spark, tb) == 11
 
 
+@pytest.mark.heavy
 def test_checkpoint_defers_while_pending_then_resumes(spark, tmp_path):
     ta = _mk(spark, tmp_path, "a")
     tb = _mk(spark, tmp_path, "b")
@@ -210,6 +211,7 @@ def test_txn_app_idempotent_replay_skipped(spark, tmp_path):
 # ---- sync_table (WHEN NOT MATCHED BY SOURCE DELETE) ----------------------
 
 
+@pytest.mark.heavy
 def test_sync_table_three_clause_semantics(spark, tmp_path):
     tl_mod = tl
     t = str(tmp_path / "sync")
@@ -263,3 +265,74 @@ def test_sync_table_no_scope_is_transactional_overwrite(spark, tmp_path):
     tl.sync_table(spark, src, t, key="k")
     rows = [tuple(r) for r in tl.read_table(spark, t).collect()]
     assert rows == [(7, "z", 7)]
+
+
+def test_coordinator_relocation_resolver(spark, tmp_path):
+    """Catalog seam: participant entries store the coordinator path
+    current AT COMMIT TIME; after the coordinator directory moves, an
+    installed table resolver maps the stale reference to the new
+    location and the txn still finalizes — a late coordinator commit
+    at the NEW path flips the participant to visible, replay converges.
+    Without a resolver the stored path is used verbatim (the
+    single-host default)."""
+    import shutil
+
+    ta = _mk(spark, tmp_path, "a")
+    tb = _mk(spark, tmp_path, "b")
+    batch = spark.range(100, 103).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v, cv = _stage_only(spark, ta, tb, batch)
+    txn_id = tl._read_entry(tb, v)["txn"]["id"]
+    old_path = os.path.abspath(ta)
+    new_path = str(tmp_path / "a_moved")
+    shutil.move(ta, new_path)
+    prev = tl.set_table_resolver(
+        lambda ref: new_path if ref == old_path else None
+    )
+    try:
+        # still pending: the (relocated) coordinator slot is empty
+        assert _count(spark, tb) == 10
+        # the crashed committer's late coordinator commit lands at the
+        # NEW location; the participant's stale reference resolves
+        tl._commit(new_path, cv, {
+            "version": cv, "operation": "txn_append", "actions": [],
+            "txn": {"id": txn_id, "role": "coordinator"},
+        })
+        assert _count(spark, tb) == 13  # converged: replay sees committed
+        # checkpoint-free replay from scratch agrees (fresh resolve)
+        snap = tl._resolve_snapshot(tb, _replay=True)
+        assert not snap.get("pending_txn_versions")
+    finally:
+        tl.set_table_resolver(prev)
+    # default (no resolver): stored path is dangling -> pending again
+    assert _count(spark, tb) == 10
+
+
+def test_relocated_coordinator_stale_finalization(spark, tmp_path):
+    """finalize_stale_txns writes its abort through the resolver too:
+    a pending txn whose coordinator moved is aborted at the NEW path."""
+    import shutil
+
+    ta = _mk(spark, tmp_path, "a")
+    tb = _mk(spark, tmp_path, "b")
+    batch = spark.range(200, 202).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v, cv = _stage_only(spark, ta, tb, batch)
+    p = tl._version_file(tb, v)
+    e = json.load(open(p))
+    e["ts"] = time.time() - 7200
+    json.dump(e, open(p, "w"), separators=(",", ":"))
+    old_path = os.path.abspath(ta)
+    new_path = str(tmp_path / "a_elsewhere")
+    shutil.move(ta, new_path)
+    prev = tl.set_table_resolver(
+        lambda ref: new_path if ref == old_path else None
+    )
+    try:
+        assert tl.finalize_stale_txns(tb, max_age_s=3600) == 1
+        assert tl._read_entry(new_path, cv)["operation"] == "txn_abort"
+        assert _count(spark, tb) == 10
+    finally:
+        tl.set_table_resolver(prev)

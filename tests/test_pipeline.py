@@ -4,6 +4,7 @@ maintenance, streaming image ingest."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from ome_arrow_spark import synth
@@ -32,6 +33,7 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.heavy
 def test_near_dedup_pipeline(spark):
     docs = _docs(spark)
     out = near_dedup(docs, jaccard_threshold=0.4)
@@ -245,6 +247,7 @@ def test_tiff_stream_exactly_once_restart(spark, tmp_path):
     assert tl.current_version(table) == v_after_first + 1
 
 
+@pytest.mark.heavy
 def test_tiff_stream_crash_replay_converges(spark, tmp_path):
     """Kill-mid-run soak (ADVICE r7 #7): the merge CRASHES after the
     table commit of micro-batch 1 but BEFORE Structured Streaming

@@ -39,6 +39,7 @@ def index(spark, tmp_path_factory, corpus):
     return t
 
 
+@pytest.mark.heavy
 def test_adc_scores_match_numpy_model(spark, index, corpus, queries):
     """The in-plan ADC fold must equal a plain numpy reimplementation
     over the stored codes and codebooks — same doubles after ROUND."""
@@ -65,6 +66,7 @@ def test_adc_scores_match_numpy_model(spark, index, corpus, queries):
         assert r["adc_score"] == round(want, 6)
 
 
+@pytest.mark.heavy
 def test_codes_bounded_and_compression_ratio(spark, index):
     rows = tl.read_table(spark, index).collect()
     m, raw = PQ.pq_table_bytes(index)
@@ -97,6 +99,7 @@ def test_rerank_equals_brute_force(spark, tmp_path, corpus, queries):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_empty_queries(spark, index, queries):
     res = PQ.pq_search(spark, index, queries.limit(0), topk=3)
     assert res.count() == 0
@@ -191,6 +194,7 @@ class TestIvfPq:
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy
 def test_distributed_lut_equals_driver_path(spark, index, queries):
     """Forcing the executor-side LUT (max_driver_queries=0) must return
     exactly the driver-numpy path's rows — same ids, same ROUNDed

@@ -172,6 +172,7 @@ class TestMerge:
         assert removed < before
         assert tl.read_table(spark, tdir).count() == 1000
 
+    @pytest.mark.heavy
     def test_conditional_upsert_out_of_order(self, spark, tdir):
         """order_by merge: batches applied in ANY order converge to the
         per-key max-ordinal row (replayed/late CDC batches are safe)."""
@@ -352,6 +353,7 @@ class TestConstraints:
 
 
 class TestZOrder:
+    @pytest.mark.heavy
     def test_zorder_enables_multicolumn_pruning(self, spark):
         """Laid out by `a` alone, predicates on `b` prune nothing;
         after OPTIMIZE ZORDER BY (a, b) the same footer stats prune
@@ -690,6 +692,7 @@ class TestPruneLiteralCoercion:
         assert got_dt == {0, 1, 2} or got_dt == got_iso  # same rows either way
         assert got_dt == got_iso
 
+    @pytest.mark.heavy
     def test_incomparable_literal_keeps_files(self, spark, tdir):
         """An int literal against string-column stats must keep every
         file (conservative), not raise."""

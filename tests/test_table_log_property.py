@@ -61,6 +61,7 @@ def _materialize(spark, tdir, version=None):
     initial=_rows_strategy(),
     ops=st.lists(_op, min_size=1, max_size=5),
 )
+@pytest.mark.heavy
 def test_ops_match_model(spark, tmp_path_factory, initial, ops):
     tdir = str(tmp_path_factory.mktemp("prop") / "t")
     model: dict[int, tuple[int, int]] = {
@@ -177,6 +178,7 @@ def test_interleaved_writers_serialize(spark, tmp_path, seed):
     }
 
 
+@pytest.mark.heavy
 def test_threaded_append_race_no_starvation(spark, tmp_path):
     """Four writer threads × 3 appends against one table: blind-append
     conflict resolution re-commits the already-written files at the
@@ -259,6 +261,7 @@ def test_race_serializes_through_conditional_put(
     assert _materialize(spark, tdir, version=0) == {1: (1, 0)}
 
 
+@pytest.mark.heavy
 def test_threaded_race_through_conditional_put(
     spark, tmp_path, conditional_put_committer
 ):

@@ -96,6 +96,7 @@ def test_unknown_term_and_empty_query(spark, index):
     assert TI.text_index_search(spark, index, [], k=5).count() == 0
 
 
+@pytest.mark.heavy
 def test_incremental_add_equals_full_rebuild(spark, tmp_path, docs_df):
     part1 = docs_df.filter(F.col("doc_id") < 4)
     part2 = docs_df.filter(F.col("doc_id") >= 4)
@@ -175,6 +176,7 @@ def test_search_many_prunes_to_term_union(spark, index):
     assert {r["query_id"] for r in res.collect()} == {"a", "b"}
 
 
+@pytest.mark.heavy
 def test_optimize_restores_clustering_after_adds(spark, tmp_path):
     """Incremental MERGEs fragment term locality; optimize (recluster)
     restores a bounded file count AND the pruning tightness, with
@@ -270,6 +272,7 @@ class TestPhraseSearch:
         assert got[9] == 2
 
 
+@pytest.mark.heavy
 def test_update_docs_replace_semantics(spark, tmp_path, docs_df):
     """A re-ingested doc that LOST a term must stop matching it —
     update_docs_in_text_index equals a fresh rebuild with the new
