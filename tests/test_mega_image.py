@@ -196,3 +196,118 @@ def test_mega_zarr_roundtrip(spark, mega, tmp_path):
     assert len(stores) == 1
     back = from_zarr_manifest(spark, stores)
     assert _plane_sigs(back) == _plane_sigs(mega)
+
+
+@pytest.mark.heavy
+def test_8k_plane_pipeline(spark):
+    """SURVEY §7 hard-part 3 at the 8192² class: three 8192×8192
+    uint16 z-planes (67.1M elements each — 268 MB as Arrow int32, the
+    134M-element regime the plan worried about) through describe →
+    slice → MIP → multiscale with sampled closed-form parity.
+
+    Bounds, measured/derived: one plane cell is 268 MB and the whole
+    single-image row ~0.8 GB — inside the JVM's 2 GiB array / Arrow
+    cell bound with ~2.4× headroom.  The documented ceiling of this
+    row-per-image layout is a ~16384×16384 int32 plane (1 GiB cell;
+    2 GiB row with 2 planes): past that the assembly task throws
+    (negative array size / Arrow capacity), and the design answer is
+    the planes-relation layout (one ROW per plane, as planes_df
+    produces) or chunked pyramid storage (to_zarr_dir), both of which
+    keep cells ≤ one plane.  Memory settings this test runs under:
+    session driver memory 8g (SPARK_DRIVER_MEMORY default in
+    session.get_spark), 32 local threads; peak single-task footprint
+    is the ~0.8 GB assembly row plus one Arrow copy (~1.6 GB)."""
+    from ome_arrow_spark.operators.describe import describe
+    from ome_arrow_spark.operators.multiscale import multiscale_levels
+    from ome_arrow_spark.operators.slice_op import slice_images
+    from ome_arrow_spark.operators.view_ops import max_intensity_projection
+    from ome_arrow_spark.sources.numpy_ingest import to_ome_arrow
+    from ome_arrow_spark.sources.tiff import _decode_out_schema, _record_to_row
+    from ome_arrow_spark.synth import default_channel
+
+    side, n_z = 8192, 3
+    combos = spark.createDataFrame(
+        [(0, 0, z) for z in range(n_z)], "t int, c int, z int"
+    ).repartition(n_z)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for t, c, z in zip(pdf["t"], pdf["c"], pdf["z"]):
+                recs.append({
+                    "t": int(t), "c": int(c), "z": int(z),
+                    "pixels": synth.pixel_plane(
+                        int(t), int(c), int(z), side, side
+                    ),
+                })
+            yield pd.DataFrame(recs)
+
+    pl = combos.mapInPandas(gen, "t int, c int, z int, pixels array<int>")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "c", "z"])
+        planes = [
+            {"z": int(r.z), "t": int(r.t), "c": int(r.c),
+             "pixels": np.asarray(r.pixels, dtype=np.int32)}
+            for r in pdf.itertuples()
+        ]
+        rec = to_ome_arrow(
+            image_id="mega8k", size_x=side, size_y=side, size_z=n_z,
+            size_c=1, size_t=1, channels=[default_channel(0)],
+            planes=planes,
+        )
+        return pd.DataFrame(
+            {"ome_arrow": pd.Series([_record_to_row(rec)], dtype=object)}
+        )
+
+    mega8k = (
+        pl.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: assemble(pdf), schema=_decode_out_schema("ome_arrow")
+        )
+        .localCheckpoint()
+    )
+
+    d = describe(mega8k).collect()[0].asDict()
+    assert (d["size_y"], d["size_x"], d["size_z"]) == (side, side, n_z)
+
+    lo, hi = 2048, 6144
+    sliced = slice_images(
+        mega8k, x_min=lo, x_max=hi, y_min=lo, y_max=hi
+    ).localCheckpoint()
+    nw = hi - lo
+    pm = sliced.select("ome_arrow.pixels_meta.*").first()
+    assert (pm["size_x"], pm["size_y"], pm["size_z"]) == (nw, nw, n_z)
+
+    def formula(z, y, x):
+        return (z * 7 + y * side + x) % 65536
+
+    p0 = (
+        planes_df(sliced)
+        .filter(F.col("z") == 1)
+        .select("pixels")
+        .first()["pixels"]
+    )
+    for ny, nx in ((0, 0), (31, 4000), (4095, 4095)):
+        assert p0[ny * nw + nx] == formula(1, lo + ny, lo + nx)
+
+    mip = max_intensity_projection(sliced, c=0, t=0).first()["mip"]
+    for ny, nx in ((0, 0), (2048, 17), (4095, 4095)):
+        want = max(formula(z, lo + ny, lo + nx) for z in range(n_z))
+        assert mip[ny * nw + nx] == want
+
+    pyr = multiscale_levels(planes_df(sliced), levels=3)
+    sizes = {
+        r["level"]: (r["size_y"], r["size_x"], r["n"])
+        for r in pyr.groupBy("level")
+        .agg(
+            F.first("size_y").alias("size_y"),
+            F.first("size_x").alias("size_x"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert sizes == {
+        0: (4096, 4096, n_z), 1: (2048, 2048, n_z), 2: (1024, 1024, n_z)
+    }
