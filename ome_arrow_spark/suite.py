@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Names not yet registered are skipped, so partial imports stay
     # safe.
     #
+    # round-9 additions (first driver rows)
+    "ols_trend", "acf_daily", "ab_test_proportions", "rfm_segments",
     # round-8 additions / touched surfaces (first driver rows)
     "dup_span_detect", "substring_dedup_apply", "kmv_sketch_quantiles",
     "lm_trigram_perplexity", "fuzzy_join_editdist", "table_multi_txn",

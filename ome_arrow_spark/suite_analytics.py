@@ -1878,3 +1878,320 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-segment OLS trend over daily revenue: closed-form slope/intercept
+# from exact sufficient statistics. Day totals sum round(value,9)
+# decimals (order-independent, exact); Sx/Sxx are exact bigints; the
+# final slope/intercept arithmetic runs in doubles with an identical
+# expression tree on both engines, rounded after. One shuffle to the
+# daily grain, one to the per-type stats — no window, no sort.
+# ---------------------------------------------------------------------------
+@register(
+    "ols_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '2024-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS x,
+             SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+      FROM d GROUP BY event_type)
+    SELECT event_type, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / (n_days * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           ROUND((sy - (n_days * sxy - sx * sy)
+                       / (n_days * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                 / n_days, 6) AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("x"),
+    ).agg(F.sum(F.round("value", 9).cast("decimal(20,9)")).alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx = F.col("n_days"), F.col("sx")
+    sxx, sy, sxy = F.col("sxx"), F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx.cast("double") * sx)
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (ACF lags 1-3) of the daily event-count series per
+# type — the seasonality probe run before picking a forecast window.
+# Deviations from the mean are exact decimals (the proven cusum
+# recipe); each lag product is one deterministic double multiply,
+# rounded and summed as decimals so the aggregation order can't leak
+# in. One daily-grain shuffle + one window per series; the three lags
+# reuse the SAME lead window (consecutive LEADs, no extra shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "acf_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(SUM(n) AS DECIMAL(28,9)) / COUNT(*) AS mu
+          FROM d GROUP BY event_type),
+    dv AS (SELECT d.event_type, d.day,
+                  CAST(CAST(d.n AS DECIMAL(28,9)) - m.mu AS DOUBLE) AS dy
+           FROM d JOIN m USING (event_type)),
+    ld AS (SELECT event_type, day, dy,
+                  LEAD(dy, 1) OVER w AS dy1,
+                  LEAD(dy, 2) OVER w AS dy2,
+                  LEAD(dy, 3) OVER w AS dy3
+           FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    s AS (SELECT event_type,
+                 COUNT(*) AS n_days,
+                 SUM(CAST(ROUND(dy * dy, 9) AS DECIMAL(20,9))) AS den,
+                 SUM(CAST(ROUND(dy * dy1, 9) AS DECIMAL(20,9))) AS num1,
+                 SUM(CAST(ROUND(dy * dy2, 9) AS DECIMAL(20,9))) AS num2,
+                 SUM(CAST(ROUND(dy * dy3, 9) AS DECIMAL(20,9))) AS num3
+          FROM ld GROUP BY event_type)
+    SELECT event_type, lag,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (
+      SELECT event_type, 1 AS lag, num1 AS num, den, n_days FROM s
+      UNION ALL
+      SELECT event_type, 2, num2, den, n_days FROM s
+      UNION ALL
+      SELECT event_type, 3, num3, den, n_days FROM s)
+    ORDER BY event_type, lag
+    """,
+)
+def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    m = d.groupBy("event_type").agg(
+        (F.sum("n").cast("decimal(28,9)") / F.count("*")).alias("mu")
+    )
+    dv = d.join(m, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n").cast("decimal(28,9)") - F.col("mu"))
+        .cast("double")
+        .alias("dy"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ld = dv.select(
+        "event_type",
+        "dy",
+        *[F.lead("dy", k).over(w).alias(f"dy{k}") for k in (1, 2, 3)],
+    )
+
+    def dec_sum(prod):
+        return F.sum(F.round(prod, 9).cast("decimal(20,9)"))
+
+    s = ld.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        dec_sum(F.col("dy") * F.col("dy")).alias("den"),
+        *[
+            dec_sum(F.col("dy") * F.col(f"dy{k}")).alias(f"num{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    lags = None
+    for k in (1, 2, 3):
+        part = s.select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.round(
+                F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
+                6,
+            ).alias("acf"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        lags = part if lags is None else lags.unionByName(part)
+    return lags.orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B experiment readout): variant by user-id
+# parity, conversion = user ever purchased. Everything derives from
+# four exact integers (per-variant users and converters); the z
+# arithmetic is one double expression tree shared verbatim by both
+# engines. Two shuffles total (user collapse, variant rollup) and a
+# single-row output — the shape that runs unchanged on 10^10 users.
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_proportions",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM u GROUP BY variant),
+    w AS (SELECT
+            MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+            MAX(CASE WHEN variant = 0 THEN c END) AS conv_a,
+            MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+            MAX(CASE WHEN variant = 1 THEN c END) AS conv_b
+          FROM v)
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM w
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 200),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "conv")
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("conv_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("conv_a")
+    n_b, c_b = F.col("n_b"), F.col("conv_b")
+    pool = (c_a + c_b).cast("double") / (n_a + n_b)
+    z = (c_a.cast("double") / n_a - c_b.cast("double") / n_b) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(c_a.cast("double") / n_a, 6).alias("p_a"),
+        F.round(c_b.cast("double") / n_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-customer recency/frequency/monetary quartiles
+# (ntile(4) with full (metric, custkey) tiebreaks — deterministic in
+# both engines), rolled up to segment counts. Monetary sums are exact
+# DECIMAL(18,2). Scale note: the three global ntile windows each
+# single-partition their sort at gate scale; the 100 TB formulation
+# computes the three quartile edges once (approx_percentile / KMV
+# sample) and buckets with a broadcast lookup — same segments, one
+# scan, no global sort (the histogram_equidepth note applies).
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       CAST(MAX(CAST(o_orderdate AS TIMESTAMP)) AS DATE),
+                       CAST((SELECT mx FROM mx) AS DATE)) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT o_custkey, r_days, freq, monetary,
+                 NTILE(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+                 NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+          FROM base)
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM q GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate")).alias("mx"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("mx").cast("date"), F.col("last_order").cast("date")
+            ).alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    q = base.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy("r_days", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_q"),
+        "monetary",
+    )
+    return (
+        q.groupBy(
+            F.col("r_q").cast("int").alias("r_q"),
+            F.col("f_q").cast("int").alias("f_q"),
+            F.col("m_q").cast("int").alias("m_q"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (F.sum("monetary").cast("double") / F.count("*")).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
