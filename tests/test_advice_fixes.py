@@ -29,6 +29,7 @@ def tdir(tmp_path):
 
 
 class TestRestoreDvGuard:
+    @pytest.mark.heavy
     def test_restore_refuses_vacuumed_dv_sidecar(self, spark, tdir):
         """v1's DV sidecar is superseded at v2; vacuum(keep=1) reclaims
         it, so restore to v1 must refuse instead of committing a
@@ -83,6 +84,7 @@ class TestPartialVersionFile:
 
 
 class TestTemporalKeyDelete:
+    @pytest.mark.heavy
     def test_delete_keys_date_key_prunes_and_deletes(self, spark, tdir):
         df = spark.range(0, 100).select(
             F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("day"),

@@ -110,6 +110,7 @@ class TestStreamSource:
         assert got.count() == 200
         assert got.filter("v = -1").count() == 5
 
+    @pytest.mark.heavy
     def test_start_version_skips_history(self, spark, dirs):
         t, out, ckpt = dirs
         log_source.register(spark)
@@ -158,6 +159,7 @@ class TestWriter:
         ]
         assert tl.read_table(spark, t, version=1).count() == 200
 
+    @pytest.mark.heavy
     def test_write_schema_mismatch_rejected(self, spark, dirs):
         t, _, _ = dirs
         log_source.register(spark)
@@ -172,6 +174,7 @@ class TestWriter:
                 "append"
             ).save()
 
+    @pytest.mark.heavy
     def test_stream_sink_txn_idempotence(self, spark, dirs, tmp_path):
         t, _, ckpt = dirs
         log_source.register(spark)

@@ -252,6 +252,7 @@ def test_sync_table_scope_violation_rejected(spark, tmp_path):
         tl.sync_table(spark, src, t, key="k", scope="zone = 'in'")
 
 
+@pytest.mark.heavy
 def test_sync_table_no_scope_is_transactional_overwrite(spark, tmp_path):
     t = str(tmp_path / "sync3")
     tl.create_table(
