@@ -65,6 +65,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #
     # round-9 additions (first driver rows)
     "ols_trend", "acf_daily", "ab_test_proportions", "rfm_segments",
+    "nb_classifier_score", "vocab_coverage",
     # round-8 additions / touched surfaces (first driver rows)
     "dup_span_detect", "substring_dedup_apply", "kmv_sketch_quantiles",
     "lm_trigram_perplexity", "fuzzy_join_editdist", "table_multi_txn",

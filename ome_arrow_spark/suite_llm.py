@@ -4181,3 +4181,184 @@ def _set_similarity(
     return jac.select(
         "doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes curation classifier, trained and applied in one query:
+# per-token Laplace-smoothed log-likelihood ratios for the en-vs-other
+# class (the fastText-style quality/language filter shape), then each
+# document scored by its tokens' LLR sum + class prior. All counts are
+# exact integers; each token weight is ONE shared double expression
+# rounded to 9 digits and summed as DECIMAL(20,9), so per-doc scores
+# are order-independent and bit-portable. Top-10 by exact decimal
+# score via orderBy+limit (TakeOrdered — no global row_number sort).
+# Scale shape: token-stats groupBy (vocab-sized) + one explode-join-agg
+# over the corpus; the weights table broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "nb_classifier_score",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cls AS (
+      SELECT tok,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c_ot
+      FROM tk GROUP BY tok),
+    tot AS (
+      SELECT CAST(SUM(c_en) AS BIGINT) AS t_en,
+             CAST(SUM(c_ot) AS BIGINT) AS t_ot,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cls),
+    llr AS (
+      SELECT tok,
+             CAST(ROUND(LN((c_en + 1.0) / (t_en + vocab))
+                        - LN((c_ot + 1.0) / (t_ot + vocab)), 9)
+                  AS DECIMAL(20,9)) AS w
+      FROM cls CROSS JOIN tot),
+    pri AS (
+      SELECT LN(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS prior
+      FROM documents),
+    sc AS (
+      SELECT tk.doc_id, tk.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(llr.w) AS s
+      FROM tk JOIN llr USING (tok)
+      GROUP BY tk.doc_id, tk.lang)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(s AS DOUBLE) + (SELECT prior FROM pri), 6) AS score
+    FROM sc ORDER BY s DESC, doc_id LIMIT 10
+    """,
+)
+def nb_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    cls = tk.groupBy("tok").agg(
+        F.sum(is_en).alias("c_en"),
+        F.sum(1 - is_en).alias("c_ot"),
+    )
+    tot = cls.agg(
+        F.sum("c_en").cast("bigint").alias("t_en"),
+        F.sum("c_ot").cast("bigint").alias("t_ot"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    llr = cls.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c_en") + F.lit(1.0)) / (F.col("t_en") + F.col("vocab")))
+            - F.log(
+                (F.col("c_ot") + F.lit(1.0)) / (F.col("t_ot") + F.col("vocab"))
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("w"),
+    )
+    pri = docs.agg(
+        F.log(
+            F.sum(is_en).cast("double") / F.sum(1 - is_en)
+        ).alias("prior")
+    )
+    sc = (
+        tk.join(F.broadcast(llr), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w").alias("s"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("s"), "doc_id")
+        .limit(10)
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("s").cast("double") + F.col("prior"), 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: build the freq>=5 vocabulary on the
+# corpus, then per-language OOV mass and mean per-doc OOV rate — the
+# audit run before freezing a tokenizer (what fraction of each slice
+# falls to UNK). Integer counts exact; per-doc rates rounded into
+# decimal sums (order-independent), rendered with the unrounded
+# decimal->double/count quotient the flagship q1 uses. Two shuffles
+# (token freq, per-doc rollup) + the final per-lang aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_coverage",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size
+           FROM freq WHERE cnt >= 5),
+    per AS (
+      SELECT tk.doc_id, tk.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN f.cnt >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_oov
+      FROM tk JOIN freq f USING (tok)
+      GROUP BY tk.doc_id, tk.lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+           CAST(SUM(CAST(ROUND(CAST(n_oov AS DOUBLE) / n_toks, 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+             AS avg_oov_rate,
+           (SELECT vocab_size FROM vv) AS vocab_size
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vv = freq.filter(F.col("cnt") >= 5).agg(
+        F.count("*").cast("bigint").alias("vocab_size")
+    )
+    per = (
+        tk.join(freq, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum(F.when(F.col("cnt") >= 5, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("n_oov").cast("double") / F.col("n_toks"), 9
+                    ).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("avg_oov_rate"),
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang", "n_docs", "total_tokens", "oov_tokens",
+            "avg_oov_rate", "vocab_size",
+        )
+        .orderBy("lang")
+    )
