@@ -2277,6 +2277,88 @@ def sync_table(
     return version
 
 
+def clone_table(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+    shallow: bool = False,
+) -> int:
+    """Delta ``CREATE TABLE ... [SHALLOW|DEEP] CLONE src [VERSION AS
+    OF v]``: commit the target's version 0 with the source snapshot's
+    schema, properties, per-file stats and Blooms.
+
+    DEEP (default) copies the data files into the clone — a fully
+    independent table.  SHALLOW references the source's data files by
+    ABSOLUTE path: zero data movement, instant, and copy-on-write —
+    any later upsert/delete/compact on the clone writes NEW local
+    files and merely drops the absolute references from its manifest,
+    never touching the source.  Every path-resolving read goes through
+    ``os.path.join(table, p)``, which passes absolute paths through
+    unchanged, and vacuum only considers ``os.listdir`` names, so a
+    clone's vacuum can never reclaim source data.  Deletion-vector
+    sidecars are tiny and are copied locally in BOTH modes, so DV'd
+    reads resolve inside the clone.
+
+    The Delta caveat carries over: vacuuming the SOURCE reclaims files
+    a shallow clone still references (reads then fail file-not-found);
+    deep-clone or re-clone before vacuuming a shared source.  Cloning
+    a shallow clone deep re-materializes the referenced bytes locally
+    (absolute references are copied in under their base names)."""
+    import copy as _copy
+
+    if timestamp is not None:
+        if version is not None:
+            raise TableLogError("pass version OR timestamp, not both")
+        version = version_at_timestamp(source, timestamp)
+    if current_version(target) is not None:
+        raise TableLogError(f"table already exists: {target}")
+    snap = _resolve_snapshot(source, version)
+    abs_src = os.path.abspath(source)
+    abs_tgt = os.path.abspath(target)
+    os.makedirs(abs_tgt, exist_ok=True)
+    actions: list[dict[str, Any]] = []
+    for rel, add in snap["files"].items():
+        add = _copy.deepcopy(add)
+        dv = add.get("dv")
+        if dv:
+            os.makedirs(os.path.join(abs_tgt, DV_DIR), exist_ok=True)
+            shutil.copy2(
+                os.path.join(abs_src, dv["path"]),
+                os.path.join(abs_tgt, dv["path"]),
+            )
+        if shallow:
+            add["path"] = os.path.join(abs_src, rel)
+        else:
+            local = os.path.basename(rel) if os.path.isabs(rel) else rel
+            shutil.copy2(
+                os.path.join(abs_src, rel), os.path.join(abs_tgt, local)
+            )
+            add["path"] = local
+        actions.append({"add": add})
+    props = dict(snap["properties"])
+    props.update(
+        {
+            "clone.source": abs_src,
+            "clone.sourceVersion": str(snap["version"]),
+            "clone.shallow": "true" if shallow else "false",
+        }
+    )
+    _commit(
+        target,
+        0,
+        {
+            "version": 0,
+            "operation": "clone",
+            "schema": snap["schema"],
+            "properties": props,
+            "actions": actions,
+        },
+    )
+    return 0
+
+
 def vacuum_table(
     table: str,
     keep_versions: int = 1,

@@ -74,6 +74,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "woe_binning", "ome_tiff_codec_ingest",
     "text_index_search", "text_index_phrase", "text_index_search_many",
     "text_index_incremental", "stream_text_index",
+    "table_clone",
     "table_restore", "table_delete_dv", "table_time_travel",
     "table_multi_txn", "table_sync", "table_change_feed",
     "table_log_merge", "ome_table_log", "table_evolution",
@@ -88,7 +89,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_range_frame",
     "agg_corr", "agg_minmax_by", "agg_rollup", "agg_stats",
     "pivot_status_priority", "q17_small_quantity",
-    "q22_global_sales_opportunity",
 )
 
 

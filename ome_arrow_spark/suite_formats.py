@@ -981,3 +981,87 @@ def table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE + copy-on-write (table_log.clone_table): clone the
+# source AS OF v0 with zero data movement (the clone's manifest
+# references the source files by absolute path), then upsert the clone
+# — the rewrite lands in clone-local files while the source stays
+# byte-identical. The query reads BOTH tables after the divergence;
+# the oracle recomputes each side from raw orders, so a hash match
+# proves version-pinned clone contents AND copy-on-write isolation in
+# one row set. (tests/test_table_clone.py carries the zero-copy /
+# vacuum-safety assertions that SQL can't express.)
+# ---------------------------------------------------------------------------
+@register(
+    "table_clone",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 6 AND o_orderkey % 2 = 0),
+    b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_custkey % 10 = 6 AND o_orderkey % 2 = 1),
+    cl AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM a)
+    SELECT 'source' AS side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_price
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM cl GROUP BY o_orderstatus
+    """,
+)
+def table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.sources import table_log as tl
+
+    src = _rt_dir(sf_dir, "clone_src")
+    dst = _rt_dir(sf_dir, "clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 6)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    a = base.filter(F.col("o_orderkey") % 2 == 0)
+    b = base.filter(F.col("o_orderkey") % 2 == 1)
+    tl.create_table(spark, a.repartitionByRange(4, "o_orderkey"), src)  # v0
+    tl.append_table(spark, b, src)  # v1
+    tl.clone_table(spark, src, dst, version=0, shallow=True)
+    mods = a.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    tl.upsert_table(spark, mods, dst, key="o_orderkey")  # COW divergence
+    agg = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    ]
+    s_side = (
+        tl.read_table(spark, src)
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(F.lit("source").alias("side"), "o_orderstatus", "n",
+                "sum_price")
+    )
+    c_side = (
+        tl.read_table(spark, dst)
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(F.lit("clone").alias("side"), "o_orderstatus", "n",
+                "sum_price")
+    )
+    return s_side.unionByName(c_side)
