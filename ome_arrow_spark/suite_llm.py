@@ -4362,3 +4362,61 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index lifecycle: build the IVF index on HALF the
+# corpus, MERGE the other half in (add_to_ivf_index assigns new
+# vectors to their nearest stored centroid), re-cluster the fragmented
+# files (optimize_ivf_index), then search with FULL probes. Full-probe
+# search over a complete index is exact KNN whatever the clustering,
+# so the oracle is brute-force cosine top-k over the whole corpus — a
+# hash match proves no vector was lost or duplicated across the
+# add/optimize lifecycle (completeness, the failure mode incremental
+# merges actually risk; probe pruning itself is ann_index_search's
+# contract).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_index_incremental",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6)
+                        AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c0 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    c1 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1)).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    table = (
+        f"/tmp/ome_arrow_rt_ivfinc_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    AI.build_ivf_index(spark, c0, table, n_centroids=8, overwrite=True)
+    AI.add_to_ivf_index(spark, c1, table)
+    AI.optimize_ivf_index(spark, table)
+    return AI.ivf_index_search(spark, table, q, k=3, n_probe=8)
