@@ -205,6 +205,51 @@ def _lsh_sigs_udf(sign_mat, n_tables: int, n_planes: int):
     return sigs
 
 
+def _lsh_sig_side(
+    df,
+    id_col: str,
+    vec: str,
+    out_vec: str,
+    n_planes: int,
+    n_tables: int,
+    seed_mode: str,
+):
+    """One side of an LSH bucket join: (id, vector, table, signature)
+    rows — ALL tables from ONE pass (posexplode / explode of the
+    per-table signature array, never a per-table rescan)."""
+    if seed_mode == "xxhash":
+        dim = df.select(F.size(F.col(vec))).first()[0]
+        sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
+        sig_udf = _lsh_sigs_udf(sig_mat, n_tables, n_planes)
+        return df.select(
+            F.col(id_col),
+            F.col(vec).alias(out_vec),
+            F.posexplode(sig_udf(F.col(vec))).alias("__t", "__sig"),
+        )
+
+    def sigs(v):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature(
+                        v, n_planes, table=t, seed_mode=seed_mode
+                    ).alias("s"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec).alias(out_vec),
+        F.explode(sigs(F.col(vec))).alias("__b"),
+    ).select(
+        id_col, out_vec,
+        F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"),
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -235,42 +280,8 @@ def cosine_topk_lsh(
     dim-row JVM job + one numpy matmul per batch (measured 20×+ on the
     100k bench fixture).  The ``md5`` mode stays fully in-plan so the
     DuckDB oracle can recompute the buckets bit-for-bit."""
-    if seed_mode == "xxhash":
-        dim = queries.select(F.size(F.col(vec))).first()[0]
-        sig_mat = _xxhash_sign_matrix(
-            queries.sparkSession, n_tables, n_planes, dim
-        )
-        sig_udf = _lsh_sigs_udf(sig_mat, n_tables, n_planes)
-
-        def side(df, id_col, out_vec):
-            return df.select(
-                F.col(id_col),
-                F.col(vec).alias(out_vec),
-                F.posexplode(sig_udf(F.col(vec))).alias("__t", "__sig"),
-            )
-
-        q = side(queries, query_id, "__qv")
-        c = side(corpus, corpus_id, "__cv")
-    else:
-        def sigs(v):
-            return F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_signature(
-                            v, n_planes, table=t, seed_mode=seed_mode
-                        ).alias("s"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-
-        q = queries.select(
-            F.col(query_id), F.col(vec).alias("__qv"), F.explode(sigs(F.col(vec))).alias("__b")
-        ).select(query_id, "__qv", F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"))
-        c = corpus.select(
-            F.col(corpus_id), F.col(vec).alias("__cv"), F.explode(sigs(F.col(vec))).alias("__b")
-        ).select(corpus_id, "__cv", F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"))
+    q = _lsh_sig_side(queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode)
+    c = _lsh_sig_side(corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode)
     candidates = (
         F.broadcast(q)
         .join(c, ["__t", "__sig"])
@@ -284,6 +295,65 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    left_id: str = "qid",
+    right_id: str = "cid",
+    vec: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    digits: int = 6,
+    seed_mode: str = "xxhash",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Distributed kNN JOIN — top-k approximate cosine neighbors from
+    ``right`` for EVERY row of ``left``, with BOTH sides large.
+
+    :func:`cosine_topk_lsh` broadcasts its query side (the
+    interactive-search contract, |Q| small); this is the corpus-scale
+    twin: the two signature relations meet in a plain shuffle
+    equi-join on (table, signature), so neither side ever concentrates
+    on the driver or in a broadcast. That is the shape of
+    embedding-based corpus linking (dedup across datasets, retrieval
+    supervision mining, cross-modal alignment) at 10^9 × 10^9 rows.
+
+    Skew guard: hyperplane buckets are balanced for centered data, but
+    real corpora have boilerplate/zero-ish vectors that collapse into
+    mega-buckets; any bucket with more than ``max_bucket`` RIGHT rows
+    is dropped from candidate generation (the LSH-dedup ``max_bucket``
+    rationale — a B-row bucket emits |left∩bucket|·B candidate pairs).
+    The bucket census is tiny (≤ n_tables·2^n_planes rows), so the
+    allow-list is broadcast. Candidates dedup on (left_id, right_id),
+    exact cosine ranks inside, ties break on right id."""
+    ls = _lsh_sig_side(left, left_id, vec, "__lv", n_planes, n_tables, seed_mode)
+    rs = _lsh_sig_side(right, right_id, vec, "__rv", n_planes, n_tables, seed_mode)
+    allowed = (
+        rs.groupBy("__t", "__sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("__t", "__sig")
+    )
+    candidates = (
+        ls.join(F.broadcast(allowed), ["__t", "__sig"])
+        .join(rs, ["__t", "__sig"])
+        .select(left_id, right_id, "__lv", "__rv")
+        .dropDuplicates([left_id, right_id])
+    )
+    scored = candidates.select(
+        left_id,
+        right_id,
+        F.round(cosine(F.col("__lv"), F.col("__rv")), digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("cos_sim").desc(), F.col(right_id)
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
 
 
 def ivf_topk(

@@ -461,7 +461,13 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, c, k=3)
 
 
-def _lsh_oracle(n_planes: int = 4, n_tables: int = 8, k: int = 3) -> str:
+def _lsh_oracle(
+    n_planes: int = 4,
+    n_tables: int = 8,
+    k: int = 3,
+    q_where: str = "vec_id < 10",
+    c_where: str = "vec_id >= 10",
+) -> str:
     """DuckDB twin of cosine_topk_lsh(seed_mode='md5'): the hyperplane
     sign of plane P over vector col ``{v}`` is the md5-hex-parity fold
     — the exact SQL the Spark HOF evaluates (same fold order, same
@@ -488,8 +494,8 @@ def _lsh_oracle(n_planes: int = 4, n_tables: int = 8, k: int = 3) -> str:
 
     dot = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
     return f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {q_where}),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE {c_where}),
          qs AS ({side('q', 'qid', 'qe')}),
          cs AS ({side('c', 'cid', 'ce')}),
          cand AS (SELECT DISTINCT qid, cid, qe, ce
@@ -4420,3 +4426,32 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     AI.add_to_ivf_index(spark, c1, table)
     AI.optimize_ivf_index(spark, table)
     return AI.ivf_index_search(spark, table, q, k=3, n_probe=8)
+
+
+# ---------------------------------------------------------------------------
+# Distributed kNN JOIN (both sides large): top-k approximate neighbors
+# from the right corpus for EVERY left row via an LSH bucket shuffle
+# equi-join — no query-side broadcast, no driver collect, the
+# embedding-corpus-linking shape at 10^9 × 10^9. md5 seed mode keeps
+# every hyperplane sign in-plan so the oracle re-derives buckets,
+# candidates and ranks bit-identically; the skew guard (right buckets
+# > max_bucket dropped before pairing) never engages at fixture scale
+# and is covered by tests/test_clustering.py.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_join_lsh",
+    _lsh_oracle(
+        k=2, q_where="vec_id % 4 = 0", c_where="vec_id % 4 <> 0"
+    ),
+)
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.similarity import knn_join_lsh as KJ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 4 != 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return KJ(left, right, k=2, seed_mode="md5")
