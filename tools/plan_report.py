@@ -62,6 +62,11 @@ QUERIES = [
     ("fuzzy_join_editdist", "deletion-variant equi-join + exact verify"),
     ("table_multi_txn", "cross-table txn: facts + index reads post-commit"),
     ("retrieval_mmr", "greedy MMR diversification as one aggregate fold"),
+    ("knn_join_lsh", "distributed kNN JOIN: LSH bucket shuffle, no broadcast"),
+    ("nb_classifier_score", "NB curation scorer: vocab agg + broadcast-weights join"),
+    ("rfm_segments", "RFM ntile quartiles (gate shape; edges+broadcast at scale)"),
+    ("ann_index_incremental", "IVF build→MERGE→optimize→full-probe search"),
+    ("ols_trend", "OLS sufficient statistics: two aggs, no window"),
 ]
 
 
