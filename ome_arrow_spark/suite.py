@@ -70,7 +70,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (1) round-9 additions
     "ols_trend", "acf_daily", "ab_test_proportions", "rfm_segments",
     "nb_classifier_score", "vocab_coverage", "ann_index_incremental",
-    "knn_join_lsh",
+    "knn_join_lsh", "top_paths", "key_gini", "l_diversity",
+    "benford_digits",
     # (2) r9-touched surfaces
     "woe_binning", "ome_tiff_codec_ingest",
     "text_index_search", "text_index_phrase", "text_index_search_many",
@@ -87,8 +88,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q10_returned_items", "q14_conditional_agg", "q7_volume_shipping",
     "scalar_array", "scalar_date_arith", "scalar_map", "scalar_nulls",
     "scalar_string2", "set_ops_all", "window_distribution",
-    "agg_corr", "agg_minmax_by", "agg_rollup", "agg_stats",
-    "pivot_status_priority",
+    "agg_corr",
 )
 
 

@@ -2195,3 +2195,243 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user paths: each user's FIRST three event types in time order,
+# joined into a path string, ranked by frequency — the product-
+# analytics "common journeys" readout (distinct from markov_transitions,
+# which is the memoryless pairwise matrix). One shuffle to the per-user
+# ordered fold (sort_array of (ts, event_id, type) structs — unique
+# tiebreak, engine-portable), one to the path count; top-10 via
+# orderBy+limit (TakeOrdered, no global row_number).
+# ---------------------------------------------------------------------------
+@register(
+    "top_paths",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      event_type FROM events),
+    p AS (
+      SELECT user_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+               '>') AS path
+      FROM e GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("seq", 1, 3), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-distribution Gini coefficient — the skew diagnostic behind the
+# salting decision, as one number per join key: G = 2·Σ(i·x_i)/(n·Σx)
+# − (n+1)/n over ascending per-key counts. Σ(i·x_i) and Σx are exact
+# bigints (row_number with a (count, key) tiebreak), the final formula
+# one shared double tree. Two keys profiled: orders per customer and
+# lineitems per part. The rank window partitions by key_col — two
+# serial sorts at gate scale; at 100 TB the same statistic comes from
+# a quantile sketch of the count distribution (edges, not ranks).
+# ---------------------------------------------------------------------------
+@register(
+    "key_gini",
+    """
+    WITH ks AS (
+      SELECT 'orders_per_customer' AS key_col,
+             CAST(o_custkey AS BIGINT) AS key_val, COUNT(*) AS x
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitems_per_part', CAST(l_partkey AS BIGINT), COUNT(*)
+      FROM lineitem GROUP BY l_partkey),
+    r AS (SELECT key_col, x,
+                 ROW_NUMBER() OVER (PARTITION BY key_col
+                                    ORDER BY x, key_val) AS i
+          FROM ks),
+    s AS (SELECT key_col,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(x) AS BIGINT) AS total,
+                 CAST(MAX(x) AS BIGINT) AS max_count,
+                 CAST(SUM(i * x) AS BIGINT) AS wsum
+          FROM r GROUP BY key_col)
+    SELECT key_col, n_keys, total, max_count,
+           ROUND(2.0 * wsum / (CAST(n_keys AS DOUBLE) * total)
+                 - (n_keys + 1.0) / n_keys, 6) AS gini
+    FROM s ORDER BY key_col
+    """,
+)
+def key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ks = (
+        o.groupBy(F.col("o_custkey").cast("long").alias("key_val"))
+        .agg(F.count("*").alias("x"))
+        .select(F.lit("orders_per_customer").alias("key_col"), "key_val", "x")
+        .unionByName(
+            li.groupBy(F.col("l_partkey").cast("long").alias("key_val"))
+            .agg(F.count("*").alias("x"))
+            .select(
+                F.lit("lineitems_per_part").alias("key_col"), "key_val", "x"
+            )
+        )
+    )
+    w = Window.partitionBy("key_col").orderBy("x", "key_val")
+    r = ks.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("key_col").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.max("x").cast("bigint").alias("max_count"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("wsum"),
+    )
+    return s.select(
+        "key_col",
+        "n_keys",
+        "total",
+        "max_count",
+        F.round(
+            F.lit(2.0) * F.col("wsum")
+            / (F.col("n_keys").cast("double") * F.col("total"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    ).orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k_anonymity's sibling: a class can be large (k
+# safe) yet expose its members if the SENSITIVE attribute is uniform
+# inside it. Per quasi-identifier class, the count of distinct
+# sensitive values (acctbal band); classes with l < 3 plus the table
+# minimum. One aggregation over the same QI grouping k_anonymity uses.
+# ---------------------------------------------------------------------------
+@register(
+    "l_diversity",
+    """
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer),
+    qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+      FROM b GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, class_size, l, l < 3 AS below_l
+    FROM qi WHERE l < 3
+    UNION ALL
+    SELECT CAST(-1 AS INT), 'TABLE_MIN', MIN(class_size), MIN(l),
+           MIN(l) < 3
+    FROM qi
+    """,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    qi = (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("sens").cast("bigint").alias("l"),
+        )
+    )
+    small = qi.filter(F.col("l") < 3).select(
+        "c_nationkey", "c_mktsegment", "class_size", "l",
+        (F.col("l") < 3).alias("below_l"),
+    )
+    summary = qi.agg(
+        F.lit(-1).cast("int").alias("c_nationkey"),
+        F.lit("TABLE_MIN").alias("c_mktsegment"),
+        F.min("class_size").alias("class_size"),
+        F.min("l").alias("l"),
+        (F.min("l") < 3).alias("below_l"),
+    )
+    return small.unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit — the classic fraud/synthetic-data probe:
+# observed first-digit shares of order totals vs log10(1 + 1/d), with
+# per-digit chi-square contributions. Digit extraction uses floor/
+# log10 on positive doubles (identical across engines); counts exact;
+# the share/expected/chi2 arithmetic one shared double tree. One
+# aggregation, nine-row output.
+# ---------------------------------------------------------------------------
+@register(
+    "benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(POWER(CAST(n AS DOUBLE) / t.total
+                       - LOG10(1.0 + 1.0 / digit), 2)
+                 / LOG10(1.0 + 1.0 / digit) * t.total, 6) AS chi2_term
+    FROM c, t ORDER BY digit
+    """,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(
+                F.pow(share - bp, F.lit(2)) / bp * F.col("total"), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
