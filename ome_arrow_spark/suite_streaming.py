@@ -838,3 +838,89 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return EV.run_available_now(j, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance: embedding batches land as parquet
+# files → a file stream (one file per micro-batch, the rate-limit
+# contract) → foreachBatch builds the IVF index on the first batch and
+# MERGEs every later batch to its nearest stored centroid → one
+# optimize pass → FULL-probe search. Full probes make the search exact
+# KNN whatever the arrival order, so the brute-force oracle certifies
+# that the streaming build/add path lost and duplicated nothing — the
+# continuous-embedding-pipeline composition (ann_index_incremental is
+# the batch twin; the vectors here are identical, the lifecycle runs
+# through Structured Streaming + the commit log instead).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_ann_ingest",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND(list_sum(list_transform(range(len(qe)),
+                              i -> CAST(qe[i+1] AS DOUBLE) * CAST(ce[i+1] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(range(len(qe)),
+                                 i -> CAST(qe[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(range(len(ce)),
+                                 i -> CAST(ce[i+1] AS DOUBLE) * CAST(ce[i+1] AS DOUBLE))))),
+                            6) AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ome_arrow_spark.operators import ann_index as AI
+    from ome_arrow_spark.sources import table_log as tl
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    drop = tempfile.mkdtemp(prefix="stream_ann_drop_")
+    table = (
+        f"/tmp/ome_arrow_rt_annstream_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        # four arrival waves, one parquet file each (the drop-dir shape
+        # an embedding service produces)
+        for m in range(4):
+            corpus.filter(F.col("cid") % 4 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+        )
+
+        def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if tl.current_version(table) is None:
+                AI.build_ivf_index(
+                    spark, batch_df, table, n_centroids=8, overwrite=True
+                )
+            else:
+                AI.add_to_ivf_index(spark, batch_df, table)
+
+        EV.run_foreach_batch(stream, index_batch, output_mode="append")
+        AI.optimize_ivf_index(spark, table)
+        return AI.ivf_index_search(spark, table, q, k=3, n_probe=8)
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
