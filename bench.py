@@ -184,6 +184,29 @@ def bench_stream_ingest(
         shutil.rmtree(os.path.dirname(table), ignore_errors=True)
 
 
+def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
+    """Distributed kNN self-join at the sf1 embedding corpus (20k x
+    20k, production xxhash signature path, no broadcast/collect) — the
+    corpus-linking shape whose cost is candidate-pair-driven. Returns
+    wall seconds, or None when the sf1 fixture is absent."""
+    emb_path = os.path.join(sf1_dir, "embeddings.parquet")
+    if not os.path.isdir(sf1_dir) or not os.path.exists(emb_path):
+        return None
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.similarity import knn_join_lsh
+
+    emb = spark.read.parquet(emb_path)
+    left = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    right = emb.select(F.col("vec_id").alias("cid"), "embedding")
+
+    def action():
+        return knn_join_lsh(left, right, k=k).count()
+
+    action()  # warmup (plan + sign-matrix job)
+    return REC.timed_best("knn_join_sf1", action, REPEATS)
+
+
 def bench_zarr_ingest(
     spark, n_stores: int = 30, side: int = 512
 ) -> tuple[float, float]:
@@ -646,6 +669,11 @@ def main() -> None:
             times[k] = round(v, 4)
             print(f"# {k}: {v}", file=sys.stderr)
 
+    kj = bench_knn_join(spark, sf1_dir)
+    if kj is not None:
+        times["knn_join_sf1"] = round(kj, 4)
+        print(f"# knn_join_sf1: {kj:.3f}s", file=sys.stderr)
+
     load = ambient_load_factor()
     print(f"# ambient_load_factor: {load}", file=sys.stderr)
 
@@ -665,6 +693,7 @@ def main() -> None:
             "tiff_ingest_steady_800",
             "zarr_ingest_30x512",
             "stream_ingest_steady_200",
+            "knn_join_sf1",
         ]
         + sorted(sf1_times)
     )

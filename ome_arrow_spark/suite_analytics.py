@@ -1585,7 +1585,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice,
              NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
       FROM orders)
-    SELECT bucket, COUNT(*) AS n,
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
     FROM t GROUP BY bucket
     """,

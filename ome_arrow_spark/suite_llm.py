@@ -2749,7 +2749,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        << ((xor(b, 85) // 16) % 8 - 1) END AS s
       FROM ab),
     lagged AS (
-      SELECT 1 AS media_id, t, s,
+      SELECT CAST(1 AS BIGINT) AS media_id, t, s,
              LAG(s) OVER (ORDER BY t) AS prev FROM ud
       UNION ALL
       SELECT 2, t, s, LAG(s) OVER (ORDER BY t) FROM ad)
@@ -2830,7 +2830,7 @@ def _ima_steps_values() -> str:
         WHERE d.t < 504)),
     lagged AS (
       SELECT t, pred AS s, LAG(pred) OVER (ORDER BY t) AS prev FROM dec)
-    SELECT 3 AS media_id,
+    SELECT CAST(3 AS BIGINT) AS media_id,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
            ROUND(SQRT(AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms,
            CAST(MAX(ABS(s)) AS DOUBLE) AS peak,
@@ -2886,7 +2886,7 @@ def media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CAST((t.t*37*3) % 20000 - 10000 AS DOUBLE)) / 2.0 AS s
       FROM (SELECT unnest(generate_series(0, 4999)) AS t) t),
     lagged AS (
-      SELECT 1 AS media_id, t, s, LAG(s) OVER (ORDER BY t) AS prev FROM mono
+      SELECT CAST(1 AS BIGINT) AS media_id, t, s, LAG(s) OVER (ORDER BY t) AS prev FROM mono
       UNION ALL
       SELECT 2, t, s, LAG(s) OVER (ORDER BY t) FROM st)
     SELECT media_id,
@@ -3095,8 +3095,10 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT doc_id, pos,
             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
           FROM m)
-    SELECT doc_id, MIN(pos) AS span_start, MAX(pos)+7 AS span_end,
-           MAX(pos)+7-MIN(pos)+1 AS span_len, COUNT(*) AS n_grams
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos)+7 AS INTEGER) AS span_end,
+           CAST(MAX(pos)+7-MIN(pos)+1 AS INTEGER) AS span_len,
+           COUNT(*) AS n_grams
     FROM s GROUP BY doc_id, span_id
     """,
 )
@@ -3141,8 +3143,8 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
              ANTI JOIN cov USING (doc_id, pos))
     SELECT t0.doc_id,
            COALESCE(string_agg(keep.tok, ' ' ORDER BY keep.pos), '') AS clean_text,
-           len(t0.toks) AS n_tokens,
-           len(t0.toks) - COUNT(keep.tok) AS n_removed
+           CAST(len(t0.toks) AS INTEGER) AS n_tokens,
+           CAST(len(t0.toks) - COUNT(keep.tok) AS INTEGER) AS n_removed
     FROM t0 LEFT JOIN keep ON t0.doc_id = keep.doc_id
     GROUP BY t0.doc_id, len(t0.toks)
     """,
@@ -3193,7 +3195,7 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN k.vr = CAST(FLOOR((k.n_sample-1) * 0.9) + 1 AS BIGINT)
                  THEN k.v END) AS est_p90
            FROM kept k GROUP BY k.pri)
-    SELECT hk.pri, hk.n_sample,
+    SELECT hk.pri, CAST(hk.n_sample AS INTEGER) AS n_sample,
            CASE WHEN hk.ns < 64 THEN CAST(hk.ns AS DOUBLE)
                 ELSE ROUND(CAST(63 AS DOUBLE) /
                      (CAST(('0x' || substr(hk.h_k, 1, 13))::BIGINT AS DOUBLE)
@@ -3437,7 +3439,8 @@ def lm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
                  a.df AS df_a, b.df AS df_b
           FROM v a JOIN v b ON a.var = b.var AND a.tok < b.tok)
-    SELECT tok_a, tok_b, df_a, df_b, levenshtein(tok_a, tok_b) AS dist
+    SELECT tok_a, tok_b, df_a, df_b,
+           CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist
     FROM p WHERE levenshtein(tok_a, tok_b) <= 1
     """,
 )
@@ -3508,7 +3511,8 @@ def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
           unnest(range(0, GREATEST(1, (len(toks) + 31) // 48))) AS u(i))
     SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
            chunk_id * 48 + 1 AS first_pos,
-           len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_chunk_tokens,
+           CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INTEGER)
+             AS n_chunk_tokens,
            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')
              AS chunk_text
     FROM k
@@ -3901,7 +3905,8 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT doc_id, n_chars, key,
             ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS sample_rank
           FROM k)
-    SELECT doc_id, n_chars, ROUND(key, 9) AS key, sample_rank
+    SELECT doc_id, n_chars, ROUND(key, 9) AS key,
+           CAST(sample_rank AS INTEGER) AS sample_rank
     FROM r WHERE sample_rank <= 40
     """,
 )
