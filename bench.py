@@ -194,14 +194,32 @@ def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
         return None
     from pyspark.sql import functions as F
 
-    from ome_arrow_spark.operators.similarity import knn_join_lsh
+    from ome_arrow_spark.operators.similarity import (
+        knn_join_candidates,
+        knn_join_lsh,
+        knn_join_planes,
+    )
 
     emb = spark.read.parquet(emb_path)
     left = emb.select(F.col("vec_id").alias("qid"), "embedding")
     right = emb.select(F.col("vec_id").alias("cid"), "embedding")
 
+    # Candidate-volume audit line (the r9 lesson: this row exploded to
+    # 49 GB of shuffle under fixed 4-plane defaults; the data-derived
+    # plane count keeps candidates ~n·tables·target_bucket — print the
+    # measured count next to the n² ceiling so the sub-quadratic claim
+    # is a recorded number, like tools/lsh_skew.py's table).
+    n = emb.count()
+    planes = knn_join_planes(n)
+    n_cand = knn_join_candidates(left, right, n_planes=planes).count()
+    print(
+        f"# knn_join_sf1 sizing: n={n} planes={planes} candidate_pairs={n_cand} "
+        f"(n*n/2 ceiling {n * n // 2}, ratio {n_cand / (n * n / 2):.4f})",
+        file=sys.stderr,
+    )
+
     def action():
-        return knn_join_lsh(left, right, k=k).count()
+        return knn_join_lsh(left, right, k=k, n_planes=planes).count()
 
     action()  # warmup (plan + sign-matrix job)
     return REC.timed_best("knn_join_sf1", action, REPEATS)
@@ -562,119 +580,192 @@ REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
 
 def main() -> None:
+    """Crash-proof layout (round-10, after two consecutive rounds lost
+    the driver stamp — r8 to stdout truncation, r9 to one exploding
+    bench row aborting the whole process): every section AND every
+    suite row runs inside try/except recording failures into
+    ``errors``; the final compact stamp prints from ``finally``, so a
+    partially-failed bench still hands the driver a parsed JSON line
+    with whatever completed."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("ome-arrow-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    registry = suite.queries()
-
-    # Warm the JVM + parquet footers once with a trivial action.
-    registry["q1_pricing_summary"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = registry.get(name)
-        if fn is None:
-            continue
-        dt = REC.timed_best(name, lambda: fn(spark, sf_dir).count(), REPEATS)
-        times[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s (best of {REPEATS})", file=sys.stderr)
-    times_suite = list(times)  # the BASELINE-comparable suite core
-
-    # min-of-4 for the small ingest fixtures: their ~1 s walls are the
-    # most ambient-load-sensitive numbers in the suite (r3→r6 history)
-    ingest_s, ingest_rate = bench_tiff_ingest(spark, repeats=4)
-    times["tiff_ingest_100x512"] = round(ingest_s, 4)
-    total += ingest_s
-    print(f"# tiff_ingest_100x512: {ingest_s:.3f}s ({ingest_rate:.1f} img/s)", file=sys.stderr)
-
-    ome_s, ome_rate = bench_tiff_ingest(spark, real_tiff=True, repeats=4)
-    times["ometiff_ingest_100x512"] = round(ome_s, 4)
-    total += ome_s
-    print(f"# ometiff_ingest_100x512: {ome_s:.3f}s ({ome_rate:.1f} img/s)", file=sys.stderr)
-
-    # Steady-state ingest: 100 images under-amortize job-level fixed
-    # cost (scan planning + stage scheduling, ~0.7 s on this box and
-    # ambient-load dependent — the r3→r5 100-image swings of 181→106→128
-    # img/s were this constant moving, not the decode path). 800 images
-    # hold the fixed cost to <15% of wall, so this metric tracks the
-    # MARGINAL per-image cost that determines 100 TB behavior
-    # (measured ~5 ms/img wall on local[32]).
-    # NOT added to suite_total_wall: 8× the r1 fixture size would make
-    # the total incomparable to BASELINE's 100-image-era numbers; the
-    # throughput field below carries the signal.
-    steady_s, steady_rate = bench_tiff_ingest(spark, n_images=800, repeats=3)
-    times["tiff_ingest_steady_800"] = round(steady_s, 4)
-    print(
-        f"# tiff_ingest_steady_800: {steady_s:.3f}s ({steady_rate:.1f} img/s)",
-        file=sys.stderr,
-    )
-
-    zarr_s, zarr_rate = bench_zarr_ingest(spark)
-    times["zarr_ingest_30x512"] = round(zarr_s, 4)
-    total += zarr_s
-    print(f"# zarr_ingest_30x512: {zarr_s:.3f}s ({zarr_rate:.1f} stores/s)", file=sys.stderr)
-
-    # streaming acquisition path (standalone, r8: NOT in
-    # suite_total_wall — new metric, keeps the total BASELINE-comparable)
-    strm_s, strm_rate = bench_stream_ingest(spark)
-    times["stream_ingest_steady_200"] = round(strm_s, 4)
-    print(
-        f"# stream_ingest_steady_200: {strm_s:.3f}s ({strm_rate:.1f} img/s)",
-        file=sys.stderr,
-    )
-
-    # log-table format at 1k-file scale (NOT in suite_total_wall: new
-    # in r7, would skew the BASELINE comparison; tracked standalone)
-    tlog = bench_table_log(spark)
-    for k, v in tlog.items():
-        times[k] = round(v, 4)
-        print(f"# {k}: {v:.3f}", file=sys.stderr)
-
-    # BM25 index search walls on a prebuilt index (standalone, r7)
-    tix = bench_text_index(spark, sf_dir)
-    for k, v in tix.items():
-        times[k] = round(v, 4)
-        print(f"# {k}: {v:.3f}", file=sys.stderr)
-
-    # sf1 regime (r8): 10× the driver's largest shipped SF, generated
-    # locally by tools/gen_sf.py (key-shifted replication of sf0.1).
-    # Standalone section — NOT in suite_total_wall, which stays
-    # comparable to BASELINE's sf0.1-era totals.
+    errors: dict[str, str] = {}
+    times_suite: list[str] = []
     sf1_times: dict[str, float] = {}
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".local_testdata", "sf1"),
-    )
-    if os.path.isdir(sf1_dir):
-        for name in SF1_QUERIES:
+    rates: dict[str, float] = {}
+    total = 0.0
+
+    def guarded(name: str, fn):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:160]
+            print(f"# SECTION FAILED {name}: {exc}", file=sys.stderr)
+            return None
+
+    try:
+        spark = get_spark("ome-arrow-spark-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        registry = suite.queries()
+
+        # Warm the JVM + parquet footers once with a trivial action.
+        guarded("warmup", lambda: registry["q1_pricing_summary"](spark, sf_dir).count())
+
+        for name in BENCH_QUERIES:
             fn = registry.get(name)
             if fn is None:
                 continue
-            dt = REC.timed_best(
-                f"sf1_{name}", lambda: fn(spark, sf1_dir).count(), REPEATS
+            dt = guarded(
+                name,
+                lambda fn=fn, name=name: REC.timed_best(
+                    name, lambda: fn(spark, sf_dir).count(), REPEATS
+                ),
             )
-            sf1_times[f"sf1_{name}"] = round(dt, 4)
-            print(f"# sf1_{name}: {dt:.3f}s", file=sys.stderr)
-        times.update(sf1_times)
+            if dt is None:
+                continue
+            times[name] = round(dt, 4)
+            times_suite.append(name)
+            total += dt
+            print(f"# {name}: {dt:.3f}s (best of {REPEATS})", file=sys.stderr)
 
-    # ANN recall/latency at 100k vectors (standalone; brute-force
-    # numpy oracle). SPARK_GRAFT_ANN_VECTORS=0 skips for fast local runs.
-    ann_n = int(os.environ.get("SPARK_GRAFT_ANN_VECTORS", "100000"))
-    if ann_n > 0:
-        for k, v in bench_ann(spark, n_vectors=ann_n).items():
-            times[k] = round(v, 4)
-            print(f"# {k}: {v}", file=sys.stderr)
+        # min-of-4 for the small ingest fixtures: their ~1 s walls are the
+        # most ambient-load-sensitive numbers in the suite (r3→r6 history)
+        def _tiff():
+            nonlocal total
+            s, rate = bench_tiff_ingest(spark, repeats=4)
+            times["tiff_ingest_100x512"] = round(s, 4)
+            rates["tiff_ingest_images_per_sec"] = round(rate, 2)
+            total += s
+            print(f"# tiff_ingest_100x512: {s:.3f}s ({rate:.1f} img/s)", file=sys.stderr)
 
-    kj = bench_knn_join(spark, sf1_dir)
-    if kj is not None:
-        times["knn_join_sf1"] = round(kj, 4)
-        print(f"# knn_join_sf1: {kj:.3f}s", file=sys.stderr)
+        guarded("tiff_ingest_100x512", _tiff)
 
-    load = ambient_load_factor()
+        def _ometiff():
+            nonlocal total
+            s, rate = bench_tiff_ingest(spark, real_tiff=True, repeats=4)
+            times["ometiff_ingest_100x512"] = round(s, 4)
+            total += s
+            print(f"# ometiff_ingest_100x512: {s:.3f}s ({rate:.1f} img/s)", file=sys.stderr)
+
+        guarded("ometiff_ingest_100x512", _ometiff)
+
+        # Steady-state ingest: 100 images under-amortize job-level fixed
+        # cost (scan planning + stage scheduling, ~0.7 s on this box and
+        # ambient-load dependent — the r3→r5 100-image swings of 181→106→128
+        # img/s were this constant moving, not the decode path). 800 images
+        # hold the fixed cost to <15% of wall, so this metric tracks the
+        # MARGINAL per-image cost that determines 100 TB behavior
+        # (measured ~5 ms/img wall on local[32]).
+        # NOT added to suite_total_wall: 8× the r1 fixture size would make
+        # the total incomparable to BASELINE's 100-image-era numbers; the
+        # throughput field below carries the signal.
+        def _steady():
+            s, rate = bench_tiff_ingest(spark, n_images=800, repeats=3)
+            times["tiff_ingest_steady_800"] = round(s, 4)
+            rates["tiff_ingest_steady_images_per_sec"] = round(rate, 2)
+            print(f"# tiff_ingest_steady_800: {s:.3f}s ({rate:.1f} img/s)", file=sys.stderr)
+
+        guarded("tiff_ingest_steady_800", _steady)
+
+        def _zarr():
+            nonlocal total
+            s, rate = bench_zarr_ingest(spark)
+            times["zarr_ingest_30x512"] = round(s, 4)
+            total += s
+            print(f"# zarr_ingest_30x512: {s:.3f}s ({rate:.1f} stores/s)", file=sys.stderr)
+
+        guarded("zarr_ingest_30x512", _zarr)
+
+        # streaming acquisition path (standalone, r8: NOT in
+        # suite_total_wall — new metric, keeps the total BASELINE-comparable)
+        def _stream():
+            s, rate = bench_stream_ingest(spark)
+            times["stream_ingest_steady_200"] = round(s, 4)
+            rates["stream_ingest_images_per_sec"] = round(rate, 2)
+            print(f"# stream_ingest_steady_200: {s:.3f}s ({rate:.1f} img/s)", file=sys.stderr)
+
+        guarded("stream_ingest_steady_200", _stream)
+
+        # log-table format at 1k-file scale (NOT in suite_total_wall: new
+        # in r7, would skew the BASELINE comparison; tracked standalone)
+        def _tlog():
+            for k, v in bench_table_log(spark).items():
+                times[k] = round(v, 4)
+                print(f"# {k}: {v:.3f}", file=sys.stderr)
+
+        guarded("table_log", _tlog)
+
+        # BM25 index search walls on a prebuilt index (standalone, r7)
+        def _tix():
+            for k, v in bench_text_index(spark, sf_dir).items():
+                times[k] = round(v, 4)
+                print(f"# {k}: {v:.3f}", file=sys.stderr)
+
+        guarded("text_index", _tix)
+
+        # sf1 regime (r8): 10× the driver's largest shipped SF, generated
+        # locally by tools/gen_sf.py (key-shifted replication of sf0.1).
+        # Standalone section — NOT in suite_total_wall, which stays
+        # comparable to BASELINE's sf0.1-era totals.
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".local_testdata", "sf1"),
+        )
+        if os.path.isdir(sf1_dir):
+            for name in SF1_QUERIES:
+                fn = registry.get(name)
+                if fn is None:
+                    continue
+                dt = guarded(
+                    f"sf1_{name}",
+                    lambda fn=fn, name=name: REC.timed_best(
+                        f"sf1_{name}", lambda: fn(spark, sf1_dir).count(), REPEATS
+                    ),
+                )
+                if dt is None:
+                    continue
+                sf1_times[f"sf1_{name}"] = round(dt, 4)
+                print(f"# sf1_{name}: {dt:.3f}s", file=sys.stderr)
+            times.update(sf1_times)
+
+        # ANN recall/latency at 100k vectors (standalone; brute-force
+        # numpy oracle). SPARK_GRAFT_ANN_VECTORS=0 skips for fast local runs.
+        ann_n = int(os.environ.get("SPARK_GRAFT_ANN_VECTORS", "100000"))
+        if ann_n > 0:
+            def _ann():
+                for k, v in bench_ann(spark, n_vectors=ann_n).items():
+                    times[k] = round(v, 4)
+                    print(f"# {k}: {v}", file=sys.stderr)
+
+            guarded("ann", _ann)
+
+        def _kj():
+            kj = bench_knn_join(spark, sf1_dir)
+            if kj is not None:
+                times["knn_join_sf1"] = round(kj, 4)
+                print(f"# knn_join_sf1: {kj:.3f}s", file=sys.stderr)
+
+        guarded("knn_join_sf1", _kj)
+    finally:
+        _emit_stamp(sf, total, times, times_suite, sf1_times, rates, errors)
+
+
+def _emit_stamp(
+    sf: float,
+    total: float,
+    times: dict[str, float],
+    times_suite: list[str],
+    sf1_times: dict[str, float],
+    rates: dict[str, float],
+    errors: dict[str, str],
+) -> None:
+    try:
+        load = ambient_load_factor()
+    except Exception:  # noqa: BLE001 — the stamp must still print
+        load = -1.0
     print(f"# ambient_load_factor: {load}", file=sys.stderr)
 
     # The driver captures only the LAST ~2000 chars of stdout; the r8
@@ -703,18 +794,17 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: times[k] for k in stamp_keys if k in times},
         "sf": sf,
-        "tiff_ingest_images_per_sec": round(ingest_rate, 2),
-        "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
-        "stream_ingest_images_per_sec": round(strm_rate, 2),
+        **rates,
         "ambient_load_factor": load,
         "detail": "BENCH_DETAIL.json",
     }
+    if errors:
+        stamp["errors"] = errors
     detail = {
         "queries": times,
         "spreads": REC.spreads(),
-        "tiff_ingest_images_per_sec": round(ingest_rate, 2),
-        "tiff_ingest_steady_images_per_sec": round(steady_rate, 2),
-        "stream_ingest_images_per_sec": round(strm_rate, 2),
+        **rates,
+        "errors": errors,
         "ambient_load_factor": load,
         "sf": sf,
     }
@@ -729,6 +819,10 @@ def main() -> None:
     line = json.dumps(stamp)
     if len(line) > 1900:  # hard guard: never hand the driver a truncated line
         stamp["queries"] = {k: times[k] for k in times_suite}
+        line = json.dumps(stamp)
+    if len(line) > 1900:  # degenerate fallback: totals only, always parses
+        stamp["queries"] = {}
+        stamp.pop("errors", None)
         line = json.dumps(stamp)
     print(line)
 

@@ -297,6 +297,81 @@ def cosine_topk_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def knn_join_planes(n_right: int, target_bucket: int = 256) -> int:
+    """Signature width that keeps the EXPECTED right-side bucket near
+    ``target_bucket`` rows: 2^planes buckets per table must cover
+    n_right / target_bucket.  A FIXED plane count makes candidate
+    volume Θ(n²/2^planes) — quadratic in the corpus — which is exactly
+    the round-9 bench failure (4 planes → 16 buckets → 49 GB of
+    candidate shuffle at a 20k×20k self-join).  Scaling planes with
+    log2(n) pins candidates at ~n_left · n_tables · target_bucket:
+    LINEAR in the left side at any corpus size."""
+    import math
+
+    if n_right <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_right / target_bucket)))
+
+
+def knn_join_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "qid",
+    right_id: str = "cid",
+    vec: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    seed_mode: str = "xxhash",
+    target_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate-pair relation of :func:`knn_join_lsh` — exposed so
+    gates/benches can assert the candidate count stays sub-quadratic
+    (≲ n_left · n_tables · target_bucket) before paying for scoring.
+
+    ``n_planes=None`` (the default) derives the signature width from
+    the right-side row count via :func:`knn_join_planes`; the one
+    ``right.count()`` job is O(scan) and trivially cheaper than a
+    mis-sized candidate explosion.  ``max_bucket=None`` derives the
+    skew cap as 64 × target_bucket — reachable (64× the expected
+    bucket), unlike the old fixed 100k cap that could never engage
+    below ~1.6M-row buckets.
+
+    The pair dedup shuffles THIN (left_id, right_id) rows only — the
+    embedding vectors re-attach afterwards by id-equi-joins against
+    the original relations.  Carrying two dim-double vectors through
+    the bucket join + dedup multiplies that shuffle by ~16·dim bytes
+    per pair (the other half of the round-9 49 GB incident); the thin
+    form is ~24 bytes/pair regardless of dim, and the re-attach joins
+    are id-partitioned sort-merge (or AQE-broadcast when a side is
+    small)."""
+    if n_planes is None:
+        n_planes = knn_join_planes(max(right.count(), 1), target_bucket)
+    if max_bucket is None:
+        max_bucket = 64 * target_bucket
+    ls = _lsh_sig_side(left, left_id, vec, "__lv", n_planes, n_tables, seed_mode).select(
+        left_id, "__t", "__sig"
+    )
+    rs = _lsh_sig_side(right, right_id, vec, "__rv", n_planes, n_tables, seed_mode).select(
+        right_id, "__t", "__sig"
+    )
+    allowed = (
+        rs.groupBy("__t", "__sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("__t", "__sig")
+    )
+    pairs = (
+        ls.join(F.broadcast(allowed), ["__t", "__sig"])
+        .join(rs, ["__t", "__sig"])
+        .select(left_id, right_id)
+        .dropDuplicates([left_id, right_id])
+    )
+    return pairs.join(
+        left.select(F.col(left_id), F.col(vec).alias("__lv")), left_id
+    ).join(right.select(F.col(right_id), F.col(vec).alias("__rv")), right_id)
+
+
 def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
@@ -304,11 +379,12 @@ def knn_join_lsh(
     left_id: str = "qid",
     right_id: str = "cid",
     vec: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     digits: int = 6,
     seed_mode: str = "xxhash",
-    max_bucket: int = 100_000,
+    target_bucket: int = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN — top-k approximate cosine neighbors from
     ``right`` for EVERY row of ``left``, with BOTH sides large.
@@ -321,27 +397,33 @@ def knn_join_lsh(
     embedding-based corpus linking (dedup across datasets, retrieval
     supervision mining, cross-modal alignment) at 10^9 × 10^9 rows.
 
+    Sizing (round-10 fix): ``n_planes`` defaults to DATA-DERIVED via
+    :func:`knn_join_planes` — expected bucket ≈ ``target_bucket`` rows,
+    so candidate volume is ~n_left · n_tables · target_bucket, linear
+    in |left| at any corpus size.  The old fixed ``n_planes=4`` gave a
+    16-bucket space and Θ(n²/16) candidates (measured 49 GB of shuffle
+    at a 20k×20k self-join before the fix).
+
     Skew guard: hyperplane buckets are balanced for centered data, but
     real corpora have boilerplate/zero-ish vectors that collapse into
     mega-buckets; any bucket with more than ``max_bucket`` RIGHT rows
-    is dropped from candidate generation (the LSH-dedup ``max_bucket``
-    rationale — a B-row bucket emits |left∩bucket|·B candidate pairs).
-    The bucket census is tiny (≤ n_tables·2^n_planes rows), so the
-    allow-list is broadcast. Candidates dedup on (left_id, right_id),
-    exact cosine ranks inside, ties break on right id."""
-    ls = _lsh_sig_side(left, left_id, vec, "__lv", n_planes, n_tables, seed_mode)
-    rs = _lsh_sig_side(right, right_id, vec, "__rv", n_planes, n_tables, seed_mode)
-    allowed = (
-        rs.groupBy("__t", "__sig")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
-        .select("__t", "__sig")
-    )
-    candidates = (
-        ls.join(F.broadcast(allowed), ["__t", "__sig"])
-        .join(rs, ["__t", "__sig"])
-        .select(left_id, right_id, "__lv", "__rv")
-        .dropDuplicates([left_id, right_id])
+    (default 64 × target_bucket) is dropped from candidate generation
+    (the LSH-dedup ``max_bucket`` rationale — a B-row bucket emits
+    |left∩bucket|·B candidate pairs).  The bucket census is tiny
+    (≤ n_tables·2^n_planes rows), so the allow-list is broadcast.
+    Candidates dedup on (left_id, right_id), exact cosine ranks
+    inside, ties break on right id."""
+    candidates = knn_join_candidates(
+        left,
+        right,
+        left_id=left_id,
+        right_id=right_id,
+        vec=vec,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed_mode=seed_mode,
+        target_bucket=target_bucket,
+        max_bucket=max_bucket,
     )
     scored = candidates.select(
         left_id,

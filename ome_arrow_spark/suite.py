@@ -53,42 +53,44 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-9 rotation (the driver grades the FIRST 50 names only):
-    #   1. the six r9 queries (first driver rows),
-    #   2. every surface r9 code changes touched — woe_binning's fixed
-    #      oracle (the one never-green row), the codec-ingest fixture
-    #      that gained old-style JPEG, the text-index family after the
-    #      driver-side tokenization change, and the table-log /
-    #      log-source family after the external-review hardening +
-    #      catalog-resolver seam,
-    #   3. a 22-name tail drawn from the driver-ledger rows with the
-    #      OLDEST green stamp (rounds 2-3; the union invariant: every
-    #      registered query keeps an ever-green driver row, and the
-    #      stalest get re-verified first).
+    # Round-10 rotation (the driver grades the FIRST 50 names only):
+    #   1. stream_ann_ingest FIRST — registered after the r9 window was
+    #      set, so it is the one query with no driver-green row
+    #      (VERDICT r9 "Next round" #2); this restores the "every
+    #      registered query ever-driver-green" invariant,
+    #   2. the r10 queries as they land,
+    #   3. every surface r10 code changes touched — knn_join_lsh
+    #      (data-derived n_planes + thin-pair candidates + dynamic
+    #      oracle), rfm_segments / histogram_equidepth (scale twins),
+    #   4. an oldest-green re-verification tail: the rows whose driver
+    #      green is stalest (r2: window_range_frame; all 13 r3 rows;
+    #      r4 rows to fill) — ≥15 tail rows predate r8, per the
+    #      rotation invariant.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
-    # (1) round-9 additions
-    "ols_trend", "acf_daily", "ab_test_proportions", "rfm_segments",
-    "nb_classifier_score", "vocab_coverage", "ann_index_incremental",
-    "knn_join_lsh", "top_paths", "key_gini", "l_diversity",
-    "benford_digits",
-    # (2) r9-touched surfaces
-    "woe_binning", "ome_tiff_codec_ingest",
-    "text_index_search", "text_index_phrase", "text_index_search_many",
-    "text_index_incremental", "stream_text_index",
-    "table_clone",
-    "table_restore", "table_delete_dv", "table_time_travel",
-    "table_multi_txn", "table_sync", "table_change_feed",
-    "table_log_merge", "ome_table_log", "table_evolution",
-    "table_incremental_agg",
-    "stream_table_log_source", "stream_table_log_sink",
-    "stream_ome_ingest", "stream_cdc_upsert", "stream_cdc_deletes",
-    # (3) oldest-green re-verification tail (last green: r2-r3)
-    "agg_cube", "agg_extras", "agg_grouping_sets", "join_anti",
-    "q10_returned_items", "q14_conditional_agg", "q7_volume_shipping",
-    "scalar_array", "scalar_date_arith", "scalar_map", "scalar_nulls",
-    "scalar_string2", "set_ops_all", "window_distribution",
-    "agg_corr",
+    # (1) the never-driver-graded row
+    "stream_ann_ingest",
+    # (2) round-10 additions
+    "rfm_segments_scale", "histogram_equidepth_scale",
+    # (3) r10-touched surfaces
+    "knn_join_lsh", "rfm_segments", "histogram_equidepth",
+    # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
+    "window_range_frame",
+    "agg_minmax_by", "agg_rollup", "agg_stats", "pivot_status_priority",
+    "q17_small_quantity", "q22_global_sales_opportunity",
+    "q4_order_priority", "q9_product_profit", "scalar_date",
+    "scalar_math", "scalar_string", "set_ops", "unpivot_nation_balance",
+    "agg_distinct", "asof_events_orders", "asof_events_orders_forward",
+    "cogrouped_asof", "csv_roundtrip", "dataset_shuffle_pack",
+    "decontamination", "dedup_exact", "doc_fingerprint",
+    "events_gapfill", "filter_predicates", "funnel_events",
+    "grouped_map_topk", "join_full_outer", "join_left_order_counts",
+    "join_range", "json_events", "merge_incremental",
+    "ome_colocalization", "ome_describe", "ome_multiscale",
+    "ome_slice_crop", "ome_stack_ingest", "ome_verify",
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_revenue_by_nation", "q8_market_share", "sessionize_events",
+    "sort_topk",
 )
 
 

@@ -2435,3 +2435,107 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCALE TWINS of the two ntile queries (VERDICT r9 "Next round" #4).
+# Same outputs, same oracles — but computed via
+# operators/quantiles.equidepth_bucket: per-value hash counts, a
+# cumulative window over the DISTINCT-value relation only, boundary
+# tuples broadcast as ≤ k-1 literals, map-side bucket assignment. The
+# fact table is never globally sorted (no single-partition window
+# exchange — pinned by tests/test_quantiles.py and the PLANS.md row).
+# Registering them against the NTILE oracles is the exactness proof:
+# the driver hashes the no-sort formulation against the sort-defined
+# semantics cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_equidepth_scale",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    b = equidepth_bucket(o, "o_totalprice", "o_orderkey", 8)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "rfm_segments_scale",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       CAST(MAX(CAST(o_orderdate AS TIMESTAMP)) AS DATE),
+                       CAST((SELECT mx FROM mx) AS DATE)) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT o_custkey, r_days, freq, monetary,
+                 NTILE(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+                 NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+          FROM base)
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM q GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate")).alias("mx"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("mx").cast("date"), F.col("last_order").cast("date")
+            ).alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    base = equidepth_bucket(base, "r_days", "o_custkey", 4, out="r_q")
+    base = equidepth_bucket(
+        base, "freq", "o_custkey", 4, out="f_q", descending=True
+    )
+    base = equidepth_bucket(
+        base, "monetary", "o_custkey", 4, out="m_q", descending=True
+    )
+    return (
+        base.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (F.sum("monetary").cast("double") / F.count("*")).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -4439,18 +4439,72 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-join — no query-side broadcast, no driver collect, the
 # embedding-corpus-linking shape at 10^9 × 10^9. md5 seed mode keeps
 # every hyperplane sign in-plan so the oracle re-derives buckets,
-# candidates and ranks bit-identically; the skew guard (right buckets
-# > max_bucket dropped before pairing) never engages at fixture scale
-# and is covered by tests/test_clustering.py.
+# candidates and ranks bit-identically.  Round-10: n_planes is the
+# DATA-DERIVED default (knn_join_planes — expected bucket ≈ 256 right
+# rows at any corpus size; the fixed-4-plane default was the r9 bench
+# blowup), the oracle recomputes the same width from COUNT(*) via a
+# dynamic nested-lambda signature fold, and the query ASSERTS the
+# deduped candidate-pair count stays ≤ 2·n_left·n_tables·target_bucket
+# (the band_join no-nested-loop-assert pattern: a future parameter
+# regression fails the GATE, not the bench).  The skew guard (right
+# buckets > max_bucket dropped before pairing) never engages at
+# fixture scale and is covered by tests/test_clustering.py.
 # ---------------------------------------------------------------------------
+def _knn_join_oracle(
+    k: int, q_where: str, c_where: str, n_tables: int = 8, target_bucket: int = 256
+) -> str:
+    """DuckDB twin of knn_join_lsh(seed_mode='md5', n_planes=None): the
+    plane count is recomputed from the corpus COUNT(*) with the exact
+    knn_join_planes formula, and the signature is a dynamic-width
+    nested-lambda fold (outer lambda over planes, inner over vector
+    components) — the same md5-parity signs as :func:`_lsh_oracle`, so
+    buckets, candidates and ranks match at ANY corpus size/plane
+    count (gate-portable across sf0.001 → sf1)."""
+
+    def sig(v: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range((SELECT n FROM np)), p -> "
+            f"(CASE WHEN list_sum(list_transform(range(len({v})), i -> "
+            f"CAST({v}[i+1] AS DOUBLE) * "
+            f"(2 * (ascii(substr(md5(concat(CAST(t*1000+p AS VARCHAR), ':', i)), 1, 1)) % 2) - 1)"
+            f")) > 0.0 THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << p)"
+            f")) AS BIGINT)"
+        )
+
+    dot = "list_sum(list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {q_where}),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE {c_where}),
+         np AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / {target_bucket}.0)) AS INT)) AS n FROM c),
+         qs AS (SELECT qid, qe, t, {sig('qe')} AS sig
+                FROM q CROSS JOIN range({n_tables}) r(t)),
+         cs AS (SELECT cid, ce, t, {sig('ce')} AS sig
+                FROM c CROSS JOIN range({n_tables}) r(t)),
+         cand AS (SELECT DISTINCT qid, cid, qe, ce
+                  FROM qs JOIN cs USING (t, sig)),
+         p AS (SELECT qid, cid,
+                      ROUND({dot.format(a='qe', b='ce')}
+                            / (sqrt({dot.format(a='qe', b='qe')})
+                               * sqrt({dot.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM cand)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= {k}
+    """
+
+
 @register(
     "knn_join_lsh",
-    _lsh_oracle(
+    _knn_join_oracle(
         k=2, q_where="vec_id % 4 = 0", c_where="vec_id % 4 <> 0"
     ),
 )
 def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ome_arrow_spark.operators.similarity import knn_join_lsh as KJ
+    from ome_arrow_spark.operators.similarity import (
+        knn_join_candidates,
+        knn_join_lsh as KJ,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") % 4 == 0).select(
@@ -4458,5 +4512,11 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = emb.filter(F.col("vec_id") % 4 != 0).select(
         F.col("vec_id").alias("cid"), "embedding"
+    )
+    n_left = left.count()
+    n_cand = knn_join_candidates(left, right, seed_mode="md5").count()
+    assert n_cand <= 2 * n_left * 8 * 256, (
+        f"knn_join_lsh candidate blowup: {n_cand} pairs for {n_left} left rows "
+        f"(bound {2 * n_left * 8 * 256}) — n_planes sizing regressed"
     )
     return KJ(left, right, k=2, seed_mode="md5")

@@ -132,3 +132,49 @@ def test_lsh_topk_recall(spark, sf_dir):
     approx = {(r["qid"], r["cid"]) for r in cosine_topk_lsh(q, c, k=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_knn_join_planes_sizing():
+    """Data-derived signature width (the round-9 bench postmortem: a
+    FIXED n_planes=4 gives Θ(n²/16) candidates — 49 GB of shuffle at a
+    20k×20k self-join). The formula pins the expected right bucket at
+    ~target_bucket rows, so candidates stay ~n_left·tables·target."""
+    from ome_arrow_spark.operators.similarity import knn_join_planes
+
+    assert knn_join_planes(0) == 4
+    assert knn_join_planes(256) == 4
+    assert knn_join_planes(500) == 4      # gate fixtures stay in the 4-plane regime
+    assert knn_join_planes(20_000) == 7   # sf1 self-join: 128 buckets/table
+    assert knn_join_planes(1_600_000) == 13
+    assert knn_join_planes(10**9) == 22   # ~256-row buckets at a billion rows
+    assert knn_join_planes(20_000, target_bucket=32) == 10
+
+
+def test_knn_join_candidate_bound_and_auto_planes(spark, sf_dir):
+    """The deduped candidate-pair count must stay ≤ 2·n_left·tables·
+    target_bucket (the gate assertion's bound), and the auto-planes
+    default must produce the same join as the explicit width it picks."""
+    from ome_arrow_spark.operators.similarity import (
+        knn_join_candidates,
+        knn_join_lsh,
+        knn_join_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 4 != 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    n_left = left.count()
+    n_right = right.count()
+    n_cand = knn_join_candidates(left, right).count()
+    assert n_cand <= 2 * n_left * 8 * 256
+    planes = knn_join_planes(n_right)
+    auto = {(r["qid"], r["cid"], r["rk"]) for r in knn_join_lsh(left, right, k=2).collect()}
+    explicit = {
+        (r["qid"], r["cid"], r["rk"])
+        for r in knn_join_lsh(left, right, k=2, n_planes=planes).collect()
+    }
+    assert auto == explicit and len(auto) > 0

@@ -1,0 +1,85 @@
+"""Scale twins of the ntile queries (VERDICT r9 "Next round" #4):
+equidepth_bucket must be BIT-EQUAL to ntile over (metric, key) — not
+approximately — and its physical plan must never funnel the fact
+relation through a single-partition (global-sort) window exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+
+def _ntile(df, metric, key, k, descending=False):
+    order = [F.col(metric).desc() if descending else F.col(metric).asc(),
+             F.col(key).asc()]
+    return df.withColumn("bucket", F.ntile(k).over(Window.orderBy(*order)))
+
+
+@pytest.mark.parametrize("k,descending", [(4, False), (8, False), (4, True)])
+def test_equidepth_equals_ntile(spark, sf_dir, k, descending):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderkey"
+    )
+    got = {
+        (r["o_orderkey"], r["bucket"])
+        for r in equidepth_bucket(
+            o, "o_totalprice", "o_orderkey", k, descending=descending
+        ).collect()
+    }
+    want = {
+        (r["o_orderkey"], r["bucket"])
+        for r in _ntile(o, "o_totalprice", "o_orderkey", k, descending).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_equidepth_duplicate_values_and_small_n(spark):
+    # heavy ties (metric has 3 distinct values over 10 rows) + n < k
+    rows = [(i, i % 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "id BIGINT, v INT")
+    got = {
+        (r["id"], r["bucket"])
+        for r in equidepth_bucket(df, "v", "id", 4).collect()
+    }
+    want = {(r["id"], r["bucket"]) for r in _ntile(df, "v", "id", 4).collect()}
+    assert got == want
+    tiny = spark.createDataFrame([(1, 5), (2, 3), (3, 3)], "id BIGINT, v INT")
+    got = {
+        (r["id"], r["bucket"])
+        for r in equidepth_bucket(tiny, "v", "id", 8).collect()
+    }
+    want = {(r["id"], r["bucket"]) for r in _ntile(tiny, "v", "id", 8).collect()}
+    assert got == want
+
+
+def test_equidepth_no_single_partition_window(spark, sf_dir):
+    """The bucketed fact relation's plan must contain NO
+    single-partition exchange: the only Window in the tree runs over
+    the distinct-value relation, and bucket assignment is a projection
+    of broadcast literals. (The ntile formulation shows
+    'Exchange SinglePartition' feeding a Window over the full table —
+    exactly what this twin exists to avoid.)"""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderkey"
+    )
+    b = equidepth_bucket(o, "o_totalprice", "o_orderkey", 8)
+    agg = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    # the reference anti-plan really does contain it
+    nt = _ntile(o, "o_totalprice", "o_orderkey", 8).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    ntplan = nt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in ntplan
+
+
+def test_rfm_scale_twin_pins_to_ntile(spark, sf_dir):
+    from ome_arrow_spark.suite_analytics import rfm_segments, rfm_segments_scale
+
+    a = sorted(map(tuple, rfm_segments(spark, sf_dir).collect()))
+    b = sorted(map(tuple, rfm_segments_scale(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
