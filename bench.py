@@ -209,9 +209,17 @@ def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
     # plane count keeps candidates ~n·tables·target_bucket — print the
     # measured count next to the n² ceiling so the sub-quadratic claim
     # is a recorded number, like tools/lsh_skew.py's table).
+    # Bench operating point: target_bucket=64 (9 planes at 20k — 7.8M
+    # pairs, ~16 s measured) vs the library default 256 (7 planes,
+    # 26.9M pairs, ~50 s): the row exists to track the join's marginal
+    # cost per candidate, and 64 keeps the wall inside the driver's
+    # bench budget while exercising the identical plan shape.
+    tb = 64
     n = emb.count()
-    planes = knn_join_planes(n)
-    n_cand = knn_join_candidates(left, right, n_planes=planes).count()
+    planes = knn_join_planes(n, target_bucket=tb)
+    n_cand = knn_join_candidates(
+        left, right, n_planes=planes, target_bucket=tb
+    ).count()
     print(
         f"# knn_join_sf1 sizing: n={n} planes={planes} candidate_pairs={n_cand} "
         f"(n*n/2 ceiling {n * n // 2}, ratio {n_cand / (n * n / 2):.4f})",
@@ -219,7 +227,9 @@ def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
     )
 
     def action():
-        return knn_join_lsh(left, right, k=k, n_planes=planes).count()
+        return knn_join_lsh(
+            left, right, k=k, n_planes=planes, target_bucket=tb
+        ).count()
 
     action()  # warmup (plan + sign-matrix job)
     return REC.timed_best("knn_join_sf1", action, REPEATS)

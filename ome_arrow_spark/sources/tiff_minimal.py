@@ -516,28 +516,24 @@ def _split_jpeg_interchange(stream: bytes):
     raise ValueError("malformed JPEG stream: no SOS")
 
 
-def _decode_jpeg_old_fragments(
+def old_style_strip_streams(
     data: bytes,
     tags: dict[int, object],
     width: int,
     height: int,
     photo: int,
     spp: int,
-) -> np.ndarray:
-    """Old-style JPEG (Compression=6) in its TABLE-FRAGMENT layout
-    (TIFF 6.0 §22, tags 519/520/521): the quantization and Huffman
-    tables live as raw fragments in the file and each strip holds bare
-    entropy-coded data.  Decode by SYNTHESIZING a complete baseline
-    interchange stream per strip — SOI + DQT/DHT from the fragment
-    offsets + SOF0 sized to the strip + DRI(517) + SOS — and feeding
-    ``jpeg_minimal.jpeg_decode``.  A strip that already starts with SOI
-    (writers that stored per-strip abbreviated streams) is passed
-    through unchanged.  This closes the last tifffile-only codec gate
-    (the reference reaches these files through BioIO,
-    /root/reference/src/ome_arrow/ingest.py:321-327)."""
+) -> list[tuple[bytes, int]]:
+    """SYNTHESIZE a complete baseline interchange stream per strip of
+    an old-style JPEG (Compression=6) table-fragment TIFF — SOI +
+    DQT/DHT from the 519/520/521 fragment offsets + SOF0 sized to the
+    strip + DRI(517) + SOS + the strip's bare entropy data.  Returns
+    ``[(stream, rows)]`` per strip; a strip that already starts with
+    SOI (writers that stored per-strip abbreviated streams) passes
+    through unchanged.  Exposed separately from the decode so the
+    libjpeg interop lane (tests/test_jpeg_interop.py) can hand the
+    EXACT streams this module decodes to an independent decoder."""
     import struct
-
-    from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
 
     proc = int(tags.get(TAG_JPEG_PROC, [1])[0])
     if proc != 1:
@@ -605,7 +601,7 @@ def _decode_jpeg_old_fragments(
     rps = int(tags.get(TAG_ROWS_PER_STRIP, [height])[0]) or height
     offsets = tags[TAG_STRIP_OFFSETS]
     counts = tags[TAG_STRIP_BYTE_COUNTS]
-    parts = []
+    streams: list[tuple[bytes, int]] = []
     for i, (o, c) in enumerate(zip(offsets, counts)):
         frag = data[o : o + c]
         rows = min(rps, height - i * rps)
@@ -623,6 +619,32 @@ def _decode_jpeg_old_fragments(
             stream = (
                 bytes(head) + seg(0xC0, sof) + seg(0xDA, sos_payload) + frag
             )
+        streams.append((stream, rows))
+    return streams
+
+
+def _decode_jpeg_old_fragments(
+    data: bytes,
+    tags: dict[int, object],
+    width: int,
+    height: int,
+    photo: int,
+    spp: int,
+) -> np.ndarray:
+    """Old-style JPEG (Compression=6) in its TABLE-FRAGMENT layout
+    (TIFF 6.0 §22, tags 519/520/521): the quantization and Huffman
+    tables live as raw fragments in the file and each strip holds bare
+    entropy-coded data.  Decode by feeding each stream
+    :func:`old_style_strip_streams` synthesizes to
+    ``jpeg_minimal.jpeg_decode``.  This closes the last tifffile-only
+    codec gate (the reference reaches these files through BioIO,
+    /root/reference/src/ome_arrow/ingest.py:321-327)."""
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_decode
+
+    parts = []
+    for stream, rows in old_style_strip_streams(
+        data, tags, width, height, photo, spp
+    ):
         a = jpeg_decode(stream, color_transform=(photo != 2))
         a = (a[..., np.newaxis] if a.ndim == 2 else a)[:rows, :width]
         parts.append(a)

@@ -201,3 +201,65 @@ def test_libjpeg_decodes_our_arithmetic_streams(oracle, nc, rsti):
     lj = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, got_nc).squeeze()
     ours = jm.jpeg_decode(blob)
     assert int(np.abs(lj.astype(int) - ours.astype(int)).max()) <= 2
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize(
+    "spp,photo,sub,nstrips",
+    [(1, 1, None, 2), (3, 6, (1, 1), 1), (3, 6, (2, 2), 1)],
+    ids=["gray-2strip", "ycbcr-444", "ycbcr-420"],
+)
+def test_old_style_tiff_streams_match_libjpeg(oracle, spp, photo, sub,
+                                              nstrips):
+    """Old-style JPEG (TIFF Compression=6, table-fragment layout):
+    the interchange streams old_style_strip_streams SYNTHESIZES from
+    the 519/520/521 fragments must (a) be valid JPEG per libjpeg and
+    (b) entropy-decode to the SAME quantized coefficient blocks in
+    libjpeg and in jpeg_minimal — closing the cross-decoder loop for
+    the r9 old-style path the way baseline/progressive are closed
+    (VERDICT r9 'Next round' #7; previously fixture-tested only
+    against this repo's own encoder)."""
+    from test_tiff_minimal import _build_fragment_tiff
+
+    from ome_arrow_spark.sources.jpeg_minimal import jpeg_encode_subsampled
+    from ome_arrow_spark.sources.tiff_minimal import (
+        _read_ifd_entries,
+        old_style_strip_streams,
+    )
+
+    h, w = 32, 40
+    img = _test_image(w, h, 1 if spp == 1 else 3, seed=23)
+    rps = h // nstrips
+    if spp == 1:
+        strips = [img[i * rps:(i + 1) * rps] for i in range(nstrips)]
+        streams = [jpeg_encode(s, quality=85) for s in strips]
+    elif sub == (2, 2):
+        streams = [jpeg_encode_subsampled(img, quality=85, subsampling="420")]
+    else:
+        streams = [jpeg_encode(img, quality=85)]
+    blob = _build_fragment_tiff(
+        streams, width=w, height=h, rows_per_strip=rps if spp == 1 else h,
+        spp=spp, photo=photo, subsampling=sub,
+    )
+    (first_ifd,) = struct.unpack_from("<I", blob, 4)
+    tags, _ = _read_ifd_entries(blob, "<", first_ifd)
+    synth = old_style_strip_streams(blob, tags, w, h, photo, spp)
+    assert len(synth) == nstrips
+    zz = ZIGZAG
+    for stream, _rows in synth:
+        ref = _libjpeg_coefs(oracle, stream)  # also proves validity
+        cap = _our_coefs(stream)
+        _, _, comps, _ = cap["f"]
+        for idx, (cid, _ch, _cv, _tq) in enumerate(comps):
+            bh, bw, rblocks = ref[idx]
+            grid = {
+                (oy // 8, ox // 8): blk
+                for blk, (oy, ox) in zip(cap["c"][cid], cap["o"][cid])
+            }
+            for by in range(bh):
+                for bx in range(bw):
+                    r = rblocks[by * bw + bx]
+                    rz = [r[zz[k]] for k in range(64)]
+                    assert list(grid[(by, bx)]) == rz, (
+                        f"old-style comp {cid} block ({by},{bx}) differs"
+                    )
