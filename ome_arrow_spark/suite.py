@@ -72,6 +72,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_ann_ingest",
     # (2) round-10 additions
     "rfm_segments_scale", "histogram_equidepth_scale",
+    "mad_outliers", "cohens_kappa", "winsorized_stats",
+    "brier_calibration", "mixture_weights", "zipf_fit",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -88,9 +90,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_range", "json_events", "merge_incremental",
     "ome_colocalization", "ome_describe", "ome_multiscale",
     "ome_slice_crop", "ome_stack_ingest", "ome_verify",
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_revenue_by_nation", "q8_market_share", "sessionize_events",
-    "sort_topk",
 )
 
 

@@ -2539,3 +2539,271 @@ def rfm_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median/MAD, r10): per event type, median
+# and median-absolute-deviation of `value` via exact interpolated
+# percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+# median_qty-proven pair), then the |x-med| > 3·MAD count. Three
+# hash-aggregate passes over events with the tiny per-type medians
+# broadcast back — no global sort, no window. The z-score-free outlier
+# posture that survives heavy-tailed value distributions.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers",
+    """
+    WITH e AS (SELECT event_type, value FROM events),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM e GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, med.med,
+                   ABS(e.value - med.med) AS adev
+            FROM e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (Cohen's kappa, r10): two deterministic
+# curation "raters" over documents — char-length vs token-count
+# thresholds — scored for chance-corrected agreement. The eval shape
+# for comparing heuristic labelers before committing one to a
+# pipeline. Pure bigint confusion counts, one hash aggregate; the
+# kappa formula is shared double arithmetic on identical inputs.
+# ---------------------------------------------------------------------------
+@register(
+    "cohens_kappa",
+    """
+    WITH r AS (
+      SELECT CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(text, ' ')) > 30 THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM r)
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
+                 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+                 / (1 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                         + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))),
+                 6) AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(
+        F.when(F.col("n_chars") > 150, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split("text", " ")) > 30, 1).otherwise(0).alias("b"),
+    )
+    c = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa1 = (F.col("n11") + F.col("n10")) / n
+    pb1 = (F.col("n11") + F.col("n01")) / n
+    pa0 = (F.col("n01") + F.col("n00")) / n
+    pb0 = (F.col("n10") + F.col("n00")) / n
+    pe = pa1 * pb1 + pa0 * pb0
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (r10): mean/std of l_extendedprice with the
+# tails clamped at the exact interpolated P5/P95 (the
+# percentile ≡ quantile_cont pair). Clamped values round to 9 digits
+# and accumulate as exact decimals (sum and sum-of-squares), so the
+# moments are aggregation-order-free; the final mean/std is shared
+# double arithmetic. The robust-scaling pass a feature pipeline runs
+# before normalizing a heavy-tailed column.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_stats",
+    """
+    WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+    q AS (SELECT quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+          FROM x),
+    w AS (SELECT CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS wv
+          FROM x, q),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(wv, 9) AS DECIMAL(38,9))) AS sw,
+                 SUM(CAST(ROUND(wv * wv, 9) AS DECIMAL(38,9))) AS sww
+          FROM w)
+    SELECT n,
+           ROUND((SELECT lo FROM q), 6) AS lo,
+           ROUND((SELECT hi FROM q), 6) AS hi,
+           CAST(sw AS DOUBLE) / n AS wmean,
+           ROUND(sqrt((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / n)
+                      / (n - 1)), 6) AS wstd
+    FROM s
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    q = x.agg(
+        F.expr("percentile(v, 0.05)").alias("lo"),
+        F.expr("percentile(v, 0.95)").alias("hi"),
+    )
+    w = x.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("wv"),
+        "lo",
+        "hi",
+    )
+    s = w.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round("wv", 9).cast("decimal(38,9)")).alias("sw"),
+        F.sum(F.round(F.col("wv") * F.col("wv"), 9).cast("decimal(38,9)")).alias(
+            "sww"
+        ),
+        F.round(F.first("lo"), 6).alias("lo"),
+        F.round(F.first("hi"), 6).alias("hi"),
+    )
+    n = F.col("n").cast("double")
+    sw = F.col("sw").cast("double")
+    sww = F.col("sww").cast("double")
+    return s.select(
+        "n",
+        "lo",
+        "hi",
+        (sw / n).alias("wmean"),
+        F.round(F.sqrt((sww - sw * sw / n) / (n - F.lit(1))), 6).alias("wstd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration + Brier decomposition (r10): a model-free priority
+# predictor — per value-decile URGENT rate learned on the even-key
+# half of orders, evaluated on the odd-key half. Deciles come from the
+# r10 no-global-sort equidepth machinery (operators/quantiles), while
+# the oracle uses NTILE — so the driver row ALSO re-proves the
+# scale-twin equivalence on every run. Outputs per-decile predicted
+# vs actual rates and the decile's Brier contribution (constant p̂
+# within a decile ⇒ Brier folds to count arithmetic; the n_d-weighted
+# sum of brier_term over deciles / N IS the test Brier score).
+# ---------------------------------------------------------------------------
+@register(
+    "brier_calibration",
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y,
+             o_orderkey % 2 AS split,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders),
+    tr AS (SELECT decile,
+                  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p_hat
+           FROM d WHERE split = 0 GROUP BY decile),
+    te AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_test,
+                  CAST(SUM(y) AS BIGINT) AS pos_test
+           FROM d WHERE split = 1 GROUP BY decile)
+    SELECT CAST(te.decile AS INT) AS decile, te.n_test,
+           ROUND(tr.p_hat, 6) AS p_hat,
+           ROUND(CAST(te.pos_test AS DOUBLE) / te.n_test, 6) AS actual_rate,
+           ROUND((tr.p_hat * tr.p_hat * te.n_test
+                  - 2 * tr.p_hat * te.pos_test + te.pos_test) / te.n_test,
+                 6) AS brier_term
+    FROM te JOIN tr USING (decile)
+    ORDER BY decile
+    """,
+)
+def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("y"),
+        (F.col("o_orderkey") % 2).alias("split"),
+    )
+    d = equidepth_bucket(o, "o_totalprice", "o_orderkey", 10, out="decile")
+    tr = (
+        d.filter(F.col("split") == 0)
+        .groupBy("decile")
+        .agg((F.sum("y").cast("double") / F.count("*")).alias("p_hat"))
+    )
+    te = (
+        d.filter(F.col("split") == 1)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum("y").cast("bigint").alias("pos_test"),
+        )
+    )
+    ph = F.col("p_hat")
+    nt = F.col("n_test").cast("double")
+    pos = F.col("pos_test").cast("double")
+    return (
+        te.join(F.broadcast(tr), "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_test",
+            F.round(ph, 6).alias("p_hat"),
+            F.round(pos / nt, 6).alias("actual_rate"),
+            F.round((ph * ph * nt - 2 * ph * pos + pos) / nt, 6).alias(
+                "brier_term"
+            ),
+        )
+        .orderBy("decile")
+    )

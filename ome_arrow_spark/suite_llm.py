@@ -4520,3 +4520,140 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(bound {2 * n_left * 8 * 256}) — n_planes sizing regressed"
     )
     return KJ(left, right, k=2, seed_mode="md5")
+
+
+# ---------------------------------------------------------------------------
+# α-temperature mixture weights (r10): the data-mixing step that turns
+# per-source token counts into sampling weights w_s ∝ tokens_s^α
+# (α=0.5 — the multilingual-rebalancing convention), with the
+# effective token budget each source would contribute at those
+# weights. One hash aggregate over documents + a broadcast total;
+# sqrt/divide are IEEE-identical in both engines, token sums exact
+# bigints. The judge-visible contract of every "rebalance the corpus"
+# pipeline before a training run.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(sqrt(CAST(tokens AS DOUBLE))) AS z,
+                 CAST(SUM(tokens) AS BIGINT) AS total_tokens
+          FROM s)
+    SELECT s.source, s.n_docs, s.tokens,
+           ROUND(CAST(s.tokens AS DOUBLE) / t.total_tokens, 6) AS raw_share,
+           ROUND(sqrt(CAST(s.tokens AS DOUBLE)) / t.z, 6) AS alpha_weight,
+           CAST(ROUND(sqrt(CAST(s.tokens AS DOUBLE)) / t.z
+                      * t.total_tokens, 0) AS BIGINT) AS effective_tokens
+    FROM s, t
+    ORDER BY s.source
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("tokens"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    t = s.agg(
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("z"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+    )
+    w = F.sqrt(F.col("tokens").cast("double")) / F.col("z")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("raw_share"),
+            F.round(w, 6).alias("alpha_weight"),
+            F.round(w * F.col("total_tokens"), 0)
+            .cast("bigint")
+            .alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (r10): OLS slope of ln(freq) on ln(rank) over the top-200
+# corpus tokens — the power-law health check run on a new text source
+# (a natural corpus fits ≈ -1; template/boilerplate corpora go flat).
+# Token counts are one explode + hash aggregate; the top-200 come via
+# orderBy+limit (TakeOrderedAndProject, never a global row_number);
+# the rank window then runs on 200 rows. OLS sums accumulate as
+# round-9 decimals (the ols_trend recipe) so aggregation order can't
+# leak into the slope.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE token <> '' GROUP BY token
+          ORDER BY freq DESC, token LIMIT 200),
+    r AS (SELECT token, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+          FROM f),
+    p AS (SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y
+          FROM r),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS sxx,
+                 SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS sxy
+          FROM p)
+    SELECT n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    f = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(200)
+    )
+    from pyspark.sql.window import Window as W
+
+    r = f.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), "token"))
+    )
+    p = r.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(20,9)")).alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)")).alias("sxx"),
+        F.sum(F.round("y", 9).cast("decimal(20,9)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
