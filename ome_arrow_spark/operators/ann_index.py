@@ -40,9 +40,16 @@ def build_ivf_index(
     overwrite: bool = False,
     train: str = "exact",
     sample_size: int = 262_144,
+    extra_cols: tuple[str, ...] = (),
 ) -> int:
     """Train the k-means quantizer on ``corpus`` and materialize the
     inverted lists as a log table, range-clustered on ``centroid_id``.
+
+    ``extra_cols`` carries metadata columns (labels, timestamps,
+    source tags) into the stored lists so searches can FILTER
+    candidates inside the index scan — the "filtered vector search"
+    contract (predicate applies before ranking, top-k among passing
+    rows only).
     Centroids (k × dim doubles) persist as a table property — JSON
     floats round-trip exactly, so search-time assignments match
     build-time assignments bit-for-bit.
@@ -65,6 +72,7 @@ def build_ivf_index(
             QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
             F.col(corpus_id).alias("cid"),
             F.col(vec).alias("embedding"),
+            *[F.col(c) for c in extra_cols],
         )
         cent_map = {j: [float(x) for x in cents[j]] for j in range(len(cents))}
     elif train == "exact":
@@ -78,12 +86,17 @@ def build_ivf_index(
             iterations=iterations,
         ).withColumnRenamed("vec_id", corpus_id)
         listed = (
-            corpus.select(F.col(corpus_id), F.col(vec).alias("embedding"))
+            corpus.select(
+                F.col(corpus_id),
+                F.col(vec).alias("embedding"),
+                *[F.col(c) for c in extra_cols],
+            )
             .join(assign, corpus_id)
             .select(
                 F.col("cluster").cast("int").alias("centroid_id"),
                 F.col(corpus_id).alias("cid"),
                 "embedding",
+                *[F.col(c) for c in extra_cols],
             )
         )
         cents = cluster_means(
@@ -165,6 +178,7 @@ def ivf_index_search(
     query_id: str = "qid",
     vec: str = "embedding",
     digits: int = 6,
+    where: str | None = None,
 ) -> DataFrame:
     """Search the materialized index: pick each query's ``n_probe``
     nearest stored centroids (driver-side — queries are small by
@@ -219,6 +233,11 @@ def ivf_index_search(
     lists = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in sorted(live)]
     )
+    if where is not None:
+        # filtered vector search: the predicate prunes candidates
+        # INSIDE the manifest-pruned list scan (pushed to parquet),
+        # before any scoring — top-k is computed among passing rows
+        lists = lists.filter(F.expr(where))
 
     pairs = spark.createDataFrame(
         probe_pairs,

@@ -74,6 +74,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "rfm_segments_scale", "histogram_equidepth_scale",
     "mad_outliers", "cohens_kappa", "winsorized_stats",
     "brier_calibration", "mixture_weights", "zipf_fit",
+    "ann_filtered_search", "dedup_canonical", "stream_minhash_ingest",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -89,7 +90,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "grouped_map_topk", "join_full_outer", "join_left_order_counts",
     "join_range", "json_events", "merge_incremental",
     "ome_colocalization", "ome_describe", "ome_multiscale",
-    "ome_slice_crop", "ome_stack_ingest", "ome_verify",
 )
 
 

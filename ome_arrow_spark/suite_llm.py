@@ -4657,3 +4657,132 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (r10): top-k cosine neighbors among ONLY the
+# corpus rows passing a metadata predicate — the production "search
+# within a category/tenant/date-range" contract every vector store
+# exposes. The predicate prunes candidates INSIDE the manifest-pruned
+# IVF list scan (parquet pushdown on the stored metadata column),
+# BEFORE any scoring: top-k is computed among passing rows, never
+# post-filtered from an unfiltered top-k (which under-returns). Full
+# probes make the index scan exhaustive, so the oracle is brute-force
+# cosine top-k with the same WHERE — a hash match proves the filter
+# semantics AND that the metadata column survived the index build.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_filtered_search",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id >= 10 AND label = 2),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6)
+                        AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding", "label"
+    )
+    table = (
+        f"/tmp/ome_arrow_rt_ivffilt_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    AI.build_ivf_index(
+        spark, c, table, n_centroids=8, overwrite=True, extra_cols=("label",)
+    )
+    return AI.ivf_index_search(
+        spark, table, q, k=3, n_probe=8, where="label = 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical near-dup dedup (r10): the END-TO-END near-dup pipeline in
+# one query — MinHash signatures → banded LSH candidate pairs →
+# connected components (min-label propagation) → per-cluster canonical
+# winner (the min doc id IS the component label) with the full sorted
+# member list. This is the query a curation pipeline actually ships:
+# neardup_lsh emits pairs, dedup_components emits labels on synthetic
+# edges; this composes REAL LSH pairs through clustering into the
+# keep/drop decision. The oracle replays the whole chain: the
+# neardup md5-MinHash CTE + a recursive min-label walk + string
+# aggregation of members — a hash match pins every stage at once.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.band_key = b2.band_key
+           AND a.doc_id < b2.doc_id),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u),
+    comp AS (SELECT node, MIN(label) AS component
+             FROM walk GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           array_to_string(list(CAST(node AS VARCHAR) ORDER BY node), ',')
+             AS members
+    FROM comp GROUP BY component
+    HAVING COUNT(*) >= 2
+    ORDER BY canonical_id
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.clustering import connected_components
+
+    sig = DD.minhash_signatures(_mutated_docs(spark, sf_dir))
+    pairs = DD.lsh_candidates(sig)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").cast("bigint").alias("canonical_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("node").cast("bigint"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("canonical_id")
+    )

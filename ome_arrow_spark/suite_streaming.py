@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ome_arrow_spark import suite_llm as LLM
 from ome_arrow_spark.streaming import events as EV
 from ome_arrow_spark.suite import _t, register
 
@@ -922,5 +923,80 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         EV.run_foreach_batch(stream, index_batch, output_mode="append")
         AI.optimize_ivf_index(spark, table)
         return AI.ivf_index_search(spark, table, q, k=3, n_probe=8)
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash signature maintenance (r10) — the dedup-lane twin
+# of stream_ann_ingest: documents arrive in four micro-batch waves;
+# each batch computes MinHash signatures (the same md5 fold the batch
+# pipeline uses) and appends them ATOMICALLY to a signature log table
+# (exactly-once: files + one commit per batch). After the stream
+# drains, banded LSH candidates run over the STORED signatures. The
+# oracle is the batch neardup pair derivation over the full corpus —
+# a hash match proves the incremental signature store converged to
+# the batch result (no lost, duplicated, or stale signatures), which
+# is the invariant a continuously-ingesting dedup service must keep.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_minhash_ingest",
+    f"""
+    WITH corpus AS ({LLM._MUTATED_SQL}),
+    t AS (SELECT doc_id, {LLM._TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {LLM._MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM b a JOIN b b2
+      ON a.band = b2.band AND a.band_key = b2.band_key
+         AND a.doc_id < b2.doc_id
+    """,
+)
+def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ome_arrow_spark.operators import dedup as DD
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark import suite_llm as LLM2
+
+    corpus = LLM2._mutated_docs(spark, sf_dir)
+    drop = tempfile.mkdtemp(prefix="stream_mh_drop_")
+    table = (
+        f"/tmp/ome_arrow_rt_mhstream_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        for m in range(4):
+            corpus.filter(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop)
+        )
+
+        def sig_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            sig = DD.minhash_signatures(batch_df)
+            if tl.current_version(table) is None:
+                tl.create_table(spark, sig, table)
+            else:
+                tl.append_table(spark, sig, table)
+
+        EV.run_foreach_batch(stream, sig_batch, output_mode="append")
+        stored = tl.read_table(spark, table)
+        return DD.lsh_candidates(stored)
     finally:
         shutil.rmtree(drop, ignore_errors=True)
