@@ -43,23 +43,42 @@ def _lt(metric: Column, key: Column, bv, bk) -> Column:
     return (F.lit(bv) < metric) | ((F.lit(bv) == metric) & (F.lit(bk) < key))
 
 
-def equidepth_bucket(
+def equidepth_boundaries(
     df: DataFrame,
     metric: str,
     key: str,
     k: int,
-    out: str = "bucket",
     descending: bool = False,
-) -> DataFrame:
-    """Add ``out`` = exact ``ntile(k) OVER (ORDER BY metric [DESC],
-    key)`` to ``df`` without globally sorting ``df``.
+) -> list[tuple[int, object, object]]:
+    """The k-1 exact ntile boundary tuples ``(bucket, metric, key)`` —
+    the last element of each bucket under ``ORDER BY metric [DESC],
+    key`` — computed WITHOUT a global sort (per-value counts +
+    distinct-value cumulative window + a ≤k-1-row rank probe).  The
+    metric components are the bucket's max values: reference-period
+    quantile EDGES for drift monitoring (PSI), range-bucketing, or
+    winsor thresholds applied to OTHER data."""
+    return _boundaries(df, metric, key, k, descending)
 
-    ``descending`` flips the METRIC ordering only (the key tiebreak
-    stays ascending), matching ``ORDER BY metric DESC, key``.
-    """
+
+def equidepth_edges(
+    df: DataFrame, metric: str, key: str, k: int
+) -> list[object]:
+    """Just the k-1 ascending boundary METRIC values (per-bucket max
+    of the exact ntile assignment) — what a PSI / drift monitor stores
+    as the reference binning."""
+    return [bv for _, bv, _ in _boundaries(df, metric, key, k, False)]
+
+
+def _boundaries(
+    df: DataFrame,
+    metric: str,
+    key: str,
+    k: int,
+    descending: bool,
+) -> list[tuple[int, object, object]]:
     n = df.count()
     if n == 0:
-        return df.withColumn(out, F.lit(None).cast("int"))
+        return []
     base, extra = divmod(n, k)
     # rank of the LAST element of bucket b (1-indexed), b = 1..k-1
     ranks = [b * base + min(b, extra) for b in range(1, k)]
@@ -98,12 +117,30 @@ def equidepth_bucket(
         .filter(F.col("__rn") == F.col("__off"))
         .select("b", metric, key)
     )
-    boundaries = sorted(
+    return sorted(
         ((r["b"], r[metric], r[key]) for r in bkeys.collect()),
         key=lambda t: t[0],
     )
 
-    kcol = F.col(key)
+
+def equidepth_bucket(
+    df: DataFrame,
+    metric: str,
+    key: str,
+    k: int,
+    out: str = "bucket",
+    descending: bool = False,
+) -> DataFrame:
+    """Add ``out`` = exact ``ntile(k) OVER (ORDER BY metric [DESC],
+    key)`` to ``df`` without globally sorting ``df``.
+
+    ``descending`` flips the METRIC ordering only (the key tiebreak
+    stays ascending), matching ``ORDER BY metric DESC, key``.
+    """
+    if df.isEmpty():
+        return df.withColumn(out, F.lit(None).cast("int"))
+    boundaries = _boundaries(df, metric, key, k, descending)
+    m, kcol = F.col(metric), F.col(key)
     if descending:
         below = [
             (F.lit(bv) > m) | ((F.lit(bv) == m) & (F.lit(bk) < kcol))

@@ -75,6 +75,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mad_outliers", "cohens_kappa", "winsorized_stats",
     "brier_calibration", "mixture_weights", "zipf_fit",
     "ann_filtered_search", "dedup_canonical", "stream_minhash_ingest",
+    "psi_drift", "kaplan_meier", "chi2_independence", "forecast_mase",
+    "pmi_cooccurrence",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -88,8 +90,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "decontamination", "dedup_exact", "doc_fingerprint",
     "events_gapfill", "filter_predicates", "funnel_events",
     "grouped_map_topk", "join_full_outer", "join_left_order_counts",
-    "join_range", "json_events", "merge_incremental",
-    "ome_colocalization", "ome_describe", "ome_multiscale",
+    "join_range",
 )
 
 

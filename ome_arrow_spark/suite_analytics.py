@@ -2807,3 +2807,351 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift monitor (r10): the ML-monitoring
+# readout — reference-period decile edges (first half of January,
+# from the no-sort equidepth machinery; the oracle derives the same
+# edges as per-NTILE-tile maxima) bucket BOTH periods by value, and
+# each bucket contributes (p-q)·ln(p/q) with +1 Laplace smoothing.
+# Edges are ≤9 driver-collected scalars broadcast into a map-side
+# CASE fold — the big relation is scanned once, never sorted. The
+# sum of psi_term over the 10 rows IS the PSI statistic.
+# ---------------------------------------------------------------------------
+@register(
+    "psi_drift",
+    """
+    WITH e AS (SELECT event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    ref AS (SELECT event_id, value FROM e WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT event_id, value FROM e WHERE ts >= TIMESTAMP '2024-01-16'),
+    t AS (SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS b FROM ref),
+    edges AS (SELECT b, MAX(value) AS e FROM t WHERE b < 10 GROUP BY b),
+    br AS (SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < r.value) AS bucket
+           FROM ref r),
+    bc AS (SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < c.value) AS bucket
+           FROM cur c),
+    cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref FROM br GROUP BY bucket),
+    cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur FROM bc GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS nr,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS nc)
+    SELECT CAST(b.bucket AS INT) AS bucket,
+           COALESCE(cr.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur,
+           ROUND((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10), 6) AS p_ref,
+           ROUND((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10), 6) AS p_cur,
+           ROUND(((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10)
+                  - (COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))
+                 * LN(((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10))
+                      / ((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))),
+                 6) AS psi_term
+    FROM (SELECT unnest(range(1, 11)) AS bucket) b
+    LEFT JOIN cr ON cr.bucket = b.bucket
+    LEFT JOIN cc ON cc.bucket = b.bucket
+    CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_edges
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "value", F.col("ts").alias("ts")
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = e.filter(F.col("ts") < split).select("event_id", "value")
+    cur = e.filter(F.col("ts") >= split).select("event_id", "value")
+    edges = equidepth_edges(ref, "value", "event_id", 10)
+
+    def bucket(col):
+        b = F.lit(1)
+        for ev in edges:
+            b = b + (F.lit(ev) < col).cast("int")
+        return b
+
+    cr = (
+        ref.select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+    cc = (
+        cur.select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_cur"))
+    )
+    tot = ref.agg(F.count("*").cast("bigint").alias("nr")).crossJoin(
+        cur.agg(F.count("*").cast("bigint").alias("nc"))
+    )
+    buckets = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        buckets.join(cr, "bucket", "left")
+        .join(cc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    nr1 = (F.coalesce(F.col("n_ref"), F.lit(0)) + 1.0) / (F.col("nr") + 10)
+    nc1 = (F.coalesce(F.col("n_cur"), F.lit(0)) + 1.0) / (F.col("nc") + 10)
+    return j.select(
+        "bucket",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+        F.round(nr1, 6).alias("p_ref"),
+        F.round(nc1, 6).alias("p_cur"),
+        F.round((nr1 - nc1) * F.log(nr1 / nc1), 6).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (r10): time-to-next-event survival
+# over per-user inter-event gaps (hours) — every consecutive gap is an
+# observed event, each user's final gap (last event → observation
+# horizon) enters CENSORED, which is exactly the estimand behind
+# "how long until a user comes back". The product-limit estimator
+# folds as exp(Σ ln(1 − d/n)): each log term is a deterministic
+# double, rounded to 9 digits and accumulated by a duration-ordered
+# cumulative DECIMAL window (the proven cusum recipe), so the running
+# product is aggregation-order-free. At-risk counts come from one
+# cumulative window over per-duration aggregates (≤ a few hundred
+# rows — tiny); the per-user ordering is the one partitioned window
+# every sessionization already pays. Output: survival at each gap
+# length with d_i > 0 (capped at 48h for a stable curve head).
+# ---------------------------------------------------------------------------
+@register(
+    "kaplan_meier",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    mx AS (SELECT MAX(ts) AS m FROM e),
+    g AS (SELECT user_id, ts,
+                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM e),
+    obs AS (
+      SELECT CAST(FLOOR((FLOOR(epoch(nxt)) - FLOOR(epoch(ts))) / 3600.0) AS BIGINT)
+               AS dur, 1 AS ev
+      FROM g WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT CAST(FLOOR((FLOOR(epoch((SELECT m FROM mx))) - FLOOR(epoch(ts))) / 3600.0)
+                  AS BIGINT) AS dur, 0 AS ev
+      FROM g WHERE nxt IS NULL),
+    d AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_i,
+                 CAST(COUNT(*) AS BIGINT) AS all_i
+          FROM obs GROUP BY dur),
+    o AS (SELECT dur, d_i,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM obs)
+                 - COALESCE(SUM(all_i) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM d),
+    f AS (SELECT dur, d_i, n_risk FROM o
+          WHERE d_i > 0 AND d_i < n_risk AND dur <= 48),
+    s AS (SELECT dur, d_i, n_risk,
+                 SUM(CAST(ROUND(LN(1.0 - CAST(d_i AS DOUBLE) / n_risk), 9)
+                          AS DECIMAL(20,9)))
+                   OVER (ORDER BY dur) AS lsum
+          FROM f)
+    SELECT CAST(dur AS INT) AS dur, CAST(n_risk AS BIGINT) AS n_risk, d_i,
+           ROUND(EXP(CAST(lsum AS DOUBLE)), 6) AS survival
+    FROM s ORDER BY dur
+    """,
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    mx = ev.agg(F.max("ts").alias("m"))
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("nxt", F.lead("ts").over(wg)).crossJoin(F.broadcast(mx))
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    obs = g.filter(F.col("nxt").isNotNull()).select(
+        F.floor((sec("nxt") - sec("ts")) / 3600.0).cast("bigint").alias("dur"),
+        F.lit(1).alias("ev"),
+    ).unionAll(
+        g.filter(F.col("nxt").isNull()).select(
+            F.floor((sec("m") - sec("ts")) / 3600.0)
+            .cast("bigint")
+            .alias("dur"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    d = obs.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d_i"),
+        F.count("*").cast("bigint").alias("all_i"),
+    )
+    total = obs.agg(F.count("*").cast("bigint").alias("n_total"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    o = d.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d_i",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("all_i").over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    f = o.filter(
+        (F.col("d_i") > 0) & (F.col("d_i") < F.col("n_risk")) & (F.col("dur") <= 48)
+    )
+    ws = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    s = f.withColumn(
+        "lsum",
+        F.sum(
+            F.round(
+                F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 9
+            ).cast("decimal(20,9)")
+        ).over(ws),
+    )
+    return s.select(
+        F.col("dur").cast("int").alias("dur"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "d_i",
+        F.round(F.exp(F.col("lsum").cast("double")), 6).alias("survival"),
+    ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (r10): customer nation × order
+# priority — the contingency-table readout behind "does segment X
+# behave differently". Observed counts are exact bigints from one
+# broadcast-dim join + hash aggregate; expected counts and chi-square
+# terms are margin products in shared double arithmetic. Σ chi2_term
+# over the rows is the test statistic (df = (r-1)(c-1)).
+# ---------------------------------------------------------------------------
+@register(
+    "chi2_independence",
+    """
+    WITH j AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    obs AS (SELECT nation, priority, CAST(COUNT(*) AS BIGINT) AS obs
+            FROM j GROUP BY nation, priority),
+    rm AS (SELECT nation, CAST(SUM(obs) AS BIGINT) AS row_tot FROM obs GROUP BY nation),
+    cm AS (SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot FROM obs GROUP BY priority),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM obs)
+    SELECT o.nation, o.priority, o.obs,
+           ROUND(CAST(rm.row_tot AS DOUBLE) * cm.col_tot / n.total, 6) AS expected,
+           ROUND(POW(o.obs - CAST(rm.row_tot AS DOUBLE) * cm.col_tot / n.total, 2)
+                 / (CAST(rm.row_tot AS DOUBLE) * cm.col_tot / n.total), 6) AS chi2_term
+    FROM obs o JOIN rm USING (nation) JOIN cm USING (priority) CROSS JOIN n
+    ORDER BY nation, priority
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    obs = j.groupBy("nation", "priority").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    rm = obs.groupBy("nation").agg(F.sum("obs").cast("bigint").alias("row_tot"))
+    cm = obs.groupBy("priority").agg(
+        F.sum("obs").cast("bigint").alias("col_tot")
+    )
+    n = obs.agg(F.sum("obs").cast("bigint").alias("total"))
+    exp_ = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    return (
+        obs.join(F.broadcast(rm), "nation")
+        .join(F.broadcast(cm), "priority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "nation",
+            "priority",
+            "obs",
+            F.round(exp_, 6).alias("expected"),
+            F.round(F.pow(F.col("obs") - exp_, F.lit(2)) / exp_, 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("nation", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation / MASE (r10): the forecasting
+# baseline audit — per event type, predict each of the last 7 days'
+# counts with the value 7 days earlier (true calendar join, not a
+# row lag, so gap days drop out identically in both engines), scale
+# by the train-period naive-1 MAE, report MASE. All error sums are
+# exact bigints; the three ratios are shared double divisions. The
+# go/no-go gate before any fancier forecaster ships.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_mase",
+    """
+    WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    mx AS (SELECT MAX(day) AS md FROM d),
+    te AS (SELECT a.event_type, a.day, a.y, b.y AS y7
+           FROM d a JOIN d b
+             ON a.event_type = b.event_type AND b.day = a.day - 7
+           WHERE a.day > (SELECT md FROM mx) - 7),
+    tr AS (SELECT a.event_type, ABS(a.y - b.y) AS e1
+           FROM d a JOIN d b
+             ON a.event_type = b.event_type AND b.day = a.day - 1
+           WHERE a.day <= (SELECT md FROM mx) - 7),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(SUM(ABS(y - y7)) AS BIGINT) AS ae7
+          FROM te GROUP BY event_type),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+                 CAST(SUM(e1) AS BIGINT) AS ae1
+          FROM tr GROUP BY event_type)
+    SELECT m.event_type, m.n_test,
+           ROUND(CAST(m.ae7 AS DOUBLE) / m.n_test, 6) AS mae7,
+           ROUND(CAST(s.ae1 AS DOUBLE) / s.n_train, 6) AS scale,
+           ROUND((CAST(m.ae7 AS DOUBLE) / m.n_test)
+                 / (CAST(s.ae1 AS DOUBLE) / s.n_train), 6) AS mase
+    FROM m JOIN s USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    mx = d.agg(F.max("day").alias("md"))
+    a = d.crossJoin(F.broadcast(mx))
+    b7 = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y7"),
+    )
+    te = a.filter(F.col("day") > F.date_sub("md", 7)).join(
+        b7,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("day2") == F.date_sub("day", 7)),
+    )
+    b1 = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("y").alias("y1"),
+    )
+    tr = a.filter(F.col("day") <= F.date_sub("md", 7)).join(
+        b1,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("day2") == F.date_sub("day", 1)),
+    )
+    m = te.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(F.abs(F.col("y") - F.col("y7"))).cast("bigint").alias("ae7"),
+    )
+    s = tr.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_train"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).cast("bigint").alias("ae1"),
+    )
+    mae7 = F.col("ae7").cast("double") / F.col("n_test")
+    scale = F.col("ae1").cast("double") / F.col("n_train")
+    return (
+        m.join(s, "event_type")
+        .select(
+            "event_type",
+            "n_test",
+            F.round(mae7, 6).alias("mae7"),
+            F.round(scale, 6).alias("scale"),
+            F.round(mae7 / scale, 6).alias("mase"),
+        )
+        .orderBy("event_type")
+    )

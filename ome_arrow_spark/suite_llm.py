@@ -4786,3 +4786,79 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") >= 2)
         .orderBy("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence (r10): pointwise mutual information between the
+# top-30 document-frequency tokens, counted at the document level —
+# the collocation/topic-seed readout a corpus exploration pass runs.
+# The pair space is bounded by the top-k semi-join BEFORE the
+# self-join (30 tokens → ≤435 pairs whatever the corpus size), so the
+# quadratic stage never touches the raw vocabulary; document postings
+# join per doc_id. ln of identical double ratios, ordered by the
+# ROUNDED pmi with full (t1, t2) tiebreaks.
+# ---------------------------------------------------------------------------
+@register(
+    "pmi_cooccurrence",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    dt AS (SELECT DISTINCT doc_id, t FROM tok WHERE t <> ''),
+    top AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY t
+            ORDER BY df DESC, t LIMIT 30),
+    ft AS (SELECT dt.doc_id, dt.t, top.df FROM dt JOIN top USING (t)),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    p AS (SELECT a.t AS t1, a.df AS df1, b.t AS t2, b.df AS df2,
+                 CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+          GROUP BY 1, 2, 3, 4)
+    SELECT t1, t2, c_ab,
+           ROUND(LN(CAST(nd.n AS DOUBLE) * c_ab / (CAST(df1 AS DOUBLE) * df2)), 6)
+             AS pmi
+    FROM p CROSS JOIN nd
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    top = (
+        dt.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), "t")
+        .limit(30)
+    )
+    ft = dt.join(F.broadcast(top), "t")
+    nd = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    a = ft.select(
+        "doc_id", F.col("t").alias("t1"), F.col("df").alias("df1")
+    )
+    b = ft.select(
+        "doc_id", F.col("t").alias("t2"), F.col("df").alias("df2")
+    )
+    p = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "df1", "t2", "df2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("c_ab")
+            / (F.col("df1").cast("double") * F.col("df2"))
+        ),
+        6,
+    )
+    return (
+        p.crossJoin(F.broadcast(nd))
+        .select("t1", "t2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(20)
+    )
