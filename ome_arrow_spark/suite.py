@@ -76,7 +76,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "brier_calibration", "mixture_weights", "zipf_fit",
     "ann_filtered_search", "dedup_canonical", "stream_minhash_ingest",
     "psi_drift", "kaplan_meier", "chi2_independence", "forecast_mase",
-    "pmi_cooccurrence",
+    "pmi_cooccurrence", "semantic_dedup",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -90,7 +90,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "decontamination", "dedup_exact", "doc_fingerprint",
     "events_gapfill", "filter_predicates", "funnel_events",
     "grouped_map_topk", "join_full_outer", "join_left_order_counts",
-    "join_range",
 )
 
 

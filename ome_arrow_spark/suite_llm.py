@@ -4862,3 +4862,118 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "t1", "t2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cosine) dedup (r10) — the SemDeDup-style lane
+# the MinHash family can't cover: near-duplicates that share MEANING,
+# not shingles. Corpus = embeddings ∪ planted perturbed copies
+# (first component +0.5 → cosine ≈ 0.88-0.92 vs ≤0.51 for random
+# pairs at this dim). Candidate pairs come from the SAME data-derived
+# LSH bucket machinery as knn_join_lsh (md5 mode, dynamic plane
+# count), filtered at cosine ≥ 0.8, clustered by min-label connected
+# components, and reduced to canonical winners — the keep/drop
+# decision at embedding level. The oracle replays buckets, cosines,
+# the recursive walk and the member aggregation bit-for-bit; LSH
+# misses (if any) are mirrored identically, so the gate pins the
+# OPERATOR, threshold semantics and clustering at once.
+# ---------------------------------------------------------------------------
+def _semantic_dedup_oracle(tau: float = 0.8, n_tables: int = 8,
+                           target_bucket: int = 256) -> str:
+    def sig(v: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range((SELECT n FROM np)), p -> "
+            f"(CASE WHEN list_sum(list_transform(range(len({v})), i -> "
+            f"{v}[i+1] * "
+            f"(2 * (ascii(substr(md5(concat(CAST(t*1000+p AS VARCHAR), ':', i)), 1, 1)) % 2) - 1)"
+            f")) > 0.0 THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << p)"
+            f")) AS BIGINT)"
+        )
+
+    dot = "list_sum(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]))"
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS id,
+             list_transform(range(len(embedding)),
+               i -> CASE WHEN i = 0 THEN CAST(embedding[1] AS DOUBLE) + 0.5
+                         ELSE CAST(embedding[i+1] AS DOUBLE) END) AS v
+      FROM embeddings WHERE vec_id % 10 = 0),
+    np AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / {target_bucket}.0)) AS INT)) AS n
+           FROM corpus),
+    s AS (SELECT id, v, t, {sig('v')} AS sig
+          FROM corpus CROSS JOIN range({n_tables}) r(t)),
+    cand AS (SELECT DISTINCT a.id AS id_a, a.v AS va, b.id AS id_b, b.v AS vb
+             FROM s a JOIN s b USING (t, sig) WHERE a.id < b.id),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE ROUND({dot.format(a='va', b='vb')}
+                  / (sqrt({dot.format(a='va', b='va')})
+                     * sqrt({dot.format(a='vb', b='vb')})), 6) >= {tau}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.node
+      WHERE w.label < e.u),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           array_to_string(list(CAST(node AS VARCHAR) ORDER BY node), ',')
+             AS members
+    FROM comp GROUP BY component ORDER BY canonical_id
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.functions.vectors import cosine
+    from ome_arrow_spark.operators.clustering import connected_components
+    from ome_arrow_spark.operators.similarity import knn_join_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    mut = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.5).otherwise(
+                x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    corpus = orig.unionAll(mut)
+    cand = knn_join_candidates(
+        corpus.select(F.col("id").alias("id_a"), "v"),
+        corpus.select(F.col("id").alias("id_b"), "v"),
+        left_id="id_a",
+        right_id="id_b",
+        vec="v",
+        seed_mode="md5",
+    )
+    pairs = (
+        cand.filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("__lv"), F.col("__rv")), 6) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").cast("bigint").alias("canonical_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("node").cast("bigint"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("canonical_id")
+    )
