@@ -76,7 +76,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "brier_calibration", "mixture_weights", "zipf_fit",
     "ann_filtered_search", "dedup_canonical", "stream_minhash_ingest",
     "psi_drift", "kaplan_meier", "chi2_independence", "forecast_mase",
-    "pmi_cooccurrence", "semantic_dedup",
+    "pmi_cooccurrence", "semantic_dedup", "attribution_last_touch",
+    "theil_sen_trend", "data_contract_check", "mutual_info_rank",
+    "ndcg_recommender",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -88,8 +90,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_distinct", "asof_events_orders", "asof_events_orders_forward",
     "cogrouped_asof", "csv_roundtrip", "dataset_shuffle_pack",
     "decontamination", "dedup_exact", "doc_fingerprint",
-    "events_gapfill", "filter_predicates", "funnel_events",
-    "grouped_map_topk", "join_full_outer", "join_left_order_counts",
+    "events_gapfill",
 )
 
 

@@ -3155,3 +3155,453 @@ def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (r10): every purchase is attributed to the
+# user's LATEST touchpoint (click/view/signup) within the preceding
+# 24 hours — the marketing-attribution readout. The Spark side is the
+# repo's one-shuffle as-of join with tolerance (operators/asof.py, the
+# pandas merge_asof contract: ties at equal timestamps resolve to the
+# max carried value); the oracle re-derives the same pick with a
+# per-purchase rank over epoch-bounded candidates. Unattributed
+# purchases surface as touch_type 'none', so the shares sum to 1.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, event_type FROM e
+          WHERE event_type IN ('click', 'view', 'signup')),
+    cand AS (SELECT p.event_id AS pid, t.event_type,
+                    ROW_NUMBER() OVER (PARTITION BY p.event_id
+                        ORDER BY t.ts DESC, t.event_type DESC) AS rk
+             FROM p JOIN t ON p.user_id = t.user_id
+               AND t.ts <= p.ts
+               AND epoch(p.ts) - epoch(t.ts) <= 86400),
+    a AS (SELECT p.event_id, COALESCE(c.event_type, 'none') AS touch_type
+          FROM p LEFT JOIN (SELECT pid, event_type FROM cand WHERE rk = 1) c
+            ON c.pid = p.event_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM p)
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n.total, 6) AS share
+    FROM a CROSS JOIN n
+    GROUP BY touch_type, n.total ORDER BY touch_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    t = e.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("tt")
+    )
+    j = asof_join(
+        p,
+        t,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="tts",
+        right_values=["tt"],
+        value_aliases=["touch_type"],
+        keep=["event_id"],
+        direction="backward",
+        tolerance_seconds=86400.0,
+    )
+    n = p.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        j.select(F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"))
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "touch_type",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (r10): median of all pairwise slopes of the
+# per-type DAILY count series — the outlier-immune alternative to
+# ols_trend on the same grain. The pairwise stage is bounded by the
+# daily aggregate (≤ ~30 rows per type → ≤435 pairs), never raw
+# events, so the quadratic never sees the fact table; the median is
+# the exact interpolated percentile pair both engines share. Slopes
+# are integer-count differences over integer day gaps — identical
+# doubles — and the output rounds once at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_trend",
+    """
+    WITH d AS (SELECT event_type,
+                      DATE_DIFF('day', DATE '2024-01-01',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS x,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type,
+                 CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+          FROM d a JOIN d b
+            ON a.event_type = b.event_type AND a.x < b.x)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("x"),
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a = d.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("xa") < F.col("xb"))
+    ).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa"))
+        ).alias("slope"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract validation (r10): the expectations pass a pipeline
+# runs before publishing a table — each declared rule (non-null,
+# range, enum membership, referential) scans once and reports exact
+# violation counts with the rule verdict. One pass over orders + one
+# broadcast anti-join for the FK rule; no row explodes, no sort. The
+# shape generalizes: a rule is (name, predicate), the query is the
+# fold of their violation counts.
+# ---------------------------------------------------------------------------
+@register(
+    "data_contract_check",
+    """
+    WITH o AS (SELECT * FROM orders),
+    fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM o
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    r AS (
+      SELECT 'o_totalprice_positive' AS rule,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             CAST(COUNT(*) AS BIGINT) AS n_rows FROM o
+      UNION ALL
+      SELECT 'o_orderdate_in_range',
+             CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                            OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'o_orderpriority_enum',
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'o_orderkey_not_null',
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'o_custkey_fk_customer', (SELECT v FROM fk),
+             CAST(COUNT(*) AS BIGINT) FROM o)
+    SELECT rule, violations, n_rows,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS verdict
+    FROM r ORDER BY rule
+    """,
+)
+def data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    n_rows = o.count()
+
+    def rule(name, viol_col):
+        return o.agg(
+            F.lit(name).alias("rule"),
+            F.sum(viol_col).cast("bigint").alias("violations"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+
+    enum_vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rules = rule(
+        "o_totalprice_positive",
+        F.when(F.col("o_totalprice") <= 0, 1).otherwise(0),
+    ).unionAll(
+        rule(
+            "o_orderdate_in_range",
+            F.when(
+                (F.col("o_orderdate").cast("date") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate").cast("date") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0),
+        )
+    ).unionAll(
+        rule(
+            "o_orderpriority_enum",
+            F.when(~F.col("o_orderpriority").isin(enum_vals), 1).otherwise(0),
+        )
+    ).unionAll(
+        rule(
+            "o_orderkey_not_null",
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0),
+        )
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(
+            F.lit("o_custkey_fk_customer").alias("rule"),
+            "violations",
+            F.lit(n_rows).cast("bigint").alias("n_rows"),
+        )
+    )
+    return (
+        rules.unionAll(fk)
+        .select(
+            "rule",
+            "violations",
+            "n_rows",
+            F.when(F.col("violations") == 0, "pass")
+            .otherwise("fail")
+            .alias("verdict"),
+        )
+        .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (r10): MI between the "urgent
+# order" label and each candidate categorical feature (customer
+# market segment, customer nation) — the feature-selection readout
+# before training a classifier. Each feature is one contingency
+# aggregate (exact bigint cells) and MI folds as Σ p ln(p/(px·py))
+# with round-9 decimal term sums, so the ranking can't drift with
+# aggregation order. Features rank by rounded MI descending.
+# ---------------------------------------------------------------------------
+@register(
+    "mutual_info_rank",
+    """
+    WITH j AS (
+      SELECT CASE WHEN o.o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y,
+             c.c_mktsegment AS segment, n.n_name AS nation
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM j),
+    mi AS (
+      SELECT 'c_mktsegment' AS feature,
+             SUM(CAST(ROUND((CAST(cxy AS DOUBLE) / total)
+                 * LN(CAST(cxy AS DOUBLE) * total
+                      / (CAST(cx AS DOUBLE) * cy)), 9) AS DECIMAL(20,9))) AS mi
+      FROM (SELECT segment, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM j GROUP BY 1, 2) a
+      JOIN (SELECT segment, CAST(COUNT(*) AS BIGINT) AS cx FROM j GROUP BY 1) b USING (segment)
+      JOIN (SELECT y, CAST(COUNT(*) AS BIGINT) AS cy FROM j GROUP BY 1) c USING (y)
+      CROSS JOIN n
+      UNION ALL
+      SELECT 'nation',
+             SUM(CAST(ROUND((CAST(cxy AS DOUBLE) / total)
+                 * LN(CAST(cxy AS DOUBLE) * total
+                      / (CAST(cx AS DOUBLE) * cy)), 9) AS DECIMAL(20,9)))
+      FROM (SELECT nation, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM j GROUP BY 1, 2) a
+      JOIN (SELECT nation, CAST(COUNT(*) AS BIGINT) AS cx FROM j GROUP BY 1) b USING (nation)
+      JOIN (SELECT y, CAST(COUNT(*) AS BIGINT) AS cy FROM j GROUP BY 1) c USING (y)
+      CROSS JOIN n)
+    SELECT feature, ROUND(CAST(mi AS DOUBLE), 6) AS mi,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(CAST(mi AS DOUBLE), 6) DESC,
+                                   feature) AS INT) AS rank
+    FROM mi ORDER BY rank
+    """,
+)
+def mutual_info_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .select(
+            F.when(F.col("o_orderpriority").startswith("1"), 1)
+            .otherwise(0)
+            .alias("y"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    total = j.count()
+
+    def mi(feature_col, name):
+        cxy = j.groupBy(feature_col, "y").agg(
+            F.count("*").cast("bigint").alias("cxy")
+        )
+        cx = j.groupBy(feature_col).agg(
+            F.count("*").cast("bigint").alias("cx")
+        )
+        cy = j.groupBy("y").agg(F.count("*").cast("bigint").alias("cy"))
+        t = F.lit(total).cast("double")
+        term = (F.col("cxy").cast("double") / t) * F.log(
+            F.col("cxy").cast("double") * t
+            / (F.col("cx").cast("double") * F.col("cy"))
+        )
+        return (
+            cxy.join(F.broadcast(cx), feature_col)
+            .join(F.broadcast(cy), "y")
+            .agg(
+                F.lit(name).alias("feature"),
+                F.sum(F.round(term, 9).cast("decimal(20,9)")).alias("mi"),
+            )
+        )
+
+    both = mi("segment", "c_mktsegment").unionAll(mi("nation", "nation"))
+    w = Window.orderBy(
+        F.round(F.col("mi").cast("double"), 6).desc(), F.col("feature")
+    )
+    return both.select(
+        "feature",
+        F.round(F.col("mi").cast("double"), 6).alias("mi"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Recommender evaluation: hit-rate + NDCG@3 (r10) — the offline eval
+# every co-occurrence recommender ships with. Train split: part-pair
+# co-purchase counts (pairs bounded by items-per-order, never the
+# part catalog); top-3 recs per part via a per-part rank window.
+# Test split: every (order, seed part) with ≥2 parts scores its recs
+# against the order's OTHER parts: DCG uses 1/log2(rank+1) on matched
+# rec ranks, IDCG the ideal prefix, and per-seed NDCG values
+# accumulate as round-9 decimals so the corpus mean is
+# aggregation-order-free. Seeds whose part never co-occurred in train
+# score 0 (the honest denominator).
+# ---------------------------------------------------------------------------
+@register(
+    "ndcg_recommender",
+    """
+    WITH tr AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 4 <> 0),
+    te AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+           WHERE l_orderkey % 4 = 0),
+    pairs AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT DISTINCT o, p FROM tr) a
+              JOIN (SELECT DISTINCT o, p FROM tr) b
+                ON a.o = b.o AND a.p <> b.p
+              GROUP BY 1, 2),
+    recs AS (SELECT p1, p2, rn FROM (
+               SELECT p1, p2,
+                      ROW_NUMBER() OVER (PARTITION BY p1
+                          ORDER BY c DESC, p2) AS rn
+               FROM pairs) WHERE rn <= 3),
+    seeds AS (SELECT t.o, t.p,
+                     CAST(COUNT(*) OVER (PARTITION BY t.o) AS BIGINT) AS o_size
+              FROM te t),
+    s2 AS (SELECT o, p, o_size - 1 AS n_rel FROM seeds WHERE o_size >= 2),
+    hits AS (SELECT s.o, s.p, r.rn
+             FROM s2 s JOIN recs r ON r.p1 = s.p
+             JOIN te t2 ON t2.o = s.o AND t2.p = r.p2),
+    dcg AS (SELECT s.o, s.p, s.n_rel,
+                   COALESCE(SUM(1.0 / LOG2(h.rn + 1.0)), 0.0) AS dcg,
+                   CAST(COUNT(h.rn) AS BIGINT) AS n_hits
+            FROM s2 s LEFT JOIN hits h ON h.o = s.o AND h.p = s.p
+            GROUP BY s.o, s.p, s.n_rel),
+    nd AS (SELECT o, p, n_hits,
+                  dcg / (CASE WHEN n_rel >= 3
+                              THEN 1.0 / LOG2(2.0) + 1.0 / LOG2(3.0) + 1.0 / LOG2(4.0)
+                              WHEN n_rel = 2
+                              THEN 1.0 / LOG2(2.0) + 1.0 / LOG2(3.0)
+                              ELSE 1.0 / LOG2(2.0) END) AS ndcg
+           FROM dcg)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds,
+           ROUND(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hit_rate,
+           ROUND(CAST(SUM(CAST(ROUND(ndcg, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ndcg
+    FROM nd
+    """,
+)
+def ndcg_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    tr = li.filter(F.col("o") % 4 != 0).distinct()
+    te = li.filter(F.col("o") % 4 == 0).distinct()
+    a = tr.select("o", F.col("p").alias("p1"))
+    b = tr.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") != F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wr = Window.partitionBy("p1").orderBy(F.desc("c"), "p2")
+    recs = pairs.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= 3
+    )
+    wo = Window.partitionBy("o")
+    seeds = te.withColumn("o_size", F.count("*").over(wo).cast("bigint"))
+    s2 = seeds.filter(F.col("o_size") >= 2).select(
+        "o", "p", (F.col("o_size") - 1).alias("n_rel")
+    )
+    t2 = te.select(F.col("o").alias("ho"), F.col("p").alias("hp"))
+    hits = (
+        s2.join(recs, s2.p == recs.p1)
+        .join(t2, (F.col("ho") == F.col("o")) & (F.col("hp") == F.col("p2")))
+        .select("o", "p", "rn")
+    )
+    dcg = (
+        s2.join(hits.withColumnsRenamed({"o": "o3", "p": "p3"}),
+                (F.col("o") == F.col("o3")) & (F.col("p") == F.col("p3")),
+                "left")
+        .groupBy("o", "p", "n_rel")
+        .agg(
+            F.coalesce(
+                F.sum(1.0 / F.log2(F.col("rn") + 1.0)), F.lit(0.0)
+            ).alias("dcg"),
+            F.count("rn").cast("bigint").alias("n_hits"),
+        )
+    )
+    import math
+
+    i1 = 1.0 / math.log2(2.0)
+    i2 = i1 + 1.0 / math.log2(3.0)
+    i3 = i2 + 1.0 / math.log2(4.0)
+    idcg = (
+        F.when(F.col("n_rel") >= 3, F.lit(i3))
+        .when(F.col("n_rel") == 2, F.lit(i2))
+        .otherwise(F.lit(i1))
+    )
+    nd = dcg.select(
+        "n_hits", (F.col("dcg") / idcg).alias("ndcg")
+    )
+    return nd.agg(
+        F.count("*").cast("bigint").alias("n_seeds"),
+        F.round(
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hit_rate"),
+        F.round(
+            F.sum(F.round("ndcg", 9).cast("decimal(20,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_ndcg"),
+    )
