@@ -83,3 +83,41 @@ def test_rfm_scale_twin_pins_to_ntile(spark, sf_dir):
     a = sorted(map(tuple, rfm_segments(spark, sf_dir).collect()))
     b = sorted(map(tuple, rfm_segments_scale(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_equidepth_edges_match_ntile_tile_maxima(spark, sf_dir):
+    """The PSI/reference-edge contract: equidepth_edges must equal the
+    per-tile MAX(metric) of the exact ntile assignment (tiles 1..k-1)."""
+    from ome_arrow_spark.operators.quantiles import equidepth_edges
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderkey"
+    )
+    edges = equidepth_edges(o, "o_totalprice", "o_orderkey", 10)
+    nt = _ntile(o, "o_totalprice", "o_orderkey", 10)
+    want = [
+        r["e"]
+        for r in nt.filter(F.col("bucket") < 10)
+        .groupBy("bucket")
+        .agg(F.max("o_totalprice").alias("e"))
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert edges == want and len(edges) == 9
+    assert edges == sorted(edges)
+
+
+def test_equidepth_boundaries_empty_and_small(spark):
+    from ome_arrow_spark.operators.quantiles import (
+        equidepth_boundaries,
+        equidepth_edges,
+    )
+
+    empty = spark.createDataFrame([], "id BIGINT, v INT")
+    assert equidepth_boundaries(empty, "v", "id", 4) == []
+    assert equidepth_edges(empty, "v", "id", 4) == []
+    one = spark.createDataFrame([(1, 7)], "id BIGINT, v INT")
+    bs = equidepth_boundaries(one, "v", "id", 4)
+    # n=1, k=4: every boundary rank is 1 → all three boundaries are the row
+    assert [b for b, _, _ in bs] == [1, 2, 3]
+    assert all(bv == 7 for _, bv, _ in bs)
