@@ -25,6 +25,35 @@ from ome_arrow_spark.operators.views import planes_df
 T_, C_, Z_, Y_, X_ = 3, 2, 8, 2048, 2048
 
 
+@pytest.fixture(autouse=True)
+def _clean_session_memory(spark):
+    """These tests localCheckpoint ~800 MB rows into BLOCK storage of
+    the SHARED session JVM.  Run standalone they have 2.4× headroom,
+    but at the tail of the full suite ~900 earlier tests leave cached
+    relations / checkpoint blocks behind and the same allocation OOMs
+    the 8g heap (observed r10: Java heap space at stage ~1641, every
+    later test cascading to ConnectionRefused).  Start and end each
+    mega test from a drained block manager instead of inheriting the
+    suite's leftovers."""
+    import gc
+    import time
+
+    def scrub():
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        # drop Python-side references so the ContextCleaner can reap
+        # finished checkpoint/broadcast blocks, then force the JVM GC
+        # that triggers it
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+
+    scrub()
+    yield
+    scrub()
+
+
 def _build_mega(spark):
     """Distributed generation: one task per (t,c,z) plane, then a
     grouped assembly into the single OME-Arrow row."""

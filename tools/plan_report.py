@@ -67,6 +67,14 @@ QUERIES = [
     ("rfm_segments", "RFM ntile quartiles (gate shape; edges+broadcast at scale)"),
     ("ann_index_incremental", "IVF build→MERGE→optimize→full-probe search"),
     ("ols_trend", "OLS sufficient statistics: two aggs, no window"),
+    ("histogram_equidepth_scale", "exact ntile, no global sort (boundary broadcast)"),
+    ("rfm_segments_scale", "3× equidepth buckets, no SinglePartition window"),
+    ("psi_drift", "reference equidepth edges → map-side CASE bucketing"),
+    ("semantic_dedup", "embedding LSH pairs → CC → canonical winners"),
+    ("ann_filtered_search", "IVF list scan with pushed metadata predicate"),
+    ("kaplan_meier", "per-user gap window + tiny cumulative KM fold"),
+    ("attribution_last_touch", "as-of join w/ tolerance + share agg"),
+    ("ndcg_recommender", "co-purchase pairs (order-bounded) + rank windows"),
 ]
 
 
