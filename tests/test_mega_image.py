@@ -25,16 +25,18 @@ from ome_arrow_spark.operators.views import planes_df
 T_, C_, Z_, Y_, X_ = 3, 2, 8, 2048, 2048
 
 
-@pytest.fixture(autouse=True)
+@pytest.fixture(autouse=True, scope="module")
 def _clean_session_memory(spark):
     """These tests localCheckpoint ~800 MB rows into BLOCK storage of
     the SHARED session JVM.  Run standalone they have 2.4× headroom,
     but at the tail of the full suite ~900 earlier tests leave cached
     relations / checkpoint blocks behind and the same allocation OOMs
     the 8g heap (observed r10: Java heap space at stage ~1641, every
-    later test cascading to ConnectionRefused).  Start and end each
-    mega test from a drained block manager instead of inheriting the
-    suite's leftovers."""
+    later test cascading to ConnectionRefused).  Enter (and leave) the
+    module with a drained block manager instead of inheriting the
+    suite's leftovers.  MODULE scope, not per-test: the `mega` df is
+    itself a module-scoped localCheckpoint — a per-test scrub reaps
+    its blocks between tests (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
     import gc
     import time
 

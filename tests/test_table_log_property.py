@@ -339,6 +339,13 @@ def test_plain_put_committer_loses_update_and_is_detected(spark, tmp_path):
             survived = tl._read_entry(tdir, 1)["tag"]
         except (json.JSONDecodeError, KeyError):
             survived = None  # torn write — detected as corruption
+        except tl.TableLogError:
+            # the two unsynchronized truncating writers can also leave
+            # the file EMPTY long enough to age past the in-flight
+            # grace window — the reader refuses it with the
+            # crashed-committer diagnostic, which is detection too
+            # (observed under full-suite load, r10)
+            survived = None
         if survived is not None:
             lost = ({"A", "B"} - {survived}).pop()
             assert survived in ("A", "B") and lost != survived
