@@ -78,7 +78,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "psi_drift", "kaplan_meier", "chi2_independence", "forecast_mase",
     "pmi_cooccurrence", "semantic_dedup", "attribution_last_touch",
     "theil_sen_trend", "data_contract_check", "mutual_info_rank",
-    "ndcg_recommender",
+    "ndcg_recommender", "dp_count_release", "feature_hash_collisions",
+    "cv_fold_balance", "cumulative_gains", "ks_two_sample",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -88,9 +89,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q4_order_priority", "q9_product_profit", "scalar_date",
     "scalar_math", "scalar_string", "set_ops", "unpivot_nation_balance",
     "agg_distinct", "asof_events_orders", "asof_events_orders_forward",
-    "cogrouped_asof", "csv_roundtrip", "dataset_shuffle_pack",
-    "decontamination", "dedup_exact", "doc_fingerprint",
-    "events_gapfill",
+    "cogrouped_asof", "csv_roundtrip",
 )
 
 

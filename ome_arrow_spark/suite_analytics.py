@@ -3605,3 +3605,346 @@ def ndcg_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (r10): per-nation order counts
+# with Laplace(1/ε) noise — the privacy lane's RELEASE step (the
+# audits k_anonymity/l_diversity decide WHAT needs noise; this emits
+# it). The noise is RNG-free: the md5-of-key 13-hex-digit uniform
+# (the proven 2^52 parse) feeds the Laplace inverse CDF, so both
+# engines derive the identical perturbation and the gate pins the
+# mechanism's arithmetic (scale b = 1/ε = 1 for a count query of
+# sensitivity 1). True DP would use a secret seed; the gate fixes it
+# to the key to stay verifiable — the plumbing is the contract.
+# ---------------------------------------------------------------------------
+@register(
+    "dp_count_release",
+    """
+    WITH c AS (
+      SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    u AS (SELECT nation, true_count,
+                 CAST(('0x' || substr(md5(nation), 1, 13))::BIGINT AS DOUBLE)
+                   / 4503599627370496.0 AS uni
+          FROM c)
+    SELECT nation, true_count,
+           ROUND(CASE WHEN uni < 0.5 THEN LN(2.0 * uni)
+                      ELSE -LN(2.0 * (1.0 - uni)) END, 6) AS noise,
+           CAST(ROUND(true_count
+                + (CASE WHEN uni < 0.5 THEN LN(2.0 * uni)
+                        ELSE -LN(2.0 * (1.0 - uni)) END), 0) AS BIGINT)
+             AS released_count
+    FROM u ORDER BY nation
+    """,
+)
+def dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    uni = (
+        F.conv(F.substring(F.md5(F.col("nation")), 1, 13), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    noise = F.when(uni < 0.5, F.log(2.0 * uni)).otherwise(
+        -F.log(2.0 * (1.0 - uni))
+    )
+    return c.select(
+        "nation",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 0)
+        .cast("bigint")
+        .alias("released_count"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision audit (r10): the hashing-trick featurizer
+# maps tokens to a fixed 64-bucket space (md5 % 64 — engine-portable);
+# before shipping hashed features, a pipeline audits how much signal
+# collisions destroy. Per bucket: distinct tokens landing there, total
+# occurrences, and the share held by the bucket's dominant token
+# (purity) — one explode + two hash aggregates, the whole vocabulary
+# never leaves the executors.
+# ---------------------------------------------------------------------------
+@register(
+    "feature_hash_collisions",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+           WHERE t <> '' GROUP BY t),
+    b AS (SELECT CAST(('0x' || substr(md5(t), 1, 13))::BIGINT % 64 AS INT)
+                   AS bucket, t, c
+          FROM tc)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS occurrences,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    tc = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    b = tc.select(
+        (
+            F.conv(F.substring(F.md5("t"), 1, 13), 16, 10).cast("bigint")
+            % 64
+        )
+        .cast("int")
+        .alias("bucket"),
+        "c",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("occurrences"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_token_share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation fold balance audit (r10): deterministic 5-fold
+# assignment (md5 % 5 of the row key — the split every reproducible
+# training pipeline uses) audited for label balance: per-fold size,
+# positive rate, and the fold's deviation from the global rate. One
+# hash aggregate; the audit that catches a skewed fold before it
+# poisons a CV estimate.
+# ---------------------------------------------------------------------------
+@register(
+    "cv_fold_balance",
+    """
+    WITH f AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                  ::BIGINT % 5 AS INT) AS fold,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS grate FROM f)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) - g.grate, 6) AS dev
+    FROM f CROSS JOIN g GROUP BY fold, g.grate ORDER BY fold
+    """,
+)
+def cv_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        )
+        .cast("int")
+        .alias("fold"),
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = f.agg((F.sum("y").cast("double") / F.count("*")).alias("grate"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+                "pos_rate"
+            ),
+            (F.sum("y").cast("double") / F.count("*")).alias("__r"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "fold",
+            "n",
+            "n_pos",
+            "pos_rate",
+            F.round(F.col("__r") - F.col("grate"), 6).alias("dev"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (r10): rank orders by the value score
+# (deciles from the no-sort equidepth machinery, richest first),
+# report each decile's cumulative capture of URGENT orders vs the
+# random baseline — the marketing "lift chart" behind every targeting
+# decision. The cumulative window runs over 10 aggregate rows.
+# ---------------------------------------------------------------------------
+@register(
+    "cumulative_gains",
+    """
+    WITH d AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      FROM orders),
+    a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM d GROUP BY decile),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp
+          FROM a),
+    c AS (SELECT decile, n, pos,
+                 CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                 CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+          FROM a)
+    SELECT CAST(c.decile AS INT) AS decile, c.n, c.pos,
+           ROUND(CAST(c.cum_pos AS DOUBLE) / t.tp, 6) AS cum_capture,
+           ROUND((CAST(c.cum_pos AS DOUBLE) / t.tp)
+                 / (CAST(c.cum_n AS DOUBLE) / t.tn), 6) AS lift
+    FROM c CROSS JOIN t ORDER BY decile
+    """,
+)
+def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    d = equidepth_bucket(
+        o, "o_totalprice", "o_orderkey", 10, out="decile", descending=True
+    )
+    a = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    t = a.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("pos").cast("bigint").alias("tp"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = a.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "pos",
+            F.round(F.col("cum_pos").cast("double") / F.col("tp"), 6).alias(
+                "cum_capture"
+            ),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("tp"))
+                / (F.col("cum_n").cast("double") / F.col("tn")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (r10): D = max |F1 − F2|
+# between the two January halves of the event-value distribution —
+# psi_drift's nonparametric sibling (no binning choice). Values
+# discretize to one decimal FIRST (both engines identically), so the
+# ECDF support is a bounded grid (~10³ points) and the cumulative
+# windows run over the per-value count relation, never the events —
+# the statistic is EXACT for the discretized variable. The final max
+# is one TakeOrdered row.
+# ---------------------------------------------------------------------------
+@register(
+    "ks_two_sample",
+    """
+    WITH e AS (SELECT ROUND(value, 1) AS v,
+                      CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                           THEN 0 ELSE 1 END AS grp
+               FROM events),
+    n AS (SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM e),
+    c AS (SELECT v,
+                 CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM e GROUP BY v),
+    f AS (SELECT v,
+                 CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+                 CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+          FROM c)
+    SELECT f.v AS at_value,
+           ROUND(ABS(CAST(cum1 AS DOUBLE) / n.n1
+                     - CAST(cum2 AS DOUBLE) / n.n2), 6) AS ks_d,
+           n.n1, n.n2
+    FROM f CROSS JOIN n
+    ORDER BY ks_d DESC, at_value LIMIT 1
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        F.round("value", 1).alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("grp"),
+    )
+    n = e.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    c = e.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    f = c.select(
+        "v",
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    )
+    return (
+        f.crossJoin(F.broadcast(n))
+        .select(
+            F.col("v").alias("at_value"),
+            F.round(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                ),
+                6,
+            ).alias("ks_d"),
+            "n1",
+            "n2",
+        )
+        .orderBy(F.desc("ks_d"), "at_value")
+        .limit(1)
+    )
