@@ -64,7 +64,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #      oracle), rfm_segments / histogram_equidepth (scale twins),
     #   4. an oldest-green re-verification tail: the rows whose driver
     #      green is stalest (r2: window_range_frame; all 13 r3 rows;
-    #      r4 rows to fill) — ≥15 tail rows predate r8, per the
+    #      one r4 row to fill) — 15 tail rows predate r8, per the
     #      rotation invariant.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
@@ -80,6 +80,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "theil_sen_trend", "data_contract_check", "mutual_info_rank",
     "ndcg_recommender", "dp_count_release", "feature_hash_collisions",
     "cv_fold_balance", "cumulative_gains", "ks_two_sample",
+    "poisson_bootstrap_ci", "seasonal_decomposition", "rake_keywords",
+    "covariance_matrix",
     # (3) r10-touched surfaces
     "knn_join_lsh", "rfm_segments", "histogram_equidepth",
     # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
@@ -88,8 +90,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q17_small_quantity", "q22_global_sales_opportunity",
     "q4_order_priority", "q9_product_profit", "scalar_date",
     "scalar_math", "scalar_string", "set_ops", "unpivot_nation_balance",
-    "agg_distinct", "asof_events_orders", "asof_events_orders_forward",
-    "cogrouped_asof", "csv_roundtrip",
+    "asof_events_orders",
 )
 
 

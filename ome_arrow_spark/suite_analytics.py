@@ -3948,3 +3948,210 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_d"), "at_value")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (r10): the canonical DISTRIBUTED
+# bootstrap (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams"; also scikit-style big-data resampling). A classical
+# resample needs a global draw of n indices; the Poisson bootstrap
+# instead gives every row an independent Poisson(1) weight per
+# replicate, so the whole procedure is one pass: explode B replicate
+# ids per row (inside whole-stage codegen, pre-combine), weight each
+# row by the Poisson(1) inverse CDF of the md5-uniform of
+# (orderkey, replicate), and map-side combine reduces the shuffle to
+# B rows per partition. The replicate means land on the driver-sized
+# B=200 relation; the CI is exact order statistics (ranks 5 and 196 =
+# 2.5%/97.5%, no interpolation — cross-engine safe). Weights are
+# RNG-free (the proven 13-hex md5 2^52 parse), so DuckDB derives the
+# identical resample and the gate pins the mechanism's arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "poisson_bootstrap_ci",
+    """
+    WITH b AS (SELECT r FROM range(200) t(r)),
+    t AS (SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice, 9) AS DECIMAL(20,9)) AS price
+          FROM orders),
+    u AS (SELECT t.price, b.r,
+                 CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || ':'
+                       || CAST(b.r AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+                   / 4503599627370496.0 AS uni
+          FROM t CROSS JOIN b),
+    w AS (SELECT r, price,
+                 CASE WHEN uni < 0.36787944117144233 THEN 0
+                      WHEN uni < 0.7357588823428847  THEN 1
+                      WHEN uni < 0.9196986029286058  THEN 2
+                      WHEN uni < 0.9810118431238462  THEN 3
+                      WHEN uni < 0.9963401531726563  THEN 4
+                      WHEN uni < 0.9994058151824183  THEN 5
+                      ELSE 6 END AS wt
+          FROM u),
+    est AS (SELECT r, CAST(SUM(price * wt) AS DOUBLE)
+                      / CAST(SUM(wt) AS DOUBLE) AS mean_r
+            FROM w GROUP BY r),
+    rk AS (SELECT r, mean_r,
+                  ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rn
+           FROM est),
+    ci AS (SELECT ROUND(MAX(CASE WHEN rn = 5 THEN mean_r END), 6) AS ci_lo,
+                  ROUND(MAX(CASE WHEN rn = 196 THEN mean_r END), 6) AS ci_hi
+           FROM rk),
+    pt AS (SELECT CAST(SUM(price) AS DOUBLE) / COUNT(*) AS mean_all FROM t)
+    SELECT CAST(200 AS BIGINT) AS b_replicates,
+           ROUND(pt.mean_all, 6) AS point_est, ci.ci_lo, ci.ci_hi
+    FROM ci CROSS JOIN pt
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 200
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 9).cast("decimal(20,9)").alias("price"),
+    )
+    b = spark.range(B).select(F.col("id").cast("int").alias("r"))
+    u = t.crossJoin(F.broadcast(b))
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("k"), F.col("r"))), 1, 13),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    wt = (
+        F.when(uni < 0.36787944117144233, 0)
+        .when(uni < 0.7357588823428847, 1)
+        .when(uni < 0.9196986029286058, 2)
+        .when(uni < 0.9810118431238462, 3)
+        .when(uni < 0.9963401531726563, 4)
+        .when(uni < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    est = (
+        u.select("r", "price", wt.alias("wt"))
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("price") * F.col("wt")).cast("double")
+                / F.sum("wt").cast("double")
+            ).alias("mean_r")
+        )
+    )
+    rk = est.select(
+        "r",
+        "mean_r",
+        F.row_number().over(Window.orderBy("mean_r", "r")).alias("rn"),
+    )
+    ci = rk.agg(
+        F.round(F.max(F.when(F.col("rn") == 5, F.col("mean_r"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("rn") == 196, F.col("mean_r"))), 6).alias(
+            "ci_hi"
+        ),
+    )
+    pt = t.agg(
+        (F.sum("price").cast("double") / F.count("*")).alias("mean_all")
+    )
+    return ci.crossJoin(F.broadcast(pt)).select(
+        F.lit(B).cast("bigint").alias("b_replicates"),
+        F.round(F.col("mean_all"), 6).alias("point_est"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (r10): additive
+# trend/seasonal/residual split of the daily order-count series —
+# trend is the centered 7-day moving average (full windows only),
+# the seasonal index is the mean detrended value per day-of-week,
+# residuals are what remains. The raw table aggregates to ONE row per
+# calendar day before any window runs, so the windowed series is
+# bounded by the calendar (~2.4k rows over seven years) regardless of
+# raw data size — at 100 TB the heavy lifting is the first groupBy
+# (map-side combinable) and everything after is driver-scale.
+# Day-of-week is anchored arithmetically (days since 1995-01-01 mod
+# 7), avoiding engine-specific DOW numbering.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_decomposition",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1),
+    m AS (SELECT d, cnt,
+                 SUM(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+                 COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+          FROM d),
+    det AS (SELECT d, CAST(cnt AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS detr
+            FROM m WHERE c7 = 7),
+    s AS (SELECT CAST((d - DATE '1995-01-01') % 7 AS INT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*) AS seasonal
+          FROM det GROUP BY 1),
+    r AS (SELECT s.dow, s.n_days, s.seasonal,
+                 CAST(SUM(CAST(ROUND(ABS(det.detr - s.seasonal), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS mar
+          FROM det JOIN s
+            ON CAST((det.d - DATE '1995-01-01') % 7 AS INT) = s.dow
+          GROUP BY 1, 2, 3)
+    SELECT dow, n_days, ROUND(seasonal, 6) AS seasonal_idx,
+           ROUND(mar, 6) AS mean_abs_resid
+    FROM r ORDER BY dow
+    """,
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    m = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    det = m.filter(F.col("c7") == 7).select(
+        "d",
+        (
+            F.col("cnt").cast("double") - F.col("s7").cast("double") / 7.0
+        ).alias("detr"),
+    )
+    anchor = F.lit("1995-01-01").cast("date")
+    dow = (F.datediff(F.col("d"), anchor) % 7).cast("int")
+    s = det.groupBy(dow.alias("dow")).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (
+            F.sum(F.round("detr", 9).cast("decimal(20,9)")).cast("double")
+            / F.count("*")
+        ).alias("seasonal"),
+    )
+    r = (
+        det.withColumn("dow", dow)
+        .join(F.broadcast(s), "dow")
+        .groupBy("dow", "n_days", "seasonal")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.abs(F.col("detr") - F.col("seasonal")), 9
+                    ).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("mar")
+        )
+    )
+    return r.select(
+        "dow",
+        "n_days",
+        F.round("seasonal", 6).alias("seasonal_idx"),
+        F.round("mar", 6).alias("mean_abs_resid"),
+    ).orderBy("dow")

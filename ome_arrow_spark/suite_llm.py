@@ -4977,3 +4977,179 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (r10): Rapid Automatic Keyword Extraction
+# (Rose et al. 2010) over the document corpus. Candidate phrases are
+# maximal runs of non-stopword tokens (gaps-and-islands: token
+# position minus its rank among the document's content tokens);
+# word scores are degree/frequency where degree sums the lengths of
+# every phrase the word appears in; a phrase scores the sum of its
+# word scores. Every stage is distributed-by-construction: the
+# explode and island windows partition by doc_id, the two word-level
+# aggregates are map-side combinable, and the final top-15 is
+# TakeOrdered with a unique (score, phrase) tiebreak. Word-score sums
+# use the decimal(20,9) exact-accumulation pattern so the gate is
+# order-independent.
+# ---------------------------------------------------------------------------
+_RAKE_STOP = (
+    "'a','the','of','and','or','to','in','is','on','for','with',"
+    "'as','by','at','it','that','this'"
+)
+
+
+@register(
+    "rake_keywords",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tk AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM d),
+    tok AS (SELECT doc_id, pos, toks[pos + 1] AS w FROM tk),
+    nz AS (SELECT doc_id, pos, w,
+                  pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS isl
+           FROM tok WHERE w NOT IN ({_RAKE_STOP})),
+    ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM nz GROUP BY w),
+    ph AS (SELECT doc_id, isl,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  CAST(COUNT(*) AS BIGINT) AS plen
+           FROM nz GROUP BY doc_id, isl),
+    deg AS (SELECT nz.w, CAST(SUM(ph.plen) AS BIGINT) AS degree
+            FROM nz JOIN ph ON nz.doc_id = ph.doc_id AND nz.isl = ph.isl
+            GROUP BY nz.w),
+    wsc AS (SELECT ws.w,
+                   CAST(deg.degree AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+                     AS score
+            FROM ws JOIN deg ON ws.w = deg.w),
+    psc AS (SELECT ph.doc_id, ph.isl, ph.phrase,
+                   SUM(CAST(ROUND(wsc.score, 9) AS DECIMAL(20,9))) AS pscore
+            FROM ph JOIN nz ON nz.doc_id = ph.doc_id AND nz.isl = ph.isl
+            JOIN wsc ON wsc.w = nz.w
+            GROUP BY ph.doc_id, ph.isl, ph.phrase),
+    agg AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MAX(pscore) AS DOUBLE) AS raw
+            FROM psc GROUP BY phrase)
+    SELECT phrase, n_occurrences, ROUND(raw, 6) AS rake_score
+    FROM agg ORDER BY rake_score DESC, phrase LIMIT 15
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    stop = [s.strip("'") for s in _RAKE_STOP.split(",")]
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    nz = tk.filter(~F.col("w").isin(stop)).select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("pos") - F.row_number().over(wd)).alias("isl"),
+    )
+    ws = nz.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    ph = nz.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    deg = (
+        nz.join(ph.select("doc_id", "isl", "plen"), ["doc_id", "isl"])
+        .groupBy("w")
+        .agg(F.sum("plen").cast("bigint").alias("degree"))
+    )
+    wsc = ws.join(deg, "w").select(
+        "w",
+        (F.col("degree").cast("double") / F.col("freq").cast("double")).alias(
+            "score"
+        ),
+    )
+    psc = (
+        ph.join(nz.select("doc_id", "isl", "w"), ["doc_id", "isl"])
+        .join(wsc, "w")
+        .groupBy("doc_id", "isl", "phrase")
+        .agg(
+            F.sum(F.round("score", 9).cast("decimal(20,9)")).alias("pscore")
+        )
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("pscore").cast("double").alias("raw"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_occurrences",
+            F.round("raw", 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding feature-covariance matrix (r10): the upper triangle of the
+# covariance matrix over the first 8 embedding dimensions — the
+# single-pass sufficient statistic behind whitening, PCA, and Mahalanobis
+# scoring. Each row contributes its 36 (i,j) products through one
+# explode chain inside whole-stage codegen; the groupBy(i,j) partial-
+# aggregates map-side, so the shuffle carries 36 rows per partition
+# however large the table. Sums accumulate as round-9 decimals (exact,
+# order-independent); the covariance assembles from them in identical
+# double arithmetic in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "covariance_matrix",
+    """
+    WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ei AS (SELECT v, unnest(range(8)) AS i FROM e),
+    eij AS (SELECT v, i, unnest(range(i, 8)) AS j FROM ei),
+    g AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(v[i + 1], 9) AS DECIMAL(20,9))) AS sx,
+                 SUM(CAST(ROUND(v[j + 1], 9) AS DECIMAL(20,9))) AS sy,
+                 SUM(CAST(ROUND(v[i + 1] * v[j + 1], 9)
+                     AS DECIMAL(20,9))) AS sxy
+          FROM eij GROUP BY i, j)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           ROUND(CAST(sxy AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6)
+             AS cov
+    FROM g ORDER BY i, j
+    """,
+)
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ei = e.select(
+        "v", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i")
+    )
+    eij = ei.select(
+        "v", "i", F.explode(F.sequence(F.col("i"), F.lit(7))).alias("j")
+    )
+    xi = F.element_at("v", F.col("i") + 1)
+    xj = F.element_at("v", F.col("j") + 1)
+    g = eij.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(xi, 9).cast("decimal(20,9)")).alias("sx"),
+        F.sum(F.round(xj, 9).cast("decimal(20,9)")).alias("sy"),
+        F.sum(F.round(xi * xj, 9).cast("decimal(20,9)")).alias("sxy"),
+    )
+    return g.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        F.round(
+            F.col("sxy").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n")),
+            6,
+        ).alias("cov"),
+    ).orderBy("i", "j")
