@@ -75,6 +75,10 @@ QUERIES = [
     ("kaplan_meier", "per-user gap window + tiny cumulative KM fold"),
     ("attribution_last_touch", "as-of join w/ tolerance + share agg"),
     ("ndcg_recommender", "co-purchase pairs (order-bounded) + rank windows"),
+    ("poisson_bootstrap_ci", "Poisson bootstrap: B-explode in codegen, combine to B rows"),
+    ("seasonal_decomposition", "daily agg → calendar-bounded 7-MA windows + broadcast join"),
+    ("rake_keywords", "gaps-and-islands phrases: doc-local windows + word-score joins"),
+    ("covariance_matrix", "one-pass 36-pair explode, map-side partial agg"),
 ]
 
 
