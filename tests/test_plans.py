@@ -417,3 +417,85 @@ def test_band_join_is_equi_join_not_nested_loop(spark, sf_dir):
         (r["click_id"], r["purchase_id"], r["dt_us"]) for r in naive.collect()
     }
     assert got == exp and len(got) > 0
+
+
+def _true_exchanges(df) -> int:
+    df.collect()  # finalize the AQE plan
+    ep = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    return ep.count("Exchange") - ep.count("BroadcastExchange")
+
+
+def test_poisson_bootstrap_combines_mapside(spark, sf_dir):
+    """suite_analytics.poisson_bootstrap_ci: the B=200 replicate
+    explode must stay pre-shuffle (map-side combine hands the exchange
+    B rows per task) — the plan may carry only the replicate agg, the
+    tiny 200-row rank window, and the final agg exchanges, and no
+    join beyond the two broadcast stitches of 1-row/200-row sides."""
+    from ome_arrow_spark.suite_analytics import poisson_bootstrap_ci
+
+    df = poisson_bootstrap_ci(spark, sf_dir)
+    assert _true_exchanges(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_matrix_two_exchanges(spark, sf_dir):
+    """suite_llm.covariance_matrix: one groupBy(i,j) after the in-span
+    pair explode plus the final 36-row orderBy — anything more means
+    the explode leaked a shuffle."""
+    from ome_arrow_spark.suite_llm import covariance_matrix
+
+    df = covariance_matrix(spark, sf_dir)
+    assert _true_exchanges(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # single-table: any join is a bug
+
+
+def test_seasonal_windows_run_on_daily_aggregate(spark, sf_dir):
+    """suite_analytics.seasonal_decomposition: the SinglePartition
+    7-day-MA window must consume the DAILY AGGREGATE (calendar-bounded
+    ~2.4k rows), never the raw orders — pinned by requiring the
+    pre-window HashAggregate and a broadcast for the 7-row seasonal
+    join."""
+    from ome_arrow_spark.suite_analytics import seasonal_decomposition
+
+    df = seasonal_decomposition(spark, sf_dir)
+    df.collect()
+    ep = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    w = ep.find("Window")
+    assert w != -1
+    assert "HashAggregate" in ep[w:], "window must sit on the daily agg"
+    assert "BroadcastHashJoin" in ep or "BroadcastExchange" in ep
+
+
+def test_rake_windows_partition_by_doc(spark, sf_dir):
+    """suite_llm.rake_keywords: every window partitions by doc_id —
+    no SinglePartition window may appear in the phrase-extraction
+    path (the only global ordering is the final TakeOrdered top-15)."""
+    from ome_arrow_spark.suite_llm import rake_keywords
+
+    df = rake_keywords(spark, sf_dir)
+    df.collect()
+    ep = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in ep
+    for frag in ep.split("Window")[1:]:
+        head = frag[:400]
+        assert "SinglePartition" not in head.split("Exchange")[0], (
+            "global window in RAKE path"
+        )
