@@ -47,3 +47,23 @@ def test_xxhash_mode_equivalent_interval(spark, sf_dir):
     w_xx = xx.ci_hi - xx.ci_lo
     assert 0.5 < w_xx / w_md5 < 2.0
     assert xx.ci_lo <= xx.point_est <= xx.ci_hi
+
+
+def test_ci_width_matches_analytic_standard_error(spark, sf_dir):
+    """The 95% bootstrap CI of the mean must reproduce the analytic
+    sampling error: width ≈ 2·1.96·sd/√n (the Poisson bootstrap is a
+    consistent estimator of the sampling distribution). With B=200
+    replicates the width estimate carries ~15% Monte-Carlo noise, so
+    the pinned band is [0.6, 1.5]× the analytic width."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    n, mean, sd = o.groupBy().agg(
+        F.count("*"), F.avg("o_totalprice"), F.stddev("o_totalprice")
+    ).collect()[0]
+    analytic = 2 * 1.96 * sd / math.sqrt(n)
+    ci = bootstrap_ci(o, "o_orderkey", "o_totalprice", mode="xxhash").collect()[0]
+    width = ci.ci_hi - ci.ci_lo
+    assert 0.6 * analytic < width < 1.5 * analytic, (width, analytic)
