@@ -129,12 +129,13 @@ def bootstrap_ci(
 ) -> DataFrame:
     """One-row 95% CI of the mean: (b_replicates, point_est, ci_lo,
     ci_hi). CI bounds are exact order statistics of the replicate
-    means (default ranks 0.025·b and 0.98·b, i.e. 5/196 at b=200 —
-    matching the registered gate query)."""
+    means (default ranks 0.025·b and 0.975·b, i.e. 5/195 at b=200 —
+    a symmetric 2.5%/2.5% interval, matching the registered gate
+    query; ADVICE r10 fixed the old 0.98·b upper rank mislabel)."""
     if exact is None:
         exact = mode == "md5"
     lo = lo_rank if lo_rank is not None else max(1, round(0.025 * b))
-    hi = hi_rank if hi_rank is not None else min(b, round(0.98 * b))
+    hi = hi_rank if hi_rank is not None else min(b, round(0.975 * b))
     est = bootstrap_replicate_means(df, key_col, value_col, b, mode, exact)
     rk = est.select(
         "mean_r",

@@ -3961,7 +3961,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row by the Poisson(1) inverse CDF of the md5-uniform of
 # (orderkey, replicate), and map-side combine reduces the shuffle to
 # B rows per partition. The replicate means land on the driver-sized
-# B=200 relation; the CI is exact order statistics (ranks 5 and 196 =
+# B=200 relation; the CI is exact order statistics (ranks 5 and 195 =
 # 2.5%/97.5%, no interpolation — cross-engine safe). Weights are
 # RNG-free (the proven 13-hex md5 2^52 parse), so DuckDB derives the
 # identical resample and the gate pins the mechanism's arithmetic.
@@ -3994,7 +3994,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rn
            FROM est),
     ci AS (SELECT ROUND(MAX(CASE WHEN rn = 5 THEN mean_r END), 6) AS ci_lo,
-                  ROUND(MAX(CASE WHEN rn = 196 THEN mean_r END), 6) AS ci_hi
+                  ROUND(MAX(CASE WHEN rn = 195 THEN mean_r END), 6) AS ci_hi
            FROM rk),
     pt AS (SELECT CAST(SUM(price) AS DOUBLE) / COUNT(*) AS mean_all FROM t)
     SELECT CAST(200 AS BIGINT) AS b_replicates,
@@ -4048,7 +4048,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn") == 5, F.col("mean_r"))), 6).alias(
             "ci_lo"
         ),
-        F.round(F.max(F.when(F.col("rn") == 196, F.col("mean_r"))), 6).alias(
+        F.round(F.max(F.when(F.col("rn") == 195, F.col("mean_r"))), 6).alias(
             "ci_hi"
         ),
     )
@@ -4090,7 +4090,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d),
     det AS (SELECT d, CAST(cnt AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS detr
             FROM m WHERE c7 = 7),
-    s AS (SELECT CAST((d - DATE '1995-01-01') % 7 AS INT) AS dow,
+    s AS (SELECT CAST(((d - DATE '1995-01-01') % 7 + 7) % 7 AS INT) AS dow,
                  CAST(COUNT(*) AS BIGINT) AS n_days,
                  CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(20,9))) AS DOUBLE)
                    / COUNT(*) AS seasonal
@@ -4099,7 +4099,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(CAST(ROUND(ABS(det.detr - s.seasonal), 9)
                       AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS mar
           FROM det JOIN s
-            ON CAST((det.d - DATE '1995-01-01') % 7 AS INT) = s.dow
+            ON CAST(((det.d - DATE '1995-01-01') % 7 + 7) % 7 AS INT) = s.dow
           GROUP BY 1, 2, 3)
     SELECT dow, n_days, ROUND(seasonal, 6) AS seasonal_idx,
            ROUND(mar, 6) AS mean_abs_resid
@@ -4125,8 +4125,10 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") - F.col("s7").cast("double") / 7.0
         ).alias("detr"),
     )
+    # pmod, not %: dates BEFORE the anchor must still land in 0..6
+    # (ADVICE r10 — plain % yields negative remainders in both engines)
     anchor = F.lit("1995-01-01").cast("date")
-    dow = (F.datediff(F.col("d"), anchor) % 7).cast("int")
+    dow = F.pmod(F.datediff(F.col("d"), anchor), F.lit(7)).cast("int")
     s = det.groupBy(dow.alias("dow")).agg(
         F.count("*").cast("bigint").alias("n_days"),
         (
