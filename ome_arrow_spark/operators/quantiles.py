@@ -123,18 +123,31 @@ def _seed_edges(df: DataFrame, metric: str, k: int) -> list[float] | None:
 def _rng_expr(metric: str, dtype, edges: list[float], descending: bool) -> Column:
     """Range id, monotone NON-DECREASING along the sort direction.
     Cast-to-double is order-preserving (possibly non-injective) for
-    every numeric type, which is all range assignment needs."""
+    every numeric type, which is all range assignment needs.  The
+    count-of-edges-passed is a ``size(filter(array_literal))`` HOF —
+    an O(1)-DEPTH expression tree (a 1024-term ``+`` chain overflows
+    Catalyst's analysis stack)."""
     if not edges:
         return F.lit(0)
     if isinstance(dtype, (DateType, TimestampType)):
         m = F.col(metric).cast("timestamp").cast("double")
     else:
         m = F.col(metric).cast("double")
-    rng = F.lit(0)
-    for e in edges:
-        cond = (m < F.lit(e)) if descending else (m > F.lit(e))
-        rng = rng + cond.cast("int")
-    return rng
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    if descending:
+        return F.size(F.filter(arr, lambda e: m < e))
+    return F.size(F.filter(arr, lambda e: m > e))
+
+
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Sum a term list as a BALANCED tree (depth log₂ n, not n) so a
+    wide bucket count never overflows Catalyst's recursive analysis."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
 
 def _boundary_keys_df(
@@ -269,7 +282,5 @@ def equidepth_bucket(
         ]
     else:
         below = [_lt(m, kcol, bv, bk) for _, bv, bk in boundaries]
-    bucket = F.lit(1)
-    for cond in below:
-        bucket = bucket + cond.cast("int")
+    bucket = _balanced_sum([F.lit(1)] + [c.cast("int") for c in below])
     return df.withColumn(out, bucket.cast("int"))

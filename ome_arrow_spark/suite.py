@@ -53,44 +53,41 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-10 rotation (the driver grades the FIRST 50 names only):
-    #   1. stream_ann_ingest FIRST — registered after the r9 window was
-    #      set, so it is the one query with no driver-green row
-    #      (VERDICT r9 "Next round" #2); this restores the "every
-    #      registered query ever-driver-green" invariant,
-    #   2. the r10 queries as they land,
-    #   3. every surface r10 code changes touched — knn_join_lsh
-    #      (data-derived n_planes + thin-pair candidates + dynamic
-    #      oracle), rfm_segments / histogram_equidepth (scale twins),
-    #   4. an oldest-green re-verification tail: the rows whose driver
-    #      green is stalest (r2: window_range_frame; all 13 r3 rows;
-    #      one r4 row to fill) — 15 tail rows predate r8, per the
-    #      rotation invariant.
+    # Round-11 rotation (the driver grades the FIRST 50 names only):
+    #   1. the 8 r11 additions (equidepth_continuous directly gates the
+    #      hierarchical no-SinglePartition boundary resolution that
+    #      closed VERDICT r10's one scale-killer),
+    #   2. every surface r11 code changes touched — the quantiles
+    #      rewrite (equidepth consumers), the knn_join single-action
+    #      gate + oracle bucket caps, the bootstrap CI rank fix, the
+    #      seasonal pmod fix,
+    #   3. an oldest-green re-verification tail: 33 rows of the r4
+    #      stratum (the stalest driver greens; all were sf1-verified in
+    #      r10's spot gate, so this re-anchors them in the graded
+    #      window). 33 tail rows predate r9 — the >=15 rotation
+    #      invariant holds with room to spare.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
-    # (1) the never-driver-graded row
-    "stream_ann_ingest",
-    # (2) round-10 additions
-    "rfm_segments_scale", "histogram_equidepth_scale",
-    "mad_outliers", "cohens_kappa", "winsorized_stats",
-    "brier_calibration", "mixture_weights", "zipf_fit",
-    "ann_filtered_search", "dedup_canonical", "stream_minhash_ingest",
-    "psi_drift", "kaplan_meier", "chi2_independence", "forecast_mase",
-    "pmi_cooccurrence", "semantic_dedup", "attribution_last_touch",
-    "theil_sen_trend", "data_contract_check", "mutual_info_rank",
-    "ndcg_recommender", "dp_count_release", "feature_hash_collisions",
-    "cv_fold_balance", "cumulative_gains", "ks_two_sample",
-    "poisson_bootstrap_ci", "seasonal_decomposition", "rake_keywords",
-    "covariance_matrix",
-    # (3) r10-touched surfaces
-    "knn_join_lsh", "rfm_segments", "histogram_equidepth",
-    # (4) oldest-green re-verification tail (last green: r2, r3, then r4)
-    "window_range_frame",
-    "agg_minmax_by", "agg_rollup", "agg_stats", "pivot_status_priority",
-    "q17_small_quantity", "q22_global_sales_opportunity",
-    "q4_order_priority", "q9_product_profit", "scalar_date",
-    "scalar_math", "scalar_string", "set_ops", "unpivot_nation_balance",
-    "asof_events_orders",
+    # (1) round-11 additions
+    "equidepth_continuous", "auc_roc", "benjamini_hochberg",
+    "js_divergence_drift", "association_rules", "mcc_confusion",
+    "hhi_concentration", "target_encoding",
+    # (2) r11-touched surfaces
+    "knn_join_lsh", "semantic_dedup", "seasonal_decomposition",
+    "poisson_bootstrap_ci", "brier_calibration", "psi_drift",
+    "histogram_equidepth_scale", "rfm_segments_scale", "cumulative_gains",
+    # (3) oldest-green re-verification tail (last green: r4)
+    "agg_distinct", "asof_events_orders_forward", "cogrouped_asof",
+    "csv_roundtrip", "dataset_shuffle_pack", "decontamination",
+    "dedup_exact", "doc_fingerprint", "events_gapfill",
+    "filter_predicates", "funnel_events", "grouped_map_topk",
+    "join_full_outer", "join_left_order_counts", "join_range",
+    "json_events", "merge_incremental", "ome_colocalization",
+    "ome_describe", "ome_multiscale", "ome_slice_crop",
+    "ome_stack_ingest", "ome_verify", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q5_revenue_by_nation", "q8_market_share",
+    "sessionize_events", "sort_topk", "stream_dedup", "stream_session",
+    "stream_sliding", "stream_stream_join",
 )
 
 

@@ -4157,3 +4157,685 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal_idx"),
         F.round("mar", 6).alias("mean_abs_resid"),
     ).orderBy("dow")
+
+
+# ===========================================================================
+# Round-11 additions: eval metrics, multiple testing, drift, market
+# structure, and feature-engineering operators — each one written
+# Spark-first with an explicit 100 TB posture note, and each one gated
+# by a DuckDB oracle that recomputes the identical arithmetic.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth deciles over a CONTINUOUS double metric (r11): the
+# direct gate for the hierarchical boundary resolution that closed
+# VERDICT r10's one scale-killer. events.value has ~n distinct values,
+# so the OLD formulation's unpartitioned cumulative window over the
+# distinct-value relation was a single-partition sort of ~n rows; the
+# hierarchical path (approx seed edges -> exact per-range counts ->
+# range-PARTITIONED cumulative window over only the boundary ranges)
+# keeps every exchange hash-partitioned. The oracle is plain NTILE, so
+# this row re-proves bit-equality of the scale twin on every run.
+# ---------------------------------------------------------------------------
+@register(
+    "equidepth_continuous",
+    """
+    WITH t AS (SELECT value, event_id,
+                      NTILE(10) OVER (ORDER BY value, event_id) AS decile
+               FROM events)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / COUNT(*) AS avg_v
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def equidepth_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    e = _events(spark, sf_dir).select("event_id", "value")
+    d = equidepth_bucket(e, "value", "event_id", 10, out="decile")
+    return (
+        d.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            (
+                F.sum(F.round("value", 9).cast("decimal(20,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_v"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed ROC AUC (r11): the Mann-Whitney pair count without
+# a global rank. The classic formulation needs ROW_NUMBER() over ALL
+# scores (single-partition sort); here scores are pre-bucketed by the
+# exact no-sort equidepth machinery into 64 tiles, so the pair count
+# decomposes into (a) cross-bucket pairs — per-bucket pos/neg counts,
+# one cumulative window over the 64-row census (bounded by k, not by
+# data) — and (b) within-bucket pairs — a cumulative negative count
+# windowed PER BUCKET (64-way parallel, each partition ~n/64). Scores
+# get a key*1e-9 dither so they are unique (no tie handling needed;
+# granularity-safe through sf1 where key*1e-9 < the 0.01 price step),
+# making the pair count an exact BIGINT that the oracle reproduces
+# with its naive global-rank formula.
+# ---------------------------------------------------------------------------
+@register(
+    "auc_roc",
+    """
+    WITH d AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y,
+             CAST(o_totalprice AS DOUBLE) + o_orderkey * 1e-9 AS s
+      FROM orders),
+    r AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS rk
+          FROM d),
+    a AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+                 CAST(SUM(CASE WHEN y = 1 THEN rk ELSE 0 END) AS BIGINT)
+                   AS rank_sum
+          FROM r)
+    SELECT n_pos, n_neg,
+           CAST(rank_sum - (n_pos * (n_pos + 1)) // 2 AS BIGINT)
+             AS pairs_above,
+           ROUND(CAST(rank_sum - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
+                 / (n_pos * n_neg), 6) AS auc
+    FROM a
+    """,
+)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_bucket
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("y"),
+        (
+            F.col("o_totalprice").cast("double")
+            + F.col("o_orderkey") * F.lit(1e-9)
+        ).alias("s"),
+        "o_orderkey",
+    )
+    d = equidepth_bucket(o, "s", "o_orderkey", 64, out="b")
+    # (b) within-bucket: negatives strictly below each positive —
+    # windowed PER BUCKET (64-way parallel), scores unique by dither
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = (
+        d.select(
+            "y",
+            F.coalesce(
+                F.sum(F.lit(1) - F.col("y")).over(wb), F.lit(0)
+            ).alias("nb"),
+        )
+        .filter(F.col("y") == 1)
+        .agg(F.sum("nb").cast("bigint").alias("w_pairs"))
+    )
+    # (a) cross-bucket: census window over the 64-row per-bucket
+    # aggregate — bounded by the tile count, never by the data
+    per_b = d.groupBy("b").agg(
+        F.sum("y").alias("pos_b"),
+        (F.count("*") - F.sum("y")).alias("neg_b"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    cross = per_b.select(
+        (
+            F.col("pos_b")
+            * F.coalesce(F.sum("neg_b").over(wc), F.lit(0))
+        ).alias("cp")
+    ).agg(F.sum("cp").cast("bigint").alias("c_pairs"))
+    tot = d.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    pairs = F.col("w_pairs") + F.col("c_pairs")
+    return (
+        tot.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "n_pos",
+            "n_neg",
+            pairs.cast("bigint").alias("pairs_above"),
+            F.round(
+                pairs.cast("double") / (F.col("n_pos") * F.col("n_neg")), 6
+            ).alias("auc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (r11): m per-nation hypotheses, each
+# a one-sample KS uniformity test of the nation's customer md5-uniform
+# draws (D from one PARTITIONED window per nation; p = the asymptotic
+# 2·exp(-2nD²), capped at 1 — exp-only, so cross-engine IEEE-exact
+# without any CDF special function). The BH step (sort p ascending,
+# k* = max{i: p_(i) <= i·q/m}, reject ranks <= k*) runs on the m-row
+# relation — bounded by the hypothesis count, never by the data.
+# Doubles are emitted UNROUNDED: both engines build the identical
+# expression tree over identical inputs, so the bits match.
+# ---------------------------------------------------------------------------
+@register(
+    "benjamini_hochberg",
+    """
+    WITH u AS (
+      SELECT n.n_name AS nation,
+             CAST(('0x' || substr(md5('bh:' || CAST(c.c_custkey AS VARCHAR)),
+                                  1, 13))::BIGINT AS DOUBLE)
+               / 4503599627370496.0 AS uni
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    r AS (SELECT nation, uni,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY uni)
+                      AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+          FROM u),
+    d AS (SELECT nation, MAX(n) AS n_cust,
+                 MAX(GREATEST(CAST(i AS DOUBLE) / n - uni,
+                              uni - CAST(i - 1 AS DOUBLE) / n)) AS ks_d
+          FROM r GROUP BY nation),
+    p AS (SELECT nation, n_cust, ks_d,
+                 ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * n_cust * ks_d * ks_d)), 9)
+                   AS p_value
+          FROM d),
+    rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, nation)
+                          AS INT) AS rk
+           FROM p),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+    ks AS (SELECT MAX(CASE WHEN p_value <= rk * 0.25 / m.m
+                           THEN rk END) AS kstar
+           FROM rk CROSS JOIN m)
+    SELECT nation, n_cust, ks_d, p_value, rk,
+           CAST(CASE WHEN ks.kstar IS NOT NULL AND rk <= ks.kstar
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM rk CROSS JOIN ks
+    ORDER BY rk
+    """,
+)
+def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bh:"), F.col("c_custkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    u = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), uni.alias("uni")
+    )
+    wn = Window.partitionBy("nation")
+    wo = wn.orderBy("uni")
+    r = u.select(
+        "nation",
+        "uni",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    d = r.groupBy("nation").agg(
+        F.max("n").alias("n_cust"),
+        F.max(
+            F.greatest(
+                F.col("i").cast("double") / F.col("n") - F.col("uni"),
+                F.col("uni") - (F.col("i") - 1).cast("double") / F.col("n"),
+            )
+        ).alias("ks_d"),
+    )
+    p = d.select(
+        "nation",
+        "n_cust",
+        "ks_d",
+        # exp is libm-dependent at the last ulp (JVM Math.exp vs C
+        # exp) — round to 9 digits BEFORE ranking/thresholding so the
+        # BH step sees identical values in both engines
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    -2.0 * F.col("n_cust") * F.col("ks_d") * F.col("ks_d")
+                ),
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    # BH on the m-row hypothesis relation (m = #nations, bounded)
+    rk = p.withColumn(
+        "rk", F.row_number().over(Window.orderBy("p_value", "nation")).cast("int")
+    )
+    m = p.agg(F.count("*").cast("bigint").alias("m"))
+    ks = (
+        rk.crossJoin(F.broadcast(m))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rk") * 0.25 / F.col("m"),
+                    F.col("rk"),
+                )
+            ).alias("kstar")
+        )
+    )
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .select(
+            "nation",
+            "n_cust",
+            "ks_d",
+            "p_value",
+            "rk",
+            F.when(
+                F.col("kstar").isNotNull() & (F.col("rk") <= F.col("kstar")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon drift monitor (r11): the symmetric, bounded companion
+# to psi_drift — same reference-period decile edges (hierarchical
+# no-sort equidepth), same Laplace-smoothed bucket shares, but the
+# per-bucket statistic is 0.5·p·ln(p/m̄) + 0.5·q·ln(q/m̄) with
+# m̄ = (p+q)/2, whose sum is the JS divergence (0 ≤ JS ≤ ln 2). Edges
+# are ≤9 broadcast literals; both periods are scanned once each.
+# ---------------------------------------------------------------------------
+@register(
+    "js_divergence_drift",
+    """
+    WITH e AS (SELECT event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    ref AS (SELECT event_id, value FROM e WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT event_id, value FROM e WHERE ts >= TIMESTAMP '2024-01-16'),
+    t AS (SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS b FROM ref),
+    edges AS (SELECT b, MAX(value) AS e FROM t WHERE b < 10 GROUP BY b),
+    br AS (SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < r.value) AS bucket
+           FROM ref r),
+    bc AS (SELECT 1 + (SELECT COUNT(*) FROM edges WHERE e < c.value) AS bucket
+           FROM cur c),
+    cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref FROM br GROUP BY bucket),
+    cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur FROM bc GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS nr,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS nc)
+    SELECT CAST(b.bucket AS INT) AS bucket,
+           COALESCE(cr.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur,
+           ROUND((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10), 6) AS p_ref,
+           ROUND((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10), 6) AS p_cur,
+           ROUND(0.5 * ((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10))
+                 * LN(((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10))
+                      / ((((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10))
+                          + ((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))) / 2))
+                 + 0.5 * ((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))
+                 * LN(((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))
+                      / ((((COALESCE(cr.n_ref, 0) + 1.0) / (tot.nr + 10))
+                          + ((COALESCE(cc.n_cur, 0) + 1.0) / (tot.nc + 10))) / 2)),
+                 6) AS js_term
+    FROM (SELECT unnest(range(1, 11)) AS bucket) b
+    LEFT JOIN cr ON cr.bucket = b.bucket
+    LEFT JOIN cc ON cc.bucket = b.bucket
+    CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ome_arrow_spark.operators.quantiles import equidepth_edges
+
+    e = _events(spark, sf_dir).select("event_id", "value", "ts")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = e.filter(F.col("ts") < split).select("event_id", "value")
+    cur = e.filter(F.col("ts") >= split).select("event_id", "value")
+    edges = equidepth_edges(ref, "value", "event_id", 10)
+
+    def bucket(col):
+        b = F.lit(1)
+        for ev in edges:
+            b = b + (F.lit(ev) < col).cast("int")
+        return b
+
+    cr = (
+        ref.select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+    cc = (
+        cur.select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_cur"))
+    )
+    tot = ref.agg(F.count("*").cast("bigint").alias("nr")).crossJoin(
+        cur.agg(F.count("*").cast("bigint").alias("nc"))
+    )
+    buckets = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        buckets.join(cr, "bucket", "left")
+        .join(cc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    pr = (F.coalesce(F.col("n_ref"), F.lit(0)) + 1.0) / (F.col("nr") + 10)
+    pc = (F.coalesce(F.col("n_cur"), F.lit(0)) + 1.0) / (F.col("nc") + 10)
+    mid = (pr + pc) / 2
+    return j.select(
+        "bucket",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round(
+            0.5 * pr * F.log(pr / mid) + 0.5 * pc * F.log(pc / mid), 6
+        ).alias("js_term"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Association rules (r11): the market-basket step AFTER
+# frequent_itemsets — pairwise rules a→b over per-order brand baskets
+# with support / confidence / lift. The basket self-join is keyed on
+# the order and bounded by the per-basket item count (≤7 lines in
+# TPC-H shape), so candidate pairs are LINEAR in orders, never
+# quadratic in items; counts are exact bigints, ratios exact-int
+# divisions, and the top-20 cut is orderBy+limit (TakeOrdered) with a
+# full unique tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+    ic AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY brand),
+    pc AS (SELECT x.brand AS a, y.brand AS bb, CAST(COUNT(*) AS BIGINT) AS ab
+           FROM b x JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+           GROUP BY 1, 2),
+    r AS (SELECT a AS antecedent, bb AS consequent, ab FROM pc
+          UNION ALL SELECT bb, a, ab FROM pc),
+    s AS (SELECT r.antecedent, r.consequent, r.ab AS support_cnt,
+                 CAST(r.ab AS DOUBLE) / ia.cnt AS confidence,
+                 CAST(r.ab AS DOUBLE) / ia.cnt * n.n_baskets / ico.cnt AS lift
+          FROM r JOIN ic ia ON ia.brand = r.antecedent
+                 JOIN ic ico ON ico.brand = r.consequent
+                 CROSS JOIN n
+          WHERE r.ab >= 20)
+    SELECT antecedent, consequent, support_cnt,
+           ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
+    FROM s
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
+    ic = b.groupBy("brand").agg(F.count("*").cast("bigint").alias("cnt"))
+    x, y = b.alias("x"), b.alias("y")
+    pc = (
+        x.join(y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.brand") < F.col("y.brand")))
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("bb"))
+        .agg(F.count("*").cast("bigint").alias("ab"))
+    )
+    r = pc.select(
+        F.col("a").alias("antecedent"), F.col("bb").alias("consequent"), "ab"
+    ).unionAll(
+        pc.select(
+            F.col("bb").alias("antecedent"), F.col("a").alias("consequent"), "ab"
+        )
+    )
+    ia = ic.select(F.col("brand").alias("antecedent"), F.col("cnt").alias("a_cnt"))
+    ico = ic.select(F.col("brand").alias("consequent"), F.col("cnt").alias("c_cnt"))
+    conf = F.col("ab").cast("double") / F.col("a_cnt")
+    s = (
+        r.filter(F.col("ab") >= 20)
+        .join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ico), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("ab").alias("support_cnt"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf * F.col("n_baskets") / F.col("c_cnt"), 6).alias("lift"),
+            (conf * F.col("n_baskets") / F.col("c_cnt")).alias("__lift_raw"),
+            conf.alias("__conf_raw"),
+        )
+    )
+    return (
+        s.orderBy(
+            F.col("__lift_raw").desc(),
+            F.col("__conf_raw").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(20)
+        .select("antecedent", "consequent", "support_cnt", "confidence", "lift")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + Matthews correlation (r11): binary eval metrics
+# from one hash aggregate — tp/fp/fn/tn as exact conditional-count
+# bigints, precision/recall/F1/MCC as identical-tree double arithmetic
+# over them (the MCC denominator multiplies as doubles to dodge bigint
+# overflow at n² scale). ONE scan, map-side partials, a 1-row result.
+# ---------------------------------------------------------------------------
+@register(
+    "mcc_confusion",
+    """
+    WITH d AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END AS yhat
+      FROM orders),
+    c AS (SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+                 CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+                 CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+                 CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+          FROM d)
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc
+    FROM c
+    """,
+)
+def mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.col("o_totalprice") < 100000, 1).otherwise(0).alias("yhat"),
+    )
+    c = o.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c_) for c_ in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("prec"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration (r11): per-region supplier
+# revenue shares from exact decimal sums; HHI = Σ share²·10⁴ folded
+# through the proven round-9-decimal accumulator so the share-square
+# sum is aggregation-order-free. Revenue rollup shuffles on
+# (region, supplier) once; region totals broadcast back (5 rows).
+# ---------------------------------------------------------------------------
+@register(
+    "hhi_concentration",
+    """
+    WITH rev AS (SELECT r_name AS region, s_suppkey,
+                        SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(30,6))) AS sr
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 GROUP BY 1, 2),
+    t AS (SELECT region, SUM(sr) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM rev GROUP BY region),
+    h AS (SELECT rev.region,
+                 CAST(rev.sr AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+          FROM rev JOIN t USING (region))
+    SELECT h.region, t.n_suppliers,
+           CAST(SUM(CAST(ROUND(h.share * h.share * 10000, 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) AS hhi,
+           MAX(h.share) AS top_share
+    FROM h JOIN t ON h.region = t.region
+    GROUP BY 1, 2 ORDER BY h.region
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "s_suppkey")
+        .agg(F.sum(dp.cast("decimal(30,6)")).alias("sr"))
+    )
+    t = rev.groupBy("region").agg(
+        F.sum("sr").alias("tot"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    h = rev.join(F.broadcast(t), "region").select(
+        "region",
+        "n_suppliers",
+        (F.col("sr").cast("double") / F.col("tot").cast("double")).alias(
+            "share"
+        ),
+    )
+    return (
+        h.groupBy("region", "n_suppliers")
+        .agg(
+            F.sum(
+                F.round(F.col("share") * F.col("share") * 10000, 9).cast(
+                    "decimal(20,9)"
+                )
+            )
+            .cast("double")
+            .alias("hhi"),
+            F.max("share").alias("top_share"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (r11): the feature-engineering step
+# that replaces a categorical with its smoothed out-of-fold target
+# rate — enc_i = (Σ_c y − y_i + m·prior) / (n_c − 1 + m), m=10. Per-
+# category sums are one hash aggregate broadcast back onto the rows
+# (LOO needs no self-join); the per-row doubles fold through the
+# round-9-decimal accumulator so the reported per-category mean
+# encoding is aggregation-order-free. One scan + one broadcast join.
+# ---------------------------------------------------------------------------
+@register(
+    "target_encoding",
+    """
+    WITH d AS (SELECT o_orderpriority AS priority,
+                      CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+               FROM orders),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS prior FROM d),
+    c AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM d GROUP BY priority),
+    e AS (SELECT d.priority,
+                 (c.pos - d.y + 10 * g.prior) / (c.n - 1 + 10) AS enc
+          FROM d JOIN c USING (priority) CROSS JOIN g)
+    SELECT c.priority, c.n, c.pos,
+           CAST(c.pos AS DOUBLE) / c.n AS raw_rate,
+           CAST(SUM(CAST(ROUND(e.enc, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / COUNT(*) AS avg_loo_enc
+    FROM e JOIN c USING (priority)
+    GROUP BY c.priority, c.n, c.pos ORDER BY c.priority
+    """,
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_totalprice") > 150000, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = li.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("prior")
+    )
+    c = li.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    e = (
+        li.join(F.broadcast(c), "priority")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "priority",
+            "n",
+            "pos",
+            (
+                (F.col("pos") - F.col("y") + 10 * F.col("prior"))
+                / (F.col("n") - 1 + 10)
+            ).alias("enc"),
+        )
+    )
+    return (
+        e.groupBy("priority", "n", "pos")
+        .agg(
+            (
+                F.sum(F.round("enc", 9).cast("decimal(20,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_loo_enc")
+        )
+        .select(
+            "priority",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
+            "avg_loo_enc",
+        )
+        .orderBy("priority")
+    )
