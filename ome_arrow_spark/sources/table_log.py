@@ -1066,7 +1066,12 @@ def _bloom_cols(snap: dict[str, Any]) -> tuple[str, ...]:
 
 
 def append_table(
-    spark: SparkSession, df: DataFrame, table: str, commit_attempts: int = 20
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    commit_attempts: int = 20,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
 ) -> int:
     """Atomic append: new files + one commit; never rewrites data.
 
@@ -1076,8 +1081,25 @@ def append_table(
     actions at the next version — no data rewrite, no starvation under
     contention (Delta's blind-append conflict rule).  Schema and
     constraints are re-validated against each fresh head in case a
-    concurrent commit evolved them."""
+    concurrent commit evolved them.
+
+    ``txn_app``/``txn_batch`` give Delta's idempotent-writes contract
+    (``txnAppId``/``txnVersion``) for streaming ``foreachBatch``
+    sinks: the table records ``txn.<app> = batch`` in its properties
+    inside the SAME commit as the data, so a replayed micro-batch
+    (restart after commit, before checkpoint advance) is detected and
+    skipped BEFORE any data file lands.  Returns the current version
+    unchanged on a skipped replay.  This makes plain appends an
+    exactly-once sink for append-only streams at O(new-data) cost —
+    the MERGE (upsert) sink is only needed when arriving keys can
+    COLLIDE with stored rows."""
+    if (txn_app is None) != (txn_batch is None):
+        raise TableLogError("txn_app and txn_batch go together")
     snap = _resolve_snapshot(table)
+    if txn_app is not None:
+        prev = snap["properties"].get(f"txn.{txn_app}")
+        if prev is not None and int(prev) >= int(txn_batch):
+            return snap["version"]
     _check_schema(df, snap, table)
     _enforce_constraints(df, snap, table)
     version = snap["version"] + 1
@@ -1086,6 +1108,8 @@ def append_table(
         "operation": "append",
         "actions": [{"add": a} for a in adds],
     }
+    if txn_app is not None:
+        entry["properties"] = {f"txn.{txn_app}": str(txn_batch)}
     for attempt in range(commit_attempts):
         try:
             _commit(table, version, {"version": version, **entry})
@@ -1093,10 +1117,16 @@ def append_table(
         except ConcurrentCommit:
             if attempt == commit_attempts - 1:
                 raise
-            prev = snap
+            prev_snap = snap
             snap = _resolve_snapshot(table)
+            if txn_app is not None:
+                prev = snap["properties"].get(f"txn.{txn_app}")
+                if prev is not None and int(prev) >= int(txn_batch):
+                    # a concurrent writer (replay race) landed this
+                    # batch: the staged files become permanent no-ops
+                    return snap["version"]
             _check_schema(df, snap, table)
-            if snap["properties"] != prev["properties"]:
+            if snap["properties"] != prev_snap["properties"]:
                 _enforce_constraints(df, snap, table)
             version = snap["version"] + 1
     raise AssertionError("unreachable")
@@ -2114,6 +2144,28 @@ def upsert_ome_table(
         F.col(f"{column}.id").alias("image_id"), F.col(column)
     )
     return upsert_table(spark, flat, table, key="image_id")
+
+
+def append_ome_table(
+    spark: SparkSession,
+    images: DataFrame,
+    table: str,
+    column: str = "ome_arrow",
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> int:
+    """Append-only twin of :func:`upsert_ome_table` for acquisition
+    streams whose image ids are NEW by construction (a microscope
+    never re-drops a file): O(new-data) per micro-batch — no manifest
+    prune, no anti-join rewrite — with exactly-once via the
+    ``txn_app``/``txn_batch`` idempotent-writes contract instead of
+    the merge key."""
+    flat = images.select(
+        F.col(f"{column}.id").alias("image_id"), F.col(column)
+    )
+    return append_table(
+        spark, flat, table, txn_app=txn_app, txn_batch=txn_batch
+    )
 
 
 def read_ome_table(

@@ -811,3 +811,67 @@ class TestRestore:
         tl.vacuum_table(tdir, keep_versions=1, retention_seconds=0)
         with pytest.raises(tl.TableLogError, match="vacuumed"):
             tl.restore_table(spark, tdir, version=0)
+
+
+class TestIdempotentAppend:
+    """Delta's txnAppId/txnVersion idempotent-writes contract on
+    append_table (r11): replayed foreachBatch micro-batches are
+    detected via the txn.<app> table property and skipped before any
+    data lands — the exactly-once append-only streaming sink."""
+
+    def test_replay_skipped(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        v1 = tl.append_table(
+            spark, _base(spark, 20).filter("k >= 10"), tdir,
+            txn_app="ingest", txn_batch=0,
+        )
+        assert tl.read_table(spark, tdir).count() == 20
+        # replay of batch 0: no new rows, version unchanged
+        v2 = tl.append_table(
+            spark, _base(spark, 20).filter("k >= 10"), tdir,
+            txn_app="ingest", txn_batch=0,
+        )
+        assert v2 == v1
+        assert tl.read_table(spark, tdir).count() == 20
+        # next batch advances
+        v3 = tl.append_table(
+            spark, _base(spark, 30).filter("k >= 20"), tdir,
+            txn_app="ingest", txn_batch=1,
+        )
+        assert v3 == v1 + 1
+        assert tl.read_table(spark, tdir).count() == 30
+        assert tl.table_properties(tdir)["txn.ingest"] == "1"
+
+    def test_apps_are_independent(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 10), tdir)
+        tl.append_table(spark, _base(spark, 12).filter("k >= 10"), tdir,
+                        txn_app="a", txn_batch=5)
+        # a different app's batch counter doesn't collide
+        tl.append_table(spark, _base(spark, 14).filter("k >= 12"), tdir,
+                        txn_app="b", txn_batch=0)
+        assert tl.read_table(spark, tdir).count() == 14
+        props = tl.table_properties(tdir)
+        assert props["txn.a"] == "5" and props["txn.b"] == "0"
+
+    def test_txn_args_validated(self, spark, tdir):
+        tl.create_table(spark, _base(spark, 5), tdir)
+        with pytest.raises(tl.TableLogError, match="go together"):
+            tl.append_table(spark, _base(spark, 5), tdir, txn_app="x")
+
+    def test_append_ome_table_roundtrip(self, spark, tdir, ome_images_df):
+        one = ome_images_df.limit(1)
+        tl.create_ome_table(spark, one, tdir)
+        tl.append_ome_table(
+            spark, ome_images_df.filter("ome_arrow.id = 'multi-channel'"),
+            tdir, txn_app="acq", txn_batch=0,
+        )
+        # replay skipped
+        tl.append_ome_table(
+            spark, ome_images_df.filter("ome_arrow.id = 'multi-channel'"),
+            tdir, txn_app="acq", txn_batch=0,
+        )
+        ids = {
+            r["image_id"]
+            for r in tl.read_table(spark, tdir).select("image_id").collect()
+        }
+        assert len(ids) == 2 and "multi-channel" in ids
