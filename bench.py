@@ -129,6 +129,7 @@ def bench_tiff_ingest(
 
 def bench_stream_ingest(
     spark, n_images: int = 200, side: int = 256, files_per_trigger: int = 50,
+    sink: str = "merge",
 ) -> tuple[float, float]:
     """Structured-Streaming acquisition path end-to-end (ADVICE r7 #7):
     n FTIF files already waiting in the drop dir, AvailableNow stream →
@@ -137,7 +138,17 @@ def bench_stream_ingest(
     planning, per-batch decode, and the per-batch atomic table commit —
     the steady-state img/s a continuous-microscope pipeline sustains
     (the batch twin, tiff_ingest_steady_800, excludes the streaming +
-    commit machinery)."""
+    commit machinery).
+
+    ``sink`` picks the per-batch commit strategy: ``"merge"`` (the r8
+    metric — manifest-pruned MERGE, needed when arriving keys can
+    collide) or ``"append"`` (the r11 acquisition config — blind
+    idempotent append via txnAppId/txnVersion, O(new-data) per batch,
+    correct when ids are new by construction). The r11 profile
+    (tools/stream_ingest_profile.py, PLANS.md) measured the per-batch
+    floor at ~1.75 s merge / ~1.4 s append on local[32], FIXED in
+    batch size — so steady-state img/s ≈ files_per_trigger / floor,
+    and the trigger size is the throughput lever."""
     import shutil
     import tempfile
 
@@ -163,8 +174,13 @@ def bench_stream_ingest(
                 return
             if tl.current_version(table) is None:
                 tl.create_ome_table(spark, batch_df, table)
-            else:
+            elif sink == "merge":
                 tl.upsert_ome_table(spark, batch_df, table)
+            else:
+                tl.append_ome_table(
+                    spark, batch_df, table,
+                    txn_app="bench_stream", txn_batch=batch_id,
+                )
 
         t0 = time.time()
         run_foreach_batch(
@@ -703,6 +719,26 @@ def main() -> None:
 
         guarded("stream_ingest_steady_200", _stream)
 
+        # r11 acquisition config: append sink (txn-idempotent, O(new-data)
+        # per batch) + right-sized trigger. The r11 profile showed the
+        # per-micro-batch overhead is a FIXED engine+commit floor
+        # (~1.4 s append / ~1.75 s merge on local[32], batch-size
+        # independent), so throughput is linear in files_per_trigger;
+        # 4×100 batches keep a true steady state while tripling the
+        # merge-sink row above. Standalone — NOT in suite_total_wall.
+        def _stream_append():
+            s, rate = bench_stream_ingest(
+                spark, n_images=400, files_per_trigger=100, sink="append"
+            )
+            times["stream_ingest_append_400"] = round(s, 4)
+            rates["stream_ingest_append_images_per_sec"] = round(rate, 2)
+            print(
+                f"# stream_ingest_append_400: {s:.3f}s ({rate:.1f} img/s)",
+                file=sys.stderr,
+            )
+
+        guarded("stream_ingest_append_400", _stream_append)
+
         # log-table format at 1k-file scale (NOT in suite_total_wall: new
         # in r7, would skew the BASELINE comparison; tracked standalone)
         def _tlog():
@@ -799,6 +835,7 @@ def _emit_stamp(
             "tiff_ingest_steady_800",
             "zarr_ingest_30x512",
             "stream_ingest_steady_200",
+            "stream_ingest_append_400",
             "knn_join_sf1",
         ]
         + sorted(sf1_times)

@@ -311,6 +311,124 @@ def stream_ome_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_append_ingest",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(i.i % 65536) AS BIGINT) AS psum
+      FROM (SELECT unnest(generate_series(0, 149*311 - 1)) AS i) i)
+    SELECT * FROM (
+      SELECT 'ap-dual' AS image_id, CAST(2 AS INT) AS n_planes,
+             psum AS first_plane_sum FROM s
+      UNION ALL SELECT 'ap-plain', CAST(1 AS INT), psum FROM s
+      UNION ALL SELECT 'ap-stack', CAST(3 AS INT), psum FROM s
+      UNION ALL SELECT 'ap-tseries', CAST(4 AS INT), psum FROM s)
+    """,
+)
+def stream_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only acquisition sink end to end (the r11 streaming
+    throughput path): OME-TIFF files land in a watched directory →
+    streaming binaryFile decode → foreachBatch blind APPEND into the
+    transaction-log table via the txnAppId/txnVersion idempotent-writes
+    contract (table_log.append_ome_table) — O(new-data) per micro-batch,
+    no manifest prune, no anti-join rewrite. Image ids are new by
+    construction (a microscope never re-drops a file), which is exactly
+    the case where MERGE is wasted work: the r11 profile measured the
+    MERGE read side at ~0.35 s/batch vs the append sink's pure
+    commit+engine floor of ~1.4 s/batch (PLANS.md). After the stream
+    drains, a REPLAY of the last micro-batch (same txn ids) is
+    attempted; the exactly-once contract must skip it BEFORE any data
+    file lands, or the duplicate image rows break the oracle hash."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ome_arrow_spark import synth
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import from_tiff_dir, from_tiff_stream
+    from ome_arrow_spark.sources.tiff_minimal import (
+        build_ome_xml,
+        encode_tiff_baseline,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_append_src_")
+    table = f"/tmp/ome_arrow_rt_stream_append_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    shutil.rmtree(table, ignore_errors=True)
+    shapes = [
+        ("ap-tseries", 4, 1, 1, 149, 311),
+        ("ap-dual", 1, 2, 1, 149, 311),
+        ("ap-stack", 1, 1, 3, 149, 311),
+        ("ap-plain", 1, 1, 1, 149, 311),
+    ]
+    txn_app = "stream_append_ingest"
+    last_append = {"id": None}  # last batch that went through the TXN sink
+    try:
+        for image_id, t, c, z, y, x in shapes:
+            pages = np.stack(
+                [
+                    synth.pixel_plane(ti, ci, zi, y, x).reshape(y, x)
+                    for ti in range(t)
+                    for ci in range(c)
+                    for zi in range(z)
+                ]
+            ).astype(np.uint16)
+            xml = build_ome_xml(
+                image_id=image_id, name=None, size_t=t, size_c=c,
+                size_z=z, size_y=y, size_x=x,
+            )
+            with open(os.path.join(src, f"{image_id}.ome.tif"), "wb") as f:
+                f.write(encode_tiff_baseline(pages, description=xml))
+
+        stream = from_tiff_stream(
+            spark, src, glob="*.ome.tif", max_files_per_trigger=2
+        )
+
+        def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if tl.current_version(table) is None:
+                tl.create_ome_table(spark, batch_df, table)
+            else:
+                tl.append_ome_table(
+                    spark, batch_df, table,
+                    txn_app=txn_app, txn_batch=batch_id,
+                )
+                la = last_append["id"]
+                last_append["id"] = batch_id if la is None else max(la, batch_id)
+
+        EV.run_foreach_batch(stream, append_batch, output_mode="append")
+
+        # replay the last TXN-sink micro-batch: same txn ids → the
+        # commit-level idempotence check must return the version
+        # UNCHANGED (else the duplicated image_ids double the oracle's
+        # row count). The first batch creates the table without a txn
+        # record, so only replay when an append batch actually ran.
+        if last_append["id"] is not None:
+            v_before = tl.current_version(table)
+            replay = from_tiff_dir(spark, src, glob="ap-plain.ome.tif")
+            v_after = tl.append_ome_table(
+                spark, replay, table,
+                txn_app=txn_app, txn_batch=last_append["id"],
+            )
+            assert v_after == v_before, (
+                f"replayed micro-batch was not skipped: v{v_before} -> v{v_after}"
+            )
+
+        imgs = tl.read_ome_table(spark, table)
+        return imgs.select(
+            F.col("ome_arrow.id").alias("image_id"),
+            F.size("ome_arrow.planes").alias("n_planes"),
+            F.aggregate(
+                F.element_at("ome_arrow.planes", 1).pixels,
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("first_plane_sum"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
     "stream_zarr_ingest",
     """
     WITH s AS (

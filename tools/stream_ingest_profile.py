@@ -1,0 +1,120 @@
+"""Streaming-ingest throughput profile (VERDICT r10 Next-round #5).
+
+Decomposes `stream_ingest_steady_200`'s wall into its three levers:
+
+  * sink strategy  — per-batch MERGE (`upsert_ome_table`: manifest
+    prune + anti-join rewrite of overlapping files) vs idempotent
+    blind APPEND (`append_ome_table`: O(new-data) write + one log
+    commit, exactly-once via the txnAppId/txnVersion contract);
+  * micro-batch size — `maxFilesPerTrigger` in {25, 50, 100, 200}
+    (200 images fixed, so batches = 200/fpt);
+  * the decode floor — the same 200 images through the BATCH reader
+    (`from_tiff_dir` + count), no streaming engine, no commits.
+
+Prints one table row per (sink, fpt) cell: wall seconds, img/s, and
+per-batch overhead versus the decode floor ((wall - floor) / batches).
+The floor row shows what the micro-batch machinery itself costs; the
+merge-vs-append delta shows what the MERGE read-side costs.
+
+Usage: python tools/stream_ingest_profile.py [n_images] [side]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    side = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import (
+        encode_ftif,
+        from_tiff_dir,
+        from_tiff_stream,
+    )
+    from ome_arrow_spark.streaming.events import run_foreach_batch
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("stream-ingest-profile")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = tempfile.mkdtemp(prefix="sprof_src_")
+    base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(1, 1, 1, side, side)
+    for i in range(n_images):
+        blob = encode_ftif((base + i) % 65536, image_id=f"img{i:04d}")
+        with open(os.path.join(src, f"img{i:04d}.ftif"), "wb") as f:
+            f.write(blob)
+
+    # decode floor: the batch reader over the same files, no streaming.
+    def batch_floor() -> float:
+        t0 = time.time()
+        assert from_tiff_dir(spark, src, glob="*.ftif").count() == n_images
+        return time.time() - t0
+
+    floors = [batch_floor() for _ in range(3)]
+    floor = min(floors)
+    print(f"decode_floor: {floor:.3f}s  ({n_images / floor:.1f} img/s)  runs={['%.3f' % f for f in floors]}")
+
+    def run_stream(sink: str, fpt: int) -> float:
+        table = tempfile.mkdtemp(prefix="sprof_tbl_") + "/t"
+        try:
+            def merge(batch_df, batch_id):
+                if batch_df.isEmpty():
+                    return
+                if tl.current_version(table) is None:
+                    tl.create_ome_table(spark, batch_df, table)
+                elif sink == "merge":
+                    tl.upsert_ome_table(spark, batch_df, table)
+                else:
+                    tl.append_ome_table(
+                        spark, batch_df, table,
+                        txn_app="sprof", txn_batch=batch_id,
+                    )
+
+            t0 = time.time()
+            run_foreach_batch(
+                from_tiff_stream(spark, src, glob="*.ftif", max_files_per_trigger=fpt),
+                merge,
+                output_mode="append",
+            )
+            dt = time.time() - t0
+            n = tl.read_ome_table(spark, table).count()
+            assert n == n_images, f"{sink}/fpt={fpt}: {n}/{n_images}"
+            return dt
+        finally:
+            shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+    print(f"{'sink':>7} {'fpt':>4} {'batches':>7} {'wall_s':>7} {'img/s':>7} {'overhead/batch_s':>17}")
+    for sink in ("merge", "append"):
+        for fpt in (25, 50, 100, 200):
+            batches = (n_images + fpt - 1) // fpt
+            wall = min(run_stream(sink, fpt) for _ in range(2))
+            per_batch = (wall - floor) / batches
+            print(
+                f"{sink:>7} {fpt:>4} {batches:>7} {wall:>7.3f} "
+                f"{n_images / wall:>7.1f} {per_batch:>17.3f}"
+            )
+
+    shutil.rmtree(src, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
