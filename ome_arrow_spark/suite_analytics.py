@@ -4839,3 +4839,327 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank correlations (r11 late batch): Spearman rho and Kendall tau-b
+# between daily order volume and daily spend. Both run on the
+# calendar-bounded daily aggregate (~2.4k rows — the
+# seasonal_decomposition precedent: global windows / quadratic pair
+# joins are driver-scale BY CONSTRUCTION after the groupBy, never on
+# the raw fact table). Ranks are carried as 2·avg_rank = 2·min_rank +
+# tie_count − 1 (exact BIGINT — correlation is affine-invariant, so
+# doubling changes nothing), every moment sum is an exact integer
+# aggregate, and the only doubles are the final closed-form ratios —
+# bit-equal cross-engine because sqrt is IEEE-correctly-rounded.
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_daily",
+    """
+    WITH d AS (SELECT o_orderdate AS d,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS spend
+               FROM orders GROUP BY 1),
+    r AS (SELECT
+            2 * RANK() OVER (ORDER BY n_orders)
+              + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS rx,
+            2 * RANK() OVER (ORDER BY spend)
+              + COUNT(*) OVER (PARTITION BY spend) - 1 AS ry
+          FROM d),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rx) AS BIGINT) AS sx,
+                 CAST(SUM(ry) AS BIGINT) AS sy,
+                 CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                 CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                 CAST(SUM(rx * ry) AS BIGINT) AS sxy
+          FROM r)
+    SELECT n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+    FROM s
+    """,
+)
+def spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("spend"),
+        )
+    )
+    r = d.select(
+        (
+            2 * F.rank().over(W.orderBy("n_orders"))
+            + F.count("*").over(W.partitionBy("n_orders"))
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(W.orderBy("spend"))
+            + F.count("*").over(W.partitionBy("spend"))
+            - 1
+        ).alias("ry"),
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return s.select(
+        n.alias("n_days"),
+        (
+            (n * F.col("sxy") - sx * sy).cast("double")
+            / (
+                F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+                * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+            )
+        ).alias("rho"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    """
+    WITH d AS (SELECT o_orderdate AS d,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS spend
+               FROM orders GROUP BY 1),
+    p AS (SELECT a.n_orders AS x1, b.n_orders AS x2,
+                 a.spend AS y1, b.spend AS y2
+          FROM d a JOIN d b ON a.d < b.d),
+    s AS (SELECT
+            CAST(SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+                            OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+                            OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS disc,
+            CAST(SUM(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_x,
+            CAST(SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_y,
+            CAST(COUNT(*) AS BIGINT) AS n0
+          FROM p)
+    SELECT n0 AS n_pairs, conc, disc, ties_x, ties_y,
+           CAST(conc - disc AS DOUBLE)
+             / (SQRT(CAST(n0 - ties_x AS DOUBLE))
+                * SQRT(CAST(n0 - ties_y AS DOUBLE))) AS tau_b
+    FROM s
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("spend"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    x1, x2 = F.col("a.n_orders"), F.col("b.n_orders")
+    y1, y2 = F.col("a.spend"), F.col("b.spend")
+    p = a.join(b, F.col("a.d") < F.col("b.d"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    s = p.agg(
+        F.sum(
+            F.when(((x1 < x2) & (y1 < y2)) | ((x1 > x2) & (y1 > y2)), one)
+            .otherwise(zero)
+        ).cast("bigint").alias("conc"),
+        F.sum(
+            F.when(((x1 < x2) & (y1 > y2)) | ((x1 > x2) & (y1 < y2)), one)
+            .otherwise(zero)
+        ).cast("bigint").alias("disc"),
+        F.sum(F.when((x1 == x2) & (y1 != y2), one).otherwise(zero))
+        .cast("bigint").alias("ties_x"),
+        F.sum(F.when((y1 == y2) & (x1 != x2), one).otherwise(zero))
+        .cast("bigint").alias("ties_y"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    return s.select(
+        F.col("n0").alias("n_pairs"),
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        (
+            (F.col("conc") - F.col("disc")).cast("double")
+            / (
+                F.sqrt((F.col("n0") - F.col("ties_x")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("ties_y")).cast("double"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (r11 late batch): effect size for the priority × status
+# association — the chi2_independence companion that answers "how
+# strong", not just "is there". One hash aggregate builds the 15-cell
+# contingency table; expected counts and per-cell chi² terms are
+# doubles folded through the round-9 decimal accumulator (order-free),
+# and V = sqrt(chi² / (n · min(r−1, c−1))) reuses the SAME rounded sum
+# so both reported numbers come from one arithmetic path.
+# ---------------------------------------------------------------------------
+@register(
+    "cramers_v",
+    """
+    WITH cell AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                         CAST(COUNT(*) AS BIGINT) AS o
+                  FROM orders GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT pri) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS c
+            FROM cell),
+    m AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY pri),
+    s AS (SELECT st, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY st),
+    chi AS (SELECT SUM(CAST(ROUND(
+                POWER(cell.o - CAST(m.rt * s.ct AS DOUBLE) / tot.n, 2)
+                  / (CAST(m.rt * s.ct AS DOUBLE) / tot.n), 9)
+              AS DECIMAL(20,9))) AS chi2
+            FROM cell JOIN m USING (pri) JOIN s USING (st) CROSS JOIN tot)
+    SELECT tot.n, tot.r AS n_rows_cat, tot.c AS n_cols_cat,
+           CAST(chi.chi2 AS DOUBLE) AS chi2,
+           SQRT(CAST(chi.chi2 AS DOUBLE)
+                / (tot.n * LEAST(tot.r - 1, tot.c - 1))) AS cramers_v
+    FROM chi CROSS JOIN tot
+    """,
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    tot = cell.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("pri").cast("bigint").alias("r"),
+        F.count_distinct("st").cast("bigint").alias("c"),
+    )
+    m = cell.groupBy("pri").agg(F.sum("o").cast("bigint").alias("rt"))
+    s = cell.groupBy("st").agg(F.sum("o").cast("bigint").alias("ct"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    chi = (
+        cell.join(F.broadcast(m), "pri")
+        .join(F.broadcast(s), "st")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(F.pow(F.col("o") - e, F.lit(2)) / e, 9).cast(
+                    "decimal(20,9)"
+                )
+            ).alias("chi2")
+        )
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("r").alias("n_rows_cat"),
+        F.col("c").alias("n_cols_cat"),
+        F.col("chi2").cast("double").alias("chi2"),
+        F.sqrt(
+            F.col("chi2").cast("double")
+            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-column Shannon entropy (r11 late batch): the data-profiling
+# primitive behind feature screening and drift baselines — H(col),
+# normalized H/ln(k), and the modal share, for three categorical
+# columns across two tables. Spark unpivots orders with one stack()
+# scan (≡ the oracle's UNION ALL); each −Σ p·ln p folds through the
+# round-9 decimal accumulator, which also absorbs the ≤1-ulp
+# JVM-vs-libm log() spread. Outputs are rounded at 9 decimals so the
+# normalized ratio is hash-stable cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "column_entropy",
+    """
+    WITH v AS (
+      SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer),
+    census AS (SELECT col, val, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM v GROUP BY 1, 2),
+    tot AS (SELECT col, CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MAX(cnt) AS BIGINT) AS modal
+            FROM census GROUP BY col),
+    h AS (SELECT census.col,
+                 SUM(CAST(ROUND(
+                     (CAST(cnt AS DOUBLE) / n) * LN(CAST(cnt AS DOUBLE) / n),
+                     9) AS DECIMAL(20,9))) AS negent
+          FROM census JOIN tot USING (col) GROUP BY census.col)
+    SELECT tot.col, tot.n, tot.k AS n_distinct,
+           CAST(-h.negent AS DOUBLE) AS entropy_nats,
+           ROUND(CAST(-h.negent AS DOUBLE) / LN(CAST(tot.k AS DOUBLE)), 9)
+             AS norm_entropy,
+           ROUND(CAST(tot.modal AS DOUBLE) / tot.n, 9) AS modal_share
+    FROM h JOIN tot USING (col) ORDER BY tot.col
+    """,
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    v = orders.select(
+        F.expr(
+            "stack(2, 'o_orderpriority', o_orderpriority,"
+            " 'o_orderstatus', o_orderstatus) AS (col, val)"
+        )
+    ).unionAll(
+        cust.select(
+            F.lit("c_mktsegment").alias("col"),
+            F.col("c_mktsegment").alias("val"),
+        )
+    )
+    census = v.groupBy("col", "val").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = census.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.max("cnt").cast("bigint").alias("modal"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    h = (
+        census.join(F.broadcast(tot), "col")
+        .groupBy("col")
+        .agg(
+            F.sum(F.round(p * F.log(p), 9).cast("decimal(20,9)")).alias(
+                "negent"
+            )
+        )
+    )
+    return (
+        h.join(F.broadcast(tot), "col")
+        .select(
+            "col",
+            "n",
+            F.col("k").alias("n_distinct"),
+            (-F.col("negent")).cast("double").alias("entropy_nats"),
+            F.round(
+                (-F.col("negent")).cast("double")
+                / F.log(F.col("k").cast("double")),
+                9,
+            ).alias("norm_entropy"),
+            F.round(F.col("modal").cast("double") / F.col("n"), 9).alias(
+                "modal_share"
+            ),
+        )
+        .orderBy("col")
+    )
