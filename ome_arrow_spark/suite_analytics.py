@@ -5163,3 +5163,149 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (r11 late batch): the nonparametric
+# monotone-trend test on the daily order-count series. S and the
+# tie-corrected variance are EXACT integers (the pair census is the
+# kendall_tau_daily self-join restricted to the time ordering; the
+# tie term sums over the value census), so the only double is the
+# final z = (S ∓ 1)/sqrt(Var) — bit-equal cross-engine because sqrt
+# is IEEE-correctly-rounded. Quadratic stage bounded by the daily
+# aggregate, never the fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "mann_kendall_trend",
+    """
+    WITH d AS (SELECT o_orderdate AS d,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(CASE WHEN b.n_orders > a.n_orders THEN 1
+                               WHEN b.n_orders < a.n_orders THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON a.d < b.d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                         AS BIGINT) AS tie_term
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                   FROM d GROUP BY n_orders) g
+             WHERE t > 1),
+    v AS (SELECT n.n,
+                 (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) AS var18
+          FROM n CROSS JOIN ties)
+    SELECT v.n AS n_days, s.s_stat,
+           CAST(v.var18 AS DOUBLE) / 18 AS var_s,
+           (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                 WHEN s.s_stat < 0 THEN s.s_stat + 1
+                 ELSE 0 END)
+             / SQRT(CAST(v.var18 AS DOUBLE) / 18) AS z
+    FROM s CROSS JOIN v
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.n_orders") > F.col("a.n_orders"), 1)
+                .when(F.col("b.n_orders") < F.col("a.n_orders"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        d.groupBy("n_orders")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = n.crossJoin(F.broadcast(ties)).select(
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).alias("var18"),
+    )
+    ss = F.col("s_stat")
+    return s.crossJoin(F.broadcast(v)).select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        (F.col("var18").cast("double") / 18).alias("var_s"),
+        (
+            F.when(ss > 0, ss - 1).when(ss < 0, ss + 1).otherwise(0)
+            / F.sqrt(F.col("var18").cast("double") / 18)
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index (r11 late batch): corpus-balance audit per
+# document source — probability two random docs share a language,
+# complement (diversity), and inverse-Simpson effective class count.
+# Entirely integer census arithmetic (Σ n_i(n_i−1) / N(N−1)) until
+# the final ratios, so the doubles are bit-equal cross-engine; the
+# inverse form divides the same two exact integers the other way.
+# ---------------------------------------------------------------------------
+@register(
+    "simpson_diversity",
+    """
+    WITH census AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1, 2),
+    agg AS (SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs,
+                   CAST(SUM(n * n) AS BIGINT) AS sq
+            FROM census GROUP BY source)
+    SELECT source, total, n_langs,
+           CAST(same_pairs AS DOUBLE) / (total * (total - 1)) AS simpson_l,
+           1 - CAST(same_pairs AS DOUBLE) / (total * (total - 1))
+             AS diversity,
+           CAST(total * total AS DOUBLE) / sq AS inv_simpson
+    FROM agg ORDER BY source
+    """,
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    census = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    agg = census.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+    )
+    same_ratio = F.col("same_pairs").cast("double") / (
+        F.col("total") * (F.col("total") - 1)
+    )
+    return agg.select(
+        "source",
+        "total",
+        "n_langs",
+        same_ratio.alias("simpson_l"),
+        (F.lit(1) - same_ratio).alias("diversity"),
+        (
+            (F.col("total") * F.col("total")).cast("double") / F.col("sq")
+        ).alias("inv_simpson"),
+    ).orderBy("source")
