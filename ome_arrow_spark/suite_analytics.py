@@ -5309,3 +5309,101 @@ def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total") * F.col("total")).cast("double") / F.col("sq")
         ).alias("inv_simpson"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (r11 late batch): randomness check on the
+# daily order-count series — above/below-median binarization (ties at
+# the median excluded, the classical convention), run count via a
+# lag-window, and the exact-integer moments E[R] = 1 + 2·n1·n2/n,
+# Var[R] = 2·n1·n2·(2·n1·n2 − n)/(n²·(n−1)). The median of a BIGINT
+# relation interpolates at worst to an exact .5 (both engines), the
+# run census is exact integers, and the final z divides two doubles
+# derived from them — bit-equal cross-engine. The ordered lag window
+# runs on the bounded daily aggregate (seasonal_decomposition
+# precedent), never the fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "runs_test_daily",
+    """
+    WITH d AS (SELECT o_orderdate AS d,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    med AS (SELECT MEDIAN(n_orders) AS m FROM d),
+    b AS (SELECT d.d, CASE WHEN d.n_orders > med.m THEN 1 ELSE 0 END AS hi
+          FROM d CROSS JOIN med
+          WHERE d.n_orders <> med.m),
+    r AS (SELECT hi, CASE WHEN LAG(hi) OVER (ORDER BY d) IS NULL
+                            OR LAG(hi) OVER (ORDER BY d) <> hi
+                          THEN 1 ELSE 0 END AS new_run
+          FROM b),
+    s AS (SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+                 CAST(SUM(hi) AS BIGINT) AS n1,
+                 CAST(SUM(1 - hi) AS BIGINT) AS n2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM r)
+    SELECT n, n1, n2, runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN NULL
+                ELSE 1 + CAST(2 * n1 * n2 AS DOUBLE) / n END
+             AS expected_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN NULL
+                ELSE (runs - (1 + CAST(2 * n1 * n2 AS DOUBLE) / n))
+                  / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * (n - 1))) END AS z
+    FROM s
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    med = d.agg(F.median("n_orders").alias("m"))
+    b = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("n_orders") != F.col("m"))
+        .select(
+            "d",
+            F.when(F.col("n_orders") > F.col("m"), 1).otherwise(0).alias("hi"),
+        )
+    )
+    lag = F.lag("hi").over(W.orderBy("d"))
+    r = b.select(
+        "hi",
+        F.when(lag.isNull() | (lag != F.col("hi")), 1).otherwise(0).alias(
+            "new_run"
+        ),
+    )
+    s = r.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("hi").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("bigint").alias("n2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    n, n1, n2, runs = F.col("n"), F.col("n1"), F.col("n2"), F.col("runs")
+    # The test is undefined on a degenerate split (all values on one
+    # side of the median, or <2 usable points): NULL, not an ANSI
+    # divide-by-zero — sf0.001's one-order-per-day series hits this.
+    degenerate = (n1 == 0) | (n2 == 0) | (n < 2)
+    expected = 1 + (2 * n1 * n2).cast("double") / n
+    return s.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.when(degenerate, F.lit(None)).otherwise(expected).alias(
+            "expected_runs"
+        ),
+        F.when(degenerate, F.lit(None))
+        .otherwise(
+            (runs - expected)
+            / F.sqrt(
+                (2 * n1 * n2 * (2 * n1 * n2 - n)).cast("double")
+                / (n.cast("double") * n * (n - 1))
+            )
+        )
+        .alias("z"),
+    )
