@@ -173,7 +173,10 @@ def bench_stream_ingest(
             if batch_df.isEmpty():
                 return
             if tl.current_version(table) is None:
-                tl.create_ome_table(spark, batch_df, table)
+                tl.create_ome_table(
+                    spark, batch_df, table,
+                    txn_app="bench_stream", txn_batch=batch_id,
+                )
             elif sink == "merge":
                 tl.upsert_ome_table(spark, batch_df, table)
             else:

@@ -1029,6 +1029,8 @@ def create_table(
     properties: dict[str, str] | None = None,
     overwrite: bool = False,
     bloom_columns: Sequence[str] | None = None,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
 ) -> int:
     """Commit version 0: data files + schema + table properties (the
     idiomatic carrier for the reference's ``ome.arrow.type/version``
@@ -1037,12 +1039,23 @@ def create_table(
     by any later operation carries a per-file Bloom filter on them, so
     point lookups and MERGEs on high-cardinality keys skip files whose
     key RANGE overlaps but whose key SET provably misses — min/max
-    stats alone cannot do that on uuid-like keys."""
+    stats alone cannot do that on uuid-like keys.
+
+    ``txn_app``/``txn_batch`` record ``txn.<app> = batch`` in the v0
+    properties — Delta's idempotent-writes contract applies to the
+    INITIAL write too (txnAppId/txnVersion on the creating commit), so
+    a streaming ``foreachBatch`` sink whose batch 0 creates the table
+    can have a batch-0 replay (restart after commit, before checkpoint
+    advance) detected and skipped by :func:`append_table`'s check."""
+    if (txn_app is None) != (txn_batch is None):
+        raise TableLogError("txn_app and txn_batch go together")
     if current_version(table) is not None:
         if not overwrite:
             raise TableLogError(f"table already exists: {table}")
         shutil.rmtree(table, ignore_errors=True)
     props = dict(properties or {})
+    if txn_app is not None:
+        props[f"txn.{txn_app}"] = str(txn_batch)
     if bloom_columns:
         props[BLOOM_PROP] = json.dumps(sorted(bloom_columns))
     adds = _write_data_files(df, table, 0, bloom_columns or ())
@@ -2101,6 +2114,8 @@ def create_ome_table(
     table: str,
     column: str = "ome_arrow",
     overwrite: bool = False,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
 ) -> int:
     """OME images table on the commit log.  The reference's
     ``ome.arrow.type``/``ome.arrow.version`` parquet file tags
@@ -2131,6 +2146,8 @@ def create_ome_table(
         },
         overwrite=overwrite,
         bloom_columns=["image_id"],
+        txn_app=txn_app,
+        txn_batch=txn_batch,
     )
 
 

@@ -4945,12 +4945,14 @@ def spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS ties_x,
             CAST(SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END)
                  AS BIGINT) AS ties_y,
+            CAST(SUM(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_both,
             CAST(COUNT(*) AS BIGINT) AS n0
           FROM p)
-    SELECT n0 AS n_pairs, conc, disc, ties_x, ties_y,
+    SELECT n0 AS n_pairs, conc, disc, ties_x, ties_y, ties_both,
            CAST(conc - disc AS DOUBLE)
-             / (SQRT(CAST(n0 - ties_x AS DOUBLE))
-                * SQRT(CAST(n0 - ties_y AS DOUBLE))) AS tau_b
+             / (SQRT(CAST(n0 - ties_x - ties_both AS DOUBLE))
+                * SQRT(CAST(n0 - ties_y - ties_both AS DOUBLE))) AS tau_b
     FROM s
     """,
 )
@@ -4983,19 +4985,33 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("ties_x"),
         F.sum(F.when((y1 == y2) & (x1 != x2), one).otherwise(zero))
         .cast("bigint").alias("ties_y"),
+        F.sum(F.when((x1 == x2) & (y1 == y2), one).otherwise(zero))
+        .cast("bigint").alias("ties_both"),
         F.count("*").cast("bigint").alias("n0"),
     )
+    # standard tau-b subtracts ALL x-tied pairs from the x leg (n1
+    # includes pairs tied on both axes) — ties_x above excludes the
+    # both-tied pairs so they are counted once here and added back to
+    # each leg (r11 ADVICE: |tau_b| was understated whenever two days
+    # shared both n_orders and spend).
     return s.select(
         F.col("n0").alias("n_pairs"),
         "conc",
         "disc",
         "ties_x",
         "ties_y",
+        "ties_both",
         (
             (F.col("conc") - F.col("disc")).cast("double")
             / (
-                F.sqrt((F.col("n0") - F.col("ties_x")).cast("double"))
-                * F.sqrt((F.col("n0") - F.col("ties_y")).cast("double"))
+                F.sqrt(
+                    (F.col("n0") - F.col("ties_x") - F.col("ties_both"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n0") - F.col("ties_y") - F.col("ties_both"))
+                    .cast("double")
+                )
             )
         ).alias("tau_b"),
     )
@@ -5023,10 +5039,12 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY pri),
     s AS (SELECT st, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY st),
     chi AS (SELECT SUM(CAST(ROUND(
-                POWER(cell.o - CAST(m.rt * s.ct AS DOUBLE) / tot.n, 2)
+                POWER(COALESCE(cell.o, 0) - CAST(m.rt * s.ct AS DOUBLE) / tot.n, 2)
                   / (CAST(m.rt * s.ct AS DOUBLE) / tot.n), 9)
               AS DECIMAL(20,9))) AS chi2
-            FROM cell JOIN m USING (pri) JOIN s USING (st) CROSS JOIN tot)
+            FROM m CROSS JOIN s
+            LEFT JOIN cell ON cell.pri = m.pri AND cell.st = s.st
+            CROSS JOIN tot)
     SELECT tot.n, tot.r AS n_rows_cat, tot.c AS n_cols_cat,
            CAST(chi.chi2 AS DOUBLE) AS chi2,
            SQRT(CAST(chi.chi2 AS DOUBLE)
@@ -5051,9 +5069,18 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cell.groupBy("pri").agg(F.sum("o").cast("bigint").alias("rt"))
     s = cell.groupBy("st").agg(F.sum("o").cast("bigint").alias("ct"))
     e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    # full r×c grid: an EMPTY contingency cell (O=0, E>0) contributes
+    # E to chi² — joining only OBSERVED cells understates chi2/V at
+    # any scale factor where a priority×status combo is absent (r11
+    # ADVICE). m×s cross join IS the grid (row/col margins attached);
+    # observed counts re-attach by left join, COALESCE(o, 0).
+    grid = (
+        m.crossJoin(F.broadcast(s))
+        .join(F.broadcast(cell), ["pri", "st"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("bigint")))
+    )
     chi = (
-        cell.join(F.broadcast(m), "pri")
-        .join(F.broadcast(s), "st")
+        grid
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
@@ -5195,11 +5222,13 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) AS var18
           FROM n CROSS JOIN ties)
     SELECT v.n AS n_days, s.s_stat,
-           CAST(v.var18 AS DOUBLE) / 18 AS var_s,
-           (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
-                 WHEN s.s_stat < 0 THEN s.s_stat + 1
-                 ELSE 0 END)
-             / SQRT(CAST(v.var18 AS DOUBLE) / 18) AS z
+           CASE WHEN v.var18 = 0 THEN NULL
+                ELSE CAST(v.var18 AS DOUBLE) / 18 END AS var_s,
+           CASE WHEN v.var18 = 0 THEN NULL
+                ELSE (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                           WHEN s.s_stat < 0 THEN s.s_stat + 1
+                           ELSE 0 END)
+                       / SQRT(CAST(v.var18 AS DOUBLE) / 18) END AS z
     FROM s CROSS JOIN v
     """,
 )
@@ -5246,14 +5275,23 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var18"),
     )
     ss = F.col("s_stat")
+    # degenerate guard (r11 ADVICE, mirrors runs_test_daily): if every
+    # daily count ties, var18=0 and z is 0/sqrt(0) — Spark NULL vs
+    # DuckDB NaN, a cross-engine parity break on a flat series. Both
+    # engines return NULL explicitly instead.
+    degenerate = F.col("var18") == 0
     return s.crossJoin(F.broadcast(v)).select(
         F.col("n").alias("n_days"),
         "s_stat",
-        (F.col("var18").cast("double") / 18).alias("var_s"),
-        (
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.col("var18").cast("double") / 18)
+        .alias("var_s"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
             F.when(ss > 0, ss - 1).when(ss < 0, ss + 1).otherwise(0)
             / F.sqrt(F.col("var18").cast("double") / 18)
-        ).alias("z"),
+        )
+        .alias("z"),
     )
 
 

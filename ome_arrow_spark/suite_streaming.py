@@ -387,32 +387,40 @@ def stream_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if batch_df.isEmpty():
                 return
             if tl.current_version(table) is None:
-                tl.create_ome_table(spark, batch_df, table)
+                # the creating commit records txn.<app>=batch_id too
+                # (Delta: txnAppId/txnVersion apply to the initial
+                # write) so a batch-0 replay is skippable like any other
+                tl.create_ome_table(
+                    spark, batch_df, table,
+                    txn_app=txn_app, txn_batch=batch_id,
+                )
             else:
                 tl.append_ome_table(
                     spark, batch_df, table,
                     txn_app=txn_app, txn_batch=batch_id,
                 )
-                la = last_append["id"]
-                last_append["id"] = batch_id if la is None else max(la, batch_id)
+            la = last_append["id"]
+            last_append["id"] = batch_id if la is None else max(la, batch_id)
 
         EV.run_foreach_batch(stream, append_batch, output_mode="append")
 
-        # replay the last TXN-sink micro-batch: same txn ids → the
-        # commit-level idempotence check must return the version
-        # UNCHANGED (else the duplicated image_ids double the oracle's
-        # row count). The first batch creates the table without a txn
-        # record, so only replay when an append batch actually ran.
+        # replay BOTH the creating micro-batch (txn_batch=0: recorded by
+        # create_ome_table's v0 commit) and the last micro-batch — same
+        # txn ids → the commit-level idempotence check must return the
+        # version UNCHANGED (else the duplicated image_ids double the
+        # oracle's row count).
         if last_append["id"] is not None:
             v_before = tl.current_version(table)
             replay = from_tiff_dir(spark, src, glob="ap-plain.ome.tif")
-            v_after = tl.append_ome_table(
-                spark, replay, table,
-                txn_app=txn_app, txn_batch=last_append["id"],
-            )
-            assert v_after == v_before, (
-                f"replayed micro-batch was not skipped: v{v_before} -> v{v_after}"
-            )
+            for replay_batch in (0, last_append["id"]):
+                v_after = tl.append_ome_table(
+                    spark, replay, table,
+                    txn_app=txn_app, txn_batch=replay_batch,
+                )
+                assert v_after == v_before, (
+                    f"replayed micro-batch {replay_batch} was not "
+                    f"skipped: v{v_before} -> v{v_after}"
+                )
 
         imgs = tl.read_ome_table(spark, table)
         return imgs.select(
