@@ -162,3 +162,71 @@ def test_equidepth_boundaries_empty_and_small(spark):
     # n=1, k=4: every boundary rank is 1 → all three boundaries are the row
     assert [b for b, _, _ in bs] == [1, 2, 3]
     assert all(bv == 7 for _, bv, _ in bs)
+
+
+def test_equidepth_string_metric_equals_ntile(spark, sf_dir):
+    """r12: STRING metrics seed ranges through the common-prefix-
+    stripped byte surrogate — exact vs ntile, and the boundary job
+    stays partitioned even though every c_name shares the long
+    'Customer#' prefix that would collapse a fixed-position surrogate
+    into a single range."""
+    from ome_arrow_spark.operators.quantiles import _boundary_keys_df
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_name", "c_custkey"
+    )
+    got = {
+        (r["c_custkey"], r["bucket"])
+        for r in equidepth_bucket(c, "c_name", "c_custkey", 8).collect()
+    }
+    want = {
+        (r["c_custkey"], r["bucket"])
+        for r in _ntile(c, "c_name", "c_custkey", 8).collect()
+    }
+    assert got == want and len(got) > 0
+    # boundary job plan: no single-partition exchange at distinct == rows
+    bk = _boundary_keys_df(c, "c_name", "c_custkey", 8, False)
+    plan = bk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_equidepth_string_non_ascii_and_short(spark):
+    """Surrogate monotonicity across mixed lengths, a shared prefix,
+    multi-byte UTF-8, and values shorter than the 6-byte window."""
+    vals = ["", "a", "ab", "abcdefgh", "abcdéf", "zz", "abé", "abc",
+            "abcdefgi", "abcdefg", "b", "aa", "a" * 20, "中文"]
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v STRING, id BIGINT")
+    got = {
+        (r["id"], r["bucket"])
+        for r in equidepth_bucket(df, "v", "id", 5).collect()
+    }
+    want = {(r["id"], r["bucket"]) for r in _ntile(df, "v", "id", 5).collect()}
+    assert got == want
+
+
+def test_equidepth_null_contract_enforced(spark, sf_dir):
+    """r12 (r11 ADVICE): NULL metric or key rows raise
+    EquidepthNullError from the range census instead of silently
+    producing a NULL bucket that diverges from NTILE's nulls-first."""
+    from ome_arrow_spark.operators.quantiles import EquidepthNullError
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderkey"
+    )
+    null_metric = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    with pytest.raises(EquidepthNullError, match="o_totalprice"):
+        equidepth_bucket(null_metric, "o_totalprice", "o_orderkey", 4)
+    null_key = o.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    with pytest.raises(EquidepthNullError, match="o_orderkey"):
+        equidepth_bucket(null_key, "o_totalprice", "o_orderkey", 4)
