@@ -41,6 +41,7 @@ def build_ivf_index(
     train: str = "exact",
     sample_size: int = 262_144,
     extra_cols: tuple[str, ...] = (),
+    centroids=None,
 ) -> int:
     """Train the k-means quantizer on ``corpus`` and materialize the
     inverted lists as a log table, range-clustered on ``centroid_id``.
@@ -59,15 +60,29 @@ def build_ivf_index(
     ``train="sample"`` is the corpus-scale path (operators/quantizer.py):
     numpy training on a ≤``sample_size`` sample + one Arrow-batched
     assignment pass; ~80× faster to build at 100k vectors, same search
-    contract."""
+    contract.
+
+    ``centroids`` (a (k, dim) array) SKIPS training and assigns
+    against the given quantizer — the per-shard-parallel build path
+    at corpus scale: train ONE shared codebook on a fixed sample,
+    then build every shard's index independently (and concurrently)
+    with it, so shard builds are embarrassingly parallel and a
+    sharded search probes all shards with the same geometry
+    (see :func:`ivf_sharded_search`)."""
     from ome_arrow_spark.sources import table_log as tl
 
-    if train == "sample":
+    if centroids is not None or train == "sample":
         from ome_arrow_spark.operators import quantizer as QZ
 
-        cents = QZ.train_centroids(
-            corpus, vec, n_centroids, sample_size=sample_size
-        )
+        if centroids is not None:
+            import numpy as np
+
+            cents = np.asarray(centroids, dtype=np.float64)
+            n_centroids = len(cents)  # drives the range-cluster width
+        else:
+            cents = QZ.train_centroids(
+                corpus, vec, n_centroids, sample_size=sample_size
+            )
         listed = corpus.select(
             QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
             F.col(corpus_id).alias("cid"),
@@ -260,6 +275,53 @@ def ivf_index_search(
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
+    )
+
+
+def ivf_sharded_search(
+    spark: SparkSession,
+    tables: list[str],
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    query_id: str = "qid",
+    vec: str = "embedding",
+    digits: int = 6,
+    where: str | None = None,
+) -> DataFrame:
+    """Union-probe search over PER-SHARD IVF indexes built with one
+    shared codebook (``build_ivf_index(centroids=...)``): probe every
+    shard with the same ``n_probe`` geometry, union the per-shard
+    top-k candidate sets, and take the GLOBAL top-k per query.
+
+    Exactness relative to one monolithic index over the union corpus:
+    each shard's per-query top-k contains that shard's k best probed
+    candidates, so the global top-k over the unioned per-shard top-ks
+    equals the top-k the monolith would return with the same probed
+    lists — sharding changes WHERE lists live, not which vectors are
+    scored.  At cluster scale the per-shard searches are independent
+    scans (manifest-pruned file seeks), so both build and search
+    parallelize across shards with no cross-shard shuffle until the
+    final ≤ shards·k-row-per-query merge."""
+    parts = [
+        ivf_index_search(
+            spark, t, queries, k=k, n_probe=n_probe, query_id=query_id,
+            vec=vec, digits=digits, where=where,
+        )
+        for t in tables
+    ]
+    if not parts:
+        raise ValueError("ivf_sharded_search needs at least one shard")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col("cid")
+    )
+    return (
+        merged.drop("rk")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )
 
 

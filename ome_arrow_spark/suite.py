@@ -53,48 +53,46 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-11 rotation (the driver grades the FIRST 50 names only):
-    #   1. the 8 r11 additions (equidepth_continuous directly gates the
-    #      hierarchical no-SinglePartition boundary resolution that
-    #      closed VERDICT r10's one scale-killer),
-    #   2. every surface r11 code changes touched — the quantiles
-    #      rewrite (equidepth consumers), the knn_join single-action
-    #      gate + oracle bucket caps, the bootstrap CI rank fix, the
-    #      seasonal pmod fix,
-    #   3. an oldest-green re-verification tail: 28 rows of the r4
-    #      stratum (the stalest driver greens; all were sf1-verified in
-    #      r10's spot gate, so this re-anchors them in the graded
-    #      window). 28 tail rows predate r9 — the >=15 rotation
-    #      invariant holds with room to spare. (Five simple relational
-    #      r4 rows — csv_roundtrip, funnel_events, grouped_map_topk,
-    #      json_events, sort_topk — rotated out mid-r11 to make room
-    #      for the five late additions; their r11 sf1 gate_sim results
-    #      stand as this round's re-verification evidence.)
+    # Round-12 rotation (the driver grades the FIRST 50 names only):
+    #   1. the r12 additions — equidepth_string gates the common-
+    #      prefix-stripped string surrogate that closed VERDICT r11
+    #      "What's missing" #1; dsir_resample / contamination_fuzzy are
+    #      the r11 Next-round #7 curation operators (each verified
+    #      sf0.001/0.01/sf1 on entry),
+    #   2. every surface r12 code changes touched — the four r11
+    #      ADVICE fixes (kendall tau-b both-tied legs, cramers_v full
+    #      grid, mann_kendall degenerate guard, stream_append_ingest
+    #      batch-0 txn) and the equidepth consumers (quantiles.py
+    #      sketch/census rewrite) + ann_index_search (build_ivf_index
+    #      grew the shared-codebook shard path),
+    #   3. an oldest-green re-verification tail: 32 rows of the r5
+    #      stratum — the stalest driver greens (last graded r5, seven
+    #      rounds back). 32 tail rows predate r10 — the >=15 rotation
+    #      invariant holds with 2x room. The retired r4 tail (28 rows,
+    #      re-anchored in r11's gate) returns to the sweep-only pool.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
-    # (1) round-11 additions
-    "equidepth_continuous", "auc_roc", "benjamini_hochberg",
-    "js_divergence_drift", "association_rules", "mcc_confusion",
-    "hhi_concentration", "target_encoding",
-    # (1b) late r11 additions (each sf0.001/0.01/sf1-verified on entry)
-    "spearman_daily", "kendall_tau_daily", "cramers_v",
-    "column_entropy", "stream_append_ingest",
-    # (2) r11-touched surfaces
-    "knn_join_lsh", "semantic_dedup", "seasonal_decomposition",
-    "poisson_bootstrap_ci", "brier_calibration", "psi_drift",
-    "histogram_equidepth_scale", "rfm_segments_scale", "cumulative_gains",
-    # (3) oldest-green re-verification tail (last green: r4)
-    "agg_distinct", "asof_events_orders_forward", "cogrouped_asof",
-    "dataset_shuffle_pack", "decontamination",
-    "dedup_exact", "doc_fingerprint", "events_gapfill",
-    "filter_predicates",
-    "join_full_outer", "join_left_order_counts", "join_range",
-    "merge_incremental", "ome_colocalization",
-    "ome_describe", "ome_multiscale", "ome_slice_crop",
-    "ome_stack_ingest", "ome_verify", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q5_revenue_by_nation", "q8_market_share",
-    "sessionize_events", "stream_dedup", "stream_session",
-    "stream_sliding", "stream_stream_join",
+    # (1) round-12 additions
+    "equidepth_string", "dsir_resample", "contamination_fuzzy",
+    "gopher_quality_rules",
+    # (2) r12-touched surfaces
+    "kendall_tau_daily", "cramers_v", "mann_kendall_trend",
+    "stream_append_ingest", "equidepth_continuous", "auc_roc",
+    "histogram_equidepth", "histogram_equidepth_scale", "rfm_segments",
+    "psi_drift", "js_divergence_drift", "brier_calibration",
+    "winsorized_stats", "ann_index_search",
+    # (3) oldest-green re-verification tail (last green: r5)
+    "q6_forecast_revenue", "q11_important_parts", "q12_late_lines",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q18_large_volume_customer", "q19_disjunctive_predicate",
+    "q20_part_promotion", "stream_static_join", "stream_stateful",
+    "jsonl_roundtrip", "ome_channels", "ome_view_plane",
+    "ome_volume_contrast", "ome_histogram", "ome_feature_join",
+    "ome_bg_subtract", "ome_mip", "ome_timelapse_trend",
+    "ome_patch_extract", "ome_focus_rank", "ome_radial_profile",
+    "ome_threshold_stats", "ome_planes_sql", "text_quality", "lang_id",
+    "token_topk", "text_repetition", "minhash_signatures", "simhash",
+    "ngram_jaccard",
 )
 
 

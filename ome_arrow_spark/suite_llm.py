@@ -5170,3 +5170,414 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov"),
     ).orderBy("i", "j")
+
+
+# ===========================================================================
+# Round-12 additions: pretraining-curation operators (VERDICT r11 Next
+# round #7) — DSIR-style importance resampling and a fuzzy (shingle-
+# Jaccard) generalization of the exact-fingerprint decontamination.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): per-doc likelihood-
+# ratio scores from two add-1-smoothed unigram LMs — p(w|target) with
+# target = the 'src0' split, q(w|raw) over everything else — then a
+# deterministic hash-Bernoulli selection with acceptance probability
+# 0.5·(p/q)^1 per doc, i.e. accept iff ln(u) < ln(0.5) + avg-logratio
+# (u = the Knuth multiplicative-hash uniform every sampler in this
+# suite uses; no RNG, replayable). Scale posture: the LMs are two
+# vocab-bounded hash aggregates (broadcastable — same reasoning as
+# lm_bigram_score's unigram frame); scoring is one pass over corpus
+# tokens with broadcast joins; selection is map-side. Cross-engine
+# float parity: each per-token ln ratio is rounded at 9 digits into a
+# decimal accumulator (absorbs the 1-ulp libm spread), the per-doc
+# score is one closed-form double division, and the acceptance compare
+# rounds both sides at 9 digits with ln(0.5) as an exact double
+# literal (engines may differ in LN(0.5)'s last ulp).
+# ---------------------------------------------------------------------------
+@register(
+    "dsir_resample",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+               WHERE len({_TOKS_SQL}) >= 1),
+    tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM d),
+    ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+           WHERE source = 'src0' GROUP BY tok),
+    cr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+           WHERE source <> 'src0' GROUP BY tok),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM tok),
+    tt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tot FROM ct),
+    tq AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tot FROM cr),
+    sc AS (SELECT t.doc_id, t.source,
+                  CAST(COUNT(*) AS BIGINT) AS n_tok,
+                  SUM(CAST(ROUND(
+                      LN((COALESCE(ct.c, 0) + 1.0) / (tt.tot + v.vocab))
+                    - LN((cr.c + 1.0) / (tq.tot + v.vocab)), 9)
+                    AS DECIMAL(20,9))) AS s
+           FROM tok t LEFT JOIN ct ON ct.tok = t.tok
+           JOIN cr ON cr.tok = t.tok
+           CROSS JOIN v CROSS JOIN tt CROSS JOIN tq
+           WHERE t.source <> 'src0'
+           GROUP BY 1, 2),
+    w AS (SELECT doc_id, source, n_tok,
+                 CAST(s AS DOUBLE) / n_tok AS score,
+                 ((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0 AS u
+          FROM sc),
+    a AS (SELECT source, score,
+                 CASE WHEN ROUND(LN(u), 9)
+                           < ROUND(-0.6931471805599453 + score, 9)
+                      THEN 1 ELSE 0 END AS sel
+          FROM w)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(sel) AS BIGINT) AS n_sel,
+           ROUND(SUM(sel) * 1.0 / COUNT(*), 6) AS sel_rate,
+           CASE WHEN SUM(sel) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(CASE WHEN sel = 1
+                     THEN CAST(ROUND(score, 9) AS DECIMAL(20,9)) END)
+                     AS DOUBLE) / SUM(sel), 6) END AS avg_sel_score
+    FROM a GROUP BY source ORDER BY source
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", TX.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("tok"))
+    ct = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_t"))
+    )
+    cr = (
+        tok.filter(F.col("source") != "src0")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_r"))
+    )
+    v = tok.agg(F.count_distinct("tok").cast("bigint").alias("vocab"))
+    tt = ct.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("tot_t")
+    )
+    tq = cr.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("tot_r")
+    )
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+            / (F.col("tot_t") + F.col("vocab"))
+        )
+        - F.log(
+            (F.col("c_r") + F.lit(1.0)) / (F.col("tot_r") + F.col("vocab"))
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    ct = ct.withColumnRenamed("tok", "tok_t")
+    cr = cr.withColumnRenamed("tok", "tok_r")
+    sc = (
+        tok.filter(F.col("source") != "src0")
+        .join(F.broadcast(ct), F.col("tok") == F.col("tok_t"), "left")
+        .join(F.broadcast(cr), F.col("tok") == F.col("tok_r"))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(term).alias("s"),
+        )
+    )
+    score = F.col("s").cast("double") / F.col("n_tok")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + 1
+    ) / F.lit(4294967297.0)
+    a = sc.select(
+        "source",
+        score.alias("score"),
+        F.when(
+            F.round(F.log(u), 9)
+            < F.round(F.lit(-0.6931471805599453) + score, 9),
+            1,
+        )
+        .otherwise(0)
+        .alias("sel"),
+    )
+    n_sel = F.sum("sel")
+    return (
+        a.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            n_sel.cast("bigint").alias("n_sel"),
+            F.round(n_sel * F.lit(1.0) / F.count("*"), 6).alias("sel_rate"),
+            F.when(
+                n_sel == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("sel") == 1,
+                            F.round(F.col("score"), 9).cast("decimal(20,9)"),
+                        )
+                    ).cast("double")
+                    / n_sel,
+                    6,
+                )
+            )
+            .alias("avg_sel_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy train/test contamination (r12): generalizes `decontamination`
+# from "shares an exact winnowing fingerprint" to shingle-Jaccard
+# overlap — the check that catches lightly-edited benchmark leakage an
+# exact fingerprint match misses. Candidate pairs come from the SAME
+# bucketed generator (rare winnow fingerprints, df <= 50 — never
+# all-pairs: bucket width is capped, so candidate volume is linear in
+# corpus fingerprints); each candidate is then verified with the exact
+# 3-token-shingle Jaccard, reported at >= 0.02 (exact-dup leakage
+# scores ~0.99; the 0.02 floor keeps the long tail of incidental
+# phrase overlap out). All-integer set arithmetic until the final
+# exact double ratio, so the threshold compare and the rounded output
+# are bit-equal cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "contamination_fuzzy",
+    f"""
+    WITH {_WINNOW_SEL_CTE},
+    freq AS (SELECT w FROM sel GROUP BY w HAVING COUNT(DISTINCT doc_id) <= 50),
+    f AS (SELECT DISTINCT sel.doc_id, sel.source, sel.w
+          FROM sel JOIN freq USING (w)),
+    ev AS (SELECT doc_id AS eval_id, w FROM f WHERE source = 'src0'),
+    tr AS (SELECT doc_id AS train_id, w FROM f WHERE source <> 'src0'),
+    cand AS (SELECT DISTINCT train_id, eval_id FROM tr JOIN ev USING (w)),
+    t3 AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shs
+           FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+           WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM t3),
+    inter AS (SELECT c.train_id, c.eval_id,
+                     a.n_sh AS na, b.n_sh AS nb,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM cand c
+              JOIN e a ON a.doc_id = c.train_id
+              JOIN e b ON b.doc_id = c.eval_id AND b.sh = a.sh
+              GROUP BY 1, 2, 3, 4)
+    SELECT train_id, eval_id, i AS n_inter,
+           ROUND(i * 1.0 / (na + nb - i), 6) AS jaccard
+    FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.02
+    """,
+)
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.filter(
+        F.length("text") >= TX.KGRAM_K + TX.WINNOW_W - 1
+    ).select(
+        "doc_id", "source", F.explode(TX.winnow_fingerprints("text")).alias("w")
+    )
+    keep = (
+        fp.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("w")
+    )
+    f = fp.join(keep, "w", "left_semi").select("doc_id", "source", "w").distinct()
+    ev = f.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "w"
+    )
+    tr = f.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "w"
+    )
+    cand = tr.join(ev, "w").select("train_id", "eval_id").distinct()
+    sh = docs.select(
+        "doc_id", F.array_distinct(DD.shingles(F.col("text"), 3)).alias("shs")
+    ).filter(F.size("shs") >= 1)
+    e = sh.select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    a = e.select(
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("na"), "sh"
+    )
+    b = e.select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("nb"), "sh"
+    )
+    inter = (
+        cand.join(a, "train_id")
+        .join(b, ["eval_id", "sh"])
+        .groupBy("train_id", "eval_id", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.filter(jac >= 0.02).select(
+        "train_id",
+        "eval_id",
+        F.col("i").alias("n_inter"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter rules (Rae et al. 2021, Table A1 — the
+# canonical pretraining curation gate), adapted to this corpus: word
+# count in [10, 100000], mean word length in [3, 10], symbol-to-word
+# ratio ('#' + '...') <= 0.1, bullet-started line fraction <= 0.9,
+# >= 80% of words containing an alphabetic char, and >= 2 distinct
+# required stopwords (list includes 'a' because the fixture soup has
+# no 'be'/'have'; the rule shape is Gopher's). The fixture corpus is
+# single-line lowercase word soup, so six PLANTED rows (source
+# 'planted') exercise every rule branch the real docs never hit —
+# same pattern as token_count_bpe's contraction row. All-integer
+# counting; the ratio compares divide exact integers in doubles, so
+# both engines decide every rule identically.
+# ---------------------------------------------------------------------------
+_GOPHER_PLANTED = [
+    (9000001, "planted", "one two three"),
+    (9000002, "planted",
+     "aaaaaaaaaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc ddddddddddddddd "
+     "eeeeeeeeeeeeeee fffffffffffffff ggggggggggggggg hhhhhhhhhhhhhhh "
+     "iiiiiiiiiiiiiii jjjjjjjjjjjjjjj kkkkkkkkkkkkkkk lllllllllllllll "
+     "the a of"),
+    (9000003, "planted",
+     "# # the a of and to one two three four five six seven"),
+    (9000004, "planted",
+     "- alpha beta gamma delta the\n- epsilon zeta eta theta a\n"
+     "- iota kappa lam mu the\n- nu xi omicron pi a\n"
+     "- rho sigma tau upsilon the"),
+    (9000005, "planted",
+     "111 222 333 444 555 666 777 888 999 1010 1111 1212 the a"),
+    (9000006, "planted", "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp lll"),
+]
+
+
+@register(
+    "gopher_quality_rules",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT * FROM (VALUES
+        (9000001, 'planted', 'one two three'),
+        (9000002, 'planted', 'aaaaaaaaaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc ddddddddddddddd eeeeeeeeeeeeeee fffffffffffffff ggggggggggggggg hhhhhhhhhhhhhhh iiiiiiiiiiiiiii jjjjjjjjjjjjjjj kkkkkkkkkkkkkkk lllllllllllllll the a of'),
+        (9000003, 'planted', '# # the a of and to one two three four five six seven'),
+        (9000004, 'planted', '- alpha beta gamma delta the' || chr(10) || '- epsilon zeta eta theta a' || chr(10) || '- iota kappa lam mu the' || chr(10) || '- nu xi omicron pi a' || chr(10) || '- rho sigma tau upsilon the'),
+        (9000005, 'planted', '111 222 333 444 555 666 777 888 999 1010 1111 1212 the a'),
+        (9000006, 'planted', 'zzz qqq www eee rrr ttt yyy uuu iii ooo ppp lll')
+      ) v(doc_id, source, text)),
+    w AS (SELECT doc_id, source, text,
+            regexp_extract_all(text, '\S+') AS words,
+            string_split(text, chr(10)) AS lines
+          FROM corpus),
+    m AS (SELECT doc_id, source,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(words, x -> strlen(x))) AS BIGINT) AS sum_len,
+            CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+            CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT) AS n_hash,
+            CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+            CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*'))) AS BIGINT) AS n_bullet,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(['the','a','to','of','and'],
+                                 s -> list_contains(words, s))) AS BIGINT) AS n_stop
+          FROM w WHERE len(words) > 0),
+    r AS (SELECT source,
+            (n_words < 10 OR n_words > 100000) AS f_wc,
+            (sum_len * 1.0 / n_words < 3 OR sum_len * 1.0 / n_words > 10) AS f_ml,
+            ((n_hash + n_ell) * 1.0 / n_words > 0.1) AS f_sym,
+            (n_bullet * 1.0 / n_lines > 0.9) AS f_bul,
+            (n_alpha * 1.0 / n_words < 0.8) AS f_al,
+            (n_stop < 2) AS f_st
+          FROM m)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN NOT (f_wc OR f_ml OR f_sym OR f_bul OR f_al OR f_st)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+      CAST(SUM(CASE WHEN f_ml THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+      CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+      CAST(SUM(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+      CAST(SUM(CASE WHEN f_al THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_frac,
+      CAST(SUM(CASE WHEN f_st THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.sparkSession.createDataFrame(
+        _GOPHER_PLANTED, "doc_id long, source string, text string"
+    )
+    corpus = docs.unionByName(planted)
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    lines = F.split(F.col("text"), "\n", -1)
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "to", "of", "and")])
+    m = corpus.select(
+        "source",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("sum_len"),
+        F.size(
+            F.filter(words, lambda x: x.rlike("[a-zA-Z]"))
+        ).cast("bigint").alias("n_alpha"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        ).cast("bigint").alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / 3
+        ).cast("bigint").alias("n_ell"),
+        F.size(
+            F.filter(
+                lines,
+                lambda line: F.substring(line, 1, 1).isin("-", "*"),
+            )
+        ).cast("bigint").alias("n_bullet"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(stops, lambda s: F.array_contains(words, s))
+        ).cast("bigint").alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    one = F.lit(1.0)
+    f_wc = (F.col("n_words") < 10) | (F.col("n_words") > 100000)
+    mean_len = F.col("sum_len") * one / F.col("n_words")
+    f_ml = (mean_len < 3) | (mean_len > 10)
+    f_sym = (F.col("n_hash") + F.col("n_ell")) * one / F.col("n_words") > 0.1
+    f_bul = F.col("n_bullet") * one / F.col("n_lines") > 0.9
+    f_al = F.col("n_alpha") * one / F.col("n_words") < 0.8
+    f_st = F.col("n_stop") < 2
+
+    def cnt(c, name):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        m.select(
+            "source",
+            f_wc.alias("f_wc"), f_ml.alias("f_ml"), f_sym.alias("f_sym"),
+            f_bul.alias("f_bul"), f_al.alias("f_al"), f_st.alias("f_st"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            cnt(
+                ~(
+                    F.col("f_wc") | F.col("f_ml") | F.col("f_sym")
+                    | F.col("f_bul") | F.col("f_al") | F.col("f_st")
+                ),
+                "n_pass",
+            ),
+            cnt(F.col("f_wc"), "fail_word_count"),
+            cnt(F.col("f_ml"), "fail_mean_word_len"),
+            cnt(F.col("f_sym"), "fail_symbol_ratio"),
+            cnt(F.col("f_bul"), "fail_bullet_lines"),
+            cnt(F.col("f_al"), "fail_alpha_frac"),
+            cnt(F.col("f_st"), "fail_stopwords"),
+        )
+        .orderBy("source")
+    )
