@@ -8,7 +8,7 @@ value hash (CORRECTNESS_r{N}.json), so:
 
 * every computed column is aliased identically on both sides;
 * aggregates over floating-point columns use the decimal-sum pattern
-  ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`` — decimal addition is
+  ``CAST(CAST(SUM(CAST(x AS DECIMAL(p,s))) AS VARCHAR(64)) AS DOUBLE)`` — decimal addition is
   exact and associative, so Spark's parallel partial/final aggregation
   and DuckDB's single-node aggregation produce bit-identical doubles
   regardless of summation order;
@@ -190,10 +190,14 @@ def _dsum(col, alias: str, prec: int = 30, scale: int = 6):
     correctly rounded, but DuckDB converts int128-backed decimals via
     hugeint->double THEN the 10^-scale divide — two roundings. Once the
     sum's integer units (value * 10^scale) exceed 2^53 the oracle can
-    land 1 ulp off (first seen: join_range's 'large' band at sf1).
-    Big-sum oracles must round-trip through VARCHAR on the DuckDB side
-    (``CAST(CAST(SUM(..) AS VARCHAR) AS DOUBLE)`` — string->double
-    parsing is correctly rounded) or keep units under 2^53."""
+    land 1 ulp off (first seen: join_range's 'large' band at sf1; hit
+    q1's price sums at the r12 sf10 gate). r12 applies the remedy
+    GLOBALLY: every ``CAST(SUM(..) AS DOUBLE)`` oracle expression now
+    round-trips through VARCHAR (``CAST(CAST(SUM(..) AS VARCHAR(64))
+    AS DOUBLE)`` — DuckDB's string->double parse is correctly rounded,
+    and Spark parses the same text identically for the sql_api twin),
+    so every oracle is scale-proof past 2^53 units. Full-registry
+    sweeps at sf0.01/sf0.001 re-verified after the rewrite."""
     return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double").alias(alias)
 
 
@@ -206,13 +210,13 @@ def _dsum(col, alias: str, prec: int = 30, scale: int = 6):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -249,7 +253,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -287,7 +291,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -460,7 +464,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -478,7 +482,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -501,11 +505,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
-           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-                   * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS s2,
+           SQRT((CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
+                 - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
+                   * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*))
                 / (COUNT(*) - 1)) AS stddev_qty,
            ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
            MIN(l_quantity) AS min_qty,
@@ -575,9 +579,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
            LAG(o_totalprice)  OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR(64)) AS DOUBLE)
              AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -700,7 +704,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            EXTRACT(year FROM o_orderdate)   AS order_year,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS month_revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS month_revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1, 2
@@ -770,7 +774,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1031,10 +1035,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_conditional_agg",
     """
-    SELECT CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+    SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+                              ELSE 0 END AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS economy_revenue_share,
            COUNT(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1069,7 +1073,7 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / 7.0
              AS avg_yearly,
            COUNT(*) AS n
     FROM lineitem
@@ -1083,7 +1087,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
     return spark.sql(
         """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) / 7.0
                  AS avg_yearly,
                COUNT(*) AS n
         FROM __q17_li
@@ -1102,9 +1106,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     """
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+    WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
                               / COUNT(*)
                        FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1232,9 +1236,9 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     """
     SELECT o_custkey, o_orderkey, price_i,
-           CAST(SUM(CAST(price_i AS DECIMAL(30,6)))
+           CAST(CAST(SUM(CAST(price_i AS DECIMAL(30,6)))
                 OVER (PARTITION BY o_custkey ORDER BY price_i
-                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS VARCHAR(64)) AS DOUBLE)
              AS near_price_sum,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY price_i
                           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
@@ -1394,10 +1398,10 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT n_nationkey,
-             CAST(SUM(CAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0 END
-                      AS DECIMAL(30,6))) AS DOUBLE) AS pos_bal,
-             CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE 0 END
-                      AS DECIMAL(30,6))) AS DOUBLE) AS neg_bal
+             CAST(CAST(SUM(CAST(CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0 END
+                      AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS pos_bal,
+             CAST(CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE 0 END
+                      AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS neg_bal
       FROM nation JOIN customer ON c_nationkey = n_nationkey
       GROUP BY n_nationkey)
     SELECT n_nationkey, 'pos_bal' AS kind, pos_bal AS amount FROM w
@@ -1495,7 +1499,7 @@ def kmeans_cte_fragments(
     {cent} AS (
       SELECT cluster, list(m ORDER BY pos) AS ctr FROM (
         SELECT cluster, pos,
-               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+               CAST(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS m
         FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS pos,
                      unnest(v) AS val FROM {a})
         GROUP BY cluster, pos
@@ -1544,7 +1548,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
@@ -1597,9 +1601,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                          - 0.6 * p_retailprice * l_quantity
-                    AS DECIMAL(30,6))) AS DOUBLE) AS profit
+                    AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS profit
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1634,7 +1638,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS revenue,
            c_acctbal, n_name
     FROM customer
@@ -1790,11 +1794,11 @@ def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR(64)) AS DOUBLE) AS syy
       FROM lineitem)
     SELECT n,
            (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price,
@@ -2075,7 +2079,7 @@ _REGISTRY["sql_api_q1"] = (sql_api_q1, _q1_oracle())
              value
       FROM events)
     SELECT day, hour, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM e GROUP BY ROLLUP(day, hour)
     """,
 )

@@ -473,7 +473,7 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     SELECT o_orderpriority,
            COUNT(*) AS n_sampled,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM b
     WHERE bucket < CASE o_orderpriority
@@ -545,7 +545,7 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COUNT(*) AS n_lines,
            COUNT(DISTINCT o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_custkey % 50 = 0
@@ -695,7 +695,7 @@ def window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1214,7 +1214,7 @@ def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM r WHERE next_us IS NOT NULL)
     SELECT user_id,
            COUNT(*) + 1 AS n_events,
-           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+           ROUND(CAST(CAST(SUM(num) AS VARCHAR(64)) AS DOUBLE) / CAST(CAST(SUM(dt) AS VARCHAR(64)) AS DOUBLE), 6)
              AS twa
     FROM d GROUP BY user_id HAVING COUNT(*) >= 1
     """,
@@ -1737,7 +1737,7 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM agg, tot)
     SELECT CAST(bin AS INT) AS bin, CAST(g AS BIGINT) AS n_good,
            CAST(bad AS BIGINT) AS n_bad, woe,
-           (SELECT ROUND(CAST(SUM(iv_term) AS DOUBLE), 6) FROM woe) AS iv
+           (SELECT ROUND(CAST(CAST(SUM(iv_term) AS VARCHAR(64)) AS DOUBLE), 6) FROM woe) AS iv
     FROM woe
     """,
 )
@@ -1902,8 +1902,8 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_days,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS VARCHAR(64)) AS DOUBLE) AS sxy
       FROM d GROUP BY event_type)
     SELECT event_type, n_days,
            ROUND((n_days * sxy - sx * sy)
@@ -2141,7 +2141,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
            CAST(m_q AS INT) AS m_q,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+           CAST(CAST(SUM(monetary) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_monetary
     FROM q GROUP BY r_q, f_q, m_q
     ORDER BY r_q, f_q, m_q
     """,
@@ -2493,7 +2493,7 @@ def histogram_equidepth_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
            CAST(m_q AS INT) AS m_q,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+           CAST(CAST(SUM(monetary) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_monetary
     FROM q GROUP BY r_q, f_q, m_q
     ORDER BY r_q, f_q, m_q
     """,
@@ -2751,7 +2751,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
       FROM orders),
     tr AS (SELECT decile,
-                  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p_hat
+                  CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS p_hat
            FROM d WHERE split = 0 GROUP BY decile),
     te AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_test,
                   CAST(SUM(y) AS BIGINT) AS pos_test
@@ -3532,9 +3532,9 @@ def mutual_info_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ELSE 1.0 / LOG2(2.0) END) AS ndcg
            FROM dcg)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds,
-           ROUND(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS VARCHAR(64)) AS DOUBLE)
                  / COUNT(*), 6) AS hit_rate,
-           ROUND(CAST(SUM(CAST(ROUND(ndcg, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(ROUND(ndcg, 9) AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE)
                  / COUNT(*), 6) AS mean_ndcg
     FROM nd
     """,
@@ -3738,11 +3738,11 @@ def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ::BIGINT % 5 AS INT) AS fold,
              CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y
       FROM orders),
-    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS grate FROM f)
+    g AS (SELECT CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS grate FROM f)
     SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(y) AS BIGINT) AS n_pos,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
-           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) - g.grate, 6) AS dev
+           ROUND(CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) - g.grate, 6) AS dev
     FROM f CROSS JOIN g GROUP BY fold, g.grate ORDER BY fold
     """,
 )
@@ -3987,8 +3987,8 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHEN uni < 0.9994058151824183  THEN 5
                       ELSE 6 END AS wt
           FROM u),
-    est AS (SELECT r, CAST(SUM(price * wt) AS DOUBLE)
-                      / CAST(SUM(wt) AS DOUBLE) AS mean_r
+    est AS (SELECT r, CAST(CAST(SUM(price * wt) AS VARCHAR(64)) AS DOUBLE)
+                      / CAST(CAST(SUM(wt) AS VARCHAR(64)) AS DOUBLE) AS mean_r
             FROM w GROUP BY r),
     rk AS (SELECT r, mean_r,
                   ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rn
@@ -3996,7 +3996,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci AS (SELECT ROUND(MAX(CASE WHEN rn = 5 THEN mean_r END), 6) AS ci_lo,
                   ROUND(MAX(CASE WHEN rn = 195 THEN mean_r END), 6) AS ci_hi
            FROM rk),
-    pt AS (SELECT CAST(SUM(price) AS DOUBLE) / COUNT(*) AS mean_all FROM t)
+    pt AS (SELECT CAST(CAST(SUM(price) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS mean_all FROM t)
     SELECT CAST(200 AS BIGINT) AS b_replicates,
            ROUND(pt.mean_all, 6) AS point_est, ci.ci_lo, ci.ci_hi
     FROM ci CROSS JOIN pt
@@ -4092,12 +4092,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM m WHERE c7 = 7),
     s AS (SELECT CAST(((d - DATE '1995-01-01') % 7 + 7) % 7 AS INT) AS dow,
                  CAST(COUNT(*) AS BIGINT) AS n_days,
-                 CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 CAST(CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE)
                    / COUNT(*) AS seasonal
           FROM det GROUP BY 1),
     r AS (SELECT s.dow, s.n_days, s.seasonal,
-                 CAST(SUM(CAST(ROUND(ABS(det.detr - s.seasonal), 9)
-                      AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS mar
+                 CAST(CAST(SUM(CAST(ROUND(ABS(det.detr - s.seasonal), 9)
+                      AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS mar
           FROM det JOIN s
             ON CAST(((det.d - DATE '1995-01-01') % 7 + 7) % 7 AS INT) = s.dow
           GROUP BY 1, 2, 3)
@@ -4188,7 +4188,7 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            MIN(value) AS min_v,
            MAX(value) AS max_v,
-           CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(ROUND(value, 9) AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE)
              / COUNT(*) AS avg_v
     FROM t GROUP BY decile ORDER BY decile
     """,
@@ -4718,8 +4718,8 @@ def mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(rev.sr AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
           FROM rev JOIN t USING (region))
     SELECT h.region, t.n_suppliers,
-           CAST(SUM(CAST(ROUND(h.share * h.share * 10000, 9)
-                         AS DECIMAL(20,9))) AS DOUBLE) AS hhi,
+           CAST(CAST(SUM(CAST(ROUND(h.share * h.share * 10000, 9)
+                         AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE) AS hhi,
            MAX(h.share) AS top_share
     FROM h JOIN t ON h.region = t.region
     GROUP BY 1, 2 ORDER BY h.region
@@ -4780,7 +4780,7 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT o_orderpriority AS priority,
                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
                FROM orders),
-    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS prior FROM d),
+    g AS (SELECT CAST(CAST(SUM(y) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS prior FROM d),
     c AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(y) AS BIGINT) AS pos
           FROM d GROUP BY priority),
@@ -4789,7 +4789,7 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM d JOIN c USING (priority) CROSS JOIN g)
     SELECT c.priority, c.n, c.pos,
            CAST(c.pos AS DOUBLE) / c.n AS raw_rate,
-           CAST(SUM(CAST(ROUND(e.enc, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(ROUND(e.enc, 9) AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE)
              / COUNT(*) AS avg_loo_enc
     FROM e JOIN c USING (priority)
     GROUP BY c.priority, c.n, c.pos ORDER BY c.priority

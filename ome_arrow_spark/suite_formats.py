@@ -36,7 +36,7 @@ def _rt_dir(sf_dir: str, tag: str) -> str:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price,
            MIN(CAST(o_orderdate AS DATE)) AS first_date,
            MAX(CAST(o_orderdate AS DATE)) AS last_date
     FROM orders WHERE o_custkey % 20 = 0
@@ -88,7 +88,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_bal,
            CAST(SUM(length(c_name)) AS BIGINT) AS sum_name_len
     FROM customer WHERE c_custkey % 10 = 0
     GROUP BY c_mktsegment
@@ -153,7 +153,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT * FROM ins)
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -348,7 +348,7 @@ _TLOG_MERGED_SQL = """
     + """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -374,11 +374,11 @@ def table_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT * FROM (
       SELECT 0 AS version, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
       FROM base
       UNION ALL
       SELECT 2 AS version, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
       FROM merged)
     """,
 )
@@ -464,7 +464,7 @@ def ome_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -525,7 +525,7 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price,
            ROUND(SUM(COALESCE(discount, 0)), 6) AS sum_discount
     FROM kept
     """,
@@ -580,8 +580,8 @@ def table_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM lineitem
     WHERE l_orderkey % 16 = 0 AND l_returnflag = 'R'
@@ -627,11 +627,11 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey % 20 = 0)
     SELECT 'delete' AS change_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM touched
     UNION ALL
     SELECT 'insert', COUNT(*),
-           CAST(SUM(CAST(o_totalprice + 1 AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice + 1 AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM touched
     """,
 )
@@ -687,12 +687,12 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey % 10 = 0)
     SELECT 'live' AS side, o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM base WHERE o_orderpriority <> '1-URGENT'
     GROUP BY o_orderstatus
     UNION ALL
     SELECT 'deleted', o_orderstatus, COUNT(*),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM base WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderstatus
     """,
@@ -756,11 +756,11 @@ def table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey % 10 = 3)
     SELECT 'restored' AS side, o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM base GROUP BY o_orderstatus
     UNION ALL
     SELECT 'deleted_snapshot', o_orderstatus, COUNT(*),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM base WHERE o_orderpriority <> '2-HIGH'
     GROUP BY o_orderstatus
     """,
@@ -824,11 +824,11 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey % 10 = 4)
     SELECT 'facts' AS side, o_orderstatus AS k1, '' AS k2,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
     FROM facts GROUP BY o_orderstatus
     UNION ALL
     SELECT 'index', b.batch, f.o_orderpriority,
-           COUNT(*), CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           COUNT(*), CAST(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM facts f
     JOIN (VALUES ('A', 0), ('B', 1)) AS b(batch, r)
       ON f.o_orderkey % 3 = b.r
@@ -944,7 +944,7 @@ def table_multi_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0)
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM final GROUP BY o_orderstatus
     """,
@@ -1011,13 +1011,13 @@ def table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a)
     SELECT 'source' AS side, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
     GROUP BY o_orderstatus
     UNION ALL
     SELECT 'clone', o_orderstatus, CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM cl GROUP BY o_orderstatus
     """,
 )

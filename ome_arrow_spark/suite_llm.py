@@ -896,7 +896,7 @@ def _ivf_oracle(k: int = 3, n_centroids: int = 8, n_probe: int = 3) -> str:
     cm AS (
       SELECT cluster, list(m ORDER BY pos) AS ctr FROM (
         SELECT cluster, pos,
-               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+               CAST(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS m
         FROM (SELECT cluster, unnest(range(1, len(v)+1)) AS pos,
                      unnest(v) AS val FROM {km_final})
         GROUP BY cluster, pos
@@ -3310,8 +3310,8 @@ def kmv_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEFT JOIN c1 u3 ON ht.w3 = u3.w1
            , tot, voc)
     SELECT doc_id, COUNT(*) AS n_trigrams,
-           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
-           ROUND(EXP(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
+           ROUND(CAST(CAST(SUM(nll) AS VARCHAR(64)) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(CAST(SUM(nll) AS VARCHAR(64)) AS DOUBLE) / COUNT(*), 6)), 4) AS ppl
     FROM sc GROUP BY doc_id
     """,
 )
@@ -3769,7 +3769,7 @@ def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
     w AS (SELECT lang, n_l, ROUND(SQRT(n_l), 9)::DECIMAL(28,9) AS s FROM n),
-    z AS (SELECT CAST(SUM(s) AS DOUBLE) AS z FROM w),
+    z AS (SELECT CAST(CAST(SUM(s) AS VARCHAR(64)) AS DOUBLE) AS z FROM w),
     q AS (SELECT lang, n_l,
                  CAST(FLOOR(100 * (CAST(s AS DOUBLE) / z.z)) AS BIGINT)
                    AS quota
@@ -4228,7 +4228,7 @@ def _set_similarity(
                   AS DECIMAL(20,9)) AS w
       FROM cls CROSS JOIN tot),
     pri AS (
-      SELECT LN(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      SELECT LN(CAST(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS VARCHAR(64)) AS DOUBLE)
                 / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS prior
       FROM documents),
     sc AS (
@@ -4325,8 +4325,8 @@ def nb_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
-           CAST(SUM(CAST(ROUND(CAST(n_oov AS DOUBLE) / n_toks, 9)
-                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(ROUND(CAST(n_oov AS DOUBLE) / n_toks, 9)
+                         AS DECIMAL(20,9))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
              AS avg_oov_rate,
            (SELECT vocab_size FROM vv) AS vocab_size
     FROM per GROUP BY lang ORDER BY lang
@@ -5235,9 +5235,8 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(sel) AS BIGINT) AS n_sel,
            ROUND(SUM(sel) * 1.0 / COUNT(*), 6) AS sel_rate,
            CASE WHEN SUM(sel) = 0 THEN NULL
-                ELSE ROUND(CAST(SUM(CASE WHEN sel = 1
-                     THEN CAST(ROUND(score, 9) AS DECIMAL(20,9)) END)
-                     AS DOUBLE) / SUM(sel), 6) END AS avg_sel_score
+                ELSE ROUND(CAST(CAST(SUM(CASE WHEN sel = 1
+                     THEN CAST(ROUND(score, 9) AS DECIMAL(20,9)) END) AS VARCHAR(64)) AS DOUBLE) / SUM(sel), 6) END AS avg_sel_score
     FROM a GROUP BY source ORDER BY source
     """,
 )

@@ -897,10 +897,10 @@ def ome_colocalization(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n FROM px GROUP BY t),
     fit AS (
       SELECT COUNT(*) AS k,
-             CAST(SUM(t) AS DOUBLE) AS st,
-             CAST(SUM(CAST(s AS DOUBLE) / n) AS DOUBLE) AS sm,
-             CAST(SUM(t * (CAST(s AS DOUBLE) / n)) AS DOUBLE) AS stm,
-             CAST(SUM(CAST(t AS DOUBLE) * t) AS DOUBLE) AS stt
+             CAST(CAST(SUM(t) AS VARCHAR(64)) AS DOUBLE) AS st,
+             CAST(CAST(SUM(CAST(s AS DOUBLE) / n) AS VARCHAR(64)) AS DOUBLE) AS sm,
+             CAST(CAST(SUM(t * (CAST(s AS DOUBLE) / n)) AS VARCHAR(64)) AS DOUBLE) AS stm,
+             CAST(CAST(SUM(CAST(t AS DOUBLE) * t) AS VARCHAR(64)) AS DOUBLE) AS stt
       FROM per_t)
     SELECT p.t, CAST(p.s AS BIGINT) AS px_sum,
            ROUND(CAST(p.s AS DOUBLE) / p.n, 6) AS mean_intensity,
@@ -1094,7 +1094,7 @@ def ome_radial_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT z.z AS z, ((17 + z.z*7 + i.i) % 65536) AS v
       FROM (SELECT unnest(generate_series(0, 4)) AS z) z,
            (SELECT unnest(generate_series(0, 167*439 - 1)) AS i) i),
-    m AS (SELECT z, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+    m AS (SELECT z, CAST(CAST(SUM(v) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS mean_v
           FROM vx GROUP BY z)
     SELECT CAST(vx.z AS INT) AS z,
            ROUND(m.mean_v, 6) AS mean_v,

@@ -23,7 +23,7 @@ from ome_arrow_spark.suite import _t, register
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS we,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -90,7 +90,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -166,7 +166,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_type,
            COUNT(*) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM latest WHERE rn = 1 GROUP BY event_type
     """,
 )
@@ -598,7 +598,7 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_type,
            COUNT(*) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM latest WHERE rn = 1 AND NOT (value < 10)
     GROUP BY event_type
     """,
@@ -672,7 +672,7 @@ def stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS sum_price
     FROM orders
     WHERE (o_custkey % 10 = 0 OR o_custkey % 10 = 1)
@@ -740,7 +740,7 @@ def stream_table_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -795,11 +795,11 @@ def stream_table_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT event_type, value FROM events)
     SELECT 'raw' AS side, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
     FROM e GROUP BY event_type
     UNION ALL
     SELECT 'index', event_type, COUNT(*),
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
     FROM e GROUP BY event_type
     """,
 )

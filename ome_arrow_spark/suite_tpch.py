@@ -101,7 +101,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -134,8 +134,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(30,6)) END) AS VARCHAR(64)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS VARCHAR(64)) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
@@ -217,7 +217,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey)
     SELECT l_partkey, CAST(val AS DOUBLE) AS value
     FROM v
-    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM v)
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(CAST(SUM(val) AS VARCHAR(64)) AS DOUBLE) * 0.001 FROM v)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -334,7 +334,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -418,7 +418,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customer",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -466,7 +466,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicate",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR(64)) AS DOUBLE)
              AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
