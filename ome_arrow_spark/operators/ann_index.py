@@ -278,6 +278,33 @@ def ivf_index_search(
     )
 
 
+def _probe_pairs(
+    cent_map: dict[int, list[float]],
+    q_rows: list,
+    n_probe: int,
+    query_id: str,
+    vec: str,
+) -> tuple[list[tuple[Any, int]], set[int]]:
+    """Driver-side probe selection: each query's ``n_probe`` nearest
+    stored centroids (queries are small by contract, centroids are k
+    rows).  Returns (query, centroid_id) pairs plus the union of
+    probed list ids for manifest pruning."""
+    import numpy as np
+
+    cent_ids = sorted(cent_map)
+    cent_mat = np.array([cent_map[c] for c in cent_ids])
+    pairs: list[tuple[Any, int]] = []
+    needed: set[int] = set()
+    for r in q_rows:
+        qv = np.array(r[vec], dtype=np.float64)
+        d2 = ((cent_mat - qv) ** 2).sum(axis=1)
+        order = sorted(range(len(cent_ids)), key=lambda i: (d2[i], cent_ids[i]))
+        for i in order[:n_probe]:
+            pairs.append((r[query_id], cent_ids[i]))
+            needed.add(cent_ids[i])
+    return pairs, needed
+
+
 def ivf_sharded_search(
     spark: SparkSession,
     tables: list[str],
@@ -289,39 +316,108 @@ def ivf_sharded_search(
     digits: int = 6,
     where: str | None = None,
 ) -> DataFrame:
-    """Union-probe search over PER-SHARD IVF indexes built with one
-    shared codebook (``build_ivf_index(centroids=...)``): probe every
-    shard with the same ``n_probe`` geometry, union the per-shard
-    top-k candidate sets, and take the GLOBAL top-k per query.
+    """FUSED union-probe search over per-shard IVF indexes: prune
+    every shard's manifest to its probed lists, read the union of
+    live files in ONE scan, score once, and take ONE global top-k
+    window per query.
 
-    Exactness relative to one monolithic index over the union corpus:
-    each shard's per-query top-k contains that shard's k best probed
-    candidates, so the global top-k over the unioned per-shard top-ks
-    equals the top-k the monolith would return with the same probed
-    lists — sharding changes WHERE lists live, not which vectors are
-    scored.  At cluster scale the per-shard searches are independent
-    scans (manifest-pruned file seeks), so both build and search
-    parallelize across shards with no cross-shard shuffle until the
-    final ≤ shards·k-row-per-query merge."""
-    parts = [
-        ivf_index_search(
-            spark, t, queries, k=k, n_probe=n_probe, query_id=query_id,
-            vec=vec, digits=digits, where=where,
-        )
-        for t in tables
-    ]
-    if not parts:
+    Result-identical to the per-shard-search-then-merge formulation
+    (each shard's per-query top-k contains that shard's k best probed
+    candidates, so a global top-k over unioned per-shard top-ks ==
+    the top-k over ALL probed candidates — same ordering keys), but
+    the plan has one scan / one broadcast join / one window instead
+    of ``shards`` of each plus a merge window: sharding changes WHERE
+    list files live, not the query plan.  At cluster scale the fused
+    scan's file splits spread across executors exactly like a
+    monolithic index read, so the sharded-search cost is the
+    monolith's cost plus ``shards`` manifest lookups.
+
+    Shards built from one shared codebook (``build_ivf_index(
+    centroids=...)``) collapse to a single probe-pair broadcast; the
+    general path groups shards by codebook signature and unions one
+    fused scan per distinct codebook (centroid ids from different
+    codebooks must not equi-join)."""
+    from ome_arrow_spark.functions.vectors import cosine
+    from ome_arrow_spark.sources import table_log as tl
+
+    if not tables:
         raise ValueError("ivf_sharded_search needs at least one shard")
-    merged = parts[0]
-    for p in parts[1:]:
+    q_rows = queries.select(F.col(query_id), F.col(vec)).collect()
+    qid_type = queries.schema[query_id].dataType
+
+    # group shards by codebook signature; shards sharing a codebook
+    # share probe pairs and one fused scan (the common case)
+    schema: T.StructType | None = None
+    groups: dict[tuple, dict[str, Any]] = {}
+    for t in tables:
+        cent_map = _stored_centroids(t)
+        sig = tuple(sorted((c, tuple(v)) for c, v in cent_map.items()))
+        snap = tl._resolve_snapshot(t)
+        s = T.StructType.fromJson(json.loads(snap["schema"]))
+        if schema is None:
+            schema = s
+        elif s != schema:
+            raise ValueError(f"shard schema differs from first shard: {t}")
+        g = groups.setdefault(sig, {"cent_map": cent_map, "snaps": []})
+        g["snaps"].append((t, snap))
+
+    empty_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField("cid", schema["cid"].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+
+    qv_df = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    scored_parts: list[DataFrame] = []
+    for g in groups.values():
+        pairs, needed = _probe_pairs(
+            g["cent_map"], q_rows, n_probe, query_id, vec
+        )
+        if not pairs:
+            continue
+        paths: list[str] = []
+        for t, snap in g["snaps"]:
+            live: set[str] = set()
+            for c in sorted(needed):
+                live.update(tl._prune(snap["files"], [("centroid_id", "=", c)]))
+            paths.extend(os.path.join(t, p) for p in sorted(live))
+        if not paths:
+            continue
+        lists = spark.read.schema(schema).parquet(*paths)
+        if where is not None:
+            lists = lists.filter(F.expr(where))
+        pairs_df = spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField(query_id, qid_type),
+                    T.StructField("centroid_id", T.IntegerType()),
+                ]
+            ),
+        ).join(qv_df, query_id)
+        scored_parts.append(
+            F.broadcast(pairs_df).join(lists, "centroid_id").select(
+                query_id,
+                "cid",
+                F.round(
+                    cosine(F.col("__qv"), F.col("embedding")), digits
+                ).alias("cos_sim"),
+            )
+        )
+
+    if not scored_parts:
+        return spark.createDataFrame([], empty_schema)
+    merged = scored_parts[0]
+    for p in scored_parts[1:]:
         merged = merged.unionByName(p)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col("cid")
     )
-    return (
-        merged.drop("rk")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    return merged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
     )
 
 

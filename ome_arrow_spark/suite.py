@@ -53,46 +53,48 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-12 rotation (the driver grades the FIRST 50 names only):
-    #   1. the r12 additions — equidepth_string gates the common-
-    #      prefix-stripped string surrogate that closed VERDICT r11
-    #      "What's missing" #1; dsir_resample / contamination_fuzzy are
-    #      the r11 Next-round #7 curation operators (each verified
-    #      sf0.001/0.01/sf1 on entry),
-    #   2. every surface r12 code changes touched — the four r11
-    #      ADVICE fixes (kendall tau-b both-tied legs, cramers_v full
-    #      grid, mann_kendall degenerate guard, stream_append_ingest
-    #      batch-0 txn) and the equidepth consumers (quantiles.py
-    #      sketch/census rewrite) + ann_index_search (build_ivf_index
-    #      grew the shared-codebook shard path),
-    #   3. an oldest-green re-verification tail: 32 rows of the r5
-    #      stratum — the stalest driver greens (last graded r5, seven
-    #      rounds back). 32 tail rows predate r10 — the >=15 rotation
-    #      invariant holds with 2x room. The retired r4 tail (28 rows,
-    #      re-anchored in r11's gate) returns to the sweep-only pool.
+    # Round-13 rotation (the driver grades the FIRST 50 names only):
+    #   1. the r13 additions — sequence_packing (GPT-style concat-cut
+    #      packing via the two-phase bucketed cumsum; EXACT at
+    #      sf0.001/0.01/1 on entry), c4_quality_rules (line-level
+    #      C4/RedPajama battery, 7 planted branch rows), and
+    #      ann_sharded_search (the r13 FUSED ivf_sharded_search plan —
+    #      distinct-codebook shards, full probe == brute-force oracle),
+    #   2. r13-touched surfaces — ann_index_search re-sits because
+    #      ann_index.py was rewritten around it (fused sharded path,
+    #      extracted _probe_pairs helper),
+    #   3. an oldest-green re-verification tail, stalest first by
+    #      last-green round (computed from CORRECTNESS_r01..r12): the
+    #      full r4 stratum (10 rows, last graded r4), the full r5
+    #      stratum (15 rows), the full r6 stratum (11 rows), and the
+    #      10 alphabetically-first r7 rows. 46 tail rows predate r11 —
+    #      the >=15 two-round-stale invariant holds with 3x room.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
-    # (1) round-12 additions
-    "equidepth_string", "dsir_resample", "contamination_fuzzy",
-    "gopher_quality_rules",
-    # (2) r12-touched surfaces
-    "kendall_tau_daily", "cramers_v", "mann_kendall_trend",
-    "stream_append_ingest", "equidepth_continuous", "auc_roc",
-    "histogram_equidepth", "histogram_equidepth_scale", "rfm_segments",
-    "psi_drift", "js_divergence_drift", "brier_calibration",
-    "winsorized_stats", "ann_index_search",
-    # (3) oldest-green re-verification tail (last green: r5)
-    "q6_forecast_revenue", "q11_important_parts", "q12_late_lines",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q18_large_volume_customer", "q19_disjunctive_predicate",
-    "q20_part_promotion", "stream_static_join", "stream_stateful",
-    "jsonl_roundtrip", "ome_channels", "ome_view_plane",
-    "ome_volume_contrast", "ome_histogram", "ome_feature_join",
-    "ome_bg_subtract", "ome_mip", "ome_timelapse_trend",
-    "ome_patch_extract", "ome_focus_rank", "ome_radial_profile",
-    "ome_threshold_stats", "ome_planes_sql", "text_quality", "lang_id",
-    "token_topk", "text_repetition", "minhash_signatures", "simhash",
-    "ngram_jaccard",
+    # (1) round-13 additions
+    "sequence_packing", "c4_quality_rules", "ann_sharded_search",
+    # (2) r13-touched surfaces
+    "ann_index_search",
+    # (3a) oldest-green tail: the r4 stratum
+    "csv_roundtrip", "funnel_events", "grouped_map_topk", "json_events",
+    "sort_topk", "text_stats", "tfidf_topk", "window_analytic",
+    "window_rank", "window_time_range",
+    # (3b) the r5 stratum
+    "bucketed_join", "embedding_stats", "interval_concurrency",
+    "ngram_exact_overlap", "ome_zarr_v3_roundtrip", "percentile_multi",
+    "pii_scrub", "retention_cohorts", "scd2_orders",
+    "token_budget_sample", "token_count_bpe", "token_pmi",
+    "triangle_count", "window_anomaly", "window_locf",
+    # (3c) the r6 stratum
+    "bpe_pair_merge", "dataset_interleave", "dedup_components",
+    "embedding_normalize", "ewma_user_value", "near_dedup_full",
+    "neardup_lsh", "pagerank_nations", "pretrain_pipeline",
+    "stream_tumbling", "stream_zarr_ingest",
+    # (3d) 10 r7 rows (alphabetical head of that stratum)
+    "agg_approx_distinct", "agg_bitwise", "asof_tolerance",
+    "curation_crossmodal", "data_profile", "dataset_sample_stratified",
+    "dataset_split", "funnel_steps", "generator_outer",
+    "graph_bfs_trade",
 )
 
 

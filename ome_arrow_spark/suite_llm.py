@@ -5580,3 +5580,392 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing for LLM pretraining (GPT-style concat-and-cut): docs
+# are shuffled deterministically (md5 hash order — the pipeline's
+# shuffle step), concatenated, and cut into fixed 2048-token training
+# sequences; a document crossing a boundary is split across packs
+# (attention masks handle it downstream), so every pack is exactly
+# full — fragmentation (docs per pack / split docs) is the quality
+# stat, not padding waste. The global running token sum is computed
+# WITHOUT a single-partition window: 256 md5-prefix buckets give a
+# bounded census (offsets driver-side, broadcast back), then the exact
+# cumulative window runs PARTITIONED BY bucket — the same two-phase
+# cumsum the equidepth operators use (operators/quantiles.py). At
+# 100 TB the per-bucket shuffle carries ~1/256 of the thin
+# (doc_id, hash, n) stats relation; nothing touches text twice.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH s AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+      FROM documents),
+    t AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c_after
+      FROM s WHERE n > 0),
+    d AS (SELECT doc_id, n, c_after, c_after - n AS c_before FROM t),
+    e AS (
+      SELECT doc_id, c_before, c_after,
+             UNNEST(range(c_before // {_PACK_BUDGET},
+                          (c_after - 1) // {_PACK_BUDGET} + 1)) AS pack
+      FROM d)
+    SELECT CAST(pack AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pack = c_before // {_PACK_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(SUM(LEAST(c_after, (pack + 1) * {_PACK_BUDGET})
+                    - GREATEST(c_before, pack * {_PACK_BUDGET}))
+                AS BIGINT) AS tokens
+    FROM e GROUP BY pack
+    HAVING pack < 40
+    ORDER BY pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    B = _PACK_BUDGET
+    s = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("rng", F.substring("h", 1, 2))
+    )
+    # bounded census: 256 bucket totals -> driver prefix -> broadcast
+    totals = {
+        r["rng"]: r["tot"]
+        for r in s.groupBy("rng").agg(F.sum("n").alias("tot")).collect()
+    }
+    offsets, c = [], 0
+    for rid in sorted(totals):
+        offsets.append((rid, c))
+        c += totals[rid]
+    off_df = spark.createDataFrame(offsets, "rng string, roff bigint")
+
+    wcum = Window.partitionBy("rng").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = (
+        s.join(F.broadcast(off_df), "rng")
+        .withColumn(
+            "c_after", F.col("roff") + F.sum("n").over(wcum)
+        )
+        .withColumn("c_before", F.col("c_after") - F.col("n"))
+    )
+    e = d.select(
+        "c_before",
+        "c_after",
+        F.explode(
+            F.sequence(
+                (F.col("c_before") / B).cast("bigint"),
+                ((F.col("c_after") - 1) / B).cast("bigint"),
+            )
+        ).alias("pack"),
+    )
+    return (
+        e.groupBy("pack")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("pack") == (F.col("c_before") / B).cast("bigint"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_starts"),
+            F.sum(
+                F.least(F.col("c_after"), (F.col("pack") + 1) * B)
+                - F.greatest(F.col("c_before"), F.col("pack") * B)
+            ).cast("bigint").alias("tokens"),
+        )
+        .filter(F.col("pack") < 40)
+        .select(
+            F.col("pack").cast("bigint").alias("pack_id"),
+            "n_docs",
+            "n_starts",
+            "tokens",
+        )
+        .orderBy("pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4/RedPajama-style quality-rule battery (Raffel et al. 2020 §2.2 +
+# RedPajama-Data C4 filters), complementing gopher_quality_rules with
+# the line-level family: terminal-punctuation line fraction, >= 3
+# lines of >= 5 words (the sentence-count proxy), code/boilerplate
+# markers ('{', 'lorem ipsum', 'javascript'), bad-word hit,
+# duplicate-line fraction within the doc (CCNet-style), and a 50-word
+# floor. One projection pass, pure built-ins; the fixture corpus is
+# single-line word soup, so seven PLANTED rows isolate each rule
+# branch (P1 passes everything; P2-P7 each trip exactly one rule).
+# All counting is integer; rule ratios compare exact integers in
+# doubles, so both engines decide every rule identically.
+# ---------------------------------------------------------------------------
+_C4_PLANTED = [
+    (9100001, "planted",
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho sigma.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho tau.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho upsilon."),
+    (9100002, "planted",
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho sigma\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho tau\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho upsilon"),
+    (9100003, "planted",
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one "
+     "two.\n"
+     "three four five six seven eight nine ten eleven twelve thirteen "
+     "fourteen fifteen sixteen seventeen eighteen nineteen twenty "
+     "blue red green yellow purple orange."),
+    (9100004, "planted",
+     "alpha beta gamma javascript delta epsilon zeta eta theta iota "
+     "kappa lam mu nu xi omicron pi rho sigma.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho tau.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho upsilon."),
+    (9100005, "planted",
+     "alpha beta gamma nsfw delta epsilon zeta eta theta iota kappa "
+     "lam mu nu xi omicron pi rho sigma.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho tau.\n"
+     "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+     "nu xi omicron pi rho upsilon."),
+    (9100006, "planted",
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon one.\n"
+     "alpha beta gamma delta epsilon two.\n"
+     "alpha beta gamma delta epsilon three.\n"
+     "alpha beta gamma delta epsilon four.\n"
+     "alpha beta gamma delta epsilon five."),
+    (9100007, "planted",
+     "alpha beta gamma delta one.\n"
+     "alpha beta gamma delta two.\n"
+     "alpha beta gamma delta three."),
+]
+
+
+def _c4_planted_sql() -> str:
+    rows = ",\n        ".join(
+        "({}, '{}', '{}')".format(
+            i, s, t.replace("\n", "' || chr(10) || '")
+        )
+        for i, s, t in _C4_PLANTED
+    )
+    return rows
+
+
+@register(
+    "c4_quality_rules",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT * FROM (VALUES
+        {_c4_planted_sql()}
+      ) v(doc_id, source, text)),
+    w AS (SELECT doc_id, source, text,
+            regexp_extract_all(text, '\S+') AS words,
+            {_TOKS_SQL} AS toks,
+            string_split(text, chr(10)) AS lines
+          FROM corpus),
+    m AS (SELECT source,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(lines,
+                 l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')))
+                 AS BIGINT) AS n_term,
+            CAST(len(list_filter(lines,
+                 l -> len(regexp_extract_all(l, '\S+')) >= 5))
+                 AS BIGINT) AS n_5w,
+            CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                 AS n_dup,
+            (contains(lower(text), '{{') OR
+             contains(lower(text), 'lorem ipsum') OR
+             contains(lower(text), 'javascript')) AS has_marker,
+            (len(list_filter(['nsfw', 'xxx'],
+                 s -> list_contains(toks, s))) > 0) AS has_bad
+          FROM w WHERE len(words) > 0),
+    r AS (SELECT source,
+            (n_term * 1.0 / n_lines < 0.5) AS f_term,
+            (n_5w < 3) AS f_sent,
+            has_marker AS f_code,
+            has_bad AS f_bad,
+            (n_dup * 1.0 / n_lines > 0.3) AS f_dup,
+            (n_words < 50) AS f_wc
+          FROM m)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN NOT (f_term OR f_sent OR f_code OR f_bad
+               OR f_dup OR f_wc) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN f_term THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_terminal_punct,
+      CAST(SUM(CASE WHEN f_sent THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_min_sentences,
+      CAST(SUM(CASE WHEN f_code THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_code_marker,
+      CAST(SUM(CASE WHEN f_bad THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_bad_words,
+      CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_dup_lines,
+      CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_word_count
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.sparkSession.createDataFrame(
+        _C4_PLANTED, "doc_id long, source string, text string"
+    )
+    corpus = docs.unionByName(planted)
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    toks = TX.tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n", -1)
+    bad = F.array(F.lit("nsfw"), F.lit("xxx"))
+    m = corpus.select(
+        "source",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda line: F.substring(F.rtrim(line), -1, 1).isin(
+                    ".", "!", "?", '"'
+                ),
+            )
+        ).cast("bigint").alias("n_term"),
+        F.size(
+            F.filter(
+                lines,
+                lambda line: F.size(
+                    F.regexp_extract_all(line, F.lit(r"\S+"), 0)
+                ) >= 5,
+            )
+        ).cast("bigint").alias("n_5w"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("bigint").alias("n_dup"),
+        (
+            F.lower(F.col("text")).contains("{")
+            | F.lower(F.col("text")).contains("lorem ipsum")
+            | F.lower(F.col("text")).contains("javascript")
+        ).alias("has_marker"),
+        F.arrays_overlap(toks, bad).alias("has_bad"),
+    ).filter(F.col("n_words") > 0)
+    one = F.lit(1.0)
+    f_term = F.col("n_term") * one / F.col("n_lines") < 0.5
+    f_sent = F.col("n_5w") < 3
+    f_code = F.col("has_marker")
+    f_bad = F.col("has_bad")
+    f_dup = F.col("n_dup") * one / F.col("n_lines") > 0.3
+    f_wc = F.col("n_words") < 50
+
+    def cnt(c, name):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        m.select(
+            "source",
+            f_term.alias("f_term"), f_sent.alias("f_sent"),
+            f_code.alias("f_code"), f_bad.alias("f_bad"),
+            f_dup.alias("f_dup"), f_wc.alias("f_wc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            cnt(
+                ~(
+                    F.col("f_term") | F.col("f_sent") | F.col("f_code")
+                    | F.col("f_bad") | F.col("f_dup") | F.col("f_wc")
+                ),
+                "n_pass",
+            ),
+            cnt(F.col("f_term"), "fail_terminal_punct"),
+            cnt(F.col("f_sent"), "fail_min_sentences"),
+            cnt(F.col("f_code"), "fail_code_marker"),
+            cnt(F.col("f_bad"), "fail_bad_words"),
+            cnt(F.col("f_dup"), "fail_dup_lines"),
+            cnt(F.col("f_wc"), "fail_word_count"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused sharded-index search (ann_index.py ivf_sharded_search, r13):
+# the corpus is hash-split into two shards, each built as its OWN
+# exact-trained IVF index (distinct codebooks — the general case), and
+# the fused union-probe search reads both shards' pruned lists in one
+# plan with ONE global top-k window. At full probe the result is
+# definitionally the brute-force top-k over the union corpus, so the
+# oracle is the same exact cosine top-3 SQL knn_cosine uses — a hash
+# match proves split -> per-shard build -> fused union scan -> global
+# merge loses nothing. (Partial-probe + shared-codebook parity vs the
+# monolith is unit-gated in tests/test_ann_index.py.)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_sharded_search",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         p AS (SELECT qid, cid,
+                      ROUND({_DOT.format(a='qe', b='ce')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='ce', b='ce')})), 6) AS cos_sim
+               FROM q, c)
+    SELECT qid, cid, cos_sim, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS INT) AS rk
+        FROM p)
+    WHERE rk <= 3
+    """,
+)
+def ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ome_arrow_spark.operators import ann_index as AI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    tables = []
+    for i in range(2):
+        t = (
+            f"/tmp/ome_arrow_rt_ivfshard{i}_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+        )
+        shutil.rmtree(t, ignore_errors=True)
+        AI.build_ivf_index(
+            spark,
+            c.filter(F.pmod(F.xxhash64("cid"), 2) == i),
+            t,
+            n_centroids=4,
+            overwrite=True,
+        )
+        tables.append(t)
+    return AI.ivf_sharded_search(spark, tables, q, k=3, n_probe=4)

@@ -169,3 +169,82 @@ def test_optimize_restores_probe_pruning(spark, tmp_path, corpus_and_queries):
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     probed, total = AI.ivf_index_file_stats(t, clusters={0, 1})
     assert probed < total
+
+
+def test_sharded_search_matches_monolith(spark, tmp_path,
+                                         corpus_and_queries):
+    """Fused union-probe over shared-codebook shards == a monolithic
+    index built from the SAME codebook, row for row, at every probe
+    depth (both sides use the centroids= assignment path, so near-tie
+    centroid assignments are bit-identical)."""
+    from ome_arrow_spark.operators import quantizer as QZ
+
+    q, c = corpus_and_queries
+    cent_arr = QZ.train_centroids(c, "embedding", 8)
+    mono = str(tmp_path / "ivf_mono")
+    AI.build_ivf_index(spark, c, mono, centroids=cent_arr)
+    tables = []
+    for i in range(3):
+        t = str(tmp_path / f"ivf_shard{i}")
+        AI.build_ivf_index(
+            spark,
+            c.filter(F.pmod(F.xxhash64("cid"), 3) == i),
+            t,
+            centroids=cent_arr,
+        )
+        tables.append(t)
+    for n_probe in (2, 4, 8):
+        got = sorted(
+            tuple(r)
+            for r in AI.ivf_sharded_search(
+                spark, tables, q, k=3, n_probe=n_probe
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in AI.ivf_index_search(
+                spark, mono, q, k=3, n_probe=n_probe
+            ).collect()
+        )
+        assert got == want, f"n_probe={n_probe}"
+
+
+def test_sharded_search_distinct_codebooks(spark, tmp_path,
+                                           corpus_and_queries):
+    """Shards with DIFFERENT codebooks (independently trained) must
+    not equi-join centroid ids across shards: full-probe search still
+    equals brute force over the union corpus."""
+    q, c = corpus_and_queries
+    tables = []
+    for i in range(2):
+        t = str(tmp_path / f"ivf_own{i}")
+        AI.build_ivf_index(
+            spark,
+            c.filter(F.pmod(F.xxhash64("cid"), 2) == i),
+            t,
+            n_centroids=4,
+        )
+        tables.append(t)
+    got = sorted(
+        tuple(r)
+        for r in AI.ivf_sharded_search(spark, tables, q, k=3, n_probe=4)
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk(q, c, k=3).select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    assert got == want
+
+
+def test_sharded_search_empty_queries(spark, tmp_path, index,
+                                      corpus_and_queries):
+    _, c = corpus_and_queries
+    q_empty = corpus_and_queries[0].limit(0)
+    res = AI.ivf_sharded_search(spark, [index], q_empty, k=3, n_probe=2)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "qid", "cid", "cos_sim", "rk"
+    ]

@@ -1,0 +1,99 @@
+"""Round-13 pretraining-curation operators (VERDICT r12 "Next round"
+#5): GPT-style sequence packing and the C4/RedPajama line-level
+quality-rule battery.
+
+- sequence_packing is re-derived independently in plain Python
+  (hashlib md5 order, regex tokens, cumulative cut at 2048) and the
+  Spark result must match pack for pack; structural invariants (every
+  non-final pack exactly full, at most one spanning doc per pack) are
+  asserted on top.
+- c4_quality_rules' seven planted rows isolate each rule branch; the
+  'planted' source aggregate must count exactly one failure per rule
+  and exactly one all-pass doc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow.parquet as pq
+
+from ome_arrow_spark.suite_llm import (
+    _PACK_BUDGET,
+    c4_quality_rules,
+    sequence_packing,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_packs(sf_dir: str, budget: int) -> dict[int, tuple[int, int, int]]:
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        n = len(re.findall(r"[a-z0-9]+", (text or "").lower()))
+        if n > 0:
+            docs.append((hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id, n))
+    docs.sort()
+    packs: dict[int, list[int]] = {}
+    c = 0
+    for _h, _i, n in docs:
+        before, after = c, c + n
+        c = after
+        for p in range(before // budget, (after - 1) // budget + 1):
+            tok = min(after, (p + 1) * budget) - max(before, p * budget)
+            st = 1 if p == before // budget else 0
+            d = packs.setdefault(p, [0, 0, 0])
+            d[0] += 1
+            d[1] += st
+            d[2] += tok
+    return {p: tuple(v) for p, v in packs.items() if p < 40}
+
+
+def test_sequence_packing_matches_python_rederivation(spark):
+    got = {
+        r["pack_id"]: (r["n_docs"], r["n_starts"], r["tokens"])
+        for r in sequence_packing(spark, SF).collect()
+    }
+    assert got == _python_packs(SF, _PACK_BUDGET)
+
+
+def test_sequence_packing_invariants(spark):
+    rows = sorted(
+        sequence_packing(spark, SF).collect(), key=lambda r: r["pack_id"]
+    )
+    assert rows, "no packs produced"
+    # contiguous pack ids from 0
+    assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["tokens"] == _PACK_BUDGET, f"pack {r['pack_id']} not full"
+    assert 0 < rows[-1]["tokens"] <= _PACK_BUDGET
+    for r in rows:
+        # at most ONE doc spans into a pack from the previous cut
+        assert r["n_docs"] - r["n_starts"] in (0, 1)
+
+
+def test_c4_planted_rows_isolate_each_rule(spark):
+    row = next(
+        r
+        for r in c4_quality_rules(spark, SF).collect()
+        if r["source"] == "planted"
+    )
+    assert row["n_docs"] == 7
+    assert row["n_pass"] == 1
+    assert row["fail_terminal_punct"] == 1
+    assert row["fail_min_sentences"] == 1
+    assert row["fail_code_marker"] == 1
+    assert row["fail_bad_words"] == 1
+    assert row["fail_dup_lines"] == 1
+    assert row["fail_word_count"] == 1
+
+
+def test_c4_real_sources_present(spark):
+    rows = c4_quality_rules(spark, SF).collect()
+    srcs = {r["source"] for r in rows}
+    assert "planted" in srcs and len(srcs) > 1
+    for r in rows:
+        # per-rule failures never exceed doc count; pass + any-fail >= docs
+        assert 0 <= r["n_pass"] <= r["n_docs"]
