@@ -17,12 +17,25 @@ The floor row shows what the micro-batch machinery itself costs; the
 merge-vs-append delta shows what the MERGE read-side costs.
 
 Usage: python tools/stream_ingest_profile.py [n_images] [side]
+
+Process mode (VERDICT r12 Next-round #4 — the independent-driver
+regime PLANS.md r12 predicted scales linearly where same-driver
+threads bought only 1.59x):
+
+    python tools/stream_ingest_profile.py --processes N [n_images] [side]
+
+launches N SEPARATE python processes (each its own JVM driver — the
+one-spark-submit-per-shard cluster posture), each ingesting a
+disjoint directory shard through the append sink.  Reports each
+worker's stream wall (session startup excluded), the aggregate img/s
+over max(worker walls), and the scaling factor vs one process.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -30,7 +43,130 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _worker(shard_dir: str, n_expected: int) -> None:
+    """Child-process entry: own SparkSession, stream the shard into an
+    append-sink table, print the stream wall (startup excluded)."""
+    from pyspark.sql import SparkSession
+
+    from ome_arrow_spark.sources import table_log as tl
+    from ome_arrow_spark.sources.tiff import from_tiff_stream
+    from ome_arrow_spark.streaming.events import run_foreach_batch
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName(f"sprof-worker-{os.path.basename(shard_dir)}")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    table = tempfile.mkdtemp(prefix="sprof_ptbl_") + "/t"
+
+    def sink_fn(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if tl.current_version(table) is None:
+            tl.create_ome_table(
+                spark, batch_df, table, txn_app="sprofp", txn_batch=batch_id
+            )
+        else:
+            tl.append_ome_table(
+                spark, batch_df, table, txn_app="sprofp", txn_batch=batch_id
+            )
+
+    t0 = time.time()
+    run_foreach_batch(
+        from_tiff_stream(
+            spark, shard_dir, glob="*.ftif", max_files_per_trigger=25
+        ),
+        sink_fn,
+        output_mode="append",
+    )
+    wall = time.time() - t0
+    n = tl.read_ome_table(spark, table).count()
+    shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+    assert n == n_expected, f"worker {shard_dir}: {n}/{n_expected}"
+    print(f"WORKER_WALL {wall:.3f}", flush=True)
+    spark.stop()
+
+
+def _processes_main(n_procs: int, n_images: int, side: int) -> None:
+    import numpy as np
+
+    from ome_arrow_spark.sources.tiff import encode_ftif
+
+    src = tempfile.mkdtemp(prefix="sprofp_src_")
+    base = (np.arange(side * side, dtype=np.int64) % 65536).reshape(
+        1, 1, 1, side, side
+    )
+    for i in range(n_images):
+        blob = encode_ftif((base + i) % 65536, image_id=f"img{i:04d}")
+        with open(os.path.join(src, f"img{i:04d}.ftif"), "wb") as f:
+            f.write(blob)
+
+    print(f"{'procs':>5} {'files/proc':>10} {'max_wall_s':>10} "
+          f"{'agg img/s':>9} {'x single':>8}")
+    single = None
+    try:
+        for n in ([1, n_procs] if n_procs > 1 else [1]):
+            shard_dirs = [
+                tempfile.mkdtemp(prefix=f"sprofp_shard{i}_") for i in range(n)
+            ]
+            for j, fname in enumerate(sorted(os.listdir(src))):
+                os.link(
+                    os.path.join(src, fname),
+                    os.path.join(shard_dirs[j % n], fname),
+                )
+            per = [
+                len(os.listdir(d)) for d in shard_dirs
+            ]
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", shard_dirs[i], str(per[i])],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True,
+                )
+                for i in range(n)
+            ]
+            walls = []
+            for p in procs:
+                out, _ = p.communicate()
+                assert p.returncode == 0, f"worker rc={p.returncode}"
+                walls.append(
+                    float(
+                        [ln for ln in out.splitlines()
+                         if ln.startswith("WORKER_WALL")][0].split()[1]
+                    )
+                )
+            for d in shard_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            agg_wall = max(walls)
+            rate = n_images / agg_wall
+            if single is None:
+                single = rate
+            print(
+                f"{n:>5} {n_images // n:>10} {agg_wall:>10.3f} "
+                f"{rate:>9.1f} {rate / single:>8.2f}  walls={walls}"
+            )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--processes":
+        _processes_main(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 200,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 256,
+        )
+        return
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     side = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
