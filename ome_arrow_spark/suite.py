@@ -57,9 +57,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #   1. the r13 additions — sequence_packing (GPT-style concat-cut
     #      packing via the two-phase bucketed cumsum; EXACT at
     #      sf0.001/0.01/1 on entry), c4_quality_rules (line-level
-    #      C4/RedPajama battery, 7 planted branch rows), and
+    #      C4/RedPajama battery, 7 planted branch rows),
     #      ann_sharded_search (the r13 FUSED ivf_sharded_search plan —
     #      distinct-codebook shards, full probe == brute-force oracle),
+    #      line_dedup_global (C4 cross-doc line dedup, min-occurrence
+    #      aggregate), and soft_dedup_weights (SoftDeDup 1/cluster-size
+    #      down-weighting, round-9 decimal sums) — each EXACT at
+    #      sf0.001/0.01/1 on entry,
     #   2. r13-touched surfaces — ann_index_search re-sits because
     #      ann_index.py was rewritten around it (fused sharded path,
     #      extracted _probe_pairs helper),
@@ -73,6 +77,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #
     # (1) round-13 additions
     "sequence_packing", "c4_quality_rules", "ann_sharded_search",
+    "line_dedup_global", "soft_dedup_weights",
     # (2) r13-touched surfaces
     "ann_index_search",
     # (3a) oldest-green tail: the r4 stratum
@@ -90,11 +95,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_normalize", "ewma_user_value", "near_dedup_full",
     "neardup_lsh", "pagerank_nations", "pretrain_pipeline",
     "stream_tumbling", "stream_zarr_ingest",
-    # (3d) 10 r7 rows (alphabetical head of that stratum)
+    # (3d) 8 r7 rows (alphabetical head of that stratum)
     "agg_approx_distinct", "agg_bitwise", "asof_tolerance",
     "curation_crossmodal", "data_profile", "dataset_sample_stratified",
-    "dataset_split", "funnel_steps", "generator_outer",
-    "graph_bfs_trade",
+    "dataset_split", "funnel_steps",
 )
 
 

@@ -5969,3 +5969,173 @@ def ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tables.append(t)
     return AI.ivf_sharded_search(spark, tables, q, k=3, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Global line-level deduplication (C4's cross-document line dedup,
+# Raffel et al. 2020 §2.2 "we discard all but one of any three-sentence
+# span occurring more than once" — here at line granularity, the
+# RedPajama-Data implementation choice): an exact line occurrence is
+# KEPT iff it is the globally first occurrence, ordered by
+# (doc_id, line_no). One explode + a map-side-combinable min-struct
+# aggregate keyed on the line text + a join back — the only shuffle
+# carries (line, min_occurrence), so boilerplate lines (the skew key)
+# collapse to one row per distinct line. Three planted multi-line docs
+# exercise cross-doc dup, within-doc dup, and the untouched branch the
+# single-line fixture corpus cannot hit.
+# ---------------------------------------------------------------------------
+_LINEDUP_PLANTED = [
+    (9200001, "planted",
+     "shared boilerplate footer\nunique alpha beta gamma\nrepeat me twice\nrepeat me twice"),
+    (9200002, "planted",
+     "shared boilerplate footer\nunique delta epsilon zeta"),
+    (9200003, "planted",
+     "unique eta theta iota\nunique kappa lam mu"),
+]
+
+
+def _linedup_planted_sql() -> str:
+    return ",\n        ".join(
+        "({}, '{}', '{}')".format(i, s, t.replace("\n", "' || chr(10) || '"))
+        for i, s, t in _LINEDUP_PLANTED
+    )
+
+
+@register(
+    "line_dedup_global",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT * FROM (VALUES
+        {_linedup_planted_sql()}
+      ) v(doc_id, source, text)),
+    l AS (SELECT doc_id, source, line, line_no
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                         AS line_no
+                FROM corpus)
+          WHERE line <> ''),
+    firsts AS (SELECT line,
+                      MIN(doc_id * 100000 + line_no) AS first_occ
+               FROM l GROUP BY line),
+    k AS (SELECT l.doc_id, l.source,
+                 (l.doc_id * 100000 + l.line_no = f.first_occ) AS kept
+          FROM l JOIN firsts f USING (line))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_line_occurrences,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(COUNT(DISTINCT CASE WHEN NOT kept THEN doc_id END) AS BIGINT)
+             AS n_docs_losing_lines
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.sparkSession.createDataFrame(
+        _LINEDUP_PLANTED, "doc_id long, source string, text string"
+    )
+    corpus = docs.unionByName(planted)
+    l = (
+        corpus.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.col("text"), "\n", -1)).alias(
+                "p", "line"
+            ),
+        )
+        .filter(F.col("line") != "")
+        .select(
+            "doc_id",
+            "source",
+            "line",
+            (F.col("p") + 1).alias("line_no"),
+        )
+    )
+    occ = F.col("doc_id") * 100000 + F.col("line_no")
+    firsts = (
+        l.select("line", occ.alias("o"))
+        .groupBy("line")
+        .agg(F.min("o").alias("first_occ"))
+    )
+    k = l.join(firsts, "line").select(
+        "doc_id", "source", (occ == F.col("first_occ")).alias("kept")
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_line_occurrences"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint").alias("n_removed"),
+            F.countDistinct(
+                F.when(~F.col("kept"), F.col("doc_id"))
+            ).cast("bigint").alias("n_docs_losing_lines"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup duplicate down-weighting (She et al. 2023 "SoftDeDup" /
+# the D4 recipe's soft variant): instead of DROPPING exact duplicates,
+# every doc is weighted 1/|its exact-duplicate cluster| (clusters =
+# md5(text) groups across the WHOLE corpus), so each distinct text
+# contributes one unit of effective data regardless of copy count.
+# Per source: docs, distinct texts present, effective docs
+# (Σ 1/cluster_size — round-9 decimal term sums so aggregation order
+# can't leak 1/3-style doubles), and the effective token budget.
+# One hash aggregate for cluster sizes (map-side combinable, skew =
+# one row per distinct hash) + a broadcast-friendly join back.
+# ---------------------------------------------------------------------------
+@register(
+    "soft_dedup_weights",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS th,
+                      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS BIGINT) AS toks
+               FROM documents),
+    cl AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS csize FROM h GROUP BY th),
+    w AS (SELECT h.source, h.th, h.toks,
+                 CAST(ROUND(1.0 / cl.csize, 9) AS DECIMAL(20,9)) AS wt,
+                 CAST(ROUND(h.toks * 1.0 / cl.csize, 9) AS DECIMAL(30,9))
+                   AS wtoks
+          FROM h JOIN cl USING (th))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+           CAST(CAST(SUM(wt) AS VARCHAR(64)) AS DOUBLE) AS effective_docs,
+           CAST(CAST(SUM(wtoks) AS VARCHAR(64)) AS DOUBLE)
+             AS effective_tokens
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("th"),
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("toks"),
+    )
+    cl = h.groupBy("th").agg(F.count("*").cast("bigint").alias("csize"))
+    w = h.join(cl, "th").select(
+        "source",
+        "th",
+        F.round(F.lit(1.0) / F.col("csize"), 9)
+        .cast("decimal(20,9)").alias("wt"),
+        F.round(F.col("toks") * F.lit(1.0) / F.col("csize"), 9)
+        .cast("decimal(30,9)").alias("wtoks"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("th").cast("bigint").alias("n_distinct_texts"),
+            F.sum("wt").cast("double").alias("effective_docs"),
+            F.sum("wtoks").cast("double").alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )

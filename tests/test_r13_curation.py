@@ -97,3 +97,53 @@ def test_c4_real_sources_present(spark):
     for r in rows:
         # per-rule failures never exceed doc count; pass + any-fail >= docs
         assert 0 <= r["n_pass"] <= r["n_docs"]
+
+
+def test_line_dedup_planted_counts(spark):
+    from ome_arrow_spark.suite_llm import line_dedup_global
+
+    row = next(
+        r
+        for r in line_dedup_global(spark, SF).collect()
+        if r["source"] == "planted"
+    )
+    # 8 non-empty line occurrences; 'shared boilerplate footer' repeats
+    # across docs (1 removed) and 'repeat me twice' within a doc
+    # (1 removed); two docs lose a line
+    assert row["n_line_occurrences"] == 8
+    assert row["n_kept"] == 6
+    assert row["n_removed"] == 2
+    assert row["n_docs_losing_lines"] == 2
+
+
+def test_soft_dedup_matches_python(spark):
+    import collections
+    from decimal import Decimal
+
+    from ome_arrow_spark.suite_llm import soft_dedup_weights
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    )
+    csize = collections.Counter(
+        hashlib.md5((t or "").encode()).hexdigest()
+        for t in tbl["text"].to_pylist()
+    )
+    eff = collections.defaultdict(Decimal)
+    n_docs = collections.Counter()
+    distinct = collections.defaultdict(set)
+    for s, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        h = hashlib.md5((t or "").encode()).hexdigest()
+        n_docs[s] += 1
+        distinct[s].add(h)
+        eff[s] += Decimal(str(round(1.0 / csize[h], 9)))
+    got = {r["source"]: r for r in soft_dedup_weights(spark, SF).collect()}
+    assert set(got) == set(n_docs)
+    for s in n_docs:
+        assert got[s]["n_docs"] == n_docs[s]
+        assert got[s]["n_distinct_texts"] == len(distinct[s])
+        assert got[s]["effective_docs"] == float(eff[s])
+    # global invariant: effective docs sum to the number of distinct
+    # texts (each cluster contributes exactly one unit)
+    assert abs(sum(r["effective_docs"] for r in got.values())
+               - len(csize)) < 1e-6
