@@ -1432,13 +1432,16 @@ def unpivot_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs (iterative label
 # propagation) — deterministic min-label semantics, so a DuckDB
-# recursive CTE re-derives the exact clustering.
+# recursive CTE re-derives the exact clustering. Mirror ids follow
+# the r13 collision-free convention (-(doc_id+1), see suite_llm
+# _mutated_docs): the former +100000 offset chained unrelated docs
+# into one component once the corpus passed 100k docs.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_components",
     """
     WITH RECURSIVE pairs AS (
-      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      SELECT doc_id AS id_a, -(doc_id + 1) AS id_b
       FROM documents WHERE doc_id % 5 = 0),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
@@ -1456,13 +1459,13 @@ def unpivot_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators.clustering import connected_components
 
-    # the planted near-dup pairs: (doc, mutated copy at +100000)
+    # the planted near-dup pairs: (doc, mirrored copy at -(doc_id+1))
     pairs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select(
             F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 100000).alias("id_b"),
+            (-(F.col("doc_id") + 1)).alias("id_b"),
         )
     )
     return connected_components(pairs)

@@ -315,13 +315,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Near-dup corpus: documents ∪ mutated copies (first token dropped,
-# doc_id offset by 100000) — built identically on both sides so the
-# MinHash/LSH pipeline has real positives to find.
+# doc_id MIRRORED to -(doc_id+1)) — built identically on both sides so
+# the MinHash/LSH pipeline has real positives to find. The mirror id
+# is collision-free at ANY corpus size (r13 fix: the former +100000
+# offset collided with real doc_ids once the corpus passed 100k docs;
+# caught by tools/bigsf_verify.py's sampled-pair check at sf10, where
+# base doc 150000 and the mutated copy of doc 50000 silently merged).
 # ---------------------------------------------------------------------------
 _MUTATED_SQL = f"""
     SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT -(doc_id + 1) AS doc_id,
            array_to_string(list_transform(range(1, len({_TOKS_SQL})),
                                           i -> ({_TOKS_SQL})[i + 1]), ' ') AS text
     FROM documents WHERE doc_id % 5 = 0
@@ -332,7 +336,7 @@ def _mutated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     toks = TX.tokens(F.col("text"))
     mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat_ws(
             " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
         ).alias("text"),

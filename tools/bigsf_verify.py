@@ -65,12 +65,13 @@ def _py_bands(text: str) -> tuple[str, str]:
 
 def _mutated_text_map(sf_dir: str, needed: set[int]) -> dict[int, str]:
     """Driver-side twin of suite_llm._mutated_docs for the needed ids
-    only: base docs are doc_id % 5 == 0; +100000 ids carry the
-    tokens[1:] re-join."""
+    only: base docs are doc_id % 5 == 0; MIRROR ids -(doc_id+1) carry
+    the tokens[1:] re-join (collision-free at any corpus size — this
+    tool caught the former +100000 offset colliding at sf10)."""
     import pyarrow.parquet as pq
 
-    base_needed = {i for i in needed if i < 100000} | {
-        i - 100000 for i in needed if i >= 100000
+    base_needed = {i for i in needed if i >= 0} | {
+        -i - 1 for i in needed if i < 0
     }
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -81,8 +82,8 @@ def _mutated_text_map(sf_dir: str, needed: set[int]) -> dict[int, str]:
             continue
         if doc_id in needed:
             out[doc_id] = text
-        if doc_id + 100000 in needed:
-            out[doc_id + 100000] = " ".join(_py_tokens(text)[1:])
+        if -(doc_id + 1) in needed:
+            out[-(doc_id + 1)] = " ".join(_py_tokens(text)[1:])
     return out
 
 
