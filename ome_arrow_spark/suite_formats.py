@@ -142,6 +142,8 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
       FROM orders WHERE o_orderkey % 101 = 0),
     ins AS (
+      -- offset safe to ~sf15 (orderkey max 6e7 at sf10 << 1e8); use the
+      -- r13 mirror-id convention (-(key+1)) if fixtures ever grow past it
       SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus,
              o_totalprice AS o_totalprice
       FROM orders WHERE o_orderkey % 101 = 0),
