@@ -1101,10 +1101,13 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(table, ignore_errors=True)
     try:
+        # pmod, not %: the r13 mirror ids are negative, and Spark's %
+        # keeps the sign — a plain % 4 == m wave split would silently
+        # drop every mirrored doc from the stream
         for m in range(4):
-            corpus.filter(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
-                "append"
-            ).parquet(drop)
+            corpus.filter(F.pmod(F.col("doc_id"), 4) == m).coalesce(
+                1
+            ).write.mode("append").parquet(drop)
 
         stream = (
             spark.readStream.schema(corpus.schema)
