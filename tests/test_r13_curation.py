@@ -147,3 +147,16 @@ def test_soft_dedup_matches_python(spark):
     # texts (each cluster contributes exactly one unit)
     assert abs(sum(r["effective_docs"] for r in got.values())
                - len(csize)) < 1e-6
+
+
+def test_sequence_packing_no_single_partition(spark):
+    """The global running token sum must run as the two-phase bucketed
+    cumsum — a naive SUM() OVER (ORDER BY ...) would put an 'Exchange
+    SinglePartition' under the window and serialize the corpus."""
+    plan = (
+        sequence_packing(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
