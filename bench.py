@@ -233,11 +233,16 @@ def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
     # 26.9M pairs, ~50 s): the row exists to track the join's marginal
     # cost per candidate, and 64 keeps the wall inside the driver's
     # bench budget while exercising the identical plan shape.
+    # n_tables pinned at 8 (not the r14 data-derived default): this row
+    # tracks the join's marginal cost per candidate ACROSS ROUNDS, so
+    # the operating point must stay fixed; the derived default's
+    # recall-vs-cost at sf1/sf10 is stamped separately by
+    # tools/knn_recall_sweep.py (knn_recall_sweep_stamp.json).
     tb = 64
     n = emb.count()
     planes = knn_join_planes(n, target_bucket=tb)
     n_cand = knn_join_candidates(
-        left, right, n_planes=planes, target_bucket=tb
+        left, right, n_planes=planes, n_tables=8, target_bucket=tb
     ).count()
     print(
         f"# knn_join_sf1 sizing: n={n} planes={planes} candidate_pairs={n_cand} "
@@ -247,7 +252,7 @@ def bench_knn_join(spark, sf1_dir: str, k: int = 3) -> float | None:
 
     def action():
         return knn_join_lsh(
-            left, right, k=k, n_planes=planes, target_bucket=tb
+            left, right, k=k, n_planes=planes, n_tables=8, target_bucket=tb
         ).count()
 
     action()  # warmup (plan + sign-matrix job)

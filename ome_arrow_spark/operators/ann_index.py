@@ -202,24 +202,15 @@ def ivf_index_search(
     scan reads ONLY files whose ``centroid_id`` range intersects the
     probed set — at scale that is the inverted-list seek, done by the
     table format instead of a bespoke index file."""
-    import numpy as np
-
     from ome_arrow_spark.functions.vectors import cosine
     from ome_arrow_spark.sources import table_log as tl
 
     cent_map = _stored_centroids(table)
     q_rows = queries.select(F.col(query_id), F.col(vec)).collect()
-    cent_ids = sorted(cent_map)
-    cent_mat = np.array([cent_map[c] for c in cent_ids])
-    probe_pairs: list[tuple[Any, int]] = []
-    needed: set[int] = set()
-    for r in q_rows:
-        qv = np.array(r[vec], dtype=np.float64)
-        d2 = ((cent_mat - qv) ** 2).sum(axis=1)
-        order = sorted(range(len(cent_ids)), key=lambda i: (d2[i], cent_ids[i]))
-        for i in order[:n_probe]:
-            probe_pairs.append((r[query_id], cent_ids[i]))
-            needed.add(cent_ids[i])
+    # one probe-selection implementation for both the monolithic and
+    # sharded paths (ADVICE r13: the inline copy could drift from
+    # _probe_pairs on a future tie-break change)
+    probe_pairs, needed = _probe_pairs(cent_map, q_rows, n_probe, query_id, vec)
 
     # id columns keep whatever types the caller / stored table use
     # (string corpus ids are as valid as longs), so the empty and
@@ -357,7 +348,25 @@ def ivf_sharded_search(
         if schema is None:
             schema = s
         elif s != schema:
-            raise ValueError(f"shard schema differs from first shard: {t}")
+            # heterogeneous extra_cols across shards (an independent
+            # re-index / incremental-growth regime) narrows the scan
+            # to the shared fields — parquet readers tolerate files
+            # with extra columns, so ONE fused scan still works; a
+            # `where` referencing a non-shared column fails analysis
+            # with Spark's own unresolved-column error (ADVICE r13:
+            # the r13 hard ValueError tightened a contract the
+            # per-shard-merge formulation used to accept)
+            shared = {f.name: f for f in schema}
+            schema = T.StructType(
+                [f for f in s if f.name in shared and shared[f.name].dataType == f.dataType]
+            )
+            for req in ("cid", "embedding", "centroid_id"):
+                if req not in schema.fieldNames():
+                    raise ValueError(
+                        f"shard {t} disagrees with prior shards on required "
+                        f"column '{req}' (name or type) — shards must share "
+                        "the (cid, embedding, centroid_id) core schema"
+                    )
         g = groups.setdefault(sig, {"cent_map": cent_map, "snaps": []})
         g["snaps"].append((t, snap))
 

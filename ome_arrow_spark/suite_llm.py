@@ -4071,6 +4071,8 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs AS (
       SELECT doc_id, toks FROM t0
       UNION ALL
+      -- twin-id offset safe at ANY SF: corpus is pinned to
+      -- doc_id < 200 above, so 100000+ can never collide
       SELECT doc_id + 100000, toks[2:len(toks)] FROM t0
       WHERE len(toks) >= 10),
     sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
@@ -4100,6 +4102,7 @@ def _set_similarity(
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     t0 = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # twin-id offset safe at ANY SF: corpus pinned to doc_id < 200
     recs = t0.unionByName(
         t0.filter(F.size("toks") >= 10).select(
             (F.col("doc_id") + 100000).alias("doc_id"),
@@ -4454,16 +4457,33 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets > max_bucket dropped before pairing) never engages at
 # fixture scale and is covered by tests/test_clustering.py.
 # ---------------------------------------------------------------------------
+def _dyn_tables_sql(np_cte: str = "np") -> str:
+    """SQL twin of knn_join_tables(n_planes): exact integer
+    ceil(8·25^d/16^d), d = min(max(planes-4, 0), 7), capped [8, 128].
+    POWER() returns double but 25^7·8 < 2^53, so every intermediate is
+    integer-exact — no cross-engine float-pow hazard (validated vs the
+    Python formula at n = 38 .. 10^7)."""
+    d = f"LEAST(GREATEST(n - 4, 0), 7)"
+    return (
+        f"SELECT LEAST(128, GREATEST(8, CAST((8 * CAST(POWER(25, {d}) AS BIGINT)"
+        f" + CAST(POWER(16, {d}) AS BIGINT) - 1)"
+        f" // CAST(POWER(16, {d}) AS BIGINT) AS BIGINT))) AS ntab FROM {np_cte}"
+    )
+
+
 def _knn_join_oracle(
-    k: int, q_where: str, c_where: str, n_tables: int = 8, target_bucket: int = 256
+    k: int, q_where: str, c_where: str, target_bucket: int = 256
 ) -> str:
-    """DuckDB twin of knn_join_lsh(seed_mode='md5', n_planes=None): the
-    plane count is recomputed from the corpus COUNT(*) with the exact
-    knn_join_planes formula, and the signature is a dynamic-width
-    nested-lambda fold (outer lambda over planes, inner over vector
-    components) — the same md5-parity signs as :func:`_lsh_oracle`, so
-    buckets, candidates and ranks match at ANY corpus size/plane
-    count (gate-portable across sf0.001 → sf1)."""
+    """DuckDB twin of knn_join_lsh(seed_mode='md5', n_planes=None,
+    n_tables=None): the plane count is recomputed from the corpus
+    COUNT(*) with the exact knn_join_planes formula, the table count
+    from it with the exact knn_join_tables formula (r14 — recall no
+    longer collapses as the derived width grows), and the signature is
+    a dynamic-width nested-lambda fold (outer lambda over planes,
+    inner over vector components) — the same md5-parity signs as
+    :func:`_lsh_oracle`, so buckets, candidates and ranks match at ANY
+    corpus size/plane/table count (gate-portable across
+    sf0.001 → sf10)."""
 
     def sig(v: str) -> str:
         return (
@@ -4480,10 +4500,13 @@ def _knn_join_oracle(
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {q_where}),
          c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE {c_where}),
          np AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / {target_bucket}.0)) AS INT)) AS n FROM c),
+         nt AS ({_dyn_tables_sql('np')}),
          qs AS (SELECT qid, qe, t, {sig('qe')} AS sig
-                FROM q CROSS JOIN range({n_tables}) r(t)),
+                FROM q CROSS JOIN range(128) r(t)
+                WHERE t < (SELECT ntab FROM nt)),
          cs AS (SELECT cid, ce, t, {sig('ce')} AS sig
-                FROM c CROSS JOIN range({n_tables}) r(t)),
+                FROM c CROSS JOIN range(128) r(t)
+                WHERE t < (SELECT ntab FROM nt)),
          -- mirror knn_join_candidates' skew cap (max_bucket =
          -- 64*target_bucket): right buckets above the cap emit no
          -- candidates, so the gate stays scale-portable even if a
@@ -4515,6 +4538,8 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ome_arrow_spark.operators.similarity import (
         knn_join_candidates,
         knn_join_lsh as KJ,
+        knn_join_planes,
+        knn_join_tables,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4526,13 +4551,16 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # compute the candidate relation ONCE (persist) for both the
     # sizing assert and the scoring join (VERDICT r10 #2: the old
-    # gate built it twice — two extra jobs per run)
+    # gate built it twice — two extra jobs per run); the linearity
+    # bound scales with the r14 DATA-DERIVED table count — still
+    # linear in |left| with a log(n_right) table factor
+    n_tab = knn_join_tables(knn_join_planes(max(right.count(), 1)))
     cand = knn_join_candidates(left, right, seed_mode="md5").persist()
     n_left = left.count()
     n_cand = cand.count()
-    assert n_cand <= 2 * n_left * 8 * 256, (
+    assert n_cand <= 2 * n_left * n_tab * 256, (
         f"knn_join_lsh candidate blowup: {n_cand} pairs for {n_left} left rows "
-        f"(bound {2 * n_left * 8 * 256}) — n_planes sizing regressed"
+        f"(bound {2 * n_left * n_tab * 256}) — n_planes/n_tables sizing regressed"
     )
     return KJ(left, right, k=2, seed_mode="md5", candidates=cand)
 
@@ -4893,7 +4921,7 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # misses (if any) are mirrored identically, so the gate pins the
 # OPERATOR, threshold semantics and clustering at once.
 # ---------------------------------------------------------------------------
-def _semantic_dedup_oracle(tau: float = 0.8, n_tables: int = 8,
+def _semantic_dedup_oracle(tau: float = 0.8,
                            target_bucket: int = 256) -> str:
     def sig(v: str) -> str:
         return (
@@ -4912,6 +4940,9 @@ def _semantic_dedup_oracle(tau: float = 0.8, n_tables: int = 8,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
       UNION ALL
+      -- perturbed-twin offset: collision-free while max vec_id < 1e6
+      -- (~sf50 at 20k ids per sf); the r13 negative-mirror
+      -- convention (-(id+1)) is the unbounded alternative
       SELECT vec_id + 1000000 AS id,
              list_transform(range(len(embedding)),
                i -> CASE WHEN i = 0 THEN CAST(embedding[1] AS DOUBLE) + 0.5
@@ -4919,8 +4950,10 @@ def _semantic_dedup_oracle(tau: float = 0.8, n_tables: int = 8,
       FROM embeddings WHERE vec_id % 10 = 0),
     np AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / {target_bucket}.0)) AS INT)) AS n
            FROM corpus),
+    nt AS ({_dyn_tables_sql('np')}),
     s AS (SELECT id, v, t, {sig('v')} AS sig
-          FROM corpus CROSS JOIN range({n_tables}) r(t)),
+          FROM corpus CROSS JOIN range(128) r(t)
+          WHERE t < (SELECT ntab FROM nt)),
     -- mirror knn_join_candidates' skew cap (max_bucket = 64*target_bucket)
     -- on the RIGHT side of the pair join so Spark and the oracle drop
     -- the same mega-buckets at any fixture scale
@@ -5946,6 +5979,7 @@ def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import shutil
 
     from ome_arrow_spark.operators import ann_index as AI
@@ -5959,11 +5993,17 @@ def ann_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables = []
     for i in range(2):
+        # deterministic path (no pid): reruns overwrite instead of
+        # accumulating per-process dirs, and the atexit hook reclaims
+        # the disk once the lazily-read result can no longer be
+        # consumed (ADVICE r13 — the returned DataFrame scans these
+        # tables, so an inline delete would break the caller)
         t = (
             f"/tmp/ome_arrow_rt_ivfshard{i}_"
-            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+            f"{os.path.basename(sf_dir.rstrip('/'))}"
         )
         shutil.rmtree(t, ignore_errors=True)
+        atexit.register(shutil.rmtree, t, ignore_errors=True)
         AI.build_ivf_index(
             spark,
             c.filter(F.pmod(F.xxhash64("cid"), 2) == i),
@@ -6020,11 +6060,15 @@ def _linedup_planted_sql() -> str:
                          AS line_no
                 FROM corpus)
           WHERE line <> ''),
+    -- struct min orders (doc_id, line_no) lexicographically with NO
+    -- magnitude bound — the r13 `doc_id * 100000 + line_no` encoding
+    -- silently mis-ordered past 100k lines/doc (ADVICE r13), the same
+    -- fixed-offset hazard class as the sf10 mirror-id collision
     firsts AS (SELECT line,
-                      MIN(doc_id * 100000 + line_no) AS first_occ
+                      MIN({{'d': doc_id, 'l': line_no}}) AS first_occ
                FROM l GROUP BY line),
     k AS (SELECT l.doc_id, l.source,
-                 (l.doc_id * 100000 + l.line_no = f.first_occ) AS kept
+                 ({{'d': l.doc_id, 'l': l.line_no}} = f.first_occ) AS kept
           FROM l JOIN firsts f USING (line))
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_line_occurrences,
@@ -6057,7 +6101,10 @@ def line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") + 1).alias("line_no"),
         )
     )
-    occ = F.col("doc_id") * 100000 + F.col("line_no")
+    # struct min = lexicographic (doc_id, line_no) first-occurrence
+    # with no magnitude bound (ADVICE r13: the r13 `doc_id * 100000 +
+    # line_no` encoding mis-ordered for docs with >= 100k lines)
+    occ = F.struct(F.col("doc_id").alias("d"), F.col("line_no").alias("l"))
     firsts = (
         l.select("line", occ.alias("o"))
         .groupBy("line")
@@ -6140,6 +6187,288 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("th").cast("bigint").alias("n_distinct_texts"),
             F.sum("wt").cast("double").alias("effective_docs"),
             F.sum("wtoks").cast("double").alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Three-sentence-span dedup (r14) — C4's ACTUAL span spec (Raffel et
+# al. 2020 §2.2: "we discard all but one of any three-sentence span
+# occurring more than once in the data set"), the sliding-window
+# generalization of r13's line_dedup_global.  Sentence units are
+# punctuation/newline splits, with any unit longer than 12 tokens
+# chunked into 12-token groups (the long-line chunking real C4/
+# RedPajama pipelines apply to unpunctuated text — this corpus's
+# natural documents are single unpunctuated word streams, so chunking
+# is what gives them span structure at all).  Spans = 3 consecutive
+# units joined on chr(31); an occurrence is KEPT iff it is the global
+# first by lexicographic (doc_id, span_no) struct-min — the r13
+# bounded-offset hazard class never enters.  Shuffle profile matches
+# line_dedup_global: explode → map-side-combinable min-struct agg
+# keyed on span text (boilerplate spans collapse to one row per
+# distinct span) → join back → per-source census.  All sentence/chunk
+# machinery is in-plan HOFs; `units` is LET-BOUND via the
+# single-element-transform pattern so Catalyst cannot re-inline the
+# split+tokenize+chunk pipeline once per span element (the r12
+# HOF-no-CSE lesson).  Planted docs (ids 9300001+, collision-free
+# while max doc_id < 9.3M ≈ sf180; corpus ids are 50k/sf) pin the
+# cross-doc-dup, within-doc-dup, too-short, and chunking branches.
+# ---------------------------------------------------------------------------
+_SPANDUP_PLANTED = [
+    (9300001, "planted",
+     "alpha beta gamma. delta epsilon zeta. eta theta iota. kappa lam mu."),
+    (9300002, "planted",
+     "alpha beta gamma. delta epsilon zeta. eta theta iota. nu xi omicron."),
+    (9300003, "planted",
+     "pi rho sigma. tau upsilon phi. chi psi omega. "
+     "pi rho sigma. tau upsilon phi. chi psi omega."),
+    (9300004, "planted", "solo one two. second three four."),
+    (9300005, "planted",
+     "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 "
+     "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 "
+     "e0 e1 e2 e3 e4 e5"),
+]
+
+
+def _spandup_planted_sql() -> str:
+    return ",\n        ".join(
+        "({}, '{}', '{}')".format(i, s, t) for i, s, t in _SPANDUP_PLANTED
+    )
+
+
+_SPAN_UNITS_SQL = """list_filter(
+      flatten(list_transform(
+        list_filter(
+          list_transform(regexp_split_to_array(text, '[.!?\n]+'),
+                         s -> regexp_extract_all(lower(s), '[a-z0-9]+')),
+          t -> len(t) > 0),
+        t -> list_transform(range(CAST(ceil(len(t) / 12.0) AS INT)),
+               i -> array_to_string(t[i*12+1 : i*12+12], ' ')))),
+      u -> u <> '')"""
+
+
+@register(
+    "span_dedup_3sent",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT * FROM (VALUES
+        {_spandup_planted_sql()}
+      ) v(doc_id, source, text)),
+    u AS (SELECT doc_id, source, {_SPAN_UNITS_SQL} AS units FROM corpus),
+    sp AS (SELECT doc_id, source,
+                  CASE WHEN len(units) >= 3
+                       THEN list_transform(range(len(units) - 2),
+                              i -> units[i+1] || chr(31) || units[i+2]
+                                   || chr(31) || units[i+3])
+                       ELSE CAST([] AS VARCHAR[]) END AS spans
+           FROM u),
+    l AS (SELECT doc_id, source,
+                 unnest(spans) AS span,
+                 generate_subscripts(spans, 1) AS span_no
+          FROM sp),
+    firsts AS (SELECT span, MIN({{'d': doc_id, 'n': span_no}}) AS first_occ
+               FROM l GROUP BY span),
+    k AS (SELECT l.doc_id, l.source,
+                 ({{'d': l.doc_id, 'n': l.span_no}} = f.first_occ) AS kept
+          FROM l JOIN firsts f USING (span))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_span_occurrences,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(COUNT(DISTINCT CASE WHEN NOT kept THEN doc_id END) AS BIGINT)
+             AS n_docs_losing_spans
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def span_dedup_3sent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = "\x1f"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.sparkSession.createDataFrame(
+        _SPANDUP_PLANTED, "doc_id long, source string, text string"
+    )
+    corpus = docs.unionByName(planted)
+
+    units = F.filter(
+        F.flatten(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.split(F.col("text"), "[.!?\n]+", -1),
+                        lambda s: F.regexp_extract_all(
+                            F.lower(s), F.lit("[a-z0-9]+"), 0
+                        ),
+                    ),
+                    lambda t: F.size(t) > 0,
+                ),
+                lambda t: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(t) / F.lit(12.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(t, i * 12 + 1, 12), " "),
+                ),
+            )
+        ),
+        lambda u: u != "",
+    )
+    # LET-BIND units (single-element transform): the span lambda below
+    # references it 5×, and Catalyst re-inlines projected exprs into
+    # HOF lambdas with no CSE — unbound, the whole split+tokenize+
+    # chunk pipeline would re-run once per span element per reference
+    spans = F.element_at(
+        F.transform(
+            F.array(units),
+            lambda u: F.when(
+                F.size(u) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(u) - 3),
+                    lambda i: F.concat_ws(
+                        sep,
+                        F.element_at(u, i + 1),
+                        F.element_at(u, i + 2),
+                        F.element_at(u, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    l = corpus.select(
+        "doc_id", "source", F.posexplode(spans).alias("p", "span")
+    ).select(
+        "doc_id", "source", "span", (F.col("p") + 1).alias("span_no")
+    )
+    occ = F.struct(F.col("doc_id").alias("d"), F.col("span_no").alias("n"))
+    firsts = (
+        l.select("span", occ.alias("o"))
+        .groupBy("span")
+        .agg(F.min("o").alias("first_occ"))
+    )
+    k = l.join(firsts, "span").select(
+        "doc_id", "source", (occ == F.col("first_occ")).alias("kept")
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_span_occurrences"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint").alias("n_removed"),
+            F.countDistinct(
+                F.when(~F.col("kept"), F.col("doc_id"))
+            ).cast("bigint").alias("n_docs_losing_spans"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting (r14) — the DoReMi-lite / fixed-target
+# variant of data mixing (Xie et al. 2023 give the target weights a
+# learned origin; here they are a given dimension input, the common
+# production case): from per-source token counts and target mixture
+# weights, emit each source's sampling rate toward a 90%-of-corpus
+# token budget, clamped at 1 (no upsampling), plus the docs/tokens a
+# deterministic HASH-RANK selection (Knuth multiplicative hash — the
+# suite's RNG-free convention) actually keeps at that rate.  Two hash
+# aggregates + one broadcast of the 20-row per-source rate table; the
+# per-doc pass is one projection.  Float parity: rates are ONE IEEE
+# division of exactly-representable integer products (budget·w and
+# Σw·tokens_s stay < 2^53 through ~sf10^7), and the hash fraction is
+# a dyadic rational h/2^32 — both engines compare bit-identically.
+# The weight formula (digits of the source name mod 5, +1) stands in
+# for a user-supplied target-mixture dim table and exercises both the
+# clamped (w≥4) and unclamped branches at every SF.
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mixture_reweight",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len({_TOKS_SQL}) AS BIGINT) AS toks,
+                      (doc_id * 2654435761) % 4294967296 AS h
+               FROM documents),
+    s AS (SELECT source,
+                 (CAST(regexp_extract(source, '[0-9]+') AS INT) % 5) + 1 AS w,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(toks) AS BIGINT) AS tokens
+          FROM d GROUP BY source),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   (CAST(SUM(tokens) AS BIGINT) * 9) // 10 AS budget
+            FROM s),
+    r AS (SELECT s.source, s.w, s.n_docs, s.tokens,
+                 LEAST(1.0, CAST(tot.budget * s.w AS DOUBLE)
+                            / CAST(tot.sw * s.tokens AS DOUBLE)) AS rate
+          FROM s, tot),
+    sel AS (SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_selected,
+                   CAST(SUM(d.toks) AS BIGINT) AS selected_tokens
+            FROM d JOIN r USING (source)
+            WHERE CAST(d.h AS DOUBLE) / 4294967296.0 < r.rate
+            GROUP BY d.source)
+    SELECT r.source,
+           CAST(r.w AS INT) AS target_weight,
+           r.n_docs, r.tokens,
+           ROUND(r.rate, 9) AS sampling_rate,
+           COALESCE(sel.n_selected, 0) AS n_selected,
+           COALESCE(sel.selected_tokens, 0) AS selected_tokens
+    FROM r LEFT JOIN sel USING (source) ORDER BY r.source
+    """,
+)
+def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("toks"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+    ).withColumn(
+        "w",
+        (F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 5) + 1,
+    )
+    tot = s.agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+    ).withColumn(
+        # exact integer floor-div (DIV), mirroring DuckDB's `//` —
+        # a double `/` would drift past 2^53 total tokens
+        "budget", F.expr("(total_tokens * 9) DIV 10").cast("bigint")
+    )
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "source", "w", "n_docs", "tokens",
+        F.least(
+            F.lit(1.0),
+            (F.col("budget") * F.col("w")).cast("double")
+            / (F.col("sw") * F.col("tokens")).cast("double"),
+        ).alias("rate"),
+    )
+    sel = (
+        d.join(F.broadcast(r.select("source", "rate")), "source")
+        .filter(F.col("h").cast("double") / F.lit(4294967296.0) < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum("toks").cast("bigint").alias("selected_tokens"),
+        )
+    )
+    return (
+        r.join(sel, "source", "left")
+        .select(
+            "source",
+            F.col("w").cast("int").alias("target_weight"),
+            "n_docs",
+            "tokens",
+            F.round(F.col("rate"), 9).alias("sampling_rate"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint")
+            .alias("n_selected"),
+            F.coalesce(F.col("selected_tokens"), F.lit(0)).cast("bigint")
+            .alias("selected_tokens"),
         )
         .orderBy("source")
     )

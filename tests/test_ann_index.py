@@ -248,3 +248,34 @@ def test_sharded_search_empty_queries(spark, tmp_path, index,
     assert [f.name for f in res.schema.fields] == [
         "qid", "cid", "cos_sim", "rk"
     ]
+
+
+def test_sharded_search_heterogeneous_extra_cols(spark, tmp_path,
+                                                 corpus_and_queries):
+    """Shards whose stored schemas differ only in extra_cols (one
+    shard re-indexed with metadata columns, one without) narrow the
+    fused scan to the shared core fields instead of raising — the
+    contract the per-shard-merge formulation honored before r13
+    (ADVICE r13).  Full-probe results still equal brute force."""
+    q, c = corpus_and_queries
+    half0 = c.filter(F.pmod(F.xxhash64("cid"), 2) == 0)
+    half1 = c.filter(F.pmod(F.xxhash64("cid"), 2) == 1).withColumn(
+        "label", F.concat(F.lit("doc-"), F.col("cid"))
+    )
+    t0 = str(tmp_path / "ivf_plain")
+    t1 = str(tmp_path / "ivf_extra")
+    AI.build_ivf_index(spark, half0, t0, n_centroids=4)
+    AI.build_ivf_index(spark, half1, t1, n_centroids=4,
+                       extra_cols=("label",))
+    got = sorted(
+        tuple(r)
+        for r in AI.ivf_sharded_search(spark, [t0, t1], q, k=3, n_probe=4)
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_topk(q, c, k=3).select("qid", "cid", "cos_sim")
+        .collect()
+    )
+    assert got == want

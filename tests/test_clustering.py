@@ -158,6 +158,7 @@ def test_knn_join_candidate_bound_and_auto_planes(spark, sf_dir):
         knn_join_candidates,
         knn_join_lsh,
         knn_join_planes,
+        knn_join_tables,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -170,11 +171,24 @@ def test_knn_join_candidate_bound_and_auto_planes(spark, sf_dir):
     n_left = left.count()
     n_right = right.count()
     n_cand = knn_join_candidates(left, right).count()
-    assert n_cand <= 2 * n_left * 8 * 256
     planes = knn_join_planes(n_right)
+    tables = knn_join_tables(planes)
+    assert n_cand <= 2 * n_left * tables * 256
     auto = {(r["qid"], r["cid"], r["rk"]) for r in knn_join_lsh(left, right, k=2).collect()}
     explicit = {
         (r["qid"], r["cid"], r["rk"])
-        for r in knn_join_lsh(left, right, k=2, n_planes=planes).collect()
+        for r in knn_join_lsh(
+            left, right, k=2, n_planes=planes, n_tables=tables
+        ).collect()
     }
     assert auto == explicit and len(auto) > 0
+
+
+def test_knn_join_tables_formula():
+    """Exact-integer recall-holding growth: T = ceil(8·25^d/16^d)
+    capped [8, 128] — the sequence the DuckDB oracle mirrors."""
+    from ome_arrow_spark.operators.similarity import knn_join_tables
+
+    assert [knn_join_tables(p) for p in (3, 4, 5, 6, 7, 8, 9, 10, 11, 20)] == [
+        8, 8, 13, 20, 31, 48, 75, 117, 128, 128,
+    ]

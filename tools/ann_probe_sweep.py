@@ -21,9 +21,22 @@ both measured here on the same fixture/codebook:
    sweep shows is where recall saturates, i.e. how shallow the probe
    (and the wall) can go.
 
+r14 adds the ``--distinct-codebooks`` block (VERDICT r13 "What's
+missing" #2: the general grouped-by-codebook path was unit-gated only):
+each shard trains its OWN codebook on its slice — the realistic
+independent-rebuild / incremental-growth regime — with
+``max(64, centroids // shards)`` centroids per shard so per-list
+granularity matches the monolith's.  ``ivf_sharded_search`` then takes
+the grouped path: one fused scan PER distinct codebook, so the
+expectation is ~shards× the shared-codebook search wall at the same
+n_probe (each group probes its own n_probe lists → ~shards× the scored
+volume, which also buys recall); the block makes that number real,
+with recall@10 scored against the same brute-force truth.
+
 Prints ONE JSON line; optionally writes it to a stamp file.
 
 Usage: python tools/ann_probe_sweep.py [n_vectors] [n_shards] [out_json]
+           [--distinct-codebooks]
 """
 
 from __future__ import annotations
@@ -40,9 +53,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--distinct-codebooks"]
+    distinct = "--distinct-codebooks" in sys.argv[1:]
+    n_vectors = int(args[0]) if len(args) > 0 else 1_000_000
+    n_shards = int(args[1]) if len(args) > 1 else 4
+    out_path = args[2] if len(args) > 2 else None
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -125,6 +140,49 @@ def main() -> None:
             )
             sweep.append(point)
         out["sweep"] = sweep
+
+        if distinct:
+            # each shard trains its OWN codebook on its slice — the
+            # independent-rebuild regime; per-shard centroid budget
+            # keeps list granularity at the monolith's (~n/nc rows)
+            nc_shard = max(64, nc // n_shards)
+            out["distinct_centroids_per_shard"] = nc_shard
+            dtables = [
+                os.path.join(d, f"ivf_own{i}") for i in range(n_shards)
+            ]
+
+            def build_own(i: int) -> None:
+                part = corpus.filter(
+                    F.pmod(F.xxhash64("cid"), n_shards) == i
+                )
+                own = QZ.train_centroids(
+                    part, "embedding", nc_shard,
+                    sample_size=262_144 // n_shards,
+                )
+                AI.build_ivf_index(spark, part, dtables[i], centroids=own)
+
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=n_shards) as ex:
+                list(ex.map(build_own, range(n_shards)))
+            out["distinct_build_wall_concurrent"] = round(
+                time.perf_counter() - t0, 2
+            )
+
+            dsweep = []
+            for n_probe in (16, 32, 64):
+                dpoint: dict[str, object] = {"n_probe": n_probe}
+                t0 = time.perf_counter()
+                drows = AI.ivf_sharded_search(
+                    spark, dtables, queries, k=10, n_probe=n_probe
+                ).collect()
+                dpoint["sharded_search_wall"] = round(
+                    time.perf_counter() - t0, 2
+                )
+                dpoint["sharded_recall_at10"] = round(
+                    _recall_at10(drows, truth), 4
+                )
+                dsweep.append(dpoint)
+            out["distinct_sweep"] = dsweep
 
         line = json.dumps(out)
         print(line)

@@ -73,27 +73,61 @@ def main() -> None:
         order = sorted(range(len(rid)), key=lambda i: (-cos_r[i], rid[i]))
         exact_ids[qr["qid"]] = {int(rid[i]) for i in order[:2]}
 
+    from ome_arrow_spark.operators.similarity import (
+        knn_join_candidate_census,
+        knn_join_planes,
+        knn_join_tables,
+    )
+
+    # seed_mode xxhash = the production default (Arrow-batched matmul
+    # signatures); recall is a property of the random hyperplanes, not
+    # of which deterministic seed family draws them, and md5's in-plan
+    # string fold is ~100× slower at the sf10 × 117-table point this
+    # sweep exists to measure.  (r13's stamp used md5 at sf0.01/sf1 —
+    # the 8/16/32-table recalls reproduce within sampling noise.)
+    seed_mode = os.environ.get("KNN_SWEEP_SEED_MODE", "xxhash")
+    n_left_full = left.count()
+    planes = knn_join_planes(len(r_rows))
+    derived = knn_join_tables(planes)
+    table_points = sorted({8, 16, 32, derived})
+
     out = {"sf_dir": sf_dir, "n_right": len(r_rows),
+           "n_left_full": n_left_full, "n_planes": planes,
+           "derived_n_tables": derived, "seed_mode": seed_mode,
            "queries_sampled": len(q_rows), "sweep": []}
-    for n_tables in (8, 16, 32):
+    for n_tables in table_points:
         t0 = time.perf_counter()
         cand = knn_join_candidates(
-            sample_q, right, seed_mode="md5", n_tables=n_tables
+            sample_q, right, seed_mode=seed_mode, n_tables=n_tables
         ).persist()
         n_cand = cand.count()
         got = KJ(
-            sample_q, right, k=2, seed_mode="md5", n_tables=n_tables,
+            sample_q, right, k=2, seed_mode=seed_mode, n_tables=n_tables,
             candidates=cand,
         ).collect()
         cand.unpersist()
         wall = round(time.perf_counter() - t0, 2)
         hits = sum(1 for r in got if r["cid"] in exact_ids[r["qid"]])
+        # FULL-left linearity evidence WITHOUT the pair shuffle: the
+        # pre-dedup bucket-product census upper-bounds the deduped
+        # candidate count the operator would materialize at this point
+        t0 = time.perf_counter()
+        census = knn_join_candidate_census(
+            left, right, seed_mode=seed_mode, n_tables=n_tables
+        )
+        census_wall = round(time.perf_counter() - t0, 2)
+        bound = 2 * n_left_full * n_tables * 256
         point = {
             "n_tables": n_tables,
+            "derived_default": n_tables == derived,
             "sample_candidates": n_cand,
             "cand_per_query": round(n_cand / len(q_rows), 1),
             "recall_at2": round(hits / (2 * len(q_rows)), 4),
             "wall": wall,
+            "full_left_census_predup": census,
+            "full_left_linear_bound": bound,
+            "census_within_bound": census <= bound,
+            "census_wall": census_wall,
         }
         out["sweep"].append(point)
         print(json.dumps(point), flush=True)
