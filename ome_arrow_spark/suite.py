@@ -53,52 +53,53 @@ def register(name: str, oracle: str | None):
 # ordering so the flagship differentiators get driver-verified rows.
 # Names not yet registered are skipped, so partial imports stay safe.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-13 rotation (the driver grades the FIRST 50 names only):
-    #   1. the r13 additions — sequence_packing (GPT-style concat-cut
-    #      packing via the two-phase bucketed cumsum; EXACT at
-    #      sf0.001/0.01/1 on entry), c4_quality_rules (line-level
-    #      C4/RedPajama battery, 7 planted branch rows),
-    #      ann_sharded_search (the r13 FUSED ivf_sharded_search plan —
-    #      distinct-codebook shards, full probe == brute-force oracle),
-    #      line_dedup_global (C4 cross-doc line dedup, min-occurrence
-    #      aggregate), and soft_dedup_weights (SoftDeDup 1/cluster-size
-    #      down-weighting, round-9 decimal sums) — each EXACT at
-    #      sf0.001/0.01/1 on entry,
-    #   2. r13-touched surfaces — ann_index_search re-sits because
-    #      ann_index.py was rewritten around it (fused sharded path,
-    #      extracted _probe_pairs helper),
+    # Round-14 rotation (the driver grades the FIRST 50 names only):
+    #   1. the r14 additions — span_dedup_3sent (C4 three-sentence-span
+    #      dedup: sentence split + 12-token chunking + sliding 3-unit
+    #      spans, struct-min first occurrence) and
+    #      domain_mixture_reweight (DoReMi-lite fixed-target mixture:
+    #      clamped per-source sampling rates toward a token budget +
+    #      hash-rank selection) — each EXACT at sf0.001/0.01 on entry,
+    #   2. r14-touched surfaces — knn_join_lsh and semantic_dedup
+    #      re-sit because n_tables became DATA-DERIVED (oracles now
+    #      recompute the table count from COUNT(*); knn also EXACT at
+    #      sf1 under the derived T=20), line_dedup_global because its
+    #      first-occurrence key moved to the unbounded struct-min,
+    #      ann_index_search + ann_sharded_search because ann_index.py
+    #      changed (probe-pair reuse, shared-field shard schemas),
     #   3. an oldest-green re-verification tail, stalest first by
-    #      last-green round (computed from CORRECTNESS_r01..r12): the
-    #      full r4 stratum (10 rows, last graded r4), the full r5
-    #      stratum (15 rows), the full r6 stratum (11 rows), and the
-    #      10 alphabetically-first r7 rows. 46 tail rows predate r11 —
-    #      the >=15 two-round-stale invariant holds with 3x room.
+    #      last-green round (computed from CORRECTNESS_r01..r13):
+    #      simpson_diversity + runs_test_daily (never driver-graded —
+    #      judge-stride-verified only), the full REMAINING r7 stratum
+    #      (33 rows; the alphabetical head 8 re-sat in r13), and the
+    #      8 alphabetically-first r8 rows.  All 43 tail rows predate
+    #      r9 — the >=15 two-round-stale invariant holds with ~3x room.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
-    # (1) round-13 additions
-    "sequence_packing", "c4_quality_rules", "ann_sharded_search",
-    "line_dedup_global", "soft_dedup_weights",
-    # (2) r13-touched surfaces
-    "ann_index_search",
-    # (3a) oldest-green tail: the r4 stratum
-    "csv_roundtrip", "funnel_events", "grouped_map_topk", "json_events",
-    "sort_topk", "text_stats", "tfidf_topk", "window_analytic",
-    "window_rank", "window_time_range",
-    # (3b) the r5 stratum
-    "bucketed_join", "embedding_stats", "interval_concurrency",
-    "ngram_exact_overlap", "ome_zarr_v3_roundtrip", "percentile_multi",
-    "pii_scrub", "retention_cohorts", "scd2_orders",
-    "token_budget_sample", "token_count_bpe", "token_pmi",
-    "triangle_count", "window_anomaly", "window_locf",
-    # (3c) the r6 stratum
-    "bpe_pair_merge", "dataset_interleave", "dedup_components",
-    "embedding_normalize", "ewma_user_value", "near_dedup_full",
-    "neardup_lsh", "pagerank_nations", "pretrain_pipeline",
-    "stream_tumbling", "stream_zarr_ingest",
-    # (3d) 8 r7 rows (alphabetical head of that stratum)
-    "agg_approx_distinct", "agg_bitwise", "asof_tolerance",
-    "curation_crossmodal", "data_profile", "dataset_sample_stratified",
-    "dataset_split", "funnel_steps",
+    # (1) round-14 additions
+    "span_dedup_3sent", "domain_mixture_reweight",
+    # (2) r14-touched surfaces
+    "knn_join_lsh", "semantic_dedup", "line_dedup_global",
+    "ann_index_search", "ann_sharded_search",
+    # (3a) never driver-graded
+    "simpson_diversity", "runs_test_daily",
+    # (3b) the remaining r7 stratum (33 rows, alphabetical)
+    "generator_outer", "graph_bfs_trade", "graph_cheapest_route",
+    "heavy_hitters_bigrams", "heavy_hitters_terms",
+    "histogram_totalprice", "hll_union_distinct", "hybrid_retrieval_rrf",
+    "join_lateral", "join_null_safe", "join_salted_skew", "join_semi",
+    "lm_bigram_score", "media_audio_features", "media_audio_resample",
+    "media_dir_ingest", "media_features", "media_image_resize",
+    "media_video_frames", "ome_pipeline", "ome_rgba_repack",
+    "ome_slice_conftest", "ome_zarr_blosc_roundtrip",
+    "orc_partitioned_roundtrip", "q1_pricing_summary",
+    "q21_waiting_supplier", "skew_report", "sort_nulls_order",
+    "sql_api_q1", "stratified_sample", "string_distance",
+    "time_hierarchy_rollup", "udtf_sentences",
+    # (3c) 8 r8 rows (alphabetical head of that stratum)
+    "agg_approx_percentile", "ann_ivfpq_rerank", "ann_pq_rerank",
+    "band_join_bucketed", "contrastive_negatives", "cusum_changepoint",
+    "data_expectations", "doc_chunking",
 )
 
 

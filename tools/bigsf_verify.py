@@ -337,6 +337,105 @@ def verify_auc(spark, sf_dir: str) -> dict:
     }
 
 
+def verify_substring(spark, sf_dir: str, k: int = 8) -> dict:
+    """From-scratch Python twin for dup_span_detect at rows-only SFs
+    (VERDICT r13 #7): sample ~1k documents by md5(doc_id) (not
+    cherry-pickable), recompute their COMPLETE duplicated-span sets in
+    plain Python — regex tokens, md5 k-grams, corpus-wide occurrence
+    counts streamed over the parquet file with a plain dict, the
+    pos <= prev_end+1 merge rule — and require the operator's span
+    rows for those docs to match EXACTLY (soundness + completeness +
+    maximality per sampled doc, including span-less docs)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ome_arrow_spark.operators.dedup import dup_spans
+    from ome_arrow_spark.suite import _t
+
+    t0 = time.perf_counter()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dup_spans(docs, k=k).persist()
+    n_spans = spans.count()
+
+    sample_ids = [
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(N_DOC_SAMPLE)
+        .collect()
+    ]
+    id_set = set(sample_ids)
+    got_rows = spans.filter(F.col("doc_id").isin(sample_ids)).collect()
+    spans.unpersist()
+    got: dict[int, list[tuple[int, int, int, int]]] = {}
+    for r in got_rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"], r["n_grams"])
+        )
+
+    # pass 1: the sampled docs' gram hashes; pass 2: corpus-wide
+    # occurrence counts of exactly those hashes (plain dict — no Spark)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    sample_grams: dict[int, list[str]] = {}
+    needed: dict[str, int] = {}
+    for doc_id, text in zip(ids, texts):
+        if doc_id not in id_set:
+            continue
+        toks = _py_tokens(text)
+        ghs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        sample_grams[doc_id] = ghs
+        for gh in ghs:
+            needed[gh] = 0
+    for doc_id, text in zip(ids, texts):
+        toks = _py_tokens(text)
+        for i in range(len(toks) - k + 1):
+            gh = hashlib.md5(
+                " ".join(toks[i : i + k]).encode()
+            ).hexdigest()
+            if gh in needed:
+                needed[gh] += 1
+
+    mismatched = 0
+    for doc_id in sample_ids:
+        dup_pos = [
+            i + 1
+            for i, gh in enumerate(sample_grams.get(doc_id, []))
+            if needed[gh] >= 2
+        ]
+        want: list[tuple[int, int, int, int]] = []
+        cur: list[int] = []
+        for p in dup_pos:
+            if cur and p > cur[-1] + (k - 1) + 1:
+                want.append(
+                    (cur[0], cur[-1] + k - 1,
+                     cur[-1] + k - 1 - cur[0] + 1, len(cur))
+                )
+                cur = []
+            cur.append(p)
+        if cur:
+            want.append(
+                (cur[0], cur[-1] + k - 1,
+                 cur[-1] + k - 1 - cur[0] + 1, len(cur))
+            )
+        if sorted(got.get(doc_id, [])) != sorted(want):
+            mismatched += 1
+    return {
+        "n_spans": n_spans,
+        "docs_sampled": len(sample_ids),
+        "docs_with_spans_in_sample": len(got),
+        "doc_mismatches": mismatched,
+        "verified": mismatched == 0,
+        "wall": round(time.perf_counter() - t0, 2),
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     sf_dirs = sys.argv[2:] or [
@@ -365,6 +464,7 @@ def main() -> None:
             "neardup_lsh": verify_neardup(spark, sf_dir),
             "knn_join_lsh": verify_knn(spark, sf_dir),
             "auc_roc": verify_auc(spark, sf_dir),
+            "dup_span_detect": verify_substring(spark, sf_dir),
         }
         print(f"# {tag}: {json.dumps(out[tag])}", flush=True)
 
