@@ -56,10 +56,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Round-14 rotation (the driver grades the FIRST 50 names only):
     #   1. the r14 additions — span_dedup_3sent (C4 three-sentence-span
     #      dedup: sentence split + 12-token chunking + sliding 3-unit
-    #      spans, struct-min first occurrence) and
+    #      spans, struct-min first occurrence),
     #      domain_mixture_reweight (DoReMi-lite fixed-target mixture:
     #      clamped per-source sampling rates toward a token budget +
-    #      hash-rank selection) — each EXACT at sf0.001/0.01 on entry,
+    #      hash-rank selection), ccnet_ppl_buckets (CCNet per-language
+    #      perplexity terciles via the census-offset exact rank) and
+    #      bloom_dedup_probe (broadcast-bitmask membership probe with
+    #      exact FP accounting) — each EXACT at sf0.001/0.01 on entry,
     #   2. r14-touched surfaces — knn_join_lsh and semantic_dedup
     #      re-sit because n_tables became DATA-DERIVED (oracles now
     #      recompute the table count from COUNT(*); knn also EXACT at
@@ -72,12 +75,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #      simpson_diversity + runs_test_daily (never driver-graded —
     #      judge-stride-verified only), the full REMAINING r7 stratum
     #      (33 rows; the alphabetical head 8 re-sat in r13), and the
-    #      8 alphabetically-first r8 rows.  All 43 tail rows predate
-    #      r9 — the >=15 two-round-stale invariant holds with ~3x room.
+    #      6 alphabetically-first r8 rows.  All 41 tail rows predate
+    #      r9 — the >=15 two-round-stale invariant holds with ~2.7x
+    #      room.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
     # (1) round-14 additions
     "span_dedup_3sent", "domain_mixture_reweight",
+    "ccnet_ppl_buckets", "bloom_dedup_probe",
     # (2) r14-touched surfaces
     "knn_join_lsh", "semantic_dedup", "line_dedup_global",
     "ann_index_search", "ann_sharded_search",
@@ -96,10 +101,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q21_waiting_supplier", "skew_report", "sort_nulls_order",
     "sql_api_q1", "stratified_sample", "string_distance",
     "time_hierarchy_rollup", "udtf_sentences",
-    # (3c) 8 r8 rows (alphabetical head of that stratum)
+    # (3c) 6 r8 rows (alphabetical head of that stratum)
     "agg_approx_percentile", "ann_ivfpq_rerank", "ann_pq_rerank",
     "band_join_bucketed", "contrastive_negatives", "cusum_changepoint",
-    "data_expectations", "doc_chunking",
 )
 
 

@@ -6486,3 +6486,303 @@ def domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, the LLaMA /
+# RedPajama web-corpus recipe): score every document by per-language
+# unigram-LM mean NLL, then split each language into head/middle/tail
+# perplexity TERCILES by exact rank.  Scale shape: the unigram model is
+# vocab-bounded (broadcast both count frames, like lm_bigram_score);
+# the per-language exact rank does NOT use a per-language global sort
+# (a lang holding 40% of a 100 TB corpus would sort on one task) —
+# instead the sequence_packing census recipe: docs land in value-range
+# cells (floor(mean_nll*8): O(8*ln(corpus_tokens)) cells, logarithmic
+# in data size), a bounded lang×cell census is collected, driver-side
+# prefix sums give each cell its global rank offset, and the intra-cell
+# row_number window is partitioned by (lang, cell).  Float parity: the
+# per-token nll term is ROUND(ln t - ln c, 9)::DECIMAL (absorbs libm
+# 1-ulp spread), per-doc sums are exact decimals, and the per-doc mean
+# is a single IEEE division rounded to 9 — so the rank ORDER BY key is
+# bit-identical in both engines; bucket cuts are pure integer compares.
+# ---------------------------------------------------------------------------
+@register(
+    "ccnet_ppl_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, COUNT(*) AS t FROM tok GROUP BY 1),
+    nll AS (
+      SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             SUM(ROUND(LN(CAST(tot.t AS DOUBLE)) - LN(CAST(cnt.c AS DOUBLE)),
+                       9)::DECIMAL(20,9)) AS s
+      FROM tok
+      JOIN cnt ON tok.lang = cnt.lang AND tok.w = cnt.w
+      JOIN tot ON tok.lang = tot.lang
+      GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, lang, n_tok,
+             ROUND(CAST(CAST(s AS VARCHAR(64)) AS DOUBLE) / n_tok, 9)
+               AS mean_nll
+      FROM nll),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY mean_nll, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM d),
+    b AS (
+      SELECT *, CASE WHEN rn * 3 <= n_lang THEN 'head'
+                     WHEN rn * 3 <= 2 * n_lang THEN 'middle'
+                     ELSE 'tail' END AS bucket
+      FROM r)
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(CAST(SUM(mean_nll::DECIMAL(20,9)) AS VARCHAR(64))
+                      AS DOUBLE) / COUNT(*), 9) AS avg_nll,
+           ROUND(MAX(mean_nll), 9) AS cut_nll
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = tok.groupBy("lang").agg(F.count("*").alias("t"))
+    nll_term = F.round(
+        F.log(F.col("t").cast("double")) - F.log(F.col("c").cast("double")), 9
+    ).cast("decimal(20,9)")
+    d = (
+        tok.join(F.broadcast(cnt), ["lang", "w"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(nll_term).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.round(F.col("s").cast("double") / F.col("n_tok"), 9).alias(
+                "mean_nll"
+            ),
+        )
+        .withColumn("cell", F.floor(F.col("mean_nll") * 8).cast("int"))
+    )
+    # bounded census: lang x nll-cell counts -> driver prefix offsets.
+    # Cell count is O(8 * ln(corpus tokens)) per lang — logarithmic in
+    # data size, so the collect stays a few-KB even at 100 TB.
+    census: dict[str, list[tuple[int, int]]] = {}
+    for row in d.groupBy("lang", "cell").agg(F.count("*").alias("nc")).collect():
+        census.setdefault(row["lang"], []).append((row["cell"], row["nc"]))
+    rows = []
+    for lang, cells in census.items():
+        n_lang = sum(nc for _, nc in cells)
+        acc = 0
+        for cell, nc in sorted(cells):
+            rows.append((lang, cell, acc, n_lang))
+            acc += nc
+    off = spark.createDataFrame(
+        rows, "lang string, cell int, roff bigint, n_lang bigint"
+    )
+    w = Window.partitionBy("lang", "cell").orderBy("mean_nll", "doc_id")
+    b = (
+        d.join(F.broadcast(off), ["lang", "cell"])
+        .withColumn("rn", F.col("roff") + F.row_number().over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("rn") * 3 <= F.col("n_lang"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n_lang"), "middle")
+            .otherwise("tail"),
+        )
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("mean_nll").cast("decimal(20,9)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("avg_nll"),
+            F.round(F.max("mean_nll"), 9).alias("cut_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup probe — the "have we already ingested
+# this document?" primitive for incremental 100 TB acquisition: the
+# seen-corpus is compressed to a bit array of m = 64 * n_ref bits
+# (k = 4 salted-md5 hashes), so the probe stage needs only a broadcast
+# join against m/32 mask words — no shuffle of either corpus.  The
+# filter SIZE is corpus-derived, not fixed (the r14 hazard class: a
+# fixed m saturates as the seen-corpus grows — at 64 bits/element the
+# false-positive rate stays ~1.3e-5 at EVERY scale); the DuckDB oracle
+# recomputes m from COUNT(*) exactly like the knn_join_lsh oracle
+# recomputes its table count.  Hash positions are 52-bit (13-hex-char)
+# salted md5 slices, so position space covers m up to ~10^13 bits;
+# the broadcast word table stays under 4 GB to ~10^9 seen docs, beyond
+# which the filter itself would shard by position range.  Probe set is
+# built for branch coverage at every SF: docs with doc_id%3==0
+# re-probed verbatim (true members — Bloom guarantees n_maybe ==
+# n_probe, no false negatives) and doc_id%3==1 with the first token
+# dropped (non-members — counts measurable false positives).  The
+# exact-membership join (fp IN ref) exists ONLY to account true/false
+# positives for this verification query; the production path is the
+# broadcast bitmask alone.  All hashes are md5-based so DuckDB
+# recomputes them bit-identically; counts are exact integers and
+# fp_rate a single guarded IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_dedup_probe",
+    f"""
+    WITH mq AS (SELECT GREATEST(64 * COUNT(*), 64) AS m FROM documents),
+    ref AS (
+      SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents),
+    probe AS (
+      SELECT doc_id, 'dup' AS cls,
+             md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'mutated' AS cls,
+             md5(array_to_string(
+               list_transform(range(1, len({_TOKS_SQL})),
+                              i -> ({_TOKS_SQL})[i + 1]), ' ')) AS fp
+      FROM documents WHERE doc_id % 3 = 1),
+    rp AS (
+      SELECT (('0x' || substr(md5(j || ':' || fp), 1, 13))::BIGINT % mq.m)
+               AS pos
+      FROM ref, mq, unnest(['0', '1', '2', '3']) AS u(j)),
+    words AS (
+      SELECT pos // 32 AS widx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+      FROM rp GROUP BY 1),
+    pp AS (
+      SELECT doc_id, cls, fp,
+             (('0x' || substr(md5(j || ':' || fp), 1, 13))::BIGINT % mq.m)
+               AS pos
+      FROM probe, mq, unnest(['0', '1', '2', '3']) AS u(j)),
+    hit AS (
+      SELECT pp.doc_id, pp.cls, pp.fp,
+             BOOL_AND(w.mask IS NOT NULL AND
+                      (w.mask & (1::BIGINT << CAST(pp.pos % 32 AS INT))) != 0)
+               AS maybe
+      FROM pp LEFT JOIN words w ON w.widx = pp.pos // 32
+      GROUP BY 1, 2, 3),
+    ex AS (
+      SELECT hit.*, hit.fp IN (SELECT fp FROM ref) AS present FROM hit)
+    SELECT cls,
+           COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_present,
+           CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN NOT present THEN 1 ELSE 0 END), 0), 9)
+             AS fp_rate
+    FROM ex GROUP BY 1 ORDER BY 1
+    """,
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 32  # mask-word width
+    docs = _t(spark, sf_dir, "documents")
+    # corpus-derived filter size (single-scalar collect — the bounded
+    # precedent set by the query-vector collects in ann_index.py); the
+    # oracle recomputes the same m from COUNT(*).
+    M = max(64 * docs.count(), 64)
+    toks = TX.tokens(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", toks))
+    mut_fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        )
+    )
+    ref = docs.select(fp.alias("fp"))
+    probe = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.lit("dup").alias("cls"), fp.alias("fp"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .select("doc_id", F.lit("mutated").alias("cls"), mut_fp.alias("fp"))
+        )
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(":", F.lit(str(j)), "fp")),
+                                1,
+                                13,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % M
+                        for j in range(4)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    # the filter: m/W mask words — 2 longs per seen doc worst case,
+    # broadcast-sized to ~1e9 seen docs; beyond that shard by range.
+    words = (
+        positions(ref)
+        .select(
+            F.expr(f"pos div {W}").alias("widx"),
+            F.expr(f"shiftleft(1L, cast(pos % {W} as int))").alias("m"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    hit = (
+        positions(probe)
+        .withColumn("widx", F.expr(f"pos div {W}"))
+        .join(F.broadcast(words), "widx", "left")
+        .groupBy("doc_id", "cls", "fp")
+        .agg(
+            F.expr(
+                f"bool_and(mask is not null and "
+                f"(mask & shiftleft(1L, cast(pos % {W} as int))) != 0)"
+            ).alias("maybe")
+        )
+    )
+    refd = ref.distinct().withColumn("present", F.lit(True))
+    ex = hit.join(refd, "fp", "left").fillna({"present": False})
+    fpos = F.when(F.col("maybe") & ~F.col("present"), 1).otherwise(0)
+    notp = F.when(~F.col("present"), 1).otherwise(0)
+    return (
+        ex.groupBy("cls")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probe"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_maybe"),
+            F.sum(F.when(F.col("present"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_present"),
+            F.sum(fpos).cast("bigint").alias("n_false_pos"),
+            F.round(
+                F.sum(fpos).cast("double")
+                / F.when(F.sum(notp) != 0, F.sum(notp)),
+                9,
+            ).alias("fp_rate"),
+        )
+        .orderBy("cls")
+    )

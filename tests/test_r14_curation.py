@@ -154,3 +154,200 @@ def test_domain_mixture_matches_python_rederivation(spark):
         else:
             unclamped += 1
     assert clamped > 0 and unclamped > 0  # both branches exercised
+
+
+# ---------------------------------------------------------------------------
+# Round-14 second wave: CCNet perplexity terciles + Bloom membership
+# probe.  Both are re-derived in plain Python from the parquet file
+# (hashlib md5 / math.log — no Spark, no DuckDB) so a bug shared by
+# the two engines' common design would still be caught.
+# ---------------------------------------------------------------------------
+
+
+def _round9(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # Spark's ROUND(double, 9) is HALF_UP on the shortest decimal repr
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+
+def test_ccnet_buckets_matches_python_rederivation(spark):
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from ome_arrow_spark.suite_llm import ccnet_ppl_buckets
+
+    got = {
+        (r["lang"], r["bucket"]): r
+        for r in ccnet_ppl_buckets(spark, SF).collect()
+    }
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["lang"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+    )
+    cnt: dict[str, Counter] = defaultdict(Counter)
+    tot: Counter = Counter()
+    doc_toks: dict[int, list[str]] = {}
+    for doc_id, lang, text in rows:
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        doc_toks[doc_id] = toks
+        cnt[lang].update(toks)
+        tot[lang] += len(toks)
+    per_lang: dict[str, list[tuple[float, int, int]]] = defaultdict(list)
+    for doc_id, lang, _ in rows:
+        toks = doc_toks[doc_id]
+        if not toks:
+            continue
+        s = sum(
+            Decimal(repr(_round9(math.log(tot[lang]) - math.log(cnt[lang][w]))))
+            for w in toks
+        )
+        per_lang[lang].append((_round9(float(s) / len(toks)), doc_id, len(toks)))
+
+    want_keys = set()
+    for lang, docs in per_lang.items():
+        docs.sort()
+        n = len(docs)
+        by_bucket: dict[str, list[tuple[float, int, int]]] = defaultdict(list)
+        for rn0, (mean_nll, doc_id, n_tok) in enumerate(docs):
+            rn = rn0 + 1
+            bucket = (
+                "head"
+                if rn * 3 <= n
+                else ("middle" if rn * 3 <= 2 * n else "tail")
+            )
+            by_bucket[bucket].append((mean_nll, doc_id, n_tok))
+        for bucket, members in by_bucket.items():
+            want_keys.add((lang, bucket))
+            g = got[(lang, bucket)]
+            assert g["n_docs"] == len(members)
+            assert g["n_tokens"] == sum(m[2] for m in members)
+            assert g["cut_nll"] == max(m[0] for m in members)
+            avg = _round9(
+                float(sum(Decimal(repr(m[0])) for m in members)) / len(members)
+            )
+            assert abs(g["avg_nll"] - avg) < 1e-12
+        # exact tercile sizes: the integer rank rule, not approximate
+        assert len(by_bucket.get("head", [])) == n // 3
+        assert len(by_bucket.get("middle", [])) == 2 * n // 3 - n // 3
+    assert want_keys == set(got)
+
+
+def test_bloom_probe_matches_python_rederivation(spark):
+    import hashlib
+
+    from ome_arrow_spark.suite_llm import bloom_dedup_probe
+
+    got = {r["cls"]: r for r in bloom_dedup_probe(spark, SF).collect()}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def fp_of(toks: list[str]) -> str:
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    def positions(fp: str, m: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{j}:{fp}".encode()).hexdigest()[:13], 16) % m
+            for j in range(4)
+        ]
+
+    m = max(64 * len(rows), 64)
+    ref_fps = []
+    probe = []  # (cls, fp)
+    for doc_id, text in rows:
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        ref_fps.append(fp_of(toks))
+        if doc_id % 3 == 0:
+            probe.append(("dup", fp_of(toks)))
+        elif doc_id % 3 == 1:
+            probe.append(("mutated", fp_of(toks[1:])))
+    bits = set()
+    for fp in ref_fps:
+        bits.update(positions(fp, m))
+    ref_set = set(ref_fps)
+
+    from collections import Counter
+
+    n_probe: Counter = Counter()
+    n_maybe: Counter = Counter()
+    n_present: Counter = Counter()
+    n_fp: Counter = Counter()
+    for cls, fp in probe:
+        n_probe[cls] += 1
+        maybe = all(p in bits for p in positions(fp, m))
+        present = fp in ref_set
+        n_maybe[cls] += maybe
+        n_present[cls] += present
+        n_fp[cls] += maybe and not present
+    for cls in ("dup", "mutated"):
+        g = got[cls]
+        assert g["n_probe"] == n_probe[cls]
+        assert g["n_maybe"] == n_maybe[cls]
+        assert g["n_present"] == n_present[cls]
+        assert g["n_false_pos"] == n_fp[cls]
+        # no false negatives: every present probe is flagged maybe
+        assert g["n_maybe"] == g["n_present"] + g["n_false_pos"]
+    assert got["dup"]["n_maybe"] == got["dup"]["n_probe"]
+    assert got["dup"]["fp_rate"] is None  # zero non-members -> guarded NULL
+
+
+def test_bloom_probe_false_positive_branch(spark, tmp_path):
+    """Force the FP branch with an adversarially tiny corpus: with only
+    three 1-token seen docs the derived m=192-bit filter is small enough
+    that a planted non-member colliding on all 4 positions is found by
+    brute force, proving maybe=true/present=false flows to n_false_pos."""
+    import hashlib
+
+    from ome_arrow_spark.suite_llm import bloom_dedup_probe
+
+    def positions(fp: str, m: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{j}:{fp}".encode()).hexdigest()[:13], 16) % m
+            for j in range(4)
+        ]
+
+    seen = ["alpha", "beta", "gamma"]  # doc_id 0,3,6 -> all ref + dup-probed
+    m = 64 * 4  # the corpus will hold 4 docs (3 seen + the probe doc)
+    base_bits = set()
+    for t in seen:
+        base_bits.update(positions(hashlib.md5(t.encode()).hexdigest(), m))
+    # find a token whose doc (id%3==1, text "x <t>", mutated probe drops
+    # the leading 'x') hashes entirely into the filter — which holds the
+    # 3 seen docs PLUS the probe doc's own full text "x <t>"
+    cand = None
+    for i in range(200000):
+        t = f"w{i}"
+        fp = hashlib.md5(t.encode()).hexdigest()
+        full_fp = hashlib.md5(f"x {t}".encode()).hexdigest()
+        bits = base_bits | set(positions(full_fp, m))
+        if t not in seen and all(p in bits for p in positions(fp, m)):
+            cand = t
+            break
+    assert cand is not None, "no 4-way collision found in 200k candidates"
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    docs = [(0, seen[0]), (3, seen[1]), (6, seen[2]), (1, f"x {cand}")]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(s) for _, s in docs], pa.int64()),
+        }
+    )
+    pqw.write_table(t, str(tmp_path / "documents.parquet"))
+    got = {r["cls"]: r for r in bloom_dedup_probe(spark, str(tmp_path)).collect()}
+    assert got["mutated"]["n_false_pos"] == 1
+    assert got["mutated"]["fp_rate"] == 1.0
+    assert got["dup"]["n_maybe"] == got["dup"]["n_probe"] == 3

@@ -437,8 +437,18 @@ def verify_substring(spark, sf_dir: str, k: int = 8) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
-    sf_dirs = sys.argv[2:] or [
+    # --only=name1,name2 limits which verifiers run (the knn sf10
+    # brute-force re-check alone is ~70 min; a new twin shouldn't
+    # force re-paying it).  Merge the partial result into an existing
+    # stamp with tools/merge_stamp semantics: new keys win per sf tag.
+    only: set[str] | None = None
+    argv = [a for a in sys.argv[1:]]
+    for a in list(argv):
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            argv.remove(a)
+    out_path = argv[0] if argv else None
+    sf_dirs = argv[1:] or [
         "/root/repo/.local_testdata/sf1",
         "/root/repo/.local_testdata/sf10",
     ]
@@ -457,14 +467,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    verifiers = {
+        "neardup_lsh": verify_neardup,
+        "knn_join_lsh": verify_knn,
+        "auc_roc": verify_auc,
+        "dup_span_detect": verify_substring,
+    }
     out: dict[str, dict] = {}
     for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
         out[tag] = {
-            "neardup_lsh": verify_neardup(spark, sf_dir),
-            "knn_join_lsh": verify_knn(spark, sf_dir),
-            "auc_roc": verify_auc(spark, sf_dir),
-            "dup_span_detect": verify_substring(spark, sf_dir),
+            name: fn(spark, sf_dir)
+            for name, fn in verifiers.items()
+            if only is None or name in only
         }
         print(f"# {tag}: {json.dumps(out[tag])}", flush=True)
 
