@@ -6574,6 +6574,9 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("cell", F.floor(F.col("mean_nll") * 8).cast("int"))
+        # persisted: consumed twice (census collect + the final join) —
+        # rebuilding it would repeat the explode and both broadcast joins
+        .persist()
     )
     # bounded census: lang x nll-cell counts -> driver prefix offsets.
     # Cell count is O(8 * ln(corpus tokens)) per lang — logarithmic in

@@ -351,3 +351,20 @@ def test_bloom_probe_false_positive_branch(spark, tmp_path):
     assert got["mutated"]["n_false_pos"] == 1
     assert got["mutated"]["fp_rate"] == 1.0
     assert got["dup"]["n_maybe"] == got["dup"]["n_probe"] == 3
+
+
+def test_ccnet_buckets_no_single_partition(spark):
+    """The per-language exact tercile rank must run as the census-offset
+    two-phase recipe — a naive ROW_NUMBER() OVER (PARTITION BY lang) puts
+    the whole corpus of one language on one task (langs are few and
+    huge); the window here must be partitioned by (lang, cell)."""
+    from ome_arrow_spark.suite_llm import ccnet_ppl_buckets
+
+    plan = (
+        ccnet_ppl_buckets(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(lang" in plan and "cell" in plan
