@@ -143,6 +143,79 @@ def lsh_candidates(
     )
 
 
+def lsh_candidates_incremental(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    new_col: str = "is_new",
+    bands: tuple[tuple[str, ...], ...] = (("mh0", "mh1"), ("mh2", "mh3")),
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Asymmetric LSH candidates for INCREMENTAL dedup: only pairs with
+    at least one NEW-side doc (``new_col``) — the "dedup this batch
+    against the seen corpus" shape.  Per bucket the emission is
+    |new|·|old| + C(|new|, 2) instead of C(B, 2): with a small batch
+    against a huge corpus the candidate volume is proportional to the
+    BATCH, not the corpus² — old×old pairs are never materialized, so
+    re-ingesting 1 GB against 100 TB costs 1-GB-sized work.  Pair
+    orientation is canonical id_a < id_b (matching ``lsh_candidates``)
+    so results equal the full pair set filtered to new-touching pairs."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key"),
+            )
+            for bi, cols in enumerate(bands)
+        ]
+    )
+    b = sig.select(
+        F.col(id_col), F.col(new_col), F.explode(band_structs).alias("bk")
+    ).select(
+        id_col,
+        new_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    buckets = (
+        b.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.when(F.col(new_col), F.col(id_col)))
+            ).alias("new_ids"),
+            F.sort_array(
+                F.collect_set(F.when(~F.col(new_col), F.col(id_col)))
+            ).alias("old_ids"),
+        )
+        .filter(
+            (F.size("new_ids") >= 1)
+            & ((F.size("new_ids") + F.size("old_ids")).between(2, max_bucket))
+        )
+    )
+    mk = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("new_ids"),
+            lambda x: F.transform(F.col("old_ids"), lambda y: mk(x, y)),
+        )
+    )
+    nn = F.flatten(
+        F.transform(
+            F.col("new_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("new_ids"), i + 2, F.size(F.col("new_ids"))),
+                lambda y: mk(x, y),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(F.concat(cross, nn)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

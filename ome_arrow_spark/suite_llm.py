@@ -392,6 +392,46 @@ def neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidates(sig)
 
 
+# ---------------------------------------------------------------------------
+# INCREMENTAL near-dup: dedup a new batch against the seen corpus —
+# the nightly-ingest shape.  Seen corpus = the base docs, new batch =
+# the mutated mirrors (negative ids, guaranteed cross-batch near-dups
+# at every SF).  Same MinHash bands as neardup_lsh, but the Spark plan
+# emits |new|*|old| + C(|new|,2) pairs per bucket instead of C(B,2):
+# old x old is never materialized, so re-ingesting a 1 GB batch
+# against 100 TB costs batch-sized work (operators/dedup.py
+# lsh_candidates_incremental).  The oracle states the SEMANTICS (full
+# pair set filtered to new-touching pairs) while the engine runs the
+# asymmetric plan — results are provably the same set, and the unit
+# test pins the bucket-level emission counts.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_neardup",
+    f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM e GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM b a JOIN b b2
+      ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+    WHERE a.doc_id < 0 OR b2.doc_id < 0
+    """,
+)
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DD.minhash_signatures(_mutated_docs(spark, sf_dir)).withColumn(
+        "is_new", F.col("doc_id") < 0
+    )
+    return DD.lsh_candidates_incremental(sig)
+
+
 def _simhash_oracle() -> str:
     votes = ",\n             ".join(
         f"SUM(2 * (ascii(substr(md5(tok), {j + 1}, 1)) % 2) - 1) AS v{j}"

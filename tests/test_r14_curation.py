@@ -368,3 +368,62 @@ def test_ccnet_buckets_no_single_partition(spark):
     )
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(lang" in plan and "cell" in plan
+
+
+def test_incremental_lsh_bucket_emission(spark):
+    """Bucket-level semantics of the asymmetric candidate generator:
+    k old docs + 1 new doc sharing a band emit exactly k pairs (never
+    the C(k+1,2) a full self-pairing would), old-only buckets emit
+    nothing, and new×new pairs come out i<j once."""
+    from ome_arrow_spark.operators.dedup import lsh_candidates_incremental
+
+    rows = [
+        # bucket A (band keys all equal): 3 old + 1 new -> 3 pairs
+        (10, False, "a", "a", "z1", "z1"),
+        (11, False, "a", "a", "z2", "z2"),
+        (12, False, "a", "a", "z3", "z3"),
+        (-5, True, "a", "a", "z4", "z4"),
+        # bucket B: old-only -> 0 pairs
+        (20, False, "b", "b", "y1", "y1"),
+        (21, False, "b", "b", "y2", "y2"),
+        # bucket C: 2 new -> 1 pair
+        (-7, True, "c", "c", "x1", "x1"),
+        (-9, True, "c", "c", "x2", "x2"),
+    ]
+    sig = spark.createDataFrame(
+        rows, "doc_id long, is_new boolean, mh0 string, mh1 string, "
+        "mh2 string, mh3 string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates_incremental(sig).collect()
+    }
+    assert got == {(-5, 10), (-5, 11), (-5, 12), (-9, -7)}
+
+
+def test_incremental_neardup_equals_filtered_full(spark):
+    """The asymmetric plan must produce exactly the full candidate set
+    restricted to new-touching pairs (the oracle's formulation)."""
+    from ome_arrow_spark.operators.dedup import (
+        lsh_candidates,
+        lsh_candidates_incremental,
+    )
+    from ome_arrow_spark.suite_llm import _mutated_docs
+
+    from pyspark.sql import functions as F
+
+    sig = __import__(
+        "ome_arrow_spark.operators.dedup", fromlist=["minhash_signatures"]
+    ).minhash_signatures(_mutated_docs(spark, SF))
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(sig).collect()
+        if r["id_a"] < 0 or r["id_b"] < 0
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates_incremental(
+            sig.withColumn("is_new", F.col("doc_id") < 0)
+        ).collect()
+    }
+    assert inc == full and len(inc) > 0
