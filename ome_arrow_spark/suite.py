@@ -62,8 +62,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #      hash-rank selection), ccnet_ppl_buckets (CCNet per-language
     #      perplexity terciles via the census-offset exact rank),
     #      bloom_dedup_probe (broadcast-bitmask membership probe with
-    #      exact FP accounting) and incremental_neardup (asymmetric
-    #      batch-vs-seen LSH candidates, old×old never materialized)
+    #      exact FP accounting), incremental_neardup (asymmetric
+    #      batch-vs-seen LSH candidates, old×old never materialized),
+    #      cross_source_overlap (WIMBD-style which-sources-duplicate-
+    #      each-other census, planted adjacent-source overlap) and
+    #      minhash_jaccard_estimate (estimator-calibration census:
+    #      exact Jaccard per min-agreement level over LSH candidates)
     #      — each EXACT at sf0.001/0.01 on entry,
     #   2. r14-touched surfaces — knn_join_lsh and semantic_dedup
     #      re-sit because n_tables became DATA-DERIVED (oracles now
@@ -77,14 +81,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #      simpson_diversity + runs_test_daily (never driver-graded —
     #      judge-stride-verified only), the full REMAINING r7 stratum
     #      (33 rows; the alphabetical head 8 re-sat in r13), and the
-    #      5 alphabetically-first r8 rows.  All 40 tail rows predate
-    #      r9 — the >=15 two-round-stale invariant holds with ~2.7x
+    #      3 alphabetically-first r8 rows.  All 38 tail rows predate
+    #      r9 — the >=15 two-round-stale invariant holds with ~2.5x
     #      room.
     # Names not yet registered are skipped, so partial imports stay safe.
     #
     # (1) round-14 additions
     "span_dedup_3sent", "domain_mixture_reweight",
     "ccnet_ppl_buckets", "bloom_dedup_probe", "incremental_neardup",
+    "cross_source_overlap", "minhash_jaccard_estimate",
     # (2) r14-touched surfaces
     "knn_join_lsh", "semantic_dedup", "line_dedup_global",
     "ann_index_search", "ann_sharded_search",
@@ -103,9 +108,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q21_waiting_supplier", "skew_report", "sort_nulls_order",
     "sql_api_q1", "stratified_sample", "string_distance",
     "time_hierarchy_rollup", "udtf_sentences",
-    # (3c) 5 r8 rows (alphabetical head of that stratum)
+    # (3c) 3 r8 rows (alphabetical head of that stratum)
     "agg_approx_percentile", "ann_ivfpq_rerank", "ann_pq_rerank",
-    "band_join_bucketed", "contrastive_negatives",
 )
 
 

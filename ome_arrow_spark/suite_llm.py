@@ -6829,3 +6829,248 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap census (the WIMBD-style "which sources duplicate
+# each other?" corpus analysis): per-pair-of-sources shared exact
+# fingerprints + Jaccard over each source's distinct-fp sets.  The
+# fixture has no natural cross-source dups, so the corpus plants them
+# deterministically at every SF: docs with doc_id % 7 == 0 are mirrored
+# (collision-free -(id+1) ids, r13 convention) into the NEXT source
+# (src(k+1) mod 20) — every adjacent source pair gets a known overlap
+# band.  Scale shape: NO source×source self-join — fingerprints group
+# once (skew-free: a fp's source set is bounded by #sources), each
+# multi-source fp expands to its C(k,2) source pairs via the nested
+# i<j transform (k <= 20), and the final agg is #source-pairs rows;
+# per-source totals broadcast.  Jaccard is a single IEEE division of
+# exact integers, rounded to 9.
+# ---------------------------------------------------------------------------
+@register(
+    "cross_source_overlap",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT -(doc_id + 1) AS doc_id,
+             'src' || CAST((CAST(regexp_extract(source, '[0-9]+') AS INT) + 1)
+                           % 20 AS VARCHAR) AS source,
+             text
+      FROM documents WHERE doc_id % 7 = 0),
+    f AS (
+      SELECT DISTINCT md5(array_to_string({_TOKS_SQL}, ' ')) AS fp, source
+      FROM corpus),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nf FROM f GROUP BY 1),
+    g AS (
+      SELECT fp, list_sort(list(source)) AS srcs
+      FROM f GROUP BY fp HAVING COUNT(*) >= 2),
+    p AS (
+      SELECT unnest(flatten(list_transform(range(1, len(srcs)),
+               i -> list_transform(range(i + 1, len(srcs) + 1),
+                    j -> [srcs[i], srcs[j]])))) AS pr
+      FROM g),
+    sp AS (
+      SELECT pr[1] AS src_a, pr[2] AS src_b, CAST(COUNT(*) AS BIGINT)
+               AS n_shared
+      FROM p GROUP BY 1, 2)
+    SELECT sp.src_a, sp.src_b, sp.n_shared,
+           a.nf AS nf_a, b.nf AS nf_b,
+           ROUND(CAST(sp.n_shared AS DOUBLE)
+                 / (a.nf + b.nf - sp.n_shared), 9) AS jaccard
+    FROM sp
+    JOIN per a ON a.source = sp.src_a
+    JOIN per b ON b.source = sp.src_b
+    ORDER BY sp.src_a, sp.src_b
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shifted = F.concat(
+        F.lit("src"),
+        (
+            (F.regexp_extract("source", "[0-9]+", 0).cast("int") + 1) % 20
+        ).cast("string"),
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            shifted.alias("source"),
+            "text",
+        )
+    )
+    f = corpus.select(
+        F.md5(F.concat_ws(" ", TX.tokens(F.col("text")))).alias("fp"), "source"
+    ).distinct()
+    per = f.groupBy("source").agg(F.count("*").cast("bigint").alias("nf"))
+    g = (
+        f.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    sp = (
+        g.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.src_a").alias("src_a"), F.col("pr.src_b").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        sp.join(
+            F.broadcast(per.select(F.col("source").alias("src_a"),
+                                   F.col("nf").alias("nf_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("source").alias("src_b"),
+                                   F.col("nf").alias("nf_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "n_shared", "nf_a", "nf_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("nf_a") + F.col("nf_b") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration census — "how good are the 4 permuted
+# mins the dedup stack trusts?": for every LSH candidate pair, count
+# the agreeing min-hash components (candidates share a full 2-min band,
+# so shared_mins ∈ {{2,3,4}}) and compute the EXACT distinct-3-shingle
+# Jaccard, then aggregate jaccard stats per agreement level.  This is
+# the measurement that justifies (or indicts) the banding thresholds
+# the near-dup operators use.  Scale shape: exact Jaccard is computed
+# ONLY for candidate pairs (linear in candidate volume, which the LSH
+# stack already bounds), via a shingle equi-join keyed on the shingle
+# string; the census output is <= 3 rows.  Mean jaccard is a
+# VARCHAR-round-tripped decimal sum of 9-rounded single divisions —
+# order-independent and bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 2),
+                                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS shs
+          FROM t),
+    sd AS (SELECT doc_id, list_distinct(shs) AS dsh FROM s),
+    e AS (SELECT doc_id, len(dsh) AS n_sh, unnest(dsh) AS sh FROM sd),
+    me AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+    sig AS (SELECT doc_id, {_MH_AGGS_SQL} FROM me GROUP BY doc_id),
+    b AS (SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, mh2 || '|' || mh3 AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.band_key = b2.band_key
+           AND a.doc_id < b2.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.id_a
+      JOIN e eb ON eb.doc_id = c.id_b AND eb.sh = ea.sh
+      GROUP BY 1, 2, 3, 4),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) AS INT)
+               AS shared_mins,
+             ROUND(CAST(i.inter AS DOUBLE) / (i.na + i.nb - i.inter), 9)
+               AS jac
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+    SELECT shared_mins, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(CAST(SUM(jac::DECIMAL(20,9)) AS VARCHAR(64)) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_jaccard,
+           MIN(jac) AS min_jaccard, MAX(jac) AS max_jaccard
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mutated_docs(spark, sf_dir)
+    sd = docs.select(
+        "doc_id", F.array_distinct(DD.shingles(F.col("text"))).alias("dsh")
+    )
+    e = sd.select(
+        "doc_id", F.size("dsh").cast("bigint").alias("n_sh"),
+        F.explode("dsh").alias("sh"),
+    )
+    sig = DD.minhash_signatures(docs)
+    cand = DD.lsh_candidates(sig)
+    ea = e.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "sh"
+    )
+    eb = e.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "sh"
+    )
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sm = (
+        cand.join(
+            F.broadcast(sig).select(
+                F.col("doc_id").alias("id_a"),
+                *[F.col(f"mh{s}").alias(f"a{s}") for s in range(4)],
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sig).select(
+                F.col("doc_id").alias("id_b"),
+                *[F.col(f"mh{s}").alias(f"b{s}") for s in range(4)],
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            sum(
+                F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                for s in range(4)
+            ).cast("int").alias("shared_mins"),
+        )
+    )
+    j = sm.join(inter, ["id_a", "id_b"]).select(
+        "shared_mins",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            9,
+        ).alias("jac"),
+    )
+    return (
+        j.groupBy("shared_mins")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jac").cast("decimal(20,9)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_jaccard"),
+            F.min("jac").alias("min_jaccard"),
+            F.max("jac").alias("max_jaccard"),
+        )
+        .orderBy("shared_mins")
+    )

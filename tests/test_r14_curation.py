@@ -427,3 +427,87 @@ def test_incremental_neardup_equals_filtered_full(spark):
         ).collect()
     }
     assert inc == full and len(inc) > 0
+
+
+def test_cross_source_overlap_matches_python_rederivation(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from ome_arrow_spark.suite_llm import cross_source_overlap
+
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in cross_source_overlap(spark, SF).collect()
+    }
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["source"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+    )
+    corpus = [(d, s, t) for d, s, t in rows] + [
+        (
+            -(d + 1),
+            f"src{(int(re.search(r'[0-9]+', s).group()) + 1) % 20}",
+            t,
+        )
+        for d, s, t in rows
+        if d % 7 == 0
+    ]
+    fp_sources: dict[str, set] = defaultdict(set)
+    for _d, s, t in corpus:
+        fp = hashlib.md5(
+            " ".join(re.findall(r"[a-z0-9]+", (t or "").lower())).encode()
+        ).hexdigest()
+        fp_sources[fp].add(s)
+    per: Counter = Counter()
+    for srcs in fp_sources.values():
+        for s in srcs:
+            per[s] += 1
+    shared: Counter = Counter()
+    for srcs in fp_sources.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for jj in range(i + 1, len(ss)):
+                shared[(ss[i], ss[jj])] += 1
+    assert set(got) == set(shared)
+    for (a, b), n in shared.items():
+        g = got[(a, b)]
+        assert g["n_shared"] == n
+        assert g["nf_a"] == per[a] and g["nf_b"] == per[b]
+        assert g["jaccard"] == _round9(n / (per[a] + per[b] - n))
+    # the planted band: every adjacent source pair must overlap
+    assert len(got) >= 20
+
+
+def test_minhash_jaccard_estimate_census_invariants(spark):
+    from ome_arrow_spark.suite_llm import (
+        minhash_jaccard_estimate,
+        _mutated_docs,
+    )
+    from ome_arrow_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = minhash_jaccard_estimate(spark, SF).collect()
+    # candidates share a full 2-min band -> agreement is 2, 3, or 4
+    assert all(2 <= r["shared_mins"] <= 4 for r in rows)
+    n_cand = lsh_candidates(
+        minhash_signatures(_mutated_docs(spark, SF))
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    for r in rows:
+        assert 0.0 < r["min_jaccard"] <= r["mean_jaccard"] <= r["max_jaccard"] <= 1.0
+    # full 4/4 agreement pairs exist (the mutated mirrors) and are the
+    # most similar stratum on this corpus
+    by = {r["shared_mins"]: r for r in rows}
+    assert 4 in by
+    assert by[4]["mean_jaccard"] >= max(
+        r["mean_jaccard"] for r in rows if r["shared_mins"] < 4
+    )
