@@ -202,7 +202,6 @@ def ivf_index_search(
     scan reads ONLY files whose ``centroid_id`` range intersects the
     probed set — at scale that is the inverted-list seek, done by the
     table format instead of a bespoke index file."""
-    from ome_arrow_spark.functions.vectors import cosine
     from ome_arrow_spark.sources import table_log as tl
 
     cent_map = _stored_centroids(table)
@@ -256,12 +255,21 @@ def ivf_index_search(
     ).join(
         queries.select(F.col(query_id), F.col(vec).alias("__qv")), query_id
     )
-    scored = F.broadcast(pairs).join(lists, "centroid_id").select(
+    # r14: norms per side row (query side tiny, list side once per
+    # stored vector) — pair scoring pays one dot fold, bit-identical
+    # to the fused cosine.
+    from ome_arrow_spark.functions.vectors import dot as _dot, norm as _norm
+
+    lists_n = lists.withColumn("__cn", _norm(F.col("embedding")))
+    pairs_n = pairs.withColumn("__qn", _norm(F.col("__qv")))
+    scored = F.broadcast(pairs_n).join(lists_n, "centroid_id").select(
         query_id,
         "cid",
-        F.round(cosine(F.col("__qv"), F.col("embedding")), digits).alias(
-            "cos_sim"
-        ),
+        F.round(
+            _dot(F.col("__qv"), F.col("embedding"))
+            / (F.col("__qn") * F.col("__cn")),
+            digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(
@@ -328,7 +336,6 @@ def ivf_sharded_search(
     general path groups shards by codebook signature and unions one
     fused scan per distinct codebook (centroid ids from different
     codebooks must not equi-join)."""
-    from ome_arrow_spark.functions.vectors import cosine
     from ome_arrow_spark.sources import table_log as tl
 
     if not tables:
@@ -379,7 +386,13 @@ def ivf_sharded_search(
         ]
     )
 
-    qv_df = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    from ome_arrow_spark.functions.vectors import dot as _dot, norm as _norm
+
+    qv_df = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("__qv"),
+        _norm(F.col(vec)).alias("__qn"),
+    )
     scored_parts: list[DataFrame] = []
     for g in groups.values():
         pairs, needed = _probe_pairs(
@@ -407,12 +420,21 @@ def ivf_sharded_search(
                 ]
             ),
         ).join(qv_df, query_id)
+        # r14: per-side norms → one dot fold per scored pair
+        # (bit-identical to the fused cosine).
         scored_parts.append(
-            F.broadcast(pairs_df).join(lists, "centroid_id").select(
+            F.broadcast(pairs_df)
+            .join(
+                lists.withColumn("__cn", _norm(F.col("embedding"))),
+                "centroid_id",
+            )
+            .select(
                 query_id,
                 "cid",
                 F.round(
-                    cosine(F.col("__qv"), F.col("embedding")), digits
+                    _dot(F.col("__qv"), F.col("embedding"))
+                    / (F.col("__qn") * F.col("__cn")),
+                    digits,
                 ).alias("cos_sim"),
             )
         )

@@ -507,33 +507,42 @@ def pq_rerank_search(
     oracle-checkable exactly rather than by recall verdict.
     ``impl`` selects the ADC stage implementation (see
     :func:`pq_search`)."""
-    from ome_arrow_spark.functions.vectors import cosine
+    from ome_arrow_spark.functions.vectors import dot, norm
 
     small_q = queries.count() <= max_driver_queries
     cand = pq_search(
         spark, table, queries, topk=candidates, query_id=query_id, vec=vec,
         max_driver_queries=max_driver_queries, impl=impl,
     ).select(query_id, "cid")
+    # r14: norms once per side row (not per candidate pair) — one dot
+    # fold per rerank candidate, bit-identical to the fused cosine.
     exactd = (
         cand.join(
             corpus.select(
                 F.col(corpus_id).alias("cid"),
                 F.col(vec).alias("__ce"),
+                norm(F.col(vec)).alias("__cn"),
             ),
             "cid",
         )
         .join(
             (F.broadcast if small_q else (lambda d: d))(
-                queries.select(F.col(query_id), F.col(vec).alias("__qe"))
+                queries.select(
+                    F.col(query_id),
+                    F.col(vec).alias("__qe"),
+                    norm(F.col(vec)).alias("__qn"),
+                )
             ),
             query_id,
         )
         .select(
             query_id,
             "cid",
-            F.round(cosine(F.col("__qe"), F.col("__ce")), digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__qe"), F.col("__ce"))
+                / (F.col("__qn") * F.col("__cn")),
+                digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -674,7 +683,7 @@ def ivfpq_rerank_search(
     centroid count, not |Q| — is collected for file pruning."""
     import numpy as np
 
-    from ome_arrow_spark.functions.vectors import cosine
+    from ome_arrow_spark.functions.vectors import dot, norm
     from ome_arrow_spark.sources import table_log as tl
 
     props = tl.table_properties(table)
@@ -786,25 +795,35 @@ def ivfpq_rerank_search(
         .filter(F.col("__crk") <= candidates)
         .select(query_id, "cid")
     )
+    # r14: per-side norms → one dot fold per rerank candidate
+    # (bit-identical to the fused cosine).
     exactd = (
         cand.join(
             corpus.select(
-                F.col(corpus_id).alias("cid"), F.col(vec).alias("__ce")
+                F.col(corpus_id).alias("cid"),
+                F.col(vec).alias("__ce"),
+                norm(F.col(vec)).alias("__cn"),
             ),
             "cid",
         )
         .join(
             (F.broadcast if broadcast_luts else (lambda d: d))(
-                queries.select(F.col(query_id), F.col(vec).alias("__qe"))
+                queries.select(
+                    F.col(query_id),
+                    F.col(vec).alias("__qe"),
+                    norm(F.col(vec)).alias("__qn"),
+                )
             ),
             query_id,
         )
         .select(
             query_id,
             "cid",
-            F.round(cosine(F.col("__qe"), F.col("__ce")), digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__qe"), F.col("__ce"))
+                / (F.col("__qn") * F.col("__cn")),
+                digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

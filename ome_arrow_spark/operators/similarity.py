@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ome_arrow_spark.functions.vectors import cosine
+from ome_arrow_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -89,12 +89,29 @@ def cosine_topk(
             score, out_schema
         )
     elif impl == "plan":
-        q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
-        c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+        # r14: norms are per-ROW quantities — compute them once per side
+        # BEFORE the cross join instead of re-deriving both inside every
+        # pair's cosine (3 HOF folds per pair → 1). sqrt(dot(v,v)) here
+        # is the exact double `cosine` would produce, so
+        # dot/(qn*cn) is bit-identical to the old fused expression.
+        q = queries.select(
+            F.col(query_id),
+            F.col(vec).alias("__qv"),
+            norm(F.col(vec)).alias("__qn"),
+        )
+        c = corpus.select(
+            F.col(corpus_id),
+            F.col(vec).alias("__cv"),
+            norm(F.col(vec)).alias("__cn"),
+        )
         scored = F.broadcast(q).crossJoin(c).select(
             query_id,
             corpus_id,
-            F.round(cosine(F.col("__qv"), F.col("__cv")), digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                digits,
+            ).alias("cos_sim"),
         )
     else:
         raise ValueError(f"impl must be 'plan' or 'arrow', got {impl!r}")
@@ -148,13 +165,25 @@ def lsh_signature(
     return sig.cast("int")
 
 
+_SIGN_MATRIX_CACHE: dict[tuple[int, int, int], object] = {}
+
+
 def _xxhash_sign_matrix(spark, n_tables: int, n_planes: int, dim: int):
     """(n_tables·n_planes, dim) ±1 hyperplane matrix carrying the EXACT
     signs :func:`_hyperplane_sign` derives from ``xxhash64(plane, i)``
     — computed ONCE by a dim-row JVM job instead of per corpus row, so
     the vectorized signature path buckets identically to the in-plan
     expression (up to float-sum order on dot products within 1 ulp of
-    zero, irrelevant for an approximate index)."""
+    zero, irrelevant for an approximate index).
+
+    Memoized on (n_tables, n_planes, dim): the matrix is a pure
+    function of those constants (hash-derived, no data dependence), and
+    a kNN join calls this once per SIDE — without the memo that is two
+    identical collect jobs per invocation (r14)."""
+    key = (n_tables, n_planes, dim)
+    cached = _SIGN_MATRIX_CACHE.get(key)
+    if cached is not None:
+        return cached
     import numpy as np
 
     plane_ids = [t * 1000 + p for t in range(n_tables) for p in range(n_planes)]
@@ -181,7 +210,8 @@ def _xxhash_sign_matrix(spark, n_tables: int, n_planes: int, dim: int):
         [[r[f"s{j}"] for j in range(len(plane_ids))] for r in rows],
         dtype=np.float64,
     )
-    return mat.T  # (n_tables*n_planes, dim)
+    _SIGN_MATRIX_CACHE[key] = mat.T  # (n_tables*n_planes, dim)
+    return _SIGN_MATRIX_CACHE[key]
 
 
 def _lsh_sigs_udf(sign_mat, n_tables: int, n_planes: int):
@@ -213,10 +243,17 @@ def _lsh_sig_side(
     n_planes: int,
     n_tables: int,
     seed_mode: str,
+    with_norm: bool = False,
 ):
     """One side of an LSH bucket join: (id, vector, table, signature)
     rows — ALL tables from ONE pass (posexplode / explode of the
-    per-table signature array, never a per-table rescan)."""
+    per-table signature array, never a per-table rescan).
+
+    ``with_norm`` additionally emits ``<out_vec>__n`` = the vector's L2
+    norm, computed ONCE per input row (before the per-table explode) so
+    downstream pair scoring pays one dot-product fold per pair instead
+    of re-deriving both norms inside every pair's cosine (r14)."""
+    extra = [norm(F.col(vec)).alias(f"{out_vec}__n")] if with_norm else []
     if seed_mode == "xxhash":
         dim = df.select(F.size(F.col(vec))).first()[0]
         sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
@@ -224,6 +261,7 @@ def _lsh_sig_side(
         return df.select(
             F.col(id_col),
             F.col(vec).alias(out_vec),
+            *extra,
             F.posexplode(sig_udf(F.col(vec))).alias("__t", "__sig"),
         )
 
@@ -243,9 +281,11 @@ def _lsh_sig_side(
     return df.select(
         F.col(id_col),
         F.col(vec).alias(out_vec),
+        *extra,
         F.explode(sigs(F.col(vec))).alias("__b"),
     ).select(
         id_col, out_vec,
+        *([f"{out_vec}__n"] if with_norm else []),
         F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"),
     )
 
@@ -280,18 +320,31 @@ def cosine_topk_lsh(
     dim-row JVM job + one numpy matmul per batch (measured 20×+ on the
     100k bench fixture).  The ``md5`` mode stays fully in-plan so the
     DuckDB oracle can recompute the buckets bit-for-bit."""
-    q = _lsh_sig_side(queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode)
-    c = _lsh_sig_side(corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode)
+    q = _lsh_sig_side(
+        queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode,
+        with_norm=True,
+    )
+    c = _lsh_sig_side(
+        corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode,
+        with_norm=True,
+    )
     candidates = (
         F.broadcast(q)
         .join(c, ["__t", "__sig"])
-        .select(query_id, corpus_id, "__qv", "__cv")
+        .select(query_id, corpus_id, "__qv", "__cv", "__qv__n", "__cv__n")
         .dropDuplicates([query_id, corpus_id])
     )
+    # r14: norms come pre-computed per SIDE row (not per pair), so each
+    # candidate pays one dot fold instead of three; dot/(qn*cn) is
+    # bit-identical to the old fused cosine expression.
     scored = candidates.select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qv__n") * F.col("__cv__n")),
+            digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -397,9 +450,24 @@ def knn_join_candidates(
         .select(left_id, right_id)
         .dropDuplicates([left_id, right_id])
     )
+    # r14: re-attach norms alongside the vectors — computed once per
+    # source row in the (small) side projections, so pair scoring pays
+    # one dot fold per candidate instead of dot + two norms.
     return pairs.join(
-        left.select(F.col(left_id), F.col(vec).alias("__lv")), left_id
-    ).join(right.select(F.col(right_id), F.col(vec).alias("__rv")), right_id)
+        left.select(
+            F.col(left_id),
+            F.col(vec).alias("__lv"),
+            norm(F.col(vec)).alias("__lv__n"),
+        ),
+        left_id,
+    ).join(
+        right.select(
+            F.col(right_id),
+            F.col(vec).alias("__rv"),
+            norm(F.col(vec)).alias("__rv__n"),
+        ),
+        right_id,
+    )
 
 
 def knn_join_candidate_census(
@@ -509,10 +577,20 @@ def knn_join_lsh(
             target_bucket=target_bucket,
             max_bucket=max_bucket,
         )
+    # r14: use side-attached norms when the candidate relation carries
+    # them (knn_join_candidates emits __lv__n/__rv__n); a caller-built
+    # candidates df without them falls back to the fused cosine. Both
+    # forms produce bit-identical doubles.
+    if "__lv__n" in candidates.columns and "__rv__n" in candidates.columns:
+        sim = dot(F.col("__lv"), F.col("__rv")) / (
+            F.col("__lv__n") * F.col("__rv__n")
+        )
+    else:
+        sim = cosine(F.col("__lv"), F.col("__rv"))
     scored = candidates.select(
         left_id,
         right_id,
-        F.round(cosine(F.col("__lv"), F.col("__rv")), digits).alias("cos_sim"),
+        F.round(sim, digits).alias("cos_sim"),
     )
     w = Window.partitionBy(left_id).orderBy(
         F.col("cos_sim").desc(), F.col(right_id)
@@ -558,9 +636,11 @@ def ivf_topk(
         k=n_centroids,
         iterations=3,
     ).withColumnsRenamed({"vec_id": corpus_id})
-    c_listed = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv")).join(
-        assign, corpus_id
-    )
+    c_listed = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("__cv"),
+        norm(F.col(vec)).alias("__cn"),
+    ).join(assign, corpus_id)
 
     # centroids recomputed as cluster means — vector-native (O(1) agg
     # expressions regardless of dim), packed into one broadcast row
@@ -571,13 +651,18 @@ def ivf_topk(
 
     # per query: n_probe nearest centroids (query side is small — the
     # explode + window ranks k centroid candidates per query)
-    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("__qv"),
+        norm(F.col(vec)).alias("__qn"),
+    )
     probes = (
         q.crossJoin(F.broadcast(packed))
-        .select(query_id, "__qv", F.explode("__cents").alias("cs"))
+        .select(query_id, "__qv", "__qn", F.explode("__cents").alias("cs"))
         .select(
             query_id,
             "__qv",
+            "__qn",
             F.col("cs.cluster").alias("cluster"),
             _sq_l2("__qv", F.col("cs.ctr")).alias("d2"),
         )
@@ -586,13 +671,18 @@ def ivf_topk(
     probed = (
         probes.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
-        .select(query_id, "__qv", "cluster")
+        .select(query_id, "__qv", "__qn", "cluster")
     )
 
+    # r14: per-side norms (query side broadcast, corpus side once per
+    # listed row) — pair scoring pays one dot fold; bit-identical.
     scored = F.broadcast(probed).join(c_listed, "cluster").select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
