@@ -82,32 +82,24 @@ def minhash_signatures(
     stage); min is multiplicity-insensitive, so distinct shingle sets
     give identical signatures.
 
-    Plan shape (r14 optimization): the per-document minimum is taken
-    INSIDE the shingle array (``array_min`` over a ``transform``) so no
-    shingle row is ever exploded. The old explode → groupBy(min(string))
-    form planned as Sort + SortAggregate on EVERY shingle occurrence —
-    ``min`` over a var-width string buffer is not hash-aggregable — i.e.
-    an O(shingles · log shingles) comparison sort both map- and
-    reduce-side. Here each row reduces to ``num_hashes`` 32-char minima
-    first, and the residual groupBy (same-id rows, normally 1 row per
-    id) aggregates #docs rows instead of #shingles. ``array_min`` and
-    ``MIN`` use the same UTF8 binary ordering over the same md5 set, so
-    signatures are bit-identical (oracle parity re-proven at sf0.001 +
-    sf0.01 + window sf0.1)."""
+    Plan-shape note (r14 measurement): an ``array_min(transform(shs,
+    md5))`` per-row rewrite — no shingle explode, no SortAggregate —
+    was tried and REVERTED: higher-order-function lambdas evaluate
+    interpreted (outside whole-stage codegen), and the measured wall
+    was 5-6× WORSE than this explode + groupBy(min) form at both sf0.1
+    (1.0 s vs 4.9 s) and sf1 (8.0 s vs 49 s, noop sink, best-of-3
+    interleaved A/B). The SortAggregate the rewrite removed is cheaper
+    than losing codegen on the md5-per-shingle inner loop. Signatures
+    were bit-identical both ways; this form is the fast one."""
     sh_expr = (
         F.col(shingles_col) if shingles_col else shingles(F.col(text_col), k)
     )
-    def _row_min(seed: int) -> Column:
-        prefix = F.lit(f"{seed}:")
-        return F.array_min(F.transform(sh_expr, lambda s: F.md5(F.concat(prefix, s))))
-
-    per_row = df.select(
-        F.col(id_col),
-        *[_row_min(seed).alias(f"mh{seed}") for seed in range(num_hashes)],
-    ).filter(F.col("mh0").isNotNull())
-    return per_row.groupBy(id_col).agg(
-        *[F.min(f"mh{s}").alias(f"mh{s}") for s in range(num_hashes)]
-    )
+    sh = df.select(F.col(id_col), F.explode(sh_expr).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(
