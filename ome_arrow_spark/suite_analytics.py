@@ -292,29 +292,54 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge build (r14): per-order sorted part set + in-array i<j
+    # combination explode — ONE groupBy shuffle on l_orderkey instead of
+    # the distinct + self-join + distinct cascade (3 exchanges of the
+    # same rows). Per-order part lists are small and bounded (TPC-H ≤7
+    # lineitems/order; the same bucket-bounded-explode shape as
+    # operators/dedup.lsh_candidates), so the explode is skew-safe at
+    # any corpus size. Same distinct (u<v) edge set, oracle-reproven.
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.u"), F.col("p.v"))
         .distinct()
         # the edge list feeds FOUR plan branches (three triangle roles +
         # the edge count); materialize once instead of rescanning
         # lineitem per branch (AQE exchange reuse only catches some).
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # The checkpointed RDD has no size statistics, so Catalyst falls
+    # back to SortMergeJoin — which comparison-sorts the (big) wedge
+    # stream. The query must count the edges anyway, so use that number
+    # to pick the strategy the optimizer can't see (guide §3.1): edge
+    # relations up to ~32 MB broadcast (removes both exchanges AND both
+    # sorts — measured 0.44 s → 0.25 s at sf0.1), bigger ones take a
+    # shuffled-hash hint (hash-builds the edge side per partition,
+    # streams the wedges unsorted — scale-safe at any edge count).
+    n_edges = edges.count()
+    e1 = edges.alias("e1")
+    if n_edges <= 2_000_000:
+        e2, e3 = F.broadcast(edges.alias("e2")), F.broadcast(edges.alias("e3"))
+    else:
+        e2 = edges.alias("e2").hint("shuffle_hash")
+        e3 = edges.alias("e3").hint("shuffle_hash")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(
