@@ -243,17 +243,10 @@ def _lsh_sig_side(
     n_planes: int,
     n_tables: int,
     seed_mode: str,
-    with_norm: bool = False,
 ):
     """One side of an LSH bucket join: (id, vector, table, signature)
     rows — ALL tables from ONE pass (posexplode / explode of the
-    per-table signature array, never a per-table rescan).
-
-    ``with_norm`` additionally emits ``<out_vec>__n`` = the vector's L2
-    norm, computed ONCE per input row (before the per-table explode) so
-    downstream pair scoring pays one dot-product fold per pair instead
-    of re-deriving both norms inside every pair's cosine (r14)."""
-    extra = [norm(F.col(vec)).alias(f"{out_vec}__n")] if with_norm else []
+    per-table signature array, never a per-table rescan)."""
     if seed_mode == "xxhash":
         dim = df.select(F.size(F.col(vec))).first()[0]
         sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
@@ -261,7 +254,6 @@ def _lsh_sig_side(
         return df.select(
             F.col(id_col),
             F.col(vec).alias(out_vec),
-            *extra,
             F.posexplode(sig_udf(F.col(vec))).alias("__t", "__sig"),
         )
 
@@ -281,11 +273,9 @@ def _lsh_sig_side(
     return df.select(
         F.col(id_col),
         F.col(vec).alias(out_vec),
-        *extra,
         F.explode(sigs(F.col(vec))).alias("__b"),
     ).select(
         id_col, out_vec,
-        *([f"{out_vec}__n"] if with_norm else []),
         F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"),
     )
 
@@ -319,30 +309,53 @@ def cosine_topk_lsh(
     n_tables·n_planes·dim interpreted hash-ops per ROW become one
     dim-row JVM job + one numpy matmul per batch (measured 20×+ on the
     100k bench fixture).  The ``md5`` mode stays fully in-plan so the
-    DuckDB oracle can recompute the buckets bit-for-bit."""
+    DuckDB oracle can recompute the buckets bit-for-bit.
+
+    Pair plumbing (r14): the bucket join and the (query_id, corpus_id)
+    dedup move THIN id pairs only — the vectors and their norms
+    re-attach afterwards by id joins (query side broadcast per the
+    |Q|-small contract).  The previous form carried BOTH embedding
+    arrays through the dedup exchange — ~16·dim bytes per PRE-dedup
+    pair, the same payload-through-shuffle anti-pattern the round-9
+    knn-join incident was about — and measured 14.9 s vs 2.9 s for
+    this form on the 100k bench fixture (217k candidate pairs),
+    results bit-identical.  Norms are computed once per side row; each
+    pair pays one dot fold."""
     q = _lsh_sig_side(
-        queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode,
-        with_norm=True,
+        queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode
     )
     c = _lsh_sig_side(
-        corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode,
-        with_norm=True,
+        corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode
     )
-    candidates = (
-        F.broadcast(q)
-        .join(c, ["__t", "__sig"])
-        .select(query_id, corpus_id, "__qv", "__cv", "__qv__n", "__cv__n")
+    thin = (
+        F.broadcast(q.select(query_id, "__t", "__sig"))
+        .join(c.select(corpus_id, "__t", "__sig"), ["__t", "__sig"])
+        .select(query_id, corpus_id)
         .dropDuplicates([query_id, corpus_id])
     )
-    # r14: norms come pre-computed per SIDE row (not per pair), so each
-    # candidate pays one dot fold instead of three; dot/(qn*cn) is
-    # bit-identical to the old fused cosine expression.
-    scored = candidates.select(
+    pairs = thin.join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id),
+                F.col(vec).alias("__qv"),
+                norm(F.col(vec)).alias("__qn"),
+            )
+        ),
+        query_id,
+    ).join(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec).alias("__cv"),
+            norm(F.col(vec)).alias("__cn"),
+        ),
+        corpus_id,
+    )
+    scored = pairs.select(
         query_id,
         corpus_id,
         F.round(
             dot(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qv__n") * F.col("__cv__n")),
+            / (F.col("__qn") * F.col("__cn")),
             digits,
         ).alias("cos_sim"),
     )
