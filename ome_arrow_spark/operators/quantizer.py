@@ -184,8 +184,21 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    return np.stack([
-        lloyd(X[:, s * sub:(s + 1) * sub], k, iterations=iterations,
-              seed=seed + s)
-        for s in range(m)
-    ])
+    # r14: subspace trainings are independent (each lloyd call is
+    # seeded per subspace and touches only its slice), so run them on
+    # a thread pool — numpy's BLAS kernels release the GIL, and the
+    # driver otherwise trains m codebooks sequentially while the
+    # cluster idles.  Results are identical to the sequential loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        books = list(
+            pool.map(
+                lambda s: lloyd(
+                    X[:, s * sub:(s + 1) * sub], k,
+                    iterations=iterations, seed=seed + s,
+                ),
+                range(m),
+            )
+        )
+    return np.stack(books)
