@@ -235,6 +235,23 @@ def _lsh_sigs_udf(sign_mat, n_tables: int, n_planes: int):
     return sigs
 
 
+def _lsh_sig_array(df, vec: str, n_planes: int, n_tables: int, seed_mode: str):
+    """Column expression: the per-table signature array (index = table)
+    of ``vec`` — the one signature computation both the exploded bucket
+    rows and the canonical-dedup filter derive from."""
+    if seed_mode == "xxhash":
+        dim = df.select(F.size(F.col(vec))).first()[0]
+        sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
+        sig_udf = _lsh_sigs_udf(sig_mat, n_tables, n_planes)
+        return sig_udf(F.col(vec))
+    return F.array(
+        *[
+            lsh_signature(F.col(vec), n_planes, table=t, seed_mode=seed_mode)
+            for t in range(n_tables)
+        ]
+    )
+
+
 def _lsh_sig_side(
     df,
     id_col: str,
@@ -243,40 +260,94 @@ def _lsh_sig_side(
     n_planes: int,
     n_tables: int,
     seed_mode: str,
+    sigs_col: str | None = None,
 ):
     """One side of an LSH bucket join: (id, vector, table, signature)
-    rows — ALL tables from ONE pass (posexplode / explode of the
-    per-table signature array, never a per-table rescan)."""
-    if seed_mode == "xxhash":
-        dim = df.select(F.size(F.col(vec))).first()[0]
-        sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
-        sig_udf = _lsh_sigs_udf(sig_mat, n_tables, n_planes)
-        return df.select(
-            F.col(id_col),
-            F.col(vec).alias(out_vec),
-            F.posexplode(sig_udf(F.col(vec))).alias("__t", "__sig"),
-        )
+    rows — ALL tables from ONE pass (posexplode of the per-table
+    signature array, never a per-table rescan).
 
-    def sigs(v):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_signature(
-                        v, n_planes, table=t, seed_mode=seed_mode
-                    ).alias("s"),
-                )
-                for t in range(n_tables)
-            ]
+    ``sigs_col`` (r14) retains the FULL signature array on every
+    exploded row instead of the vector — the canonical-first-collision
+    dedup filter needs both sides' arrays to test "did this pair
+    already collide in an earlier table".  posexplode_outer keeps
+    Catalyst from inferring a ``size(arr) > 0`` pre-Generate filter
+    that would evaluate the signature UDF a second time per row (an
+    empty/null array yields null join keys, dropped by the inner
+    bucket join — same pair set)."""
+    arr = _lsh_sig_array(df, vec, n_planes, n_tables, seed_mode)
+    if sigs_col is not None:
+        return df.select(F.col(id_col), arr.alias(sigs_col)).select(
+            id_col,
+            sigs_col,
+            F.posexplode_outer(F.col(sigs_col)).alias("__t", "__sig"),
         )
-
     return df.select(
         F.col(id_col),
         F.col(vec).alias(out_vec),
-        F.explode(sigs(F.col(vec))).alias("__b"),
-    ).select(
-        id_col, out_vec,
-        F.col("__b.t").alias("__t"), F.col("__b.s").alias("__sig"),
+        F.posexplode(arr).alias("__t", "__sig"),
+    )
+
+
+def _canonical_lsh_pairs(
+    ls,
+    rs,
+    left_id: str,
+    right_id: str,
+    n_tables: int,
+    dis_by_t: dict[int, set[int]] | None = None,
+    broadcast_left: bool = False,
+):
+    """DISTINCT candidate pairs from two exploded signature sides with
+    NO dedup shuffle (r14): a pair is emitted only by the FIRST table
+    (lowest ``__t``) whose buckets collide — later collisions are
+    filtered map-side by comparing the carried signature arrays.  The
+    emitted set is exactly ``dropDuplicates(left_id, right_id)`` of the
+    bucket join (every surviving pair has a unique minimal colliding
+    table), but the 2-phase aggregate + exchange of the full pre-dedup
+    pair stream is gone; what's carried instead is one n_tables-int
+    array per SIGNATURE row — ~4·n·T² bytes on the signature shuffle
+    vs ~24·n·T·target_bucket through the dedup exchange, under 10%
+    of it even at T=128.
+
+    ``dis_by_t`` maps table → skew-capped (disallowed) signature set,
+    collected on the driver; those buckets are pruned from BOTH sides
+    and treated as non-collisions in the canonical test, so the pair
+    set equals the old broadcast-allow-list form exactly.
+
+    The returned pairs are repartitioned on ``left_id``: with every
+    join upstream broadcast-sized, nothing else forces an exchange
+    before the consumer — a local run would otherwise score millions
+    of pairs in the input's single scan task (measured 55 s vs 7 s on
+    the 20k×20k bench join), and every consumer (top-k window,
+    threshold filter + components) partitions by ``left_id`` anyway,
+    so the thin-pair exchange it introduces is one a consumer window
+    reuses (no second scored-row shuffle)."""
+    dis_by_t = dis_by_t or {}
+
+    def keep(df):
+        pred = None
+        for t, sigs in dis_by_t.items():
+            p = (F.col("__t") == t) & F.col("__sig").isin(*sorted(sigs))
+            pred = p if pred is None else (pred | p)
+        return df if pred is None else df.filter(~pred)
+
+    lhs = keep(ls)
+    if broadcast_left:
+        lhs = F.broadcast(lhs)
+    j = lhs.join(keep(rs), ["__t", "__sig"])
+    earlier = F.lit(False)
+    for t in range(n_tables):
+        coll = (F.lit(t) < F.col("__t")) & (
+            F.col("__lsigs")[t] == F.col("__rsigs")[t]
+        )
+        sigs = dis_by_t.get(t)
+        if sigs:
+            coll = coll & ~F.col("__lsigs")[t].isin(*sorted(sigs))
+        earlier = earlier | coll
+    return (
+        j.filter(~earlier)
+        .select(left_id, right_id)
+        .repartition(F.col(left_id))
     )
 
 
@@ -311,27 +382,29 @@ def cosine_topk_lsh(
     100k bench fixture).  The ``md5`` mode stays fully in-plan so the
     DuckDB oracle can recompute the buckets bit-for-bit.
 
-    Pair plumbing (r14): the bucket join and the (query_id, corpus_id)
-    dedup move THIN id pairs only — the vectors and their norms
-    re-attach afterwards by id joins (query side broadcast per the
-    |Q|-small contract).  The previous form carried BOTH embedding
-    arrays through the dedup exchange — ~16·dim bytes per PRE-dedup
-    pair, the same payload-through-shuffle anti-pattern the round-9
-    knn-join incident was about — and measured 14.9 s vs 2.9 s for
-    this form on the 100k bench fixture (217k candidate pairs),
-    results bit-identical.  Norms are computed once per side row; each
-    pair pays one dot fold."""
+    Pair plumbing (r14): the bucket join moves THIN id pairs only —
+    the vectors and their norms re-attach afterwards by id joins
+    (query side broadcast per the |Q|-small contract).  The previous
+    form carried BOTH embedding arrays through a (query_id, corpus_id)
+    dedup exchange — ~16·dim bytes per PRE-dedup pair, the same
+    payload-through-shuffle anti-pattern the round-9 knn-join incident
+    was about — and measured 14.9 s vs 2.9 s for the thin form on the
+    100k bench fixture (217k candidate pairs), results bit-identical.
+    The dedup exchange itself is now gone too: pairs are emitted only
+    by their FIRST colliding table (map-side canonical filter over the
+    carried signature arrays — see :func:`_canonical_lsh_pairs`).
+    Norms are computed once per side row; each pair pays one dot
+    fold."""
     q = _lsh_sig_side(
-        queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode
+        queries, query_id, vec, "__qv", n_planes, n_tables, seed_mode,
+        sigs_col="__lsigs",
     )
     c = _lsh_sig_side(
-        corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode
+        corpus, corpus_id, vec, "__cv", n_planes, n_tables, seed_mode,
+        sigs_col="__rsigs",
     )
-    thin = (
-        F.broadcast(q.select(query_id, "__t", "__sig"))
-        .join(c.select(corpus_id, "__t", "__sig"), ["__t", "__sig"])
-        .select(query_id, corpus_id)
-        .dropDuplicates([query_id, corpus_id])
+    thin = _canonical_lsh_pairs(
+        q, c, query_id, corpus_id, n_tables, broadcast_left=True
     )
     pairs = thin.join(
         F.broadcast(
@@ -431,13 +504,19 @@ def knn_join_candidates(
     reachable (64× the expected bucket), unlike the old fixed 100k cap
     that could never engage below ~1.6M-row buckets.
 
-    The pair dedup shuffles THIN (left_id, right_id) rows only — the
+    Pairs are DISTINCT on (left_id, right_id) with no dedup shuffle
+    (r14): each pair is emitted only by its first colliding table —
+    the map-side canonical filter of :func:`_canonical_lsh_pairs` over
+    carried signature arrays replaces the old
+    ``dropDuplicates`` 2-phase aggregate + exchange of the full
+    pre-dedup pair stream (measured 6.65 → 1.52 s on the 20k×20k
+    bench join's pair stage, identical 7.8M-pair output).  The
     embedding vectors re-attach afterwards by id-equi-joins against
-    the original relations.  Carrying two dim-double vectors through
-    the bucket join + dedup multiplies that shuffle by ~16·dim bytes
-    per pair (the other half of the round-9 49 GB incident); the thin
-    form is ~24 bytes/pair regardless of dim, and the re-attach joins
-    are id-partitioned sort-merge (or AQE-broadcast when a side is
+    the original relations: carrying two dim-double vectors through
+    the bucket join multiplies its shuffle by ~16·dim bytes per pair
+    (the other half of the round-9 49 GB incident); the thin form is
+    ~24 bytes/pair regardless of dim, and the re-attach joins are
+    id-partitioned sort-merge (or AQE-broadcast when a side is
     small)."""
     if n_planes is None:
         n_planes = knn_join_planes(max(right.count(), 1), target_bucket)
@@ -445,23 +524,35 @@ def knn_join_candidates(
         n_tables = knn_join_tables(n_planes)
     if max_bucket is None:
         max_bucket = 64 * target_bucket
-    ls = _lsh_sig_side(left, left_id, vec, "__lv", n_planes, n_tables, seed_mode).select(
-        left_id, "__t", "__sig"
+    ls = _lsh_sig_side(
+        left, left_id, vec, "__lv", n_planes, n_tables, seed_mode,
+        sigs_col="__lsigs",
     )
-    rs = _lsh_sig_side(right, right_id, vec, "__rv", n_planes, n_tables, seed_mode).select(
-        right_id, "__t", "__sig"
+    rs = _lsh_sig_side(
+        right, right_id, vec, "__rv", n_planes, n_tables, seed_mode,
+        sigs_col="__rsigs",
     )
-    allowed = (
+    # Skew census (r14): the oversized buckets are FEW by construction
+    # (the guard exists for boilerplate/zero-vector mega-buckets), so
+    # collect them to the driver and prune with literal predicates —
+    # the canonical-first-collision filter in _canonical_lsh_pairs
+    # needs the disallowed set IN-EXPRESSION (a collision in a
+    # disallowed table must not suppress the pair's allowed emission),
+    # which a broadcast-joined allow-list cannot provide.  Same census
+    # aggregate the old broadcast allow-list ran; one extra collect-
+    # sized driver hop, bounded by n_tables · 2^n_planes rows.
+    dis_rows = (
         rs.groupBy("__t", "__sig")
         .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
+        .filter(F.col("__n") > max_bucket)
         .select("__t", "__sig")
+        .collect()
     )
-    pairs = (
-        ls.join(F.broadcast(allowed), ["__t", "__sig"])
-        .join(rs, ["__t", "__sig"])
-        .select(left_id, right_id)
-        .dropDuplicates([left_id, right_id])
+    dis_by_t: dict[int, set[int]] = {}
+    for r in dis_rows:
+        dis_by_t.setdefault(int(r["__t"]), set()).add(int(r["__sig"]))
+    pairs = _canonical_lsh_pairs(
+        ls, rs, left_id, right_id, n_tables, dis_by_t=dis_by_t
     )
     # r14: re-attach norms alongside the vectors — computed once per
     # source row in the (small) side projections, so pair scoring pays

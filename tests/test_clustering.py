@@ -184,6 +184,75 @@ def test_knn_join_candidate_bound_and_auto_planes(spark, sf_dir):
     assert auto == explicit and len(auto) > 0
 
 
+def test_canonical_dedup_equals_dropduplicates(spark, sf_dir):
+    """r14 canonical-first-collision dedup: knn_join_candidates' pair
+    set must equal the old form — bucket join over an allow-list,
+    then dropDuplicates — INCLUDING when the skew cap engages (a pair
+    whose only early collision sits in a disallowed bucket must still
+    be emitted by its first ALLOWED table).  max_bucket is forced tiny
+    so real buckets get disallowed on this fixture."""
+    from ome_arrow_spark.operators.similarity import (
+        _lsh_sig_side,
+        knn_join_candidates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 3 != 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    for seed_mode in ("xxhash", "md5"):
+        for max_bucket in (4, 10**9):
+            got = {
+                (r["qid"], r["cid"])
+                for r in knn_join_candidates(
+                    left,
+                    right,
+                    n_planes=4,
+                    n_tables=8,
+                    seed_mode=seed_mode,
+                    max_bucket=max_bucket,
+                )
+                .select("qid", "cid")
+                .collect()
+            }
+            # reference: the pre-r14 allow-list + dropDuplicates form
+            ls = _lsh_sig_side(
+                left, "qid", "embedding", "__lv", 4, 8, seed_mode
+            ).select("qid", "__t", "__sig")
+            rs = _lsh_sig_side(
+                right, "cid", "embedding", "__rv", 4, 8, seed_mode
+            ).select("cid", "__t", "__sig")
+            allowed = (
+                rs.groupBy("__t", "__sig")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("__t", "__sig")
+            )
+            want = {
+                (r["qid"], r["cid"])
+                for r in ls.join(F.broadcast(allowed), ["__t", "__sig"])
+                .join(rs, ["__t", "__sig"])
+                .select("qid", "cid")
+                .dropDuplicates(["qid", "cid"])
+                .collect()
+            }
+            assert got == want, (
+                f"canonical dedup diverged ({seed_mode}, max_bucket="
+                f"{max_bucket}): {len(got)} vs {len(want)} pairs"
+            )
+            if max_bucket == 4:
+                # the cap must actually engage on this fixture, or the
+                # disallowed branch wasn't exercised
+                n_uncapped = knn_join_candidates(
+                    left, right, n_planes=4, n_tables=8,
+                    seed_mode=seed_mode, max_bucket=10**9,
+                ).count()
+                assert len(got) < n_uncapped, "skew cap never engaged"
+
+
 def test_knn_join_tables_formula():
     """Exact-integer recall-holding growth: T = ceil(8·25^d/16^d)
     capped [8, 128] — the sequence the DuckDB oracle mirrors."""
