@@ -17,6 +17,7 @@ from ome_arrow_spark.operators.dedup import (
     lsh_candidates,
     minhash_signatures,
     shingles,
+    spread_small_input,
 )
 
 
@@ -43,7 +44,11 @@ def near_dedup(
     # is multiplicity-insensitive so the distinct set is equivalent).
     # Only (id, shingles) is checkpointed — the corpus text itself is
     # never materialized twice; the final join re-reads it from source.
-    shs_tbl = docs.select(
+    # r14: spread a small-split input BEFORE the tokenize+shingle
+    # build — the checkpoint (and everything derived from it) otherwise
+    # inherits the scan's 1-2 local partitions (see
+    # dedup.spread_small_input; no-op at scale).
+    shs_tbl = spread_small_input(docs, id_col).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__shs")
     ).localCheckpoint(eager=True)
     sig = minhash_signatures(
