@@ -73,6 +73,7 @@ def build_ivf_index(
 
     if centroids is not None or train == "sample":
         from ome_arrow_spark.operators import quantizer as QZ
+        from ome_arrow_spark.operators.dedup import spread_small_input
 
         if centroids is not None:
             import numpy as np
@@ -83,7 +84,12 @@ def build_ivf_index(
             cents = QZ.train_centroids(
                 corpus, vec, n_centroids, sample_size=sample_size
             )
-        listed = corpus.select(
+        # The nearest-centroid assignment pass runs in the INPUT's
+        # partitions; spread a small-split corpus to slots width
+        # first (dedup.spread_small_input — no-op at scale, per-row
+        # assign is partition-independent so stored rows are
+        # unchanged).
+        listed = spread_small_input(corpus, corpus_id).select(
             QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
             F.col(corpus_id).alias("cid"),
             F.col(vec).alias("embedding"),

@@ -145,11 +145,19 @@ def build_pq_index(
     sub = dim // m
     if train == "sample":
         from ome_arrow_spark.operators import quantizer as QZ
+        from ome_arrow_spark.operators.dedup import spread_small_input
 
         books = QZ.train_pq_codebooks(
             corpus, vec, m, k, sample_size=sample_size
         )
-        coded = corpus.select(
+        # The Arrow encode pass runs in the INPUT's partitions, and a
+        # small corpus arrives as a handful of parquet splits — the
+        # same parallelism collapse as the MinHash tokenize stage
+        # (dedup.spread_small_input; no-op at scale where the scan
+        # yields >= slots splits).  Per-row encode is partition-
+        # independent, so the spread changes no stored byte.  Measured
+        # interleaved at the 100k bench fixture: 2.28 -> 0.86 s.
+        coded = spread_small_input(corpus, corpus_id).select(
             F.col(corpus_id).alias("cid"),
             QZ.pq_encode_udf(books)(F.col(vec)).alias("codes"),
         )
@@ -583,15 +591,25 @@ def build_ivfpq_index(
 
     if train == "sample":
         from ome_arrow_spark.operators import quantizer as QZ
+        from ome_arrow_spark.operators.dedup import spread_small_input
 
+        # One materialized sample feeds BOTH trainers — coarse
+        # centroids and PQ codebooks trained on sample_vectors of the
+        # identical (df, vec, sample_size, seed) before this shared
+        # path existed, so outputs are bit-identical while the corpus
+        # scan + driver collect is paid once instead of twice.
+        X = QZ.sample_vectors(corpus, vec, sample_size)
         cents = QZ.train_centroids(
-            corpus, vec, n_centroids, sample_size=sample_size
+            corpus, vec, n_centroids, sample_size=sample_size, sample=X
         )
         books = QZ.train_pq_codebooks(
-            corpus, vec, m, k, sample_size=sample_size
+            corpus, vec, m, k, sample_size=sample_size, sample=X
         )
         sub = books.shape[2]
-        rows = corpus.select(
+        # assign+encode spread: same guard as build_pq_index (no-op at
+        # scale); measured interleaved 2.61 -> 0.76 s at the bench
+        # fixture.
+        rows = spread_small_input(corpus, corpus_id).select(
             QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
             F.col(corpus_id).alias("cid"),
             QZ.pq_encode_udf(books)(F.col(vec)).alias("codes"),

@@ -158,9 +158,18 @@ def train_centroids(
     iterations: int = 10,
     sample_size: int = 262_144,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
-    return lloyd(sample_vectors(df, vec, sample_size, seed), k,
-                 iterations=iterations, seed=seed)
+    """``sample`` short-circuits the corpus scan: callers that train
+    several quantizers from the SAME (df, vec, sample_size, seed) —
+    build_ivfpq_index trains coarse centroids AND m codebooks — pass
+    the one materialized sample instead of paying sample_vectors'
+    full scan + driver collect per trainer.  Output is bit-identical
+    to the resample (sample_vectors is deterministic)."""
+    X = sample if sample is not None else sample_vectors(
+        df, vec, sample_size, seed
+    )
+    return lloyd(X, k, iterations=iterations, seed=seed)
 
 
 def train_pq_codebooks(
@@ -172,10 +181,14 @@ def train_pq_codebooks(
     sample_size: int = 262_144,
     seed: int = 42,
     normalize: bool = True,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """(m, k, sub) codebooks trained per subspace on one shared
-    sample."""
-    X = sample_vectors(df, vec, sample_size, seed)
+    sample.  ``sample`` skips the corpus scan (see train_centroids);
+    the passed array is never mutated (normalize rebinds)."""
+    X = sample if sample is not None else sample_vectors(
+        df, vec, sample_size, seed
+    )
     if normalize:
         nrm = np.linalg.norm(X, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
