@@ -170,8 +170,12 @@ def bench_stream_ingest(
                 f.write(blob)
 
         def merge(batch_df, batch_id):
-            if batch_df.isEmpty():
-                return
+            # No isEmpty() guard (r14): AvailableNow over a statically
+            # staged drop dir plans only non-empty batches (replays
+            # carry the same files), and the guard costs one scheduled
+            # decode job per micro-batch — measured 0.6-1.1 s/batch,
+            # ~25% of the per-trigger floor (OPTIMIZATION_r14.md
+            # §streaming).  current_version() is a driver file check.
             if tl.current_version(table) is None:
                 tl.create_ome_table(
                     spark, batch_df, table,

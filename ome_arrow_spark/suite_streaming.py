@@ -288,8 +288,10 @@ def stream_ome_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
+            # no isEmpty() guard (r14): AvailableNow over a static
+            # drop dir plans only non-empty batches (replays carry
+            # the same files); the guard cost one scheduled decode
+            # job per micro-batch (OPTIMIZATION_r14.md §streaming)
             if tl.current_version(table) is None:
                 tl.create_ome_table(spark, batch_df, table)
             else:
@@ -384,8 +386,10 @@ def stream_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
+            # no isEmpty() guard (r14): AvailableNow over a static
+            # drop dir plans only non-empty batches (replays carry
+            # the same files); the guard cost one scheduled decode
+            # job per micro-batch (OPTIMIZATION_r14.md §streaming)
             if tl.current_version(table) is None:
                 # the creating commit records txn.<app>=batch_id too
                 # (Delta: txnAppId/txnVersion apply to the initial
@@ -562,8 +566,10 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def index_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() guard (r14): AvailableNow over a static
+        # drop dir plans only non-empty batches (replays carry
+        # the same files); the guard cost one scheduled decode
+        # job per micro-batch (OPTIMIZATION_r14.md §streaming)
         if tl.current_version(table) is None:
             TI.build_text_index(spark, batch_df, table, n_files=4)
         else:
@@ -1037,8 +1043,10 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def index_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
+            # no isEmpty() guard (r14): AvailableNow over a static
+            # drop dir plans only non-empty batches (replays carry
+            # the same files); the guard cost one scheduled decode
+            # job per micro-batch (OPTIMIZATION_r14.md §streaming)
             if tl.current_version(table) is None:
                 AI.build_ivf_index(
                     spark, batch_df, table, n_centroids=8, overwrite=True
@@ -1116,8 +1124,10 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sig_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
+            # no isEmpty() guard (r14): AvailableNow over a static
+            # drop dir plans only non-empty batches (replays carry
+            # the same files); the guard cost one scheduled decode
+            # job per micro-batch (OPTIMIZATION_r14.md §streaming)
             sig = DD.minhash_signatures(batch_df)
             if tl.current_version(table) is None:
                 tl.create_table(spark, sig, table)

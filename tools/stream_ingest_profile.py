@@ -66,8 +66,7 @@ def _worker(shard_dir: str, n_expected: int) -> None:
     table = tempfile.mkdtemp(prefix="sprof_ptbl_") + "/t"
 
     def sink_fn(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() guard (r14 shipped sink config)
         if tl.current_version(table) is None:
             tl.create_ome_table(
                 spark, batch_df, table, txn_app="sprofp", txn_batch=batch_id
@@ -212,8 +211,7 @@ def main() -> None:
         table = tempfile.mkdtemp(prefix="sprof_tbl_") + "/t"
         try:
             def merge(batch_df, batch_id):
-                if batch_df.isEmpty():
-                    return
+                # no isEmpty() guard (r14 shipped sink config)
                 if tl.current_version(table) is None:
                     tl.create_ome_table(spark, batch_df, table)
                 elif sink == "merge":
@@ -276,8 +274,7 @@ def main() -> None:
 
         def one(i: int) -> None:
             def sink_fn(batch_df, batch_id):
-                if batch_df.isEmpty():
-                    return
+                # no isEmpty() guard (r14 shipped sink config)
                 if tl.current_version(tables[i]) is None:
                     tl.create_ome_table(
                         spark, batch_df, tables[i],
