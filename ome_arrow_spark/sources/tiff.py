@@ -225,8 +225,8 @@ def from_tiff_dir(
         .load(path)
         .select("path", "content")
     )
-    return bin_df.mapInPandas(
-        _decode_batches_fn(column, on_error),
+    return bin_df.mapInArrow(
+        _decode_arrow_fn(column, on_error),
         schema=_decode_out_schema(column),
     )
 
@@ -237,22 +237,36 @@ def _decode_out_schema(column: str):
     return StructType([StructField(column, ome_arrow_struct())])
 
 
-def _decode_batches_fn(column: str, on_error: str):
+def _decode_arrow_fn(column: str, on_error: str):
+    """mapInArrow decode: records are assembled into Arrow arrays
+    DIRECTLY (sources/arrow_records.py) — the pandas→Arrow struct
+    conversion the old mapInPandas path paid per image cost 2.4× the
+    FTIF decode itself (3.59 vs 1.48 ms/img at 512², r14 profile)."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be fail/skip, got {on_error!r}")
+    from ome_arrow_spark.sources.arrow_records import (
+        ome_arrow_field_type,
+        records_to_arrow_batch,
+    )
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    ome_type = ome_arrow_field_type()
+
+    def decode_batches(batches):
+        for batch in batches:
+            paths = batch.column("path")
+            contents = batch.column("content")
             records = []
-            for p, b in zip(pdf["path"], pdf["content"]):
+            for i in range(batch.num_rows):
                 try:
-                    records.append(_record_to_row(decode_image_bytes(p, bytes(b))))
+                    records.append(
+                        decode_image_bytes(
+                            paths[i].as_py(), contents[i].as_py()
+                        )
+                    )
                 except (ValueError, NotImplementedError):
                     if on_error == "fail":
                         raise
-            # dtype=object keeps the empty batch struct-typed (a bare
-            # [] infers float64, which Arrow rejects for struct cols)
-            yield pd.DataFrame({column: pd.Series(records, dtype=object)})
+            yield records_to_arrow_batch(records, column, ome_type)
 
     return decode_batches
 
@@ -288,8 +302,8 @@ def from_tiff_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     bin_df = reader.load(path).select("path", "content")
-    return bin_df.mapInPandas(
-        _decode_batches_fn(column, on_error),
+    return bin_df.mapInArrow(
+        _decode_arrow_fn(column, on_error),
         schema=_decode_out_schema(column),
     )
 

@@ -184,19 +184,25 @@ def from_zarr_manifest(
     ).repartition(min(len(store_paths), 64))
     schema = StructType([StructField(column, ome_arrow_struct())])
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for sp in pdf["store_path"]:
-                rec = decode_store(sp, level)
-                rec["planes"] = [
-                    {**p, "pixels": np.asarray(p["pixels"]).tolist()}
-                    for p in rec["planes"]
-                ]
-                recs.append(rec)
-            yield pd.DataFrame({column: recs})
+    # direct-Arrow batch assembly (r14, sources/arrow_records.py): the
+    # old path additionally paid a per-plane ``.tolist()`` — 10⁵ Python
+    # ints per plane — before the pandas→Arrow struct walk
+    from ome_arrow_spark.sources.arrow_records import (
+        ome_arrow_field_type,
+        records_to_arrow_batch,
+    )
 
-    return manifest.mapInPandas(decode, schema=schema)
+    ome_type = ome_arrow_field_type()
+
+    def decode(batches):
+        for batch in batches:
+            recs = [
+                decode_store(sp.as_py(), level)
+                for sp in batch.column("store_path")
+            ]
+            yield records_to_arrow_batch(recs, column, ome_type)
+
+    return manifest.mapInArrow(decode, schema=schema)
 
 
 def build_pyramid(

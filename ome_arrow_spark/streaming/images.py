@@ -46,17 +46,14 @@ def read_image_stream(
 
     schema = StructType([StructField(column, ome_arrow_struct())])
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ome_arrow_spark.sources.tiff import _record_to_row, decode_image_bytes
+    # direct-Arrow decode (r14): same batch assembly as
+    # sources/tiff._decode_arrow_fn — the pandas→Arrow struct
+    # conversion cost 2.4× the decode itself (arrow_records.py)
+    from ome_arrow_spark.sources.tiff import _decode_arrow_fn
 
-        for pdf in batches:
-            records = [
-                _record_to_row(decode_image_bytes(p, bytes(b)))
-                for p, b in zip(pdf["path"], pdf["content"])
-            ]
-            yield pd.DataFrame({column: records})
-
-    return bin_stream.mapInPandas(decode_batches, schema=schema)
+    return bin_stream.mapInArrow(
+        _decode_arrow_fn(column, "fail"), schema=schema
+    )
 
 
 def ingest_available_now(
