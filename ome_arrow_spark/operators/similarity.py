@@ -165,6 +165,61 @@ def lsh_signature(
     return sig.cast("int")
 
 
+def _md5_sign_matrix(n_tables: int, n_planes: int, dim: int):
+    """(n_tables·n_planes, dim) ±1 hyperplane matrix carrying the EXACT
+    signs the md5-mode :func:`_hyperplane_sign` derives per element:
+    ``2·(ascii(md5("{plane}:{i}")[0]) % 2) − 1``.  hashlib, Spark
+    ``md5`` and DuckDB ``md5`` all produce the same lowercase hex
+    digest of the same UTF-8 bytes, so these are plan-time constants —
+    no per-row hashing (r14; the in-plan fold paid
+    tables·planes·dim interpreted md5 calls per ROW)."""
+    import hashlib
+
+    import numpy as np
+
+    plane_ids = [t * 1000 + p for t in range(n_tables) for p in range(n_planes)]
+    mat = np.empty((len(plane_ids), dim), dtype=np.float64)
+    for j, pl in enumerate(plane_ids):
+        for i in range(dim):
+            h = hashlib.md5(f"{pl}:{i}".encode()).hexdigest()
+            mat[j, i] = 2 * (ord(h[0]) % 2) - 1
+    return mat
+
+
+def _md5_sigs_udf(sign_mat, n_tables: int, n_planes: int):
+    """pandas UDF: all n_tables md5-mode signatures of a vector batch,
+    BIT-IDENTICAL to the in-plan fold.  Unlike the xxhash path's
+    matmul (which reorders float additions — fine for an approximate
+    index, not for an oracle-replayed bucket id), each plane's dot
+    product accumulates COLUMN BY COLUMN in element order —
+    ``acc = (((0 + x₀·s₀) + x₁·s₁) + …)`` vectorized across rows — the
+    exact IEEE sequence of ``aggregate(zip_with(vec, seq, x·sgn), 0,
+    +)``, so the ``> 0`` bucket bits match the DuckDB twin bit for
+    bit.  Contract: finite fixed-width vectors (shared with the xxhash
+    UDF path)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    S = sign_mat  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def sigs(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n, dim = X.shape
+        acc = np.zeros((n, S.shape[0]))
+        for i in range(dim):
+            # ordered: products exact, adds left-assoc per plane
+            acc = acc + X[:, i : i + 1] * S[:, i]
+        bits = acc > 0
+        vals = (
+            bits.reshape(n, n_tables, n_planes) * weights
+        ).sum(-1).astype(np.int32)
+        return pd.Series(list(vals))
+
+    return sigs
+
+
 _SIGN_MATRIX_CACHE: dict[tuple[int, int, int], object] = {}
 
 
@@ -244,6 +299,17 @@ def _lsh_sig_array(df, vec: str, n_planes: int, n_tables: int, seed_mode: str):
         sig_mat = _xxhash_sign_matrix(df.sparkSession, n_tables, n_planes, dim)
         sig_udf = _lsh_sigs_udf(sig_mat, n_tables, n_planes)
         return sig_udf(F.col(vec))
+    # md5 mode (r14): same vectorized shape, but the ±1 signs are
+    # plan-time hashlib constants and the per-plane accumulation is
+    # ORDERED (column by column) so buckets stay bit-identical to the
+    # in-plan fold the DuckDB oracle replays — measured 10.5 → ~2 s on
+    # knn_cosine_lsh at sf0.1 (the fold paid tables·planes·dim
+    # interpreted md5 calls per row).  Empty input falls back to the
+    # fold (nothing to probe, nothing to pay).
+    probe = df.select(F.size(F.col(vec))).first()
+    if probe is not None and probe[0] is not None:
+        sig_mat = _md5_sign_matrix(n_tables, n_planes, probe[0])
+        return _md5_sigs_udf(sig_mat, n_tables, n_planes)(F.col(vec))
     return F.array(
         *[
             lsh_signature(F.col(vec), n_planes, table=t, seed_mode=seed_mode)
