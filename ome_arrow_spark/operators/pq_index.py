@@ -114,6 +114,151 @@ def _normalize(vec):
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
+def _pq_encode_exact_udf(books):
+    """argmin PQ encode BIT-IDENTICAL to the in-plan fold (r14): per
+    subspace, d² accumulates COLUMN BY COLUMN in element order — the
+    exact IEEE sequence of ``aggregate(zip_with(slice, ctr,
+    (a−b)·(a−b)), 0, +)`` — and ``np.argmin`` keeps the FIRST minimum,
+    matching the fold's strict-< lowest-cluster tie-break.  The old
+    expression evaluated m·k interpreted sub-folds per ROW (m=32, k=16
+    → 512 lambda walks/row; measured ~7 s of the 21 s exact build at
+    sf0.1).  Contract: finite normalized vectors (zero-norm rows would
+    NaN both paths differently)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = B.shape
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())  # normalized doubles from __nv
+        n = len(X)
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            D = np.zeros((n, k))
+            for i in range(sub):
+                diff = Xs[:, i : i + 1] - B[s, :, i]
+                D = D + diff * diff
+            codes[:, s] = np.argmin(D, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _exact_pq_codebooks(
+    base: DataFrame, m: int, sub: int, k: int, iterations: int
+) -> list[list[list[float]]]:
+    """All m per-subspace exact k-means trainings in ONE iterated plan
+    (r14).  The old form ran :func:`clustering.kmeans` once per
+    subspace — m × (iterations + 1) tiny sequential jobs whose wall was
+    DAGScheduler throughput, not compute (56 s for m=32 at sf0.1; a
+    thread pool over subspaces only cut it to ~23 s because the
+    single-threaded scheduler serializes job planning).  Here the
+    subspace id ``__s`` joins the key set: one exploded
+    (cid, __s, subvector) relation, one broadcast of all m packed
+    centroid lists per round, one grouped decimal-mean update — so a
+    whole training round is ONE job regardless of m.
+
+    Result-identical to the per-subspace loop by construction: the
+    per-(s) computations are disjoint group keys; cluster means
+    accumulate in DECIMAL(38,12) (associative, partitioning-
+    independent — clustering.cluster_means' own contract), the argmin
+    fold and its lowest-cluster tie-break are the same expressions
+    (:func:`clustering._sq_l2`), and the init centroids are the same k
+    smallest cids' subvectors.  The DuckDB oracle replays the
+    per-subspace unrolled SQL and must keep matching bit for bit —
+    gated by ann_pq_rerank/ann_ivfpq_rerank at two SFs."""
+    from pyspark.sql.window import Window
+
+    from ome_arrow_spark.operators.clustering import _sq_l2
+
+    subs = F.array(*[F.slice("__nv", s * sub + 1, sub) for s in range(m)])
+    v = base.select(
+        "cid", F.posexplode(subs).alias("__s", "__v")
+    ).localCheckpoint(eager=True)
+
+    w_init = Window.orderBy("cid")
+    # window FIRST, explode SECOND (two selects): a generator and a
+    # window expression in one projection make the row_number rank the
+    # EXPLODED rows, scattering the k init clusters across subspaces
+    cent = (
+        base.orderBy("cid")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cluster"),
+            "__nv",
+        )
+        .select("cluster", F.posexplode(subs).alias("__s", "ctr"))
+        .select("__s", "cluster", "ctr")
+    )
+
+    def packed(cent_df):
+        return cent_df.groupBy("__s").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cluster"), F.col("ctr")))
+            ).alias("__cents")
+        )
+
+    def assign(packed_df):
+        scored = F.transform(
+            F.col("__cents"),
+            lambda cs: F.struct(
+                cs["cluster"].alias("c"), _sq_l2("__v", cs["ctr"]).alias("d2")
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d2")),
+            lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc),
+        )
+        return v.join(F.broadcast(packed_df), "__s").select(
+            "cid", "__s", "__v", best["c"].alias("cluster")
+        )
+
+    def means(assigned):
+        per_dim = (
+            assigned.select(
+                "__s", "cluster", F.posexplode("__v").alias("pos", "val")
+            )
+            .groupBy("__s", "cluster", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.col("val").cast("double").cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        return (
+            per_dim.groupBy("__s", "cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("__s", "cluster", F.col("pm").getField("m").alias("ctr"))
+        )
+
+    pk = packed(cent).localCheckpoint(eager=True)
+    assigned = None
+    for it in range(iterations):
+        assigned = assign(pk)
+        if it < iterations - 1:
+            pk = packed(means(assigned)).localCheckpoint(eager=True)
+    rows = means(assigned).collect()
+    cmaps: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in rows:
+        cmaps[int(r["__s"])][int(r["cluster"])] = [float(x) for x in r["ctr"]]
+    # dense codebook lists (clusters 0..k-1; k-means may drop clusters
+    # on tiny data — pad with zero vectors, never chosen)
+    return [
+        [cmaps[s].get(j, [0.0] * sub) for j in range(k)] for s in range(m)
+    ]
+
+
 def build_pq_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -178,46 +323,14 @@ def build_pq_index(
     base = corpus.select(
         F.col(corpus_id).alias("cid"), _normalize(F.col(vec)).alias("__nv")
     )
-    base = base.localCheckpoint()  # m kmeans passes reuse it
-    codebooks: list[list[list[float]]] = []
-    code_cols = []
-    for s in range(m):
-        sl = F.slice("__nv", s * sub + 1, sub)
-        sv = base.select("cid", sl.alias("embedding"))
-        assign = kmeans(sv, k=k, id_col="cid", iterations=iterations)
-        cents = cluster_means(
-            sv.join(assign.withColumnRenamed("vec_id", "cid"), "cid").select(
-                "cluster", F.col("embedding").alias("__cv")
-            ),
-            vec_col="__cv",
-        ).collect()
-        cmap = {int(r["cluster"]): [float(x) for x in r["ctr"]] for r in cents}
-        # dense codebook list (clusters 0..k-1; k-means may drop
-        # clusters on tiny data — pad with zero vectors, never chosen)
-        book = [cmap.get(j, [0.0] * sub) for j in range(k)]
-        codebooks.append(book)
-        # encode: argmin squared-L2 against this subspace's book
-        cents_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("c"),
-                    F.array(*[F.lit(v) for v in book[j]]).alias("ctr"),
-                )
-                for j in range(k)
-            ]
-        )
-        d2 = lambda cs, sl=sl: F.aggregate(
-            F.zip_with(sl, cs["ctr"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        best = F.aggregate(
-            F.transform(cents_arr, lambda cs: F.struct(cs["c"].alias("c"), d2(cs).alias("d"))),
-            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["c"]
-        code_cols.append(best.alias(f"__code{s}"))
-    coded = base.select("cid", F.array(*code_cols).alias("codes"))
+    base = base.localCheckpoint()  # the joint training + encode reuse it
+    codebooks = _exact_pq_codebooks(base, m, sub, k, iterations)
+    # argmin encode via the bit-identical Arrow batch UDF
+    # (_pq_encode_exact_udf) instead of m·k interpreted sub-folds/row
+    coded = base.select(
+        "cid",
+        _pq_encode_exact_udf(codebooks)(F.col("__nv")).alias("codes"),
+    )
     return tl.create_table(
         spark,
         coded.repartitionByRange(2, "cid"),
@@ -249,33 +362,10 @@ def add_to_pq_index(
     base = new_vectors.select(
         F.col(corpus_id).alias("cid"), _normalize(F.col(vec)).alias("__nv")
     )
-    code_cols = []
-    for s in range(m):
-        sl = F.slice("__nv", s * sub + 1, sub)
-        cents_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("c"),
-                    F.array(*[F.lit(v) for v in books[s][j]]).alias("ctr"),
-                )
-                for j in range(k)
-            ]
-        )
-        d2 = lambda cs, sl=sl: F.aggregate(
-            F.zip_with(sl, cs["ctr"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        best = F.aggregate(
-            F.transform(
-                cents_arr,
-                lambda cs: F.struct(cs["c"].alias("c"), d2(cs).alias("d")),
-            ),
-            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["c"]
-        code_cols.append(best.alias(f"__code{s}"))
-    coded = base.select("cid", F.array(*code_cols).alias("codes"))
+    # same bit-identical Arrow argmin encode as build_pq_index (r14)
+    coded = base.select(
+        "cid", _pq_encode_exact_udf(books)(F.col("__nv")).alias("codes")
+    )
     return tl.upsert_table(spark, coded, table, key="cid")
 
 
@@ -630,20 +720,30 @@ def build_ivfpq_index(
         )
     if train != "exact":
         raise ValueError(f"train must be 'exact' or 'sample', got {train!r}")
-    # coarse assignment (same deterministic k-means as the IVF index)
-    assign = kmeans(
-        corpus.select(
-            F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")
-        ),
-        k=n_centroids,
-        iterations=iterations,
-    ).withColumnRenamed("vec_id", corpus_id)
+    # Coarse assignment and the scratch PQ build are INDEPENDENT —
+    # overlap them (guide §2.6); each is a chain of tiny stages that
+    # leaves the cluster idle.  Result-identical: same plans, same
+    # collected results, only submission order changes (r14).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _coarse():
+        return kmeans(
+            corpus.select(
+                F.col(corpus_id).alias("vec_id"), F.col(vec).alias("embedding")
+            ),
+            k=n_centroids,
+            iterations=iterations,
+        ).withColumnRenamed("vec_id", corpus_id)
+
     # PQ codes from a scratch PQ build reused via its stored codebooks
     tmp_pq = table + ".pqtmp"
-    build_pq_index(
-        spark, corpus, tmp_pq, m=m, k=k, corpus_id=corpus_id, vec=vec,
-        iterations=iterations, overwrite=True,
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_fut = pool.submit(_coarse)
+        build_pq_index(
+            spark, corpus, tmp_pq, m=m, k=k, corpus_id=corpus_id, vec=vec,
+            iterations=iterations, overwrite=True,
+        )
+        assign = coarse_fut.result()
     props = tl.table_properties(tmp_pq)
     codes = tl.read_table(spark, tmp_pq)
     from ome_arrow_spark.operators.clustering import cluster_means
