@@ -95,6 +95,22 @@ def build_ivf_index(
             F.col(vec).alias("embedding"),
             *[F.col(c) for c in extra_cols],
         )
+        # repartitionByRange's boundary-sampling job re-evaluates its
+        # child, paying the assignment UDF twice (r14).  Unlike the PQ
+        # builds' thin codes, IVF lists carry the raw embeddings, so
+        # the checkpoint is guarded by the same splits-vs-slots test
+        # as spread_small_input: locally (few splits) one eager
+        # materialization of a few MB removes the duplicate pass; at
+        # corpus scale (splits >= slots) the guard is a NO-OP and the
+        # one-time extra assign pass is the cheaper side of the trade
+        # vs a full corpus copy in executor storage.
+        sc = corpus.sparkSession.sparkContext
+        try:
+            small = corpus.rdd.getNumPartitions() < sc.defaultParallelism
+        except Exception:  # noqa: BLE001 — planning-only probe
+            small = False
+        if small:
+            listed = listed.localCheckpoint(eager=True)
         cent_map = {j: [float(x) for x in cents[j]] for j in range(len(cents))}
     elif train == "exact":
         from ome_arrow_spark.operators.clustering import cluster_means, kmeans

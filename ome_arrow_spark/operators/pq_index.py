@@ -142,7 +142,10 @@ def _pq_encode_exact_udf(books):
             D = np.zeros((n, k))
             for i in range(sub):
                 diff = Xs[:, i : i + 1] - B[s, :, i]
-                D = D + diff * diff
+                # in-place square + accumulate (r14): identical values
+                # and accumulation order, two fewer (n, k) temporaries
+                np.multiply(diff, diff, out=diff)
+                D += diff
             codes[:, s] = np.argmin(D, axis=1)
         return pd.Series(list(codes))
 
@@ -306,6 +309,13 @@ def build_pq_index(
             F.col(corpus_id).alias("cid"),
             QZ.pq_encode_udf(books)(F.col(vec)).alias("codes"),
         )
+        # repartitionByRange's boundary-sampling job evaluates its
+        # child ONCE MORE, so without this the Arrow encode pass runs
+        # twice (r14; measured 2.2 -> 0.6 s on the write phase at the
+        # 100k fixture).  The checkpointed relation is THIN codes —
+        # m ints + id per row, the artifact PQ exists to make small —
+        # so one eager materialization is cheap at any corpus scale.
+        coded = coded.localCheckpoint(eager=True)
         return tl.create_table(
             spark,
             coded.repartitionByRange(2, "cid"),
@@ -326,11 +336,14 @@ def build_pq_index(
     base = base.localCheckpoint()  # the joint training + encode reuse it
     codebooks = _exact_pq_codebooks(base, m, sub, k, iterations)
     # argmin encode via the bit-identical Arrow batch UDF
-    # (_pq_encode_exact_udf) instead of m·k interpreted sub-folds/row
+    # (_pq_encode_exact_udf) instead of m·k interpreted sub-folds/row;
+    # checkpointed so repartitionByRange's boundary-sampling job does
+    # not evaluate the encode a second time (thin codes — cheap at any
+    # scale, r14).
     coded = base.select(
         "cid",
         _pq_encode_exact_udf(codebooks)(F.col("__nv")).alias("codes"),
-    )
+    ).localCheckpoint(eager=True)
     return tl.create_table(
         spark,
         coded.repartitionByRange(2, "cid"),
@@ -703,7 +716,7 @@ def build_ivfpq_index(
             QZ.nearest_udf(cents)(F.col(vec)).alias("centroid_id"),
             F.col(corpus_id).alias("cid"),
             QZ.pq_encode_udf(books)(F.col(vec)).alias("codes"),
-        )
+        ).localCheckpoint(eager=True)  # thin codes; see build_pq_index (r14)
         cent_map = {j: [float(x) for x in cents[j]] for j in range(len(cents))}
         return tl.create_table(
             spark,
@@ -759,7 +772,7 @@ def build_ivfpq_index(
         assign.select(F.col(corpus_id).alias("cid"), "cluster"), "cid"
     ).select(
         F.col("cluster").cast("int").alias("centroid_id"), "cid", "codes"
-    )
+    ).localCheckpoint(eager=True)  # thin codes; see build_pq_index (r14)
     v = tl.create_table(
         spark,
         rows.repartitionByRange(max(2, n_centroids // 2), "centroid_id"),

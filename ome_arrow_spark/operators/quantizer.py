@@ -83,12 +83,35 @@ def lloyd(
             d2,
             np.maximum(x2r - 2.0 * (X @ cents[j]) + cents[j] @ cents[j], 0.0),
         )
-    x2 = x2r[:, None]
     dim = X.shape[1]
+    # Blocked assignment (r14): the full (n, k) distance matrix is
+    # 67 MB at n=32768, k=256, and the expression form re-walked it
+    # from RAM four times per iteration (~540 MB of traffic/iter,
+    # 43 GB per PQ training) — the training wall is MEMORY-BOUND, not
+    # FLOP-bound.  Computing 2048-row blocks into one preallocated
+    # buffer keeps each block cache-resident through the GEMM,
+    # in-place adds and argmin, so RAM traffic per iteration drops to
+    # ~one write of the block stream.  Bit-identical to the unblocked
+    # form: per-row results are independent, ``x2 - 2G`` equals
+    # ``(-2G) + x2`` under IEEE (±2· exact, addition commutative), and
+    # the per-row min used for re-seeding is the value AT the argmin
+    # index (gather, not a second reduction).
+    blk = 2048
+    buf = np.empty((min(blk, n), k))
+    lab = np.empty(n, dtype=np.int64)
+    mind = np.empty(n)
     for _ in range(iterations):
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops the x² term
-        d = x2 - 2.0 * (X @ cents.T) + (cents**2).sum(1)[None, :]
-        lab = d.argmin(1)
+        c2 = (cents**2).sum(1)[None, :]
+        for start in range(0, n, blk):
+            sl = slice(start, min(start + blk, n))
+            m = sl.stop - sl.start
+            db = np.dot(X[sl], cents.T, out=buf[:m])
+            db *= -2.0
+            db += x2r[sl, None]
+            db += c2
+            lb = db.argmin(1)
+            lab[sl] = lb
+            mind[sl] = db[np.arange(m), lb]
         # r14: vectorized cluster-mean update — one weighted bincount
         # per dimension is O(n·dim) where the old per-cluster boolean
         # mask loop was O(n·k); at k=256 that loop was ~75% of the
@@ -105,7 +128,7 @@ def lloyd(
         nonempty = counts > 0
         cents[nonempty] = sums[nonempty] / counts[nonempty, None]
         if not nonempty.all():  # re-seed empty clusters at the worst-served point
-            cents[~nonempty] = X[d.min(1).argmax()]
+            cents[~nonempty] = X[mind.argmax()]
     return cents
 
 
@@ -118,7 +141,12 @@ def nearest_udf(cents: np.ndarray):
     @pandas_udf("int")
     def nearest(v: pd.Series) -> pd.Series:
         X = np.vstack(v.to_numpy()).astype(np.float64)
-        d = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + c2
+        # in-place (r14): (-2G) + x2 == x2 - 2G bit-for-bit; saves two
+        # (batch, k) temporaries of memory traffic per batch
+        d = X @ C.T
+        d *= -2.0
+        d += (X**2).sum(1)[:, None]
+        d += c2
         return pd.Series(d.argmin(1).astype(np.int32))
 
     return nearest
@@ -144,7 +172,11 @@ def pq_encode_udf(books: np.ndarray, normalize: bool = True):
         codes = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             Xs = X[:, s * sub:(s + 1) * sub]
-            d = (Xs**2).sum(1)[:, None] - 2.0 * (Xs @ B[s].T) + b2[s][None, :]
+            # in-place form, bit-identical (see nearest_udf)
+            d = Xs @ B[s].T
+            d *= -2.0
+            d += (Xs**2).sum(1)[:, None]
+            d += b2[s][None, :]
             codes[:, s] = d.argmin(1)
         return pd.Series(list(codes))
 

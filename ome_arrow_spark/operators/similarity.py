@@ -210,7 +210,8 @@ def _md5_sigs_udf(sign_mat, n_tables: int, n_planes: int):
         acc = np.zeros((n, S.shape[0]))
         for i in range(dim):
             # ordered: products exact, adds left-assoc per plane
-            acc = acc + X[:, i : i + 1] * S[:, i]
+            # (in-place += — identical values, one fewer temporary)
+            acc += X[:, i : i + 1] * S[:, i]
         bits = acc > 0
         vals = (
             bits.reshape(n, n_tables, n_planes) * weights
