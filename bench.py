@@ -592,6 +592,38 @@ def ambient_load_factor() -> float:
     return round(min(_spin_once() for _ in range(3)) / IDLE_SPIN_SEC, 3)
 
 
+#: Idle-box memory bandwidth of the `_bw_probe` copy loop (GB/s, best
+#: of 8, measured 2026-08-18 on the r15 box).  The CPU spin sentinel
+#: misses this box's documented failure mode — transient MEMORY
+#: bandwidth collapses (the same 256 MB copy measured 0.034 s and
+#: 3.89 s minutes apart while the spin factor read a steady ~1.29;
+#: r14's 31 "regressed" untouched rows trace to such bursts).  The
+#: probe's best-of-N is the box's idle capability; the worst-of-N is
+#: the stamp's burst exposure — a worst/best ratio >> 1 means some
+#: rows ran through a burst and their walls are not plan evidence.
+IDLE_BW_GBPS = 15.9
+
+
+def ambient_bw_probe(n: int = 5) -> tuple[float, float]:
+    """(best, worst) GB/s of an N-round 256 MB buffer copy — the
+    bandwidth twin of the spin sentinel."""
+    import numpy as np
+
+    src = np.empty(32 * 1024 * 1024, dtype=np.int64)  # 256 MB
+    src[:] = 1
+    dst = np.empty_like(src)
+    nbytes = 2 * src.nbytes  # read + write
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        walls.append(time.perf_counter() - t0)
+    return (
+        round(nbytes / min(walls) / 1e9, 2),
+        round(nbytes / max(walls) / 1e9, 2),
+    )
+
+
 class SpreadRecorder:
     """Collects every repeat's wall per metric so the stamp reports
     [best, median, worst] alongside the headline best-of-N."""
@@ -829,7 +861,16 @@ def _emit_stamp(
         load = ambient_load_factor()
     except Exception:  # noqa: BLE001 — the stamp must still print
         load = -1.0
+    try:
+        bw_best, bw_worst = ambient_bw_probe()
+    except Exception:  # noqa: BLE001 — the stamp must still print
+        bw_best, bw_worst = -1.0, -1.0
     print(f"# ambient_load_factor: {load}", file=sys.stderr)
+    print(
+        f"# ambient_bw_gbps: best {bw_best} worst {bw_worst} "
+        f"(idle calibration {IDLE_BW_GBPS})",
+        file=sys.stderr,
+    )
 
     # The driver captures only the LAST ~2000 chars of stdout; the r8
     # stamp (spreads + every standalone metric inline) exceeded that and
@@ -860,6 +901,8 @@ def _emit_stamp(
         "sf": sf,
         **rates,
         "ambient_load_factor": load,
+        "ambient_bw_gbps": bw_best,
+        "ambient_bw_worst_gbps": bw_worst,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
@@ -870,6 +913,8 @@ def _emit_stamp(
         **rates,
         "errors": errors,
         "ambient_load_factor": load,
+        "ambient_bw_gbps": bw_best,
+        "ambient_bw_worst_gbps": bw_worst,
         "sf": sf,
     }
     detail_path = os.path.join(
